@@ -14,12 +14,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pooling_census")(spark, "/root/testdata/sf0.001")
 
+  private def modules = Seq(
+    graft.queries.Relational.queries -> graft.queries.Relational.oracles,
+    graft.queries.Reshape.queries    -> graft.queries.Reshape.oracles,
+    graft.queries.SetAgg.queries     -> graft.queries.SetAgg.oracles,
+    graft.queries.Scalars.queries    -> graft.queries.Scalars.oracles,
+    graft.queries.Events.queries     -> graft.queries.Events.oracles)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    modules.map(_._1).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles
+    modules.map(_._2).reduce(_ ++ _)
 }

@@ -20,7 +20,14 @@ final class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  def events: DataFrame     = table("events")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects outright
+    * ([PARQUET_TYPE_ILLEGAL]); read it as raw Long nanoseconds instead.
+    * Downstream code treats time as integer microseconds (`ts div 1000`),
+    * which is also what DuckDB sees after its silent ns→µs truncation. */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table("events")
+  }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }

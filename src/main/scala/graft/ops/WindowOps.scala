@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The reference's sort+pick idioms (SURVEY.md §2.5) as window functions.
+  *
+  * The reference has no SQL windows; it sorts pandas frames and takes
+  * `.values[0]` / slices (projectutils.py:518-531,
+  * check_sequence_index_barcodes.py:69, samplesheet_utils.py:90-106). Each
+  * becomes one `Window.partitionBy` — a single shuffle on the partition key,
+  * no driver-side iteration, AQE-skew-splittable at scale.
+  *
+  * Every helper demands an explicit total order: a non-deterministic
+  * tie-break is invisible at 6k rows and a correctness bug at 100 TB.
+  */
+object WindowOps {
+
+  private val D = DecimalType(18, 4)
+
+  /** First row per group under `order` (projectutils.py:518-531). */
+  def firstAfterSort(df: DataFrame, part: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(part.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Top-k rows per group, rank column kept as `rankCol`. */
+  def topK(df: DataFrame, part: Seq[String], order: Seq[Column], k: Int,
+           rankCol: String = "rk"): DataFrame = {
+    val w = Window.partitionBy(part.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** Decimal-exact running sum (order-stable across engines, see [[Exact]]).
+    * `order` must be a total order or frame contents are undefined. */
+  def runningSumExact(df: DataFrame, part: Seq[String], order: Seq[Column],
+                      value: Column, as: String): DataFrame = {
+    val w = Window.partitionBy(part.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(as, sum(value.cast(D)).over(w).cast("double"))
+  }
+
+  /** Truncate a string column to its group-minimum length — the reference's
+    * per-lane index truncation (samplesheet_utils.py:90-106). */
+  def truncateToGroupMin(df: DataFrame, part: Seq[String], strCol: String,
+                         as: String): DataFrame = {
+    val w = Window.partitionBy(part.map(col): _*)
+    df.withColumn("__minlen", min(length(col(strCol))).over(w))
+      .withColumn(as, col(strCol).substr(lit(1), col("__minlen")))
+      .drop("__minlen")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Exact
+
+/** Batch queries over the `events` stream table.
+  *
+  * Time convention: events.ts is nanosecond-precision parquet, which Spark 4
+  * refuses natively ([PARQUET_TYPE_ILLEGAL]) and DuckDB silently truncates
+  * to µs. [[Tables.events]] reads it via
+  * `spark.sql.legacy.parquet.nanosAsLong`, and all derived times here are
+  * integer microseconds (`ts div 1000` ≡ DuckDB `epoch_us(ts)`), so both
+  * engines agree exactly with zero float risk.
+  *
+  * These are the batch twins of the Structured Streaming jobs in
+  * [[graft.streaming]] — same logical aggregation, so the oracle validates
+  * the streaming semantics too (a watermarked streaming run of the same
+  * window agg must converge to this result).
+  */
+object Events {
+
+  /** Tumbling 1-hour window aggregation per event type. */
+  def hourlyWindow(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .withColumn("hour_ep", expr("((ts div 1000) div 3600000000) * 3600"))
+      .groupBy("hour_ep", "event_type")
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("v"))
+
+  /** JSON property extraction + integer aggregation (seqrun_stats JSON
+    * column idiom, igfTables.py:435-437). */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("k_sum"), count(col("k")).as("k_n"))
+
+  /** Per-user ordered event sequence — groupBy + ordered collect idiom
+    * (check_sequence_index_barcodes.py:118-151 group walks). */
+  def userJourney(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .withColumn("us", expr("ts div 1000"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("first_us"),
+        max(col("us")).as("last_us"),
+        // sort_array over (time, type) structs = deterministic journey string
+        array_join(expr("transform(array_sort(collect_list(struct(us, event_type))), x -> x.event_type)"), ">")
+          .as("journey"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_events_hourly"  -> (hourlyWindow _),
+    "q24_events_json"    -> (jsonExtract _),
+    "q25_user_journey"   -> (userJourney _))
+
+  val oracles: Map[String, String] = Map(
+    "q23_events_hourly" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_ep, event_type,
+        |       count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q24_events_json" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q25_user_journey" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       min(epoch_us(ts)) AS first_us,
+        |       max(epoch_us(ts)) AS last_us,
+        |       string_agg(event_type, '>' ORDER BY epoch_us(ts), event_type) AS journey
+        |FROM events GROUP BY 1""".stripMargin)
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.scalars.Genomics
+
+/** Scalar-function inventory (SURVEY.md §2.7) exercised over the star
+  * schema's string/date columns. All pure built-in compositions — the whole
+  * projection stays in one WholeStageCodegen span over the parquet scan. */
+object Scalars {
+
+  /** rev_comp + name normalization + composite index over part strings. */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).part.select(
+      col("p_partkey"),
+      Genomics.revComp(col("p_name")).as("rc"),
+      Genomics.normalizeName(col("p_name")).as("norm"),
+      Genomics.compositeIndex(col("p_brand"), col("p_type")).as("composite"),
+      Genomics.stripN(upper(col("p_name"))).as("no_n"),
+      Genomics.cleanProject(col("p_type")).as("clean"))
+
+  /** Date/time functions over order dates (seqrun-date parse, cutoff-week
+    * delta, duration idioms — SURVEY §2.7). */
+  def dateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders.select(
+      col("o_orderkey"),
+      unix_timestamp(col("o_orderdate")).as("ep"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_ep"),
+      datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date"))
+        .as("days_to_cutoff"))
+
+  /** Regex predicates: rlike classification census (10X index detection /
+    * G-homopolymer / email-shape idioms as CASE buckets). */
+  def regexClassify(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).part.select(
+      col("p_partkey"),
+      col("p_name").rlike("^[a-z]+ [a-z]+$").as("two_words"),
+      col("p_brand").rlike("^Brand#[0-9]+$").as("brand_shape"),
+      Genomics.isGHomopolymer(upper(col("p_name"))).as("g_homopolymer"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_string_funcs"   -> (stringFuncs _),
+    "q19_date_funcs"     -> (dateFuncs _),
+    "q22_regex_classify" -> (regexClassify _))
+
+  val oracles: Map[String, String] = Map(
+    "q18_string_funcs" ->
+      """SELECT p_partkey,
+        |       reverse(translate(upper(p_name), 'ACGT', 'TGCA')) AS rc,
+        |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |         p_name, '\s+', '-', 'g'), '[^a-zA-Z0-9_-]', '-', 'g'),
+        |         '-+', '-', 'g'), '^-|-$', '', 'g') AS norm,
+        |       CASE WHEN p_type IS NULL OR p_type = '' THEN p_brand
+        |            ELSE concat_ws('+', p_brand, p_type) END AS composite,
+        |       translate(upper(p_name), 'Nn', '') AS no_n,
+        |       split_part(p_type, ':', 1) AS clean
+        |FROM part""".stripMargin,
+    "q19_date_funcs" ->
+      """SELECT o_orderkey,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS ep,
+        |       CAST(year(o_orderdate) AS INT) AS y,
+        |       CAST(month(o_orderdate) AS INT) AS m,
+        |       CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_ep,
+        |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) AS days_to_cutoff
+        |FROM orders""".stripMargin,
+    "q22_regex_classify" ->
+      """SELECT p_partkey,
+        |       regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS two_words,
+        |       regexp_matches(p_brand, '^Brand#[0-9]+$') AS brand_shape,
+        |       regexp_matches(upper(p_name), '^G+$') AS g_homopolymer
+        |FROM part""".stripMargin)
+}

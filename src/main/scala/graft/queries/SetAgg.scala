@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Exact
+
+/** Set operations + aggregation inventory (SURVEY.md §2.4, §2.6). */
+object SetAgg {
+
+  /** Group min/max — per-lane mapping-ratio bounds idiom
+    * (check_sequence_index_barcodes.py:225-228). */
+  def groupMinmax(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem.groupBy("l_returnflag").agg(
+      min(col("l_discount")).as("mn_disc"),
+      max(col("l_tax")).as("mx_tax"),
+      unix_timestamp(min(col("l_shipdate"))).as("first_ship_ep"),
+      count(lit(1)).as("n"))
+
+  /** EXCEPT: samplesheet-vs-metadata set difference idiom
+    * (metadata_validation.py:541-543). */
+  def setExcept(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer.select("c_custkey")
+      .except(t.orders.select(col("o_custkey").as("c_custkey")))
+  }
+
+  /** UNION ALL with a source tag (pd.concat idiom,
+    * check_sequence_index_barcodes.py:81,115,151). */
+  def unionTagged(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val c = t.customer.select(col("c_custkey").as("id"),
+      col("c_name").as("name"), lit("customer").as("src"))
+    val p = t.supplier.select(col("s_suppkey").as("id"),
+      col("s_name").as("name"), lit("supplier").as("src"))
+    c.unionByName(p)
+  }
+
+  /** value_counts census (reformat_metadata_file.py:550-559). */
+  def valueCounts(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+
+  /** Ordered string-concat aggregation (dag22:3582-3590). Sorting inside the
+    * group makes the result order-independent — collect_list alone is not
+    * deterministic under parallel merge. */
+  def concatAgg(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders.groupBy("o_custkey").agg(
+      array_join(array_sort(collect_list(col("o_orderpriority"))), ",")
+        .as("priorities"),
+      count(lit(1)).as("n"))
+
+  /** CASE-bucketing census (status-bucket idiom, projectutils.py:65-67). */
+  def bucketCensus(s: SparkSession, dir: String): DataFrame = {
+    val bucket = when(col("o_totalprice") < 50000.0, "small")
+      .when(col("o_totalprice") < 150000.0, "medium")
+      .otherwise("large")
+    Tables(s, dir).orders.groupBy(bucket.as("bucket")).agg(
+      count(lit(1)).as("n"),
+      Exact.dsum(col("o_totalprice")).as("total"))
+  }
+
+  /** Pearson correlation from decimal-exact moments — batch_effect_report
+    * .py:160's df.corr() with engine-stable arithmetic: every sum is exact,
+    * the closing-form arithmetic is the same IEEE expression both sides. */
+  def corrMoments(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem
+    val agg = li.groupBy("l_returnflag").agg(
+      count(lit(1)).cast("double").as("n"),
+      Exact.dsum(col("l_quantity")).as("sx"),
+      Exact.dsum(col("l_extendedprice")).as("sy"),
+      Exact.dsumProduct(col("l_quantity"), col("l_extendedprice")).as("sxy"),
+      Exact.dsumProduct(col("l_quantity"), col("l_quantity")).as("sxx"),
+      Exact.dsumProduct(col("l_extendedprice"), col("l_extendedprice")).as("syy"))
+    // Rounded to 6dp: the moments are engine-exact but the closing double
+    // arithmetic is not bit-stable across engines (DuckDB may fuse FMA).
+    agg.select(col("l_returnflag"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+         sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qp"),
+      col("n").cast("long").as("n"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_group_minmax" -> (groupMinmax _),
+    "q14_set_except"   -> (setExcept _),
+    "q15_union_tagged" -> (unionTagged _),
+    "q16_value_counts" -> (valueCounts _),
+    "q17_concat_agg"   -> (concatAgg _),
+    "q20_bucket_census" -> (bucketCensus _),
+    "q21_corr_moments" -> (corrMoments _))
+
+  val oracles: Map[String, String] = Map(
+    "q11_group_minmax" ->
+      """SELECT l_returnflag, min(l_discount) AS mn_disc, max(l_tax) AS mx_tax,
+        |       CAST(epoch(min(l_shipdate)) AS BIGINT) AS first_ship_ep,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q14_set_except" ->
+      "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
+    "q15_union_tagged" ->
+      """SELECT c_custkey AS id, c_name AS name, 'customer' AS src FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS id, s_name AS name, 'supplier' AS src FROM supplier""".stripMargin,
+    "q16_value_counts" ->
+      "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1",
+    "q17_concat_agg" ->
+      """SELECT o_custkey,
+        |       string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q20_bucket_census" ->
+      """SELECT CASE WHEN o_totalprice < 50000.0 THEN 'small'
+        |            WHEN o_totalprice < 150000.0 THEN 'medium'
+        |            ELSE 'large' END AS bucket,
+        |       count(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q21_corr_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(25,4)) * CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sxy,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(25,4)) * CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4)) * CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |       round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qp,
+        |       CAST(n AS BIGINT) AS n
+        |FROM m""".stripMargin)
+}
