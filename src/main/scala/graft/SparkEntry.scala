@@ -19,7 +19,10 @@ object SparkEntry {
     graft.queries.Reshape.queries    -> graft.queries.Reshape.oracles,
     graft.queries.SetAgg.queries     -> graft.queries.SetAgg.oracles,
     graft.queries.Scalars.queries    -> graft.queries.Scalars.oracles,
-    graft.queries.Events.queries     -> graft.queries.Events.oracles)
+    graft.queries.Events.queries     -> graft.queries.Events.oracles,
+    graft.queries.TextQ.queries      -> graft.queries.TextQ.oracles,
+    graft.queries.SimilarityQ.queries -> graft.queries.SimilarityQ.oracles,
+    graft.queries.MultimodalQ.queries -> graft.queries.MultimodalQ.oracles)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,87 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection — the 100 TB dedup path.
+  *
+  * Pipeline: shingle → k minhashes per doc (one shuffle) → band → bucket
+  * self-join (shuffle on band key) → candidate pairs → jaccard estimate from
+  * signature agreement; exact verification via [[Shingles.jaccardPairs]] on
+  * the candidate set only. Cost is linear in corpus size + quadratic only
+  * inside buckets, vs the all-pairs join's global quadratic blowup.
+  *
+  * Determinism: the hash family is `(a_i * x + b_i) mod p` over
+  * `x = xxhash64(shingle) mod p`, with (a_i, b_i) drawn from a seeded PRNG
+  * at plan-build time — signatures are reproducible across runs and
+  * cluster sizes. p = 2^31-1 keeps `a*x` inside a long (no overflow).
+  */
+object MinHashLsh {
+
+  final case class Params(
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      seed: Long = 42L) {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def rowsPerBand: Int = numHashes / bands
+  }
+
+  private val P = 2147483647L // 2^31 - 1 (prime)
+
+  /** Seeded affine hash family; a in [1, p), b in [0, p). */
+  private def hashFamily(p: Params): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(p.seed)
+    Seq.fill(p.numHashes)((1L + rnd.nextInt((P - 1).toInt).toLong,
+      rnd.nextInt(P.toInt).toLong))
+  }
+
+  /** (id, sig: array<long>) — k minhashes per document. Single hash
+    * aggregation: every shingle row evaluates k affine hashes inside one
+    * codegen stage; min-combine is map-side partial. */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+                 p: Params = Params()): DataFrame = {
+    val sh = Shingles.explodeShingles(df, idCol, textCol, p.shingleN)
+    val x = pmod(xxhash64(col("shingle")), lit(P))
+    val mins = hashFamily(p).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * x + lit(b), lit(P))).as(s"h$i")
+    }
+    sh.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until p.numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Distinct candidate pairs (id_a < id_b) that collide in >= 1 band.
+    * The band signature hashes r consecutive minhashes together; the
+    * self-join shuffles on (band, bandSig) so only same-bucket docs meet. */
+  def candidatePairs(sig: DataFrame, idCol: String,
+                     p: Params = Params()): DataFrame = {
+    val bandSigs = transform(
+      sequence(lit(0), lit(p.bands - 1)),
+      bnd => xxhash64(bnd, slice(col("sig"), bnd * p.rowsPerBand + 1, lit(p.rowsPerBand))))
+    val banded = sig
+      .select(col(idCol), posexplode(bandSigs).as(Seq("band", "band_sig")))
+    val a = banded.select(col("band"), col("band_sig"), col(idCol).as("id_a"))
+    val b = banded.select(col("band"), col("band_sig"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Candidates + signature-estimated Jaccard (fraction of agreeing
+    * minhashes), filtered at `minEstJaccard`. */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                     minEstJaccard: Double,
+                     p: Params = Params()): DataFrame = {
+    val sig = signatures(df, idCol, textCol, p).cache()
+    val cand = candidatePairs(sig, idCol, p)
+    val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      (m: Column) => m)).cast("double") / lit(p.numHashes.toDouble)
+    cand
+      .join(sig.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+}

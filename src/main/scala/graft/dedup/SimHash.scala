@@ -1,0 +1,59 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** 64-bit SimHash near-duplicate detection.
+  *
+  * Each token contributes +1/-1 per bit plane (sign of the corresponding
+  * bit of its xxhash64); the document's simhash sets bit j when plane j's
+  * sum is positive. Near-dup iff hamming(simhash_a, simhash_b) <= maxDist.
+  *
+  * Plan shape: token explode → ONE hash aggregation with 64 `sum(when)`
+  * columns (map-side combinable, fully codegen'd) → bit-assembly projection.
+  * Candidate pairing at scale uses the pigeonhole trick: split 64 bits into
+  * `chunks` chunks; any pair within hamming distance < chunks must agree on
+  * at least one whole chunk, so a chunk-equality self-join finds all of them
+  * without an all-pairs scan.
+  */
+object SimHash {
+
+  /** (id, simhash: long) per document. */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(graft.text.TextMetrics.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val planeSums = (0 until 64).map { j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"p$j")
+    }
+    val bits = (0 until 64).map { j =>
+      when(col(s"p$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    toks.groupBy(col(idCol))
+      .agg(planeSums.head, planeSums.tail: _*)
+      .select(col(idCol), bits.reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  /** Pairs (id_a < id_b) with hamming(simhash) <= maxDist, found via the
+    * chunk-collision join. Requires maxDist < chunks for completeness. */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                     maxDist: Int = 3, chunks: Int = 4): DataFrame = {
+    require(maxDist < chunks, "pigeonhole completeness needs maxDist < chunks")
+    val width = 64 / chunks
+    val sh = simhashes(df, idCol, textCol)
+    val chunked = sh.select(col(idCol), col("simhash"),
+      posexplode(array((0 until chunks).map(cId =>
+        expr(s"(simhash >> ${cId * width}) & ${(1L << width) - 1}")): _*))
+        .as(Seq("chunk", "chunk_val")))
+    val a = chunked.select(col("chunk"), col("chunk_val"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("chunk_val"),
+      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.similarity.Knn
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  * e01/e02 are oracle-backed (decimal-exact dot products close identically
+  * in both engines); e03 is the LSH scale path — approximate by design, so
+  * the driver records rows-only and KnnSpec measures its recall against
+  * e01's exact result. */
+object SimilarityQ {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).embeddings
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  /** Brute-force cosine top-10 for the first 5 vectors as queries. */
+  def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    Knn.bruteForceKnn(all.filter(col("id") < 5), all, k = 10)
+      .select("qid", "vec_id", "cos", "rk")
+  }
+
+  /** Embedding near-duplicate pairs at cosine >= 0.4. */
+  def cosineNearDup(s: SparkSession, dir: String): DataFrame =
+    Knn.nearDupPairs(emb(s, dir), minCos = 0.4)
+
+  /** LSH-bucketed approximate top-10 (scale path; rows-only check). */
+  def knnApprox(s: SparkSession, dir: String): DataFrame =
+    Knn.approxKnn(emb(s, dir), dim = 64, k = 10, nPlanes = 6)
+      .select("qid", "vec_id", "cos", "rk")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e01_knn_brute"      -> (knnBrute _),
+    "e02_cosine_neardup" -> (cosineNearDup _),
+    "e03_knn_approx"     -> (knnApprox _))
+
+  // Shared oracle scaffolding: exact decimal dot products, closed in double
+  // with the same expression shape as Knn.dotExact/cosine.
+  private val normsSql =
+    """SELECT vec_id,
+      |       CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS nrm2
+      |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+      |GROUP BY 1""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "e01_knn_brute" ->
+      s"""WITH norms AS ($normsSql),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |dots AS (
+         |  SELECT q.qid, c.vec_id AS vec_id,
+         |         CAST(CAST(SUM(CAST(CAST(q.qv[i] AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS d
+         |  FROM q, embeddings c, UNNEST(generate_series(1, len(c.embedding))) AS u(i)
+         |  WHERE q.qid <> c.vec_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT qid, dots.vec_id AS vec_id,
+         |         d / (sqrt(nq.nrm2) * sqrt(nc.nrm2)) AS cos
+         |  FROM dots
+         |  JOIN norms nq ON nq.vec_id = qid
+         |  JOIN norms nc ON nc.vec_id = dots.vec_id),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT qid, vec_id, cos, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 10""".stripMargin,
+    "e02_cosine_neardup" ->
+      s"""WITH norms AS ($normsSql),
+         |dots AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         CAST(CAST(SUM(CAST(CAST(a.embedding[i] AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS d
+         |  FROM embeddings a, embeddings b, UNNEST(generate_series(1, len(a.embedding))) AS u(i)
+         |  WHERE a.vec_id < b.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, d / (na.nrm2_sqrt * nb.nrm2_sqrt) AS cos
+         |FROM (SELECT id_a, id_b, d FROM dots) dots2
+         |JOIN (SELECT vec_id, sqrt(nrm2) AS nrm2_sqrt FROM norms) na ON na.vec_id = id_a
+         |JOIN (SELECT vec_id, sqrt(nrm2) AS nrm2_sqrt FROM norms) nb ON nb.vec_id = id_b
+         |WHERE d / (na.nrm2_sqrt * nb.nrm2_sqrt) >= 0.4""".stripMargin)
+}

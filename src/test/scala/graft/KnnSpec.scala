@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.Knn
+
+class KnnSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val emb = Tables(spark, sf).embeddings
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  test("brute-force knn: k rows per query, descending cosine, no self") {
+    val res = Knn.bruteForceKnn(emb.filter(col("id") < 3), emb, k = 5).collect()
+    val byQ = res.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 3 && byQ.values.forall(_.length == 5))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rk"))
+      val cosines = sorted.map(_.getAs[Double]("cos"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+      assert(sorted.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("vec_id")))
+    }
+  }
+
+  test("cosine is symmetric and bounded") {
+    val pairs = Knn.nearDupPairs(emb.limit(50), minCos = -1.0).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-12))
+  }
+
+  test("LSH approximate knn returns correctly-scored subsets of brute force") {
+    val brute = Knn.bruteForceKnn(emb, emb, k = 10)
+      .select("qid", "vec_id", "cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val approx = Knn.approxKnn(emb, dim = 64, k = 10, nPlanes = 4).collect()
+    assert(approx.nonEmpty)
+    // every approx hit that brute force also ranked must carry the same cos
+    approx.foreach { r =>
+      brute.get((r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).foreach { c =>
+        assert(math.abs(c - r.getAs[Double]("cos")) < 1e-12)
+      }
+    }
+    // recall of the LSH path at this bucket width: nonzero and reported
+    val hits = approx.count(r =>
+      brute.contains((r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))))
+    assert(hits > 0, "LSH buckets recovered none of the true top-10 pairs")
+  }
+}

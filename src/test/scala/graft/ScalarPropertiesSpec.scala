@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.scalars.Genomics
+
+/** Property tests for the pure scalar functions (SURVEY.md §5's gap list):
+  * generated inputs are evaluated in one Spark pass per property. */
+class ScalarPropertiesSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int = 300): Seq[A] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  private val dnaGen: Gen[String] =
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, Gen.oneOf('A', 'C', 'G', 'T')).map(_.mkString))
+
+  private val messyChar: Gen[Char] =
+    Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '\t', '-', '_', '.', '!', '#', '/'))
+  private val messyGen: Gen[String] =
+    Gen.listOf(messyChar).map(_.mkString.take(60))
+
+  test("revComp is an involution on DNA strings") {
+    val df = sample(dnaGen).toDF("s")
+    val bad = df.filter(Genomics.revComp(Genomics.revComp(col("s"))) =!= col("s"))
+    assert(bad.count() == 0)
+  }
+
+  test("revComp preserves length and alphabet") {
+    val df = sample(dnaGen).toDF("s")
+    val bad = df.filter(
+      length(Genomics.revComp(col("s"))) =!= length(col("s")) ||
+      !Genomics.revComp(col("s")).rlike("^[ACGT]*$"))
+    assert(bad.count() == 0)
+  }
+
+  test("normalizeName is idempotent") {
+    val df = sample(messyGen).toDF("s")
+    val once  = Genomics.normalizeName(col("s"))
+    val bad = df.filter(Genomics.normalizeName(once) =!= once)
+    assert(bad.count() == 0)
+  }
+
+  test("normalizeName output has no whitespace, punctuation or edge dashes") {
+    val df = sample(messyGen).toDF("s")
+    val out = df.select(Genomics.normalizeName(col("s")).as("n"))
+    val bad = out.filter(!col("n").rlike("^$|^[a-zA-Z0-9_]([a-zA-Z0-9_-]*[a-zA-Z0-9_])?$"))
+    assert(bad.count() == 0, bad.collect().mkString(","))
+  }
+
+  test("compositeIndex drops empty second index") {
+    val df = Seq(("ACGT", "GGTT"), ("ACGT", ""), ("ACGT", null)).toDF("i1", "i2")
+    val got = df.select(Genomics.compositeIndex(col("i1"), col("i2")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("ACGT+GGTT", "ACGT", "ACGT"))
+  }
+
+  test("insertLength clamps at zero and strips commas") {
+    val df = Seq("1,200", "100", "0", "130").toDF("f")
+    val got = df.select(Genomics.insertLength(col("f")).as("l"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1080, 0, 0, 10))
+  }
+}
