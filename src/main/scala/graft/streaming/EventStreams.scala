@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table — the incremental layer the
+  * reference lacks (SURVEY §2.10: its "streaming" is Airflow polling +
+  * DB work queues).
+  *
+  * Design: every streaming aggregation here has a batch twin in
+  * [[graft.queries.Events]] with a DuckDB oracle; a streaming run over the
+  * same files must converge to the batch result (EventStreamsSpec asserts
+  * this), which is how the streaming semantics stay testable without a
+  * streaming oracle. File-source + `Trigger.AvailableNow` is also the
+  * Spark-native replacement for the reference's poll-directory-then-seed
+  * pattern (ongoing_seqrun_processing.py:10-113): each new drop of parquet
+  * is discovered, processed exactly once, and checkpointed.
+  */
+object EventStreams {
+
+  /** events.parquet schema with ts as raw nanos (Spark rejects ns parquet;
+    * see graft.Tables.events). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream of events with a proper event-time column. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark — the
+    * streaming twin of q23_events_hourly (same output schema). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "2 hours")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("v"))
+      .select(unix_timestamp(col("window.start")).as("hour_ep"),
+        col("event_type"), col("n"), col("v"))
+
+  final case class SessionState(start_us: Long, last_us: Long, n: Long)
+  final case class SessionSummary(user_id: Long, start_us: Long, last_us: Long,
+                                  n_events: Long, n_sessions: Long)
+
+  /** Per-user stateful sessionization via mapGroupsWithState
+    * (KeyValueGroupedDataset custom state — the §2.10 "work queue consumer"
+    * generalized): events more than `gapUs` apart open a new session; the
+    * running summary is emitted in update mode. */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapUs: Long): Dataset[SessionSummary] = {
+    import spark.implicits._
+    final case class E(user_id: Long, us: Long)
+    val typed = events.select(col("user_id"),
+      expr("ts div 1000").as("us")).as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(SessionState, Long), SessionSummary](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(SessionState, Long)]) =>
+          val times = rows.map(_._2).toSeq.sorted
+          val (init, initSessions) =
+            state.getOption.getOrElse((SessionState(times.head, times.head, 0L), 1L))
+          var cur = init
+          var sessions = initSessions
+          times.foreach { t =>
+            if (t - cur.last_us > gapUs) {
+              sessions += 1
+              cur = SessionState(t, t, cur.n + 1)
+            } else {
+              cur = SessionState(cur.start_us, math.max(cur.last_us, t), cur.n + 1)
+            }
+          }
+          state.update((cur, sessions))
+          SessionSummary(uid, cur.start_us, cur.last_us, cur.n, sessions)
+      }
+  }
+
+  /** New-file discovery as a stream (the reference's new-seqrun polling,
+    * re-expressed): each micro-batch sees only unseen files; downstream is
+    * an ordinary append/merge into the store. */
+  def availableNow(df: DataFrame, queryName: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+}
