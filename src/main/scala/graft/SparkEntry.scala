@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.Events.queries     -> graft.queries.Events.oracles,
     graft.queries.TextQ.queries      -> graft.queries.TextQ.oracles,
     graft.queries.SimilarityQ.queries -> graft.queries.SimilarityQ.oracles,
-    graft.queries.MultimodalQ.queries -> graft.queries.MultimodalQ.oracles)
+    graft.queries.MultimodalQ.queries -> graft.queries.MultimodalQ.oracles,
+    graft.queries.Extra.queries      -> graft.queries.Extra.oracles)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

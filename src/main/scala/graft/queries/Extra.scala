@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Exact
+import graft.pipelines.PoolingReport
+
+/** Remaining SURVEY §2 inventory rows as oracle-backed queries. */
+object Extra {
+
+  /** Worker bin-packing via ntile (dag22:3576-3610): split samples into
+    * <=4 balanced groups. */
+  def ntileBinpack(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).supplier
+      .withColumn("worker", ntile(4).over(Window.orderBy(col("s_suppkey"))))
+      .select("s_suppkey", "s_name", "worker")
+
+  /** Per-row FK lookup join → broadcast key-map (baseadaptor.py:198-266's
+    * N+1 map_foreign_table rewritten as ONE broadcast join). */
+  def fkLookup(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.orders
+      .join(broadcast(t.customer.select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"))
+  }
+
+  /** sample×flowcell read matrix → custkey×priority pivot matrix
+    * (project_data_display_utils.py:60-83 two-stage pivot). Explicit value
+    * list keeps it single-shuffle. */
+  def pivotMatrix(s: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val renames = Seq("p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low")
+    // parquet column names cannot contain spaces: alias the pivot columns
+    prios.zip(renames).foldLeft(
+      Tables(s, dir).orders
+        .groupBy("o_custkey")
+        .pivot("o_orderpriority", prios)
+        .agg(Exact.dsum(col("o_totalprice")))) {
+      case (df, (from, to)) => df.withColumnRenamed(from, to)
+    }
+  }
+
+  /** Full outer merge of per-source matrices on a shared key
+    * (batch_effect_report.py:134-140's gene-count merge). */
+  def outerMergeMatrix(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem
+    val a = li.filter(col("l_returnflag") === "R").groupBy("l_partkey")
+      .agg(Exact.dsum(col("l_quantity")).as("qty_r"))
+    val b = li.filter(col("l_returnflag") === "A").groupBy("l_partkey")
+      .agg(Exact.dsum(col("l_quantity")).as("qty_a"))
+    a.join(b, Seq("l_partkey"), "full_outer")
+      .na.fill(0.0, Seq("qty_r", "qty_a"))
+  }
+
+  /** HTML link wrapping for report columns (project_pooling_info.py:123-141). */
+  def htmlLinks(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).customer.select(
+      col("c_custkey"),
+      PoolingReport.htmlLink(
+        concat(lit("https://portal/project/"), col("c_custkey")),
+        col("c_name")).as("link"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_ntile_binpack"  -> (ntileBinpack _),
+    "q27_fk_lookup"      -> (fkLookup _),
+    "q28_pivot_matrix"   -> (pivotMatrix _),
+    "q29_outer_merge"    -> (outerMergeMatrix _),
+    "q30_html_links"     -> (htmlLinks _))
+
+  val oracles: Map[String, String] = Map(
+    "q26_ntile_binpack" ->
+      """SELECT s_suppkey, s_name,
+        |       CAST(ntile(4) OVER (ORDER BY s_suppkey) AS INT) AS worker
+        |FROM supplier""".stripMargin,
+    "q27_fk_lookup" ->
+      """SELECT o_orderkey, c_custkey, c_name FROM orders
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q28_pivot_matrix" ->
+      """SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS p1_urgent,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderpriority = '2-HIGH') AS DOUBLE) AS p2_high,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS DOUBLE) AS p3_medium,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE) AS p4_not_specified,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE) AS p5_low
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q29_outer_merge" ->
+      """WITH a AS (
+        |  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_r
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+        |b AS (
+        |  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_a
+        |  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1)
+        |SELECT COALESCE(a.l_partkey, b.l_partkey) AS l_partkey,
+        |       COALESCE(qty_r, 0.0) AS qty_r, COALESCE(qty_a, 0.0) AS qty_a
+        |FROM a FULL OUTER JOIN b ON a.l_partkey = b.l_partkey""".stripMargin,
+    "q30_html_links" ->
+      """SELECT c_custkey,
+        |       format('<a href="{}">{}</a>',
+        |              'https://portal/project/' || c_custkey, c_name) AS link
+        |FROM customer""".stripMargin)
+}

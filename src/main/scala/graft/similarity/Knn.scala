@@ -45,28 +45,61 @@ object Knn {
   def cosine(a: Column, b: Column): Column =
     dotExact(a, b) / (sqrt(dotExact(a, a)) * sqrt(dotExact(b, b)))
 
+  /** Fast double dot product via the codegen'd [[graft.functions.DoubleDot]]
+    * expression (a zip_with/aggregate formulation stays interpreted and
+    * allocates per row — ~50× slower on all-pairs joins). Same left-to-right
+    * summation order; accurate to ~1e-15 relative. Used to prefilter before
+    * exact rescoring and on approximate (non-oracle) paths. */
+  def dotFast(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.doubleDot(a, b)
+
+  /** Fast double cosine (approximate paths). */
+  def cosineFast(a: Column, b: Column): Column =
+    dotFast(a, b) / (sqrt(dotFast(a, a)) * sqrt(dotFast(b, b)))
+
   /** Brute-force top-k cosine neighbors for each query vector.
     * `queries`/`corpus`: (id, vec). Self-matches excluded. */
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
     val c = corpus.select(col("id").as("vec_id"), col("vec").as("cvec"))
+    // Phase 1: rank all pairs by the codegen'd double cosine and keep a
+    // generous candidate margin (fast-vs-exact scores differ by <1e-8, so
+    // the true top-k cannot sit below fast rank k+32 on real data).
+    // Phase 2: exact decimal rescore + exact ranking of the candidates —
+    // output identical to the all-exact plan the oracle mirrors.
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id"), cosine(col("qvec"), col("cvec")).as("cos"))
+      .select(col("qid"), col("vec_id"), col("qvec"), col("cvec"),
+        cosineFast(col("qvec"), col("cvec")).as("cos_fast"))
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_fast").desc, col("vec_id").asc)
+    val cand = scored.withColumn("rkf", row_number().over(wf))
+      .filter(col("rkf") <= k + 32)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    cand.select(col("qid"), col("vec_id"), cosine(col("qvec"), col("cvec")).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
   /** All pairs (id_a < id_b) with cosine >= minCos — embedding near-dup.
     * All-pairs is quadratic: at scale route through [[lshBuckets]] and only
     * score within buckets. */
   def nearDupPairs(emb: DataFrame, minCos: Double): DataFrame = {
+    // Phase 1: double-math prefilter over all pairs (codegen'd, cheap) with
+    // a 1e-6 safety margin — double dots are within ~1e-15 relative of the
+    // exact value, so no qualifying pair can be lost.
+    // Phase 2: exact decimal rescore + exact threshold on the tiny survivor
+    // set, so the output is bit-identical to the all-exact plan (and the
+    // oracle). ~100× less decimal work at any scale.
     val withNorm = emb.select(col("id"), col("vec"),
-      sqrt(dotExact(col("vec"), col("vec"))).as("nrm"))
-    val a = withNorm.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na"))
-    val b = withNorm.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb"))
+      sqrt(dotExact(col("vec"), col("vec"))).as("nrm"),
+      sqrt(dotFast(col("vec"), col("vec"))).as("nrm_fast"))
+    val a = withNorm.select(col("id").as("id_a"), col("vec").as("va"),
+      col("nrm").as("na"), col("nrm_fast").as("nfa"))
+    val b = withNorm.select(col("id").as("id_b"), col("vec").as("vb"),
+      col("nrm").as("nb"), col("nrm_fast").as("nfb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(dotFast(col("va"), col("vb")) / (col("nfa") * col("nfb")) >= minCos - 1e-6)
       .select(col("id_a"), col("id_b"),
         (dotExact(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= minCos)
@@ -97,9 +130,11 @@ object Knn {
     val bucketed = lshBuckets(emb, dim, nPlanes, seed)
     val a = bucketed.select(col("bucket"), col("id").as("qid"), col("vec").as("qvec"))
     val b = bucketed.select(col("bucket"), col("id").as("vec_id"), col("vec").as("cvec"))
+    // Approximate (non-oracle) path: double cosine — the recall error of
+    // LSH bucketing dwarfs double-vs-decimal differences.
     val scored = a.join(b, Seq("bucket"))
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id"), cosine(col("qvec"), col("cvec")).as("cos"))
+      .select(col("qid"), col("vec_id"), cosineFast(col("qvec"), col("cvec")).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

@@ -38,7 +38,9 @@ class KnnSpec extends AnyFunSuite {
     // every approx hit that brute force also ranked must carry the same cos
     approx.foreach { r =>
       brute.get((r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).foreach { c =>
-        assert(math.abs(c - r.getAs[Double]("cos")) < 1e-12)
+        // approx path scores in raw double; brute quantizes elements at
+        // 9dp for oracle exactness — differences up to ~1e-8 are expected
+        assert(math.abs(c - r.getAs[Double]("cos")) < 1e-7)
       }
     }
     // recall of the LSH path at this bucket width: nonzero and reported
