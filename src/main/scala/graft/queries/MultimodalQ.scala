@@ -19,7 +19,9 @@ object MultimodalQ {
       length(col("payload")).as("n_bytes"),
       md5(col("payload")).as("checksum"),
       element_at(typedLit(Seq("jpeg", "png", "wav")),
-        (length(col("payload")) % 3 + 1).cast("int")).as("fmt"))
+        (length(col("payload")) % 3 + 1).cast("int")).as("fmt"),
+      // Spark base64 is MIME (CRLF every 76 chars); strip to RFC4648 basic
+      regexp_replace(base64(col("payload")), "\r\n", "").as("b64"))
   }
 
   /** Decode-stub pipeline: payload → mapPartitions codec → typed metadata. */
@@ -38,6 +40,7 @@ object MultimodalQ {
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |       md5(text) AS checksum,
-        |       (['jpeg', 'png', 'wav'])[octet_length(encode(text)) % 3 + 1] AS fmt
+        |       (['jpeg', 'png', 'wav'])[octet_length(encode(text)) % 3 + 1] AS fmt,
+        |       to_base64(encode(text)) AS b64
         |FROM documents""".stripMargin)
 }

@@ -37,9 +37,12 @@ object SetAgg {
     c.unionByName(p)
   }
 
-  /** value_counts census (reformat_metadata_file.py:550-559). */
+  /** value_counts census + count-distinct (reformat_metadata_file.py:
+    * 550-559; metadata_validation.py:497-610). */
   def valueCounts(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).orders.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    Tables(s, dir).orders.groupBy("o_orderpriority").agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("o_custkey")).as("n_cust"))
 
   /** Ordered string-concat aggregation (dag22:3582-3590). Sorting inside the
     * group makes the result order-independent — collect_list alone is not
@@ -103,7 +106,9 @@ object SetAgg {
         |UNION ALL
         |SELECT s_suppkey AS id, s_name AS name, 'supplier' AS src FROM supplier""".stripMargin,
     "q16_value_counts" ->
-      "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1",
+      """SELECT o_orderpriority, count(*) AS n,
+        |       count(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY 1""".stripMargin,
     "q17_concat_agg" ->
       """SELECT o_custkey,
         |       string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,

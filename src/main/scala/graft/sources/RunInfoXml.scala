@@ -50,4 +50,23 @@ object RunInfoXml {
   def read(path: String): RunInfo =
     parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
+
+  /** RunParameters.xml (runparameters_xml.py:1-108): a flat bag of
+    * settings — flatten every leaf element to (path, text). Nested
+    * duplicates keep the last value, like a dict build. */
+  def parseParams(xmlText: String): Map[String, String] = {
+    val root = scala.xml.XML.loadString(xmlText)
+    def walk(n: scala.xml.Node, prefix: String): Seq[(String, String)] = {
+      val children = n.child.filter(_.isInstanceOf[scala.xml.Elem])
+      if (children.isEmpty) {
+        val t = n.text.trim
+        if (t.nonEmpty) Seq(prefix -> t) else Nil
+      } else children.flatMap(c => walk(c, if (prefix.isEmpty) c.label else s"$prefix/${c.label}"))
+    }
+    walk(root, "").toMap
+  }
+
+  def readParams(path: String): Map[String, String] =
+    parseParams(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
 }
