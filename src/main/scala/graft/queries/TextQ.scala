@@ -15,21 +15,29 @@ import graft.text.TextMetrics
   * pairs d04 finds). */
 object TextQ {
 
-  /** Token statistics per document. */
-  def tokenStats(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).documents.select(
-      col("doc_id"),
-      TextMetrics.tokenCount(col("text")).as("n_tokens"),
-      TextMetrics.bpeTokenCount(col("text")).as("n_bpe"),
-      TextMetrics.punctCount(col("text")).as("n_punct"),
-      round(TextMetrics.meanTokenLen(col("text")), 9).as("mean_tok_len"))
+  /** Token statistics per document (token array materialized once). */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    val lens = transform(col("__toks"), t => length(t))
+    Tables(s, dir).documents
+      .withColumn("__toks", TextMetrics.tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("__toks")).as("n_tokens"),
+        TextMetrics.bpeTokenCount(col("text")).as("n_bpe"),
+        TextMetrics.punctCount(col("text")).as("n_punct"),
+        round(aggregate(lens, lit(0), (acc, x) => acc + x).cast("double") /
+          size(col("__toks")).cast("double"), 9).as("mean_tok_len"))
+  }
 
-  /** Language-ID + quality scoring. */
+  /** Language-ID + quality scoring (tokens materialized once — the
+    * when-cascade would otherwise re-run the tokenizer per score). */
   def qualityLang(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).documents.select(
-      col("doc_id"), col("lang"),
-      TextMetrics.langId(col("text")).as("lang_id"),
-      TextMetrics.qualityScore(col("text")).as("quality"))
+    Tables(s, dir).documents
+      .withColumn("__toks", TextMetrics.tokens(col("text")))
+      .select(
+        col("doc_id"), col("lang"),
+        TextMetrics.langIdFromTokens(col("__toks")).as("lang_id"),
+        TextMetrics.qualityScoreFromTokens(col("__toks"), col("text")).as("quality"))
 
   /** Exact dedup via content fingerprint: one canonical doc per distinct
     * text, plus the duplicate count. */

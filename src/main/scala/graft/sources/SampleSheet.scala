@@ -129,6 +129,28 @@ object SampleSheet {
     }.toMap
   }
 
+  /** Per-lane samplesheet extraction (samplesheet_utils.py:13-149): filter
+    * one lane, truncate both indexes to the lane-minimum length, rebuild
+    * the composite index and dedup on it. Returns the deduped rows; the
+    * caller emits the file + bases mask from [[indexLengthCensus]]. */
+  def perLaneSheet(df: DataFrame, lane: String): DataFrame = {
+    val inLane = filterRows(df, "Lane", lane)
+    val cleaned = withCleanIndexes(inLane)
+    // min NON-EMPTY length per column (an absent index2 on some rows must
+    // not truncate everyone to zero); samplesheet-sized data, so the
+    // global window's single partition is fine.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val truncated = Seq("index", "index2").foldLeft(cleaned) { (d, c) =>
+      val minLen = min(when(length(col(c)) > 0, length(col(c)))).over(w)
+      d.withColumn(c,
+        when(minLen.isNotNull && length(col(c)) > 0,
+          col(c).substr(lit(1), minLen)).otherwise(col(c)))
+    }
+    truncated
+      .withColumn("c_index", Genomics.compositeIndex(col("index"), col("index2")))
+      .dropDuplicates("c_index")
+  }
+
   /** Split rows into per-index-length groups (samplesheet.py:135-167):
     * adds `idx_len`, callers partition/write by it. */
   def groupByIndexLength(df: DataFrame): DataFrame =

@@ -45,6 +45,14 @@ object EventStreams {
       .select(unix_timestamp(col("window.start")).as("hour_ep"),
         col("event_type"), col("n"), col("v"))
 
+  /** Streaming exact dedup: first occurrence of each event_id wins; the
+    * watermark bounds the dedup state (events older than the watermark are
+    * forgotten — the streaming twin of the batch `dropDuplicates`, with
+    * exactly the state-size story a 100 TB stream needs). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("event_time", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class SessionState(start_us: Long, last_us: Long, n: Long)
   final case class SessionSummary(user_id: Long, start_us: Long, last_us: Long,
                                   n_events: Long, n_sessions: Long)

@@ -50,9 +50,17 @@ object TextMetrics {
     "fr" -> Seq("le", "la", "de", "et", "que"))
 
   /** Language-ID: argmax of profile hit counts, 'und' when all zero.
-    * Ties break by profile order (first wins), mirroring a CASE cascade. */
-  def langId(c: Column): Column = {
-    val toks = tokens(c)
+    * Ties break by profile order (first wins), mirroring a CASE cascade.
+    *
+    * NOTE: the when-cascade references each score several times and Spark
+    * does no common-subexpression elimination across them — pass a
+    * MATERIALIZED token-array column (`df.withColumn("toks", tokens(c))`)
+    * via [[langIdFromTokens]] on hot paths; this convenience overload
+    * inlines the tokenizer and re-runs it per score. */
+  def langId(c: Column): Column = langIdFromTokens(tokens(c))
+
+  /** Language-ID over a materialized token array (the scale path). */
+  def langIdFromTokens(toks: Column): Column = {
     val scores = langProfiles.map { case (lang, words) =>
       lang -> size(filter(toks, t => t.isin(words.map(lit): _*)))
     }
@@ -65,11 +73,18 @@ object TextMetrics {
   /** Quality score in [0,1]: penalizes very short docs, high punctuation
     * density, and low stopword ratio (the reference-free heuristics used to
     * filter web scrape). Same double expression on both engines. */
-  def qualityScore(c: Column): Column = {
-    val n = tokenCount(c).cast("double")
+  def qualityScore(c: Column): Column =
+    qualityScoreFromTokens(tokens(c), c)
+
+  /** Quality score over a materialized token array (the scale path — the
+    * convenience overload re-tokenizes once per sub-term). */
+  def qualityScoreFromTokens(toks: Column, c: Column): Column = {
+    val n = size(toks).cast("double")
+    val vocab = langProfiles.flatMap(_._2).distinct
+    val hits = size(filter(toks, t => t.isin(vocab.map(lit): _*)))
     val lenScore  = least(n / lit(50.0), lit(1.0))
     val punctPen  = least(punctCount(c).cast("double") / greatest(length(c).cast("double"), lit(1.0)) * lit(4.0), lit(1.0))
-    val stopScore = least(vocabHits(c, langProfiles.flatMap(_._2).distinct).cast("double") / greatest(n, lit(1.0)) * lit(8.0), lit(1.0))
+    val stopScore = least(hits.cast("double") / greatest(n, lit(1.0)) * lit(8.0), lit(1.0))
     round((lenScore * lit(0.4) + (lit(1.0) - punctPen) * lit(0.3) + stopScore * lit(0.3)), 9)
   }
 
