@@ -117,11 +117,16 @@ object BarcodeQc {
     classified.select(untouched.columns.map(col): _*).unionByName(untouched)
   }
 
-  /** Per-lane known/unknown read census with min/max mapping ratios
-    * (check_sequence_index_barcodes.py:153-155, 225-228). */
-  def laneSummary(barcodes: DataFrame): DataFrame =
+  /** Per-lane known/unknown read census with min/max mapping ratios, the
+    * pct-known/unknown split and log2 of the read mass
+    * (check_sequence_index_barcodes.py:86-96, 152-155, 225-228). */
+  def laneSummary(barcodes: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("runid", "lane")
     barcodes.groupBy("runid", "lane", "tag")
       .agg(sum(col("reads")).as("reads"),
         min(col("mapping_ratio")).as("min_ratio"),
         max(col("mapping_ratio")).as("max_ratio"))
+      .withColumn("pct", col("reads") * 100.0 / sum(col("reads")).over(w))
+      .withColumn("log2_reads", log2(col("reads")))
+  }
 }
