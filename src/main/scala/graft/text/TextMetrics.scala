@@ -91,4 +91,14 @@ object TextMetrics {
   /** Content fingerprint: md5 of the raw text (exact-dedup key — the same
     * md5-per-file idiom as collect_seqrun_fastq_to_db.py:318-337). */
   def fingerprint(c: Column): Column = md5(c.cast("binary"))
+
+  /** Rolling-hash fingerprint set (winnowing shape): polynomial-hash each
+    * word k-shingle (codegen'd [[graft.functions.PolyHash]]) and keep the
+    * minimum — a compact near-dup key robust to small edits. Pass a
+    * materialized tokens column. */
+  def rollingFingerprint(toks: Column, k: Int = 4): Column = {
+    val shingles = graft.dedup.Shingles.wordShinglesFromTokens(toks, k)
+    array_min(transform(shingles,
+      s => graft.functions.PolyHash.polyHash(s)))
+  }
 }
