@@ -29,18 +29,29 @@ object MinHashLsh {
 
   private val P = 2147483647L // 2^31 - 1 (prime)
 
-  /** Seeded affine hash family; a in [1, p), b in [0, p). */
-  private def hashFamily(p: Params): Seq[(Long, Long)] = {
+  /** Seeded affine hash family; a in [1, p), b in [0, p). MUST stay in
+    * lockstep with [[graft.functions.MinHashSig]]'s family derivation. */
+  private[dedup] def hashFamily(p: Params): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(p.seed)
     Seq.fill(p.numHashes)((1L + rnd.nextInt((P - 1).toInt).toLong,
       rnd.nextInt(P.toInt).toLong))
   }
 
-  /** (id, sig: array<long>) — k minhashes per document. Single hash
-    * aggregation: every shingle row evaluates k affine hashes inside one
-    * codegen stage; min-combine is map-side partial. */
+  /** (id, sig: array<long>) — k minhashes per document, computed by the
+    * one-pass [[graft.functions.MinHashSig]] aggregate (primitive long[k]
+    * buffer, map-side combinable). */
   def signatures(df: DataFrame, idCol: String, textCol: String,
                  p: Params = Params()): DataFrame = {
+    val sh = Shingles.explodeShingles(df, idCol, textCol, p.shingleN)
+    val x = pmod(xxhash64(col("shingle")), lit(P))
+    sh.groupBy(col(idCol))
+      .agg(graft.functions.MinHashSig.minHashSig(x, p.numHashes, p.seed).as("sig"))
+  }
+
+  /** Reference formulation with k independent `min` columns — kept for
+    * differential testing of the aggregate (MinHashSigSpec). */
+  def signaturesColumns(df: DataFrame, idCol: String,
+      textCol: String, p: Params = Params()): DataFrame = {
     val sh = Shingles.explodeShingles(df, idCol, textCol, p.shingleN)
     val x = pmod(xxhash64(col("shingle")), lit(P))
     val mins = hashFamily(p).zipWithIndex.map { case ((a, b), i) =>

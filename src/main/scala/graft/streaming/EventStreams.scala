@@ -89,6 +89,23 @@ object EventStreams {
       }
   }
 
+  /** Incremental store ingestion: every micro-batch of newly-discovered
+    * rows MERGEs into a [[graft.store.MetadataStore]] table via
+    * foreachBatch — the full streaming twin of the reference's
+    * poll-directory → anti-join → insert loop (ongoing_seqrun_processing
+    * .py + pipelineadaptor seeding), with the checkpoint making redelivery
+    * idempotent on top of the store's own insert-if-absent. */
+  def ingestStream(events: DataFrame, store: graft.store.MetadataStore,
+                   table: String, keys: Seq[String], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.insertIfAbsent(table, batch, keys); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** New-file discovery as a stream (the reference's new-seqrun polling,
     * re-expressed): each micro-batch sees only unseen files; downstream is
     * an ordinary append/merge into the store. */
