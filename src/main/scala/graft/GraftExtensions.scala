@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.DoubleDot
+import graft.functions.{DoubleDot, PolyHash}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT double_dot(a, b)")`
@@ -14,23 +14,31 @@ import graft.functions.DoubleDot
   * `--conf spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("double_dot"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[DoubleDot].getName, "double_dot"),
-        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          DoubleDot(children(0), children(1))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            getClass.getName, name),
+          builder))
+    }
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions._
+
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "double_dot" -> (cs => DoubleDot(cs(0), cs(1))),
+    "poly_hash" -> (cs => PolyHash(cs.head, PolyHash.DefaultBase)),
+    // rev_comp as a composed expression tree (sequtils.py:3-15)
+    "rev_comp" -> (cs => Reverse(StringTranslate(Upper(cs.head),
+      Literal.create("ACGT"), Literal.create("TGCA")))))
+
   /** Register the same functions into an ALREADY-RUNNING session
     * (withExtensions only applies at session construction). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "double_dot",
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DoubleDot(children(0), children(1)),
-      "built-in")
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }

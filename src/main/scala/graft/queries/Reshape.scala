@@ -38,12 +38,16 @@ object Reshape {
       .select("l_returnflag", "l_orderkey", "l_linenumber",
         "l_extendedprice", "rk")
 
-  /** Decimal-exact running sum per supplier over ship order. */
+  /** Decimal-exact running sum per supplier over ship order. l_quantity
+    * joins the ordering: the synthetic data has rows colliding on
+    * (shipdate, orderkey, linenumber) within a supplier, and rows that tie
+    * on ALL ordering columns plus the summed value are swap-invisible, so
+    * this suffix makes the output order-stable across engines. */
   def runningSum(s: SparkSession, dir: String): DataFrame =
     WindowOps.runningSumExact(Tables(s, dir).lineitem,
         Seq("l_suppkey"),
         Seq(col("l_shipdate").asc, col("l_orderkey").asc,
-            col("l_linenumber").asc),
+            col("l_linenumber").asc, col("l_quantity").asc),
         col("l_quantity"), "running_qty")
       .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
 
@@ -93,7 +97,7 @@ object Reshape {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
         |         PARTITION BY l_suppkey
-        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem""".stripMargin,
     "q13_minlen_truncate" ->

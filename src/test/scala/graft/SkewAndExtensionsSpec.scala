@@ -42,6 +42,9 @@ class SkewAndExtensionsSpec extends AnyFunSuite {
       "SELECT double_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
         "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head().getDouble(0)
     assert(one == 11.0)
+    assert(spark.sql("SELECT rev_comp('acgtACGT') AS r").head().getString(0) == "ACGTACGT")
+    assert(spark.sql("SELECT poly_hash('x') = poly_hash('x') AND poly_hash('x') <> poly_hash('y') AS ok")
+      .head().getBoolean(0))
   }
 
   test("CSV sink round-trips with quoting; JSON records sink") {
