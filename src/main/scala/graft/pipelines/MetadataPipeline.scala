@@ -130,6 +130,25 @@ object MetadataPipeline {
       .filter(size(col("errors")) > 0)
   }
 
+  /** Library-type compatibility (metadata_validation.py:389-495): each
+    * (library_source, library_strategy, experiment_type) triple must be a
+    * member of the allowed combinations — broadcast membership join, the
+    * violations coming back as an error frame. */
+  def libraryCompatibilityErrors(df: DataFrame,
+      allowed: Seq[(String, String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ok = allowed.toDF("library_source", "library_strategy", "experiment_type")
+    df.join(broadcast(ok),
+        Seq("library_source", "library_strategy", "experiment_type"), "left_anti")
+      .withColumn("errors", array(lit("incompatible_library_combination")))
+  }
+
+  /** The default compatibility universe: the triples produced by
+    * [[assayLookup]] (extend as data, like the reference's lookup). */
+  val allowedLibraryCombinations: Seq[(String, String, String)] =
+    assayLookup.map { case (_, src, strat, et) => (src, strat, et) }.distinct
+
   /** Duplicate-key error detection (metadata_validation.py:103-189). */
   def duplicateKeyErrors(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))

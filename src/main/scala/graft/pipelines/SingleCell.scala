@@ -69,4 +69,38 @@ object SingleCell {
         transform(array_sort(collect_list(struct(col("Sample_ID"), col("file_path")))),
           x => x.getField("file_path")).as("fragment_paths"),
         count(lit(1)).as("n_fragments"))
+
+  /** Execute the merge: one task per merged output streams its fragments
+    * into `outDir/{orig}_L{lane}_{read}.fastq.gz`. Concatenated gzip
+    * members are themselves a valid gzip stream, so fragments are copied
+    * byte-for-byte — no decompression, constant memory
+    * (mergesinglecellfastq.py:74-309's file stage, distributed). */
+  def executeMerge(spark: org.apache.spark.sql.SparkSession,
+                   plan: DataFrame, outDir: String): DataFrame = {
+    import spark.implicits._
+    val merged = plan
+      .select(col("lane"), col("Original_Sample_ID"), col("read_type"),
+        col("fragment_paths"))
+      .as[(String, String, String, Seq[String])]
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.map { case (lane, orig, read, paths) =>
+          val out = new org.apache.hadoop.fs.Path(
+            s"$outDir/${orig}_L${lane}_$read.fastq.gz")
+          val fs = out.getFileSystem(conf)
+          val os = fs.create(out, true)
+          val buf = new Array[Byte](1 << 16)
+          try paths.foreach { p =>
+            val in = fs.open(new org.apache.hadoop.fs.Path(p))
+            try {
+              var n = in.read(buf)
+              while (n > 0) { os.write(buf, 0, n); n = in.read(buf) }
+            } finally in.close()
+          } finally os.close()
+          (lane, orig, read, out.toString, paths.size)
+        }
+      }
+      .toDF("lane", "Original_Sample_ID", "read_type", "merged_path", "n_fragments")
+    merged
+  }
 }

@@ -47,6 +47,39 @@ class SingleCellSpec extends AnyFunSuite {
     assert(untouched.getAs[String]("index2") == "AGGCTATA")
   }
 
+  test("executeMerge concatenates gz fragments into one valid gzip stream") {
+    val dir = java.nio.file.Files.createTempDirectory("scmerge")
+    def gz(name: String, text: String): String = {
+      val p = dir.resolve(name)
+      val os = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(p))
+      os.write(text.getBytes); os.close(); p.toString
+    }
+    val f1 = gz("a_1.fastq.gz", "@r1\nACGT\n+\nFFFF\n")
+    val f2 = gz("a_2.fastq.gz", "@r2\nGGTT\n+\nFFFF\n")
+    val plan = Seq(("1", "IGF0003", "R1", Seq(f1, f2), 2L))
+      .toDF("lane", "Original_Sample_ID", "read_type", "fragment_paths", "n_fragments")
+    val out = java.nio.file.Files.createTempDirectory("scout").toString
+    val merged = SingleCell.executeMerge(spark, plan, out).collect()
+    assert(merged.length == 1 && merged.head.getAs[Int]("n_fragments") == 2)
+    // concatenated gzip members decompress to the concatenated records
+    val path = java.nio.file.Paths.get(new java.net.URI(
+      merged.head.getAs[String]("merged_path")).getPath)
+    val in = new java.util.zip.GZIPInputStream(java.nio.file.Files.newInputStream(path))
+    val text = new String(in.readAllBytes()); in.close()
+    assert(text == "@r1\nACGT\n+\nFFFF\n@r2\nGGTT\n+\nFFFF\n")
+  }
+
+  test("library compatibility violations surface as an error frame") {
+    import graft.pipelines.MetadataPipeline
+    val md = Seq(
+      ("GENOMIC", "WGS", "WGS", "ok"),
+      ("GENOMIC", "RNA-SEQ", "WGS", "bad"))
+      .toDF("library_source", "library_strategy", "experiment_type", "tag")
+    val errs = MetadataPipeline.libraryCompatibilityErrors(md,
+      MetadataPipeline.allowedLibraryCombinations)
+    assert(errs.collect().map(_.getAs[String]("tag")).toSeq == Seq("bad"))
+  }
+
   test("merge-back groups fragments per original sample in suffix order") {
     val frags = Seq(
       ("1", "IGF0003", "IGF0003_2", "R1", "/f/p2.fastq.gz"),
