@@ -83,6 +83,22 @@ class BarcodeQcSpec extends AnyFunSuite {
     assert(o2.head().getAs[String]("final_tag") == "mix_index_match")
   }
 
+  test("CASE 1: full dual-index match tags as known; partial stays untagged") {
+    val bc = Seq(
+      ("r1", 1L, "undetermined", "ATTACTCG+AGGCTATA", 5000L, "unknown", 100000L),
+      ("r1", 1L, "undetermined", "ATTACTCG+CCCCCCCC", 4000L, "unknown", 100000L))
+      .toDF("runid", "lane", "sample", "index", "reads", "tag", "total_read")
+      .withColumn("mapping_ratio", col("reads") / col("total_read"))
+      .withColumn("log_total_read", log(10.0, col("total_read")))
+    val known = Seq((1L, 0, "ATTACTCG+AGGCTATA")).toDF("lane", "pos", "known_index")
+    val tags = BarcodeQc.classify(bc, known, "HISEQ4000")
+      .collect().map(r => r.getAs[String]("index") -> r.getAs[String]("final_tag")).toMap
+    assert(tags("ATTACTCG+AGGCTATA") == "known")
+    // index1 equal but index2 differs (both present): CASE 1 consumes the
+    // pair without assigning -> unknown, exactly like the reference
+    assert(tags("ATTACTCG+CCCCCCCC") == "unknown")
+  }
+
   test("non-two-color platform leaves G homopolymer as unknown") {
     val bc = Seq(("r1", 1L, "undetermined", "GGGGGGGG", 5000L, "unknown", 100000L))
       .toDF("runid", "lane", "sample", "index", "reads", "tag", "total_read")
