@@ -53,6 +53,26 @@ object EventStreams {
     events.withWatermark("event_time", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream–stream interval join: purchases attributed to the same user's
+    * clicks within the preceding hour. Both sides carry watermarks so the
+    * join state is bounded — the canonical funnel-attribution shape. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("value"), col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", "2 hours")
+    purchases.join(clicks,
+      col("p_user_id") === col("user_id") &&
+        col("click_time") <= col("purchase_time") &&
+        col("click_time") >= col("purchase_time") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("value"), col("purchase_time"), col("click_time"))
+  }
+
   final case class SessionState(start_us: Long, last_us: Long, n: Long)
   final case class SessionSummary(user_id: Long, start_us: Long, last_us: Long,
                                   n_events: Long, n_sessions: Long)
