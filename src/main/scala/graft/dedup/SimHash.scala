@@ -18,8 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** (id, simhash: long) per document. */
-  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** (id, simhash: long) per document, via the one-pass
+    * [[graft.functions.SimHashSig]] aggregate. */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(graft.text.TextMetrics.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+      .groupBy(col(idCol))
+      .agg(graft.functions.SimHashSig.simHashSig(col("h")).as("simhash"))
+
+  /** k-sum-columns formulation, kept for differential testing. */
+  def simhashesColumns(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
       explode(graft.text.TextMetrics.tokens(col(textCol))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))

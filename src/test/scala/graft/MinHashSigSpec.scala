@@ -18,6 +18,15 @@ class MinHashSigSpec extends AnyFunSuite {
     agg.foreach { case (id, sig) => assert(sig == cols(id), s"doc $id") }
   }
 
+  test("one-pass simhash aggregate matches the 64-sum-columns formulation") {
+    val docs = Tables(spark, sf).documents
+    val agg = graft.dedup.SimHash.simhashes(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cols = graft.dedup.SimHash.simhashesColumns(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(agg == cols)
+  }
+
   test("signatures are deterministic across runs and partitionings") {
     val docs = Tables(spark, sf).documents
     val a = MinHashLsh.signatures(docs, "doc_id", "text")
