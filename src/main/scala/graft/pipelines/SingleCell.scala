@@ -25,6 +25,42 @@ object SingleCell {
     plate.toSeq.toDF("plate_code", "plate_seqs")
   }
 
+  /** Parse the single-index plate JSON (`[["SI-GA-A1", ["GGTT...", ...]],
+    * ...]` — processsinglecellsamplesheet.py:197-216's input shape). */
+  def readSingleIndexPlate(path: String): Map[String, Seq[String]] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(new java.io.File(path)) match {
+      case JArray(entries) => entries.collect {
+        case JArray(JString(code) :: JArray(seqs) :: Nil) =>
+          code -> seqs.collect { case JString(s) => s }
+      }.toMap
+      case other => throw new IllegalArgumentException(s"unexpected plate JSON: $other")
+    }
+  }
+
+  /** Parse the dual-index plate JSON (`{"SI-TT-A1": {"index(i7)": ...,
+    * "index2_workflow_a(i5)": ..., "index2_workflow_b(i5)": ...}}`) into
+    * the (plate_code, i7, i5_workflow_a, i5_workflow_b) frame
+    * [[replaceDualIndex]] consumes. */
+  def readDualIndexPlate(spark: SparkSession, path: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import spark.implicits._
+    val rows = JsonMethods.parse(new java.io.File(path)) match {
+      case JObject(fields) => fields.map { case (code, spec) =>
+        def str(k: String): String = spec \ k match {
+          case JString(s) => s
+          case _ => throw new IllegalArgumentException(s"plate $code missing $k")
+        }
+        (code, str("index(i7)"), str("index2_workflow_a(i5)"),
+          str("index2_workflow_b(i5)"))
+      }
+      case other => throw new IllegalArgumentException(s"unexpected plate JSON: $other")
+    }
+    rows.toDF("plate_code", "i7", "i5_workflow_a", "i5_workflow_b")
+  }
+
   /** Explode 10X rows ×4 with `_1..4` id suffixes; originals preserved in
     * Original_* columns (non-10X rows pass through with originals equal to
     * their current values). */

@@ -31,6 +31,26 @@ class SingleCellSpec extends AnyFunSuite {
     assert(bulk.getAs[String]("Original_Sample_ID") == "IGF0001")
   }
 
+  test("plate JSON readers parse both public formats") {
+    val d = java.nio.file.Files.createTempDirectory("plates")
+    val single = d.resolve("single.json")
+    java.nio.file.Files.writeString(single,
+      """[["SI-GA-A1", ["GGTTTACT","CTAAACGG","TCGGCGTC","AACCGTAA"]],
+        | ["SI-GA-A2", ["TTTCATGA","ACGTCCCT","CGCATGTG","GAAGGAAC"]]]""".stripMargin)
+    val sp = SingleCell.readSingleIndexPlate(single.toString)
+    assert(sp("SI-GA-A1") == Seq("GGTTTACT", "CTAAACGG", "TCGGCGTC", "AACCGTAA"))
+    assert(sp.size == 2)
+
+    val dual = d.resolve("dual.json")
+    java.nio.file.Files.writeString(dual,
+      """{"SI-TT-A1": {"index(i7)": "GTAACATGCG",
+        |  "index2_workflow_a(i5)": "AGTGTTACCT",
+        |  "index2_workflow_b(i5)": "AGGTAACACT"}}""".stripMargin)
+    val dd = SingleCell.readDualIndexPlate(spark, dual.toString).head()
+    assert(dd.getAs[String]("plate_code") == "SI-TT-A1")
+    assert(dd.getAs[String]("i5_workflow_b") == "AGGTAACACT")
+  }
+
   test("dual-index replacement honours workflow and revcomp") {
     val dual = Seq(("SI-TT-A1", "GTAACATGCG", "AGTGTTACCT", "AGGTAACACT"))
       .toDF("plate_code", "i7", "i5_workflow_a", "i5_workflow_b")
