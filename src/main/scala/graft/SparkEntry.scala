@@ -26,8 +26,13 @@ object SparkEntry {
     graft.queries.Extra.queries      -> graft.queries.Extra.oracles)
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.map(_._1).reduce(_ ++ _)
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val merged = modules.map(_._1).reduce(_ ++ _)
+    val total = modules.map(_._1.size).sum
+    require(merged.size == total,
+      s"duplicate query keys across modules: ${total - merged.size} collisions")
+    merged
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
