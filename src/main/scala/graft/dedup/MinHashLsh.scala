@@ -66,14 +66,26 @@ object MinHashLsh {
     * The band signature hashes r consecutive minhashes together; the
     * self-join shuffles on (band, bandSig) so only same-bucket docs meet. */
   def candidatePairs(sig: DataFrame, idCol: String,
-                     p: Params = Params()): DataFrame = {
+                     p: Params = Params(),
+                     maxBucketSize: Option[Int] = None): DataFrame = {
     val bandSigs = transform(
       sequence(lit(0), lit(p.bands - 1)),
       bnd => xxhash64(bnd, slice(col("sig"), bnd * p.rowsPerBand + 1, lit(p.rowsPerBand))))
     val banded = sig
       .select(col(idCol), posexplode(bandSigs).as(Seq("band", "band_sig")))
-    val a = banded.select(col("band"), col("band_sig"), col(idCol).as("id_a"))
-    val b = banded.select(col("band"), col("band_sig"), col(idCol).as("id_b"))
+    // Hot-bucket cap (the 100 TB dial): a band bucket holding n docs emits
+    // n^2 candidate pairs — boilerplate-heavy corpora concentrate there.
+    // Dropping oversized buckets bounds the blowup; recall only drops for
+    // pairs whose EVERY matching band is oversized.
+    val pruned = maxBucketSize match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_sig")
+        banded.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= cap).drop("__bn")
+      case None => banded
+    }
+    val a = pruned.select(col("band"), col("band_sig"), col(idCol).as("id_a"))
+    val b = pruned.select(col("band"), col("band_sig"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "band_sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()

@@ -45,4 +45,22 @@ object Eav {
     long.groupBy(idCols.map(col): _*)
       .pivot(nameCol, names)
       .agg(first(col(valueCol)))
+
+  /** The attribute-name universe of a long table — SURVEY §7.4's answer to
+    * "pivot needs a value list": collect it ONCE (one small distinct job)
+    * and persist it as a registry table alongside the EAV store so routine
+    * pivots skip the extra pass. */
+  def attributeRegistry(long: DataFrame,
+      nameCol: String = "attribute_name"): Seq[String] =
+    long.select(col(nameCol)).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+
+  /** Pivot with a dynamically discovered attribute universe. Costs one
+    * extra distinct job over the long table — prefer [[pivot]] with a
+    * maintained registry on hot paths. */
+  def pivotDynamic(
+      long: DataFrame, idCols: Seq[String],
+      nameCol: String = "attribute_name",
+      valueCol: String = "attribute_value"): DataFrame =
+    pivot(long, idCols, attributeRegistry(long, nameCol), nameCol, valueCol)
 }
