@@ -64,7 +64,31 @@ object Extra {
         concat(lit("https://portal/project/"), col("c_custkey")),
         col("c_name")).as("link"))
 
+  /** Inactive-entity cutoff (projectutils.py:516-531): last order per
+    * customer + the >=16-weeks-stale flag against a fixed reference date. */
+  def inactiveCutoff(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .groupBy("o_custkey")
+      .agg(max(col("o_orderdate").cast("date")).as("last_order"))
+      .select(col("o_custkey"),
+        unix_timestamp(col("last_order").cast("timestamp")).as("last_order_ep"),
+        (datediff(lit("1998-06-01").cast("date"), col("last_order")) >= 112)
+          .as("inactive"))
+
+  /** Seqrun-date parse (seqrunutils): YYMMDD-prefixed run-folder ids round-
+    * trip through the date parser; ids synthesized from order dates. */
+  def seqrunDateParse(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders.select(
+      col("o_orderkey"),
+      concat(date_format(col("o_orderdate"), "yyMMdd"),
+        lit("_M00001_0001_FC"), col("o_orderkey")).as("seqrun_igf_id"))
+      .select(col("o_orderkey"), col("seqrun_igf_id"),
+        unix_timestamp(graft.scalars.Genomics
+          .seqrunDate(col("seqrun_igf_id")).cast("timestamp")).as("run_date_ep"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_inactive_cutoff" -> (inactiveCutoff _),
+    "q32_seqrun_date"     -> (seqrunDateParse _),
     "q26_ntile_binpack"  -> (ntileBinpack _),
     "q27_fk_lookup"      -> (fkLookup _),
     "q28_pivot_matrix"   -> (pivotMatrix _),
@@ -72,6 +96,21 @@ object Extra {
     "q30_html_links"     -> (htmlLinks _))
 
   val oracles: Map[String, String] = Map(
+    "q31_inactive_cutoff" ->
+      """SELECT o_custkey,
+        |       CAST(epoch(CAST(max(CAST(o_orderdate AS DATE)) AS TIMESTAMP)) AS BIGINT) AS last_order_ep,
+        |       date_diff('day', max(CAST(o_orderdate AS DATE)), DATE '1998-06-01') >= 112 AS inactive
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q32_seqrun_date" ->
+      """WITH ids AS (
+        |  SELECT o_orderkey,
+        |         strftime(o_orderdate, '%y%m%d') || '_M00001_0001_FC' || o_orderkey AS seqrun_igf_id
+        |  FROM orders)
+        |SELECT o_orderkey, seqrun_igf_id,
+        |       -- '20' prefix: Spark's yy parses into 2000-2099 while %y
+        |       -- uses the POSIX 1969 pivot; run folders are all 20xx
+        |       CAST(epoch(CAST(strptime('20' || substr(seqrun_igf_id, 1, 6), '%Y%m%d') AS TIMESTAMP)) AS BIGINT) AS run_date_ep
+        |FROM ids""".stripMargin,
     "q26_ntile_binpack" ->
       """SELECT s_suppkey, s_name,
         |       CAST(ntile(4) OVER (ORDER BY s_suppkey) AS INT) AS worker
