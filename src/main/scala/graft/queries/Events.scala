@@ -51,12 +51,26 @@ object Events {
         array_join(expr("transform(array_sort(collect_list(struct(us, event_type))), x -> x.event_type)"), ">")
           .as("journey"))
 
+  /** Daily funnel: distinct users per event type per day — the
+    * retention/conversion census a product pipeline runs. */
+  def dailyFunnel(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .withColumn("day_ep", expr("((ts div 1000) div 86400000000) * 86400"))
+      .groupBy("day_ep", "event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_daily_funnel"   -> (dailyFunnel _),
     "q23_events_hourly"  -> (hourlyWindow _),
     "q24_events_json"    -> (jsonExtract _),
     "q25_user_journey"   -> (userJourney _))
 
   val oracles: Map[String, String] = Map(
+    "q33_daily_funnel" ->
+      """SELECT (epoch_us(ts) // 86400000000) * 86400 AS day_ep, event_type,
+        |       count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q23_events_hourly" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_ep, event_type,
         |       count(*) AS n,

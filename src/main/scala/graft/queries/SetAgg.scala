@@ -84,7 +84,18 @@ object SetAgg {
       col("n").cast("long").as("n"))
   }
 
+  /** Exact percentiles per group (sort-based, linear interpolation — the
+    * same formula in both engines, so values are bit-identical; the
+    * approximate scale path would be percentile_approx/t-digest, not
+    * oracle-able). */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem.groupBy("l_returnflag").agg(
+      expr("percentile(l_quantity, 0.5)").as("qty_p50"),
+      expr("percentile(l_quantity, 0.9)").as("qty_p90"),
+      expr("percentile(l_extendedprice, 0.5)").as("price_p50"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_percentiles"  -> (percentiles _),
     "q11_group_minmax" -> (groupMinmax _),
     "q14_set_except"   -> (setExcept _),
     "q15_union_tagged" -> (unionTagged _),
@@ -94,6 +105,12 @@ object SetAgg {
     "q21_corr_moments" -> (corrMoments _))
 
   val oracles: Map[String, String] = Map(
+    "q34_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS qty_p50,
+        |       quantile_cont(l_quantity, 0.9) AS qty_p90,
+        |       quantile_cont(l_extendedprice, 0.5) AS price_p50
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q11_group_minmax" ->
       """SELECT l_returnflag, min(l_discount) AS mn_disc, max(l_tax) AS mx_tax,
         |       CAST(epoch(min(l_shipdate)) AS BIGINT) AS first_ship_ep,
