@@ -94,8 +94,17 @@ object SetAgg {
       expr("percentile(l_quantity, 0.9)").as("qty_p90"),
       expr("percentile(l_extendedprice, 0.5)").as("price_p50"))
 
+  /** Rollup: the per-(flag,status) census with per-flag and grand totals
+    * in ONE pass — what the reference assembles with three separate
+    * nested-groupby walks (check_sequence_index_barcodes.py:118-151). */
+  def rollupCensus(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("l_quantity")).as("qty"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_percentiles"  -> (percentiles _),
+    "q35_rollup"       -> (rollupCensus _),
     "q11_group_minmax" -> (groupMinmax _),
     "q14_set_except"   -> (setExcept _),
     "q15_union_tagged" -> (unionTagged _),
@@ -111,6 +120,10 @@ object SetAgg {
         |       quantile_cont(l_quantity, 0.9) AS qty_p90,
         |       quantile_cont(l_extendedprice, 0.5) AS price_p50
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q35_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     "q11_group_minmax" ->
       """SELECT l_returnflag, min(l_discount) AS mn_disc, max(l_tax) AS mx_tax,
         |       CAST(epoch(min(l_shipdate)) AS BIGINT) AS first_ship_ep,
