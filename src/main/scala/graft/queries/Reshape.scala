@@ -58,7 +58,20 @@ object Reshape {
         Seq("p_brand"), "p_name", "name_trunc")
       .select("p_partkey", "p_brand", "name_trunc")
 
+  /** lag/lead inter-event deltas per user — gap analysis over the events
+    * stream (total order: time then event_id). */
+  def lagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    Tables(s, dir).events
+      .withColumn("us", expr("ts div 1000"))
+      .select(col("user_id"), col("event_id"),
+        (col("us") - lag(col("us"), 1).over(w)).as("gap_us"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_lag_lead"         -> (lagLead _),
     "q07_eav_melt"         -> (eavMelt _),
     "q08_eav_pivot"        -> (eavPivot _),
     "q09_first_after_sort" -> (firstAfterSort _),
@@ -72,6 +85,12 @@ object Reshape {
       |UNION ALL SELECT p_partkey, 'size', CAST(p_size AS VARCHAR) FROM part""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q36_lag_lead" ->
+      """SELECT user_id, event_id,
+        |       epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+        |       lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
     "q07_eav_melt" -> meltSql,
     "q08_eav_pivot" ->
       s"""SELECT p_partkey,

@@ -39,8 +39,10 @@ object Genomics {
   /** Two-color-chemistry artifact: index1 all G (check_sequence_index_barcodes.py:344-349). */
   def isGHomopolymer(c: Column): Column = c.rlike("^G+$")
 
-  /** Seqrun date from the `YYMMDD_...` run-folder prefix (seqrunutils). */
-  def seqrunDate(c: Column): Column = to_date(substring(c, 1, 6), "yyMMdd")
+  /** Seqrun date from the `YYMMDD_...` run-folder prefix (seqrunutils).
+    * Malformed prefixes yield null (error-frame convention) rather than the
+    * ANSI parse exception `to_date` raises under Spark 4. */
+  def seqrunDate(c: Column): Column = try_to_date(substring(c, 1, 6), "yyMMdd")
 
   /** Insert length = fragment length - 120, clamped at 0, comma-tolerant
     * input (reformat_metadata_file.py:395-416). */

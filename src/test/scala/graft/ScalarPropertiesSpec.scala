@@ -58,6 +58,29 @@ class ScalarPropertiesSpec extends AnyFunSuite {
     assert(got == Seq("ACGT+GGTT", "ACGT", "ACGT"))
   }
 
+  test("seqrunDate parses YYMMDD prefixes and rejects junk") {
+    val df = Seq("200101_M00001_0001_FC", "991231_X", "badprefix_1").toDF("id")
+    val got = df.select(Genomics.seqrunDate(col("id")).cast("string").as("d"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got(0).contains("2020-01-01"))
+    assert(got(1).contains("2099-12-31")) // Spark 'yy' maps into 2000-2099
+    assert(got(2).isEmpty)
+  }
+
+  test("isEmail accepts shapes and rejects spaces") {
+    val df = Seq("a@b.org", "no-at-sign", "sp ace@x.org", "x@y").toDF("e")
+    val got = df.select(Genomics.isEmail(col("e")).as("ok")).collect().map(_.getBoolean(0))
+    assert(got.toSeq == Seq(true, false, false, true))
+  }
+
+  test("groupByIndexLength buckets rows by combined index length") {
+    val df = Seq(("A", "ATTACTCG", "AGGCTATA"), ("B", "TCCGGA", ""), ("C", "NNACGTNN", ""))
+      .toDF("Sample_ID", "index", "index2")
+    val got = graft.sources.SampleSheet.groupByIndexLength(df)
+      .collect().map(r => r.getAs[String]("Sample_ID") -> r.getAs[Int]("idx_len")).toMap
+    assert(got == Map("A" -> 16, "B" -> 6, "C" -> 4)) // N bases stripped
+  }
+
   test("insertLength clamps at zero and strips commas") {
     val df = Seq("1,200", "100", "0", "130").toDF("f")
     val got = df.select(Genomics.insertLength(col("f")).as("l"))
