@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import graft.functions.FixedPointExpressions
 
 /** The reference's sort+pick idioms (SURVEY.md §2.5) as window functions.
   *
@@ -17,8 +17,6 @@ import org.apache.spark.sql.types.DecimalType
   * tie-break is invisible at 6k rows and a correctness bug at 100 TB.
   */
 object WindowOps {
-
-  private val D = DecimalType(18, 4)
 
   /** First row per group under `order` (projectutils.py:518-531). */
   def firstAfterSort(df: DataFrame, part: Seq[String], order: Seq[Column]): DataFrame = {
@@ -34,12 +32,19 @@ object WindowOps {
   }
 
   /** Decimal-exact running sum (order-stable across engines, see [[Exact]]).
-    * `order` must be a total order or frame contents are undefined. */
+    * `order` must be a total order or frame contents are undefined.
+    * The per-row double→decimal conversion is the codegen'd
+    * [[graft.functions.ScaledDecimal]]: inside WindowExec the frame
+    * processor evaluates the input expression once per row, so the
+    * string-free cast is what keeps the running sum off the BigDecimal
+    * slow path. */
   def runningSumExact(df: DataFrame, part: Seq[String], order: Seq[Column],
                       value: Column, as: String): DataFrame = {
     val w = Window.partitionBy(part.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn(as, sum(value.cast(D)).over(w).cast("double"))
+    df.withColumn(as,
+      sum(FixedPointExpressions.scaledDecimal(value.cast("double"), 18, 4))
+        .over(w).cast("double"))
   }
 
   /** Truncate a string column to its group-minimum length — the reference's
