@@ -31,6 +31,29 @@ object WindowOps {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** Bounded top-k per group — the scale-correct form of [[topK]].
+    *
+    * [[topK]]'s window sorts every row and lands each group on one task;
+    * with few groups that is a handful of giant tasks at 100 TB. This
+    * version aggregates a k-bounded heap ([[graft.functions.TopKRows]])
+    * with map-side combine: each scan partition contributes ≤ k rows per
+    * group to the shuffle, and the rank falls out of `posexplode` over the
+    * heap's sorted dump. `order` maps column name → descending?, and must
+    * be a total order within each group.
+    */
+  def topKBounded(df: DataFrame, part: Seq[String], order: Seq[(String, Boolean)],
+                  k: Int, rankCol: String = "rk"): DataFrame = {
+    val sortNames = order.map(_._1)
+    val rest = df.columns.toSeq.filterNot(c => sortNames.contains(c) || part.contains(c))
+    val st = struct((sortNames ++ rest).map(col): _*)
+    df.groupBy(part.map(col): _*)
+      .agg(graft.functions.TopKRows.topKRows(st, k, order.map(_._2)).as("__topk"))
+      .select(part.map(col) :+ posexplode(col("__topk")).as(Seq("__pos", "__row")): _*)
+      .select(part.map(col) ++
+        (sortNames ++ rest).map(n => col(s"__row.$n").as(n)) :+
+        (col("__pos") + lit(1)).as(rankCol): _*)
+  }
+
   /** Decimal-exact running sum (order-stable across engines, see [[Exact]]).
     * `order` must be a total order or frame contents are undefined.
     * The per-row double→decimal conversion is the codegen'd

@@ -11,11 +11,13 @@ import graft.pipelines.PoolingReport
 /** Remaining SURVEY §2 inventory rows as oracle-backed queries. */
 object Extra {
 
-  /** Worker bin-packing via ntile (dag22:3576-3610): split samples into
-    * <=4 balanced groups. */
+  /** Worker bin-packing into <=4 balanced groups (dag22:3576-3610).
+    * Exact `ntile(4) over (order by ...)` semantics, but computed with
+    * [[graft.ops.GlobalOrder]]'s partition-parallel rank rather than a
+    * no-partition window (which serializes the sort onto one task). */
   def ntileBinpack(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).supplier
-      .withColumn("worker", ntile(4).over(Window.orderBy(col("s_suppkey"))))
+    graft.ops.GlobalOrder.ntileBalanced(
+        Tables(s, dir).supplier, Seq(col("s_suppkey")), tiles = 4, as = "worker")
       .select("s_suppkey", "s_name", "worker")
 
   /** Per-row FK lookup join → broadcast key-map (baseadaptor.py:198-266's

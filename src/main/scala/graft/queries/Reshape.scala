@@ -30,11 +30,16 @@ object Reshape {
         unix_timestamp(col("o_orderdate")).as("first_order_ep"))
 
   /** Top-3 lineitems by price within each return flag (top-k idiom,
-    * metadata_validation.py:585-589). */
+    * metadata_validation.py:585-589). Bounded-heap aggregation, not a
+    * window: three groups would otherwise sort the whole table on three
+    * tasks (see [[WindowOps.topKBounded]]). */
   def topKPerGroup(s: SparkSession, dir: String): DataFrame =
-    WindowOps.topK(Tables(s, dir).lineitem, Seq("l_returnflag"),
-        Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
-            col("l_linenumber").asc), k = 3)
+    WindowOps.topKBounded(
+        Tables(s, dir).lineitem
+          .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"),
+        Seq("l_returnflag"),
+        Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)),
+        k = 3)
       .select("l_returnflag", "l_orderkey", "l_linenumber",
         "l_extendedprice", "rk")
 

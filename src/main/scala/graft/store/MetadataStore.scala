@@ -139,11 +139,13 @@ object SurrogateKeys {
   /** Stable surrogate ids without a sequential DB (SURVEY §7.4): new rows
     * get max(existing)+row_number over an explicit total order — stable
     * across incremental merges, collision-free by construction (the
-    * alternative, hash keys, needs a collision story at 10^12 rows). */
+    * alternative, hash keys, needs a collision story at 10^12 rows).
+    * The global row_number is [[graft.ops.GlobalOrder.withGlobalRank]]
+    * (range-partitioned sort + per-partition offsets), not a no-partition
+    * window — this op is pitched at 10^12-row tables. */
   def assign(fresh: DataFrame, existingMax: Long, naturalOrder: Seq[String],
-             idCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(naturalOrder.map(col): _*)
-    fresh.withColumn(idCol, lit(existingMax) + row_number().over(w))
-  }
+             idCol: String): DataFrame =
+    graft.ops.GlobalOrder
+      .withGlobalRank(fresh, naturalOrder.map(col), idCol)
+      .withColumn(idCol, lit(existingMax) + col(idCol))
 }
