@@ -42,8 +42,8 @@ object MinHashLsh {
     * buffer, map-side combinable). */
   def signatures(df: DataFrame, idCol: String, textCol: String,
                  p: Params = Params()): DataFrame = {
-    val sh = Shingles.explodeShingles(df, idCol, textCol, p.shingleN)
-    val x = pmod(xxhash64(col("shingle")), lit(P))
+    val sh = Shingles.explodeShingleHashes(df, idCol, textCol, p.shingleN)
+    val x = pmod(col("sh"), lit(P))
     sh.groupBy(col(idCol))
       .agg(graft.functions.MinHashSig.minHashSig(x, p.numHashes, p.seed).as("sig"))
   }
@@ -53,7 +53,8 @@ object MinHashLsh {
   def signaturesColumns(df: DataFrame, idCol: String,
       textCol: String, p: Params = Params()): DataFrame = {
     val sh = Shingles.explodeShingles(df, idCol, textCol, p.shingleN)
-    val x = pmod(xxhash64(col("shingle")), lit(P))
+      .select(col(idCol), xxhash64(col("shingle")).as("sh"))
+    val x = pmod(col("sh"), lit(P))
     val mins = hashFamily(p).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * x + lit(b), lit(P))).as(s"h$i")
     }

@@ -20,9 +20,12 @@ object Shingles {
     * elimination, so inlining the tokenizer here re-runs the regex split
     * 3n× per document (measured 10s of a 23s pipeline at sf0.1). */
   def wordShinglesFromTokens(toks: Column, n: Int): Column =
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(-1))),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    // size < n must short-circuit: sequence(0, -1) yields [0, -1] (a
+    // DESCENDING sequence), whose element_at(toks, 0) throws
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
 
   /** Word n-grams of `text`, distinct per document. Prefer
     * [[explodeShingles]], which materializes the token array first. */
@@ -33,6 +36,17 @@ object Shingles {
   def explodeShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol), TextMetrics.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), explode(wordShinglesFromTokens(col("__toks"), n)).as("shingle"))
+
+  /** (id, sh: long) — distinct xxhash64 per word n-gram, via the one-pass
+    * [[graft.functions.ShingleHashes]] expression. Bit-identical to
+    * `xxhash64` over [[explodeShingles]]'s strings at ~10× less cost; the
+    * dedup pipeline evaluates its shingle subtree once per consumer, so the
+    * savings multiply. */
+  def explodeShingleHashes(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame =
+    df.select(col(idCol),
+      explode(graft.functions.ShingleHashesFn.shingleHashes(
+        col(textCol), n, distinct = true)).as("sh"))
 
   /** All pairs (a < b) with exact Jaccard similarity >= minJaccard.
     *
@@ -49,13 +63,19 @@ object Shingles {
     // of the ~10n-byte string: distinct-per-doc shingles make the hash a
     // faithful stand-in for set membership (a 64-bit collision would need
     // ~2^32 distinct shingles per corpus to become likely).
-    val sh = explodeShingles(df, idCol, textCol, n)
-      .select(col(idCol), xxhash64(col("shingle")).as("sh"))
+    val sh = explodeShingleHashes(df, idCol, textCol, n)
+    // Stop-shingle cap: shingles above the document-frequency cap are
+    // dropped BEFORE sizes and pair counts (boilerplate shared by
+    // everything is not evidence of near-duplication, and one such shingle
+    // fans the self-join out quadratically). The broadcast side is the
+    // OVER-cap list — small by construction (≤ corpus_shingles / cap) —
+    // joined anti; broadcasting the keep-list would ship the whole
+    // vocabulary.
     val filtered = maxShingleDf match {
       case Some(cap) =>
-        val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("sh")
-        sh.join(broadcast(dfreq), Seq("sh"))
+        val stop = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sh")
+        sh.join(broadcast(stop), Seq("sh"), "left_anti")
       case None => sh
     }
     val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))

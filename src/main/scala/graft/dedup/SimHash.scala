@@ -22,8 +22,10 @@ object SimHash {
     * [[graft.functions.SimHashSig]] aggregate. */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
-        explode(graft.text.TextMetrics.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+        // 1-gram, non-distinct: each token occurrence contributes a vote,
+        // hashed identically to xxhash64(tok) (see ShingleHashes)
+        explode(graft.functions.ShingleHashesFn.shingleHashes(
+          col(textCol), 1, distinct = false)).as("h"))
       .groupBy(col(idCol))
       .agg(graft.functions.SimHashSig.simHashSig(col("h")).as("simhash"))
 

@@ -46,10 +46,13 @@ object TextQ {
       .groupBy(TextMetrics.fingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact n-gram Jaccard near-duplicate pairs (the sketch ground truth). */
+  /** Exact n-gram Jaccard near-duplicate pairs (the sketch ground truth).
+    * Shingles seen in > 64 documents are stop-shingles: dropped from both
+    * sides (and mirrored in the oracle) — boilerplate n-grams carry no
+    * near-dup signal and fan the self-join out quadratically. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     Shingles.jaccardPairs(Tables(s, dir).documents, "doc_id", "text",
-      n = 3, minJaccard = 0.5)
+      n = 3, minJaccard = 0.5, maxShingleDf = Some(64))
 
   /** Per-source length census — the reporting rollup a curation pipeline
     * runs after filtering. */
@@ -123,10 +126,14 @@ object TextQ {
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
         |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
         |  WHERE len(t) >= 3),
+        |-- stop-shingle cap mirrors the Spark side: document frequency <= 64
+        |sh AS (
+        |  SELECT * FROM sh0
+        |  WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 64)),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
