@@ -1,0 +1,317 @@
+package graft.meta
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import graft.Tables
+
+/** Deterministic genomics-metadata star synthesized from the driver's
+  * TPC-H-ish testdata — the typed 24-table schema populated with enough
+  * volume to exercise the reference's deepest join chains as oracle-backed
+  * queries (projectutils.py:46-67, pipelineadaptor.py:604-629).
+  *
+  * Every derivation is a pure, SQL-expressible function of the source keys
+  * (modulo-indexed enum picks, string concats) so the DuckDB oracle can
+  * rebuild THE SAME tables from the same parquet via [[MetadataStar.oracleCte]]
+  * — keep the two in lockstep or the cell-exact gate fails. Entity mapping:
+  * nation→project (25), customer→sample (15k·sf), orders→experiment
+  * (150k·sf), supplier→seqrun (1k·sf), lineitem→run (600k·sf, deduped on
+  * (orderkey, linenumber) since the synthetic data collides), run→
+  * run_attribute/collection/collection_group/file fan-out. Scale tracks the
+  * scale factor, so lineage joins are fact-sized, not toy-sized.
+  */
+final class MetadataStar(s: SparkSession, dir: String) {
+  private val t = Tables(s, dir)
+  private def nullTs = lit(null).cast(TimestampType)
+  private def pick(vals: Seq[String], idx: org.apache.spark.sql.Column) =
+    element_at(typedlit(vals), (idx + 1).cast("int"))
+
+  /** nation → project (igfTables.py:12-64). */
+  lazy val project: DataFrame = t.nation.select(
+    (col("n_nationkey") + 1).cast("long").as("project_id"),
+    concat(lit("IGFP"), col("n_nationkey")).as("project_igf_id"),
+    col("n_name").as("project_name"),
+    nullTs.as("start_timestamp"),
+    lit(null).cast("string").as("description"),
+    when(col("n_nationkey") % 5 === 4, "FINISHED").otherwise("ACTIVE").as("status"),
+    pick(Seq("FASTQ", "FASTQ", "ALIGNMENT", "ANALYSIS"),
+      col("n_nationkey") % 4).as("deliverable"))
+
+  /** customer → sample (igfTables.py:172-263). */
+  lazy val sample: DataFrame = t.customer.select(
+    (col("c_custkey") + 1).as("sample_id"),
+    concat(lit("IGF"), col("c_custkey")).as("sample_igf_id"),
+    col("c_name").as("sample_submitter_id"),
+    when(col("c_custkey") % 5 < 2, 9606L)
+      .when(col("c_custkey") % 5 === 2, 10090L)
+      .when(col("c_custkey") % 5 === 3, 10116L).as("taxon_id"),
+    lit(null).cast("string").as("scientific_name"),
+    pick(Seq("HG38", "HG38", "MM10", "RN6", "UNKNOWN"),
+      col("c_custkey") % 5).as("species_name"),
+    lit(null).cast("string").as("donor_anonymized_id"),
+    lit(null).cast("string").as("description"),
+    lit(null).cast("string").as("phenotype"),
+    pick(MetadataSchema.sampleSex, col("c_custkey") % 4).as("sex"),
+    when(col("c_custkey") % 11 === 10, "FAILED").otherwise("ACTIVE").as("status"),
+    pick(MetadataSchema.biomaterialType, col("c_custkey") % 6).as("biomaterial_type"),
+    lit(null).cast("string").as("cell_type"),
+    lit(null).cast("string").as("tissue_type"),
+    lit(null).cast("string").as("cell_line"),
+    nullTs.as("date_created"),
+    (col("c_nationkey") % 25 + 1).cast("long").as("project_id"))
+
+  /** static → platform (igfTables.py:264-325). */
+  lazy val platform: DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "ILM1", "HISEQ4000", "ILLUMINA", "RTA", "2.7.7"),
+      (2L, "ILM2", "NOVASEQ6000", "ILLUMINA", "RTA", "3.4.4"),
+      (3L, "NAN1", "NANOPORE_MINION", "NANOPORE", "UNKNOWN", "UNKNOWN"),
+      (4L, "MGI1", "DNBSEQ-G400", "MGI", "UNKNOWN", "UNKNOWN"))
+      .toDF("platform_id", "platform_igf_id", "model_name", "vendor_name",
+        "software_name", "software_version")
+      .withColumn("date_created", nullTs)
+  }
+
+  /** supplier → seqrun (igfTables.py:369-410). */
+  lazy val seqrun: DataFrame = t.supplier.select(
+    (col("s_suppkey") + 1).as("seqrun_id"),
+    concat(lit("180610_K00345_"), col("s_suppkey"), lit("_FC"),
+      col("s_suppkey")).as("seqrun_igf_id"),
+    when(col("s_suppkey") % 10 === 9, "Y").otherwise("N").as("reject_run"),
+    nullTs.as("date_created"),
+    concat(lit("FC"), col("s_suppkey")).as("flowcell_id"),
+    (col("s_suppkey") % 4 + 1).cast("long").as("platform_id"))
+
+  /** orders ⋈ customer → experiment (igfTables.py:453-678). */
+  lazy val experiment: DataFrame = {
+    val plat = pick(MetadataSchema.experimentPlatform, col("o_orderkey") % 12)
+    t.orders.join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(
+        (col("o_orderkey") + 1).as("experiment_id"),
+        concat(lit("IGF"), col("o_custkey"), lit("_"), plat).as("experiment_igf_id"),
+        (col("c_nationkey") % 25 + 1).cast("long").as("project_id"),
+        (col("o_custkey") + 1).as("sample_id"),
+        concat(lit("LIB"), col("o_custkey")).as("library_name"),
+        pick(MetadataSchema.librarySource, col("o_orderkey") % 9).as("library_source"),
+        pick(MetadataSchema.libraryStrategy, col("o_orderkey") % 40).as("library_strategy"),
+        pick(MetadataSchema.experimentType, col("o_orderkey") % 70).as("experiment_type"),
+        pick(Seq("SINGLE", "PAIRED", "PAIRED"), col("o_orderkey") % 3).as("library_layout"),
+        when(col("o_orderkey") % 13 === 12, "FAILED")
+          .when(col("o_orderkey") % 13 === 11, "WITHDRAWN")
+          .otherwise("ACTIVE").as("status"),
+        nullTs.as("date_created"),
+        plat.as("platform_name"))
+  }
+
+  /** lineitem (deduped on orderkey+linenumber) → run (igfTables.py:679-728).
+    * run_id = orderkey*8 + linenumber is collision-free (linenumber ≤ 7). */
+  lazy val run: DataFrame = t.lineitem
+    .groupBy(col("l_orderkey"), col("l_linenumber"))
+    .agg(min(col("l_suppkey")).as("sk"))
+    .select(
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("run_id"),
+      concat(lit("RUN"), col("l_orderkey") * 8 + col("l_linenumber")).as("run_igf_id"),
+      (col("l_orderkey") + 1).as("experiment_id"),
+      (col("sk") % 100 + 1).as("seqrun_id"),
+      when((col("l_orderkey") * 8 + col("l_linenumber")) % 17 === 16, "FAILED")
+        .otherwise("ACTIVE").as("status"),
+      col("l_linenumber").cast("string").as("lane_number"),
+      nullTs.as("date_created"))
+
+  /** run → run_attribute: R1/R2 read counts as string-typed EAV rows
+    * (igfTables.py:1186-1217; the values projectutils.py:46-67 reports). */
+  lazy val runAttribute: DataFrame = {
+    val base = run.select(col("run_id"))
+    val r1 = base.select((col("run_id") * 2).as("run_attribute_id"),
+      lit("R1_READ_COUNT").as("attribute_name"),
+      ((col("run_id") * 37) % 1000000).cast("string").as("attribute_value"),
+      col("run_id"))
+    val r2 = base.select((col("run_id") * 2 + 1).as("run_attribute_id"),
+      lit("R2_READ_COUNT").as("attribute_name"),
+      ((col("run_id") * 53) % 1000000).cast("string").as("attribute_value"),
+      col("run_id"))
+    r1.unionByName(r2)
+  }
+
+  /** run → collection, keyed by NAME = run_igf_id — the reference's
+    * string-key lineage hop (pipelineadaptor.py:614-615). */
+  lazy val collection: DataFrame = run.select(
+    col("run_id").as("collection_id"),
+    col("run_igf_id").as("name"),
+    when(col("run_id") % 4 === 3, "run_fastqc")
+      .otherwise("demultiplexed_fastq").as("type"),
+    lit("run").as("table"),
+    nullTs.as("date_stamp"))
+
+  /** run → collection_group: R1 for all, R2 for even run_ids
+    * (igfTables.py:857-886). */
+  lazy val collectionGroup: DataFrame = {
+    val r1 = run.select((col("run_id") * 2).as("collection_group_id"),
+      col("run_id").as("collection_id"), col("run_id").as("file_id"))
+    val r2 = run.filter(col("run_id") % 2 === 0)
+      .select((col("run_id") * 2 + 1).as("collection_group_id"),
+        col("run_id").as("collection_id"),
+        (col("run_id") + 10000000).as("file_id"))
+    r1.unionByName(r2)
+  }
+
+  /** run → file: fastq paths + md5-of-path fingerprints (igfTables.py:800-856). */
+  lazy val file: DataFrame = {
+    val r1 = run.select(col("run_id").as("file_id"),
+      concat(lit("/rds/fastq/RUN"), col("run_id"), lit("_R1.fastq.gz")).as("file_path"))
+    val r2 = run.filter(col("run_id") % 2 === 0)
+      .select((col("run_id") + 10000000).as("file_id"),
+        concat(lit("/rds/fastq/RUN"), col("run_id"), lit("_R2.fastq.gz")).as("file_path"))
+    r1.unionByName(r2).select(
+      col("file_id"), col("file_path"),
+      pick(MetadataSchema.fileLocation, col("file_id") % 5).as("location"),
+      lit("ACTIVE").as("status"),
+      md5(col("file_path").cast("binary")).as("md5"),
+      ((col("file_id") * 997) % 1000000000).cast("string").as("size"),
+      nullTs.as("date_created"), nullTs.as("date_updated"))
+  }
+
+  /** static → pipeline (igfTables.py:887-937). */
+  lazy val pipeline: DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "PrimaryAnalysisCombinedPipeline", "postgres", "AIRFLOW", "Y"),
+      (2L, "DemultiplexIlluminaFastq", "postgres", "AIRFLOW", "Y"))
+      .toDF("pipeline_id", "pipeline_name", "pipeline_db", "pipeline_type",
+        "is_active")
+      .select(col("pipeline_id"), col("pipeline_name"), col("pipeline_db"),
+        lit(null).cast("string").as("pipeline_init_conf"),
+        lit(null).cast("string").as("pipeline_run_conf"),
+        col("pipeline_type"), col("is_active"), nullTs.as("date_stamp"))
+  }
+
+  /** orders → pipeline_seed: 40% of experiments seeded into pipeline 1
+    * (igfTables.py:938-1015; the work-queue pipelineadaptor reads). */
+  lazy val pipelineSeed: DataFrame = t.orders
+    .filter(col("o_orderkey") % 5 < 2)
+    .select(
+      (col("o_orderkey") + 1).as("pipeline_seed_id"),
+      (col("o_orderkey") + 1).as("seed_id"),
+      lit("experiment").as("seed_table"),
+      lit(1L).as("pipeline_id"),
+      pick(Seq("SEEDED", "RUNNING", "FINISHED", "FAILED"),
+        col("o_orderkey") % 4).as("status"),
+      nullTs.as("date_stamp"))
+
+  /** customer → sample_attribute: validated flag + donor group EAV rows
+    * (igfTables.py:1133-1164). */
+  lazy val sampleAttribute: DataFrame = {
+    val v = t.customer.select(
+      (col("c_custkey") * 2).as("sample_attribute_id"),
+      lit("validated").as("attribute_name"),
+      when(col("c_custkey") % 3 === 0, "yes").otherwise("no").as("attribute_value"),
+      (col("c_custkey") + 1).as("sample_id"))
+    val g = t.customer.select(
+      (col("c_custkey") * 2 + 1).as("sample_attribute_id"),
+      lit("donor_group").as("attribute_name"),
+      concat(lit("G"), col("c_custkey") % 7).as("attribute_value"),
+      (col("c_custkey") + 1).as("sample_id"))
+    v.unionByName(g)
+  }
+}
+
+object MetadataStar {
+  def apply(s: SparkSession, dir: String): MetadataStar = new MetadataStar(s, dir)
+
+  /** DuckDB CTE prelude rebuilding the SAME star from the raw parquet views
+    * — prepend to any lineage oracle query. MUST stay in lockstep with the
+    * Spark derivations above. */
+  val oracleCte: String =
+    """project AS (
+      |  SELECT n_nationkey + 1 AS project_id,
+      |         'IGFP' || n_nationkey AS project_igf_id,
+      |         n_name AS project_name,
+      |         CASE WHEN n_nationkey % 5 = 4 THEN 'FINISHED' ELSE 'ACTIVE' END AS status,
+      |         (['FASTQ','FASTQ','ALIGNMENT','ANALYSIS'])[n_nationkey % 4 + 1] AS deliverable
+      |  FROM nation),
+      |sample AS (
+      |  SELECT c_custkey + 1 AS sample_id,
+      |         'IGF' || c_custkey AS sample_igf_id,
+      |         (['HG38','HG38','MM10','RN6','UNKNOWN'])[c_custkey % 5 + 1] AS species_name,
+      |         CASE WHEN c_custkey % 11 = 10 THEN 'FAILED' ELSE 'ACTIVE' END AS status,
+      |         c_nationkey % 25 + 1 AS project_id
+      |  FROM customer),
+      |experiment AS (
+      |  SELECT o_orderkey + 1 AS experiment_id,
+      |         c_nationkey % 25 + 1 AS project_id,
+      |         o_custkey + 1 AS sample_id,
+      |         (['GENOMIC','TRANSCRIPTOMIC','GENOMIC_SINGLE_CELL','METAGENOMIC','METATRANSCRIPTOMIC','TRANSCRIPTOMIC_SINGLE_CELL','SYNTHETIC','VIRAL_RNA','UNKNOWN'])[o_orderkey % 9 + 1] AS library_source,
+      |         CASE WHEN o_orderkey % 13 = 12 THEN 'FAILED'
+      |              WHEN o_orderkey % 13 = 11 THEN 'WITHDRAWN'
+      |              ELSE 'ACTIVE' END AS status
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |seqrun AS (
+      |  SELECT s_suppkey + 1 AS seqrun_id,
+      |         '180610_K00345_' || s_suppkey || '_FC' || s_suppkey AS seqrun_igf_id,
+      |         CASE WHEN s_suppkey % 10 = 9 THEN 'Y' ELSE 'N' END AS reject_run,
+      |         'FC' || s_suppkey AS flowcell_id,
+      |         s_suppkey % 4 + 1 AS platform_id
+      |  FROM supplier),
+      |run AS (
+      |  SELECT l_orderkey * 8 + l_linenumber AS run_id,
+      |         'RUN' || (l_orderkey * 8 + l_linenumber) AS run_igf_id,
+      |         l_orderkey + 1 AS experiment_id,
+      |         min(l_suppkey) % 100 + 1 AS seqrun_id,
+      |         CASE WHEN (l_orderkey * 8 + l_linenumber) % 17 = 16 THEN 'FAILED'
+      |              ELSE 'ACTIVE' END AS status,
+      |         CAST(l_linenumber AS VARCHAR) AS lane_number
+      |  FROM lineitem GROUP BY l_orderkey, l_linenumber),
+      |run_attribute AS (
+      |  SELECT run_id * 2 AS run_attribute_id, 'R1_READ_COUNT' AS attribute_name,
+      |         CAST((run_id * 37) % 1000000 AS VARCHAR) AS attribute_value, run_id
+      |  FROM run
+      |  UNION ALL
+      |  SELECT run_id * 2 + 1, 'R2_READ_COUNT',
+      |         CAST((run_id * 53) % 1000000 AS VARCHAR), run_id
+      |  FROM run),
+      |collection AS (
+      |  SELECT run_id AS collection_id, run_igf_id AS name,
+      |         CASE WHEN run_id % 4 = 3 THEN 'run_fastqc'
+      |              ELSE 'demultiplexed_fastq' END AS type,
+      |         'run' AS "table"
+      |  FROM run),
+      |collection_group AS (
+      |  SELECT run_id * 2 AS collection_group_id, run_id AS collection_id,
+      |         run_id AS file_id
+      |  FROM run
+      |  UNION ALL
+      |  SELECT run_id * 2 + 1, run_id, run_id + 10000000
+      |  FROM run WHERE run_id % 2 = 0),
+      |mfile AS (
+      |  SELECT file_id, file_path,
+      |         (['ORWELL','HPC_PROJECT','ELIOT','IRODS','UNKNOWN'])[file_id % 5 + 1] AS location,
+      |         'ACTIVE' AS status, md5(file_path) AS md5,
+      |         CAST((file_id * 997) % 1000000000 AS VARCHAR) AS size
+      |  FROM (
+      |    SELECT run_id AS file_id,
+      |           '/rds/fastq/RUN' || run_id || '_R1.fastq.gz' AS file_path FROM run
+      |    UNION ALL
+      |    SELECT run_id + 10000000,
+      |           '/rds/fastq/RUN' || run_id || '_R2.fastq.gz' FROM run
+      |    WHERE run_id % 2 = 0)),
+      |pipeline AS (
+      |  SELECT * FROM (VALUES
+      |    (1, 'PrimaryAnalysisCombinedPipeline'),
+      |    (2, 'DemultiplexIlluminaFastq')) AS p(pipeline_id, pipeline_name)),
+      |pipeline_seed AS (
+      |  SELECT o_orderkey + 1 AS pipeline_seed_id, o_orderkey + 1 AS seed_id,
+      |         'experiment' AS seed_table, 1 AS pipeline_id,
+      |         (['SEEDED','RUNNING','FINISHED','FAILED'])[o_orderkey % 4 + 1] AS status
+      |  FROM orders WHERE o_orderkey % 5 < 2),
+      |sample_attribute AS (
+      |  SELECT c_custkey * 2 AS sample_attribute_id, 'validated' AS attribute_name,
+      |         CASE WHEN c_custkey % 3 = 0 THEN 'yes' ELSE 'no' END AS attribute_value,
+      |         c_custkey + 1 AS sample_id
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey * 2 + 1, 'donor_group', 'G' || (c_custkey % 7), c_custkey + 1
+      |  FROM customer)""".stripMargin
+}
