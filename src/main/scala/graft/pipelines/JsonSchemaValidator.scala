@@ -23,7 +23,14 @@ object JsonSchemaValidator {
   def compile(schemaJson: String, columns: Seq[String]): Seq[Rule] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val root = JsonMethods.parse(schemaJson)
+    val doc = JsonMethods.parse(schemaJson)
+    // array-of-records schemas (the reference's validation_schema/*.json,
+    // samplesheet.py:91-132) keep per-row properties under `items`; a row
+    // DataFrame maps to one items object, so descend before compiling
+    val root = doc \ "items" match {
+      case JNothing => doc
+      case items => items
+    }
     val required: Seq[String] = root \ "required" match {
       case JArray(vs) => vs.collect { case JString(s) => s }
       case _ => Nil

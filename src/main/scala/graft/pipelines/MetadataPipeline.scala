@@ -24,27 +24,6 @@ object MetadataPipeline {
     "fragment_length_distribution_sd", "taxon_id", "scientific_name",
     "species_name")
 
-  /** Representative assay lookup: (library_preparation pattern →
-    * library_source, library_strategy, experiment_type). Shape mirrors the
-    * reference's 72-row EXPERIMENT_TYPE_LOOKUP (reformat_metadata_file
-    * .py:4-181); rows here are a maintained subset, extendable as data. */
-  val assayLookup: Seq[(String, String, String, String)] = Seq(
-    ("WHOLE GENOME SEQUENCING - SAMPLE", "GENOMIC", "WGS", "WGS"),
-    ("WHOLE EXOME CAPTURE - EXOME", "GENOMIC", "WXS", "WXS"),
-    ("RNA SEQUENCING - TOTAL RNA", "TRANSCRIPTOMIC", "RNA-SEQ", "TOTAL-RNA"),
-    ("RNA SEQUENCING - MRNA", "TRANSCRIPTOMIC", "RNA-SEQ", "POLYA-RNA"),
-    ("SINGLE CELL -3' RNASEQ- SAMPLE", "TRANSCRIPTOMIC SINGLE CELL", "RNA-SEQ", "TENX-TRANSCRIPTOME-3P"),
-    ("ATAC SEQ", "GENOMIC", "ATAC-SEQ", "ATAC-SEQ"),
-    ("CHIP SEQ", "GENOMIC", "CHIP-SEQ", "CHIP-SEQ"),
-    ("UNKNOWN", "UNKNOWN", "UNKNOWN", "UNKNOWN"))
-
-  /** Species lookup (reformat_metadata_file.py:418-439 shape). */
-  val speciesLookup: Seq[(String, String, String)] = Seq(
-    ("HUMAN", "9606", "Homo sapiens"),
-    ("MOUSE", "10090", "Mus musculus"),
-    ("RAT", "10116", "Rattus norvegicus"),
-    ("FLY", "7227", "Drosophila melanogaster"))
-
   /** Inject missing canonical columns as nulls and order the projection
     * (reformat_metadata_file.py:525-534). */
   def withCanonicalColumns(df: DataFrame): DataFrame = {
@@ -55,39 +34,37 @@ object MetadataPipeline {
       added.columns.filterNot(canonicalColumns.contains)).map(col): _*)
   }
 
-  /** Normalization + defaults + lookups, fully declarative. */
+  /** Normalization + defaults + lookups, fully declarative. The assay and
+    * species resolution is [[graft.meta.AssayLookup]] — the reference's
+    * FULL 85-row EXPERIMENT_TYPE_LOOKUP and 4-row SPECIES_LOOKUP with the
+    * premade-library key-selection rule and first-match tie handling
+    * (reformat_metadata_file.py:348-393). */
   def reformat(raw: DataFrame): DataFrame = {
-    import org.apache.spark.sql.SparkSession
-    val spark = raw.sparkSession
-    import spark.implicits._
-
-    val assays = assayLookup.toDF("library_preparation_key",
-      "lk_library_source", "lk_library_strategy", "lk_experiment_type")
-    val species = speciesLookup.toDF("species_key", "lk_taxon_id", "lk_scientific_name")
-
     val canon = withCanonicalColumns(raw)
-    val prepared = canon
-      .withColumn("name", Genomics.normalizeName(col("name")))
-      .withColumn("sample_igf_id", Genomics.normalizeName(col("sample_igf_id")))
-      .withColumn("project_igf_id", Genomics.cleanProject(col("project_igf_id")))
-      .withColumn("library_preparation_key",
-        upper(trim(coalesce(col("library_preparation"), lit("UNKNOWN")))))
-      .withColumn("species_key", upper(trim(coalesce(col("species_text"), lit("")))))
+    def existing(c: String): Column =
+      if (canon.columns.contains(c)) col(c) else lit(null).cast("string")
 
-    prepared
-      .join(broadcast(assays), Seq("library_preparation_key"), "left_outer")
-      .join(broadcast(species), Seq("species_key"), "left_outer")
-      .withColumn("library_source", coalesce(col("library_source"), col("lk_library_source"), lit("UNKNOWN")))
-      .withColumn("library_strategy", coalesce(col("library_strategy"), col("lk_library_strategy"), lit("UNKNOWN")))
-      .withColumn("experiment_type", coalesce(col("experiment_type"), col("lk_experiment_type"), lit("UNKNOWN")))
-      .withColumn("taxon_id", coalesce(col("taxon_id"), col("lk_taxon_id")))
-      .withColumn("scientific_name", coalesce(col("scientific_name"), col("lk_scientific_name")))
+    val prepared = canon
+      .withColumn("name", Genomics.normalizePersonName(col("name")))
+      .withColumn("sample_igf_id", Genomics.normalizeName(col("sample_igf_id")))
+      // ':'-suffixed submitter tags are stripped first, then the id is
+      // dash-normalized like the reference's sample_and_project_reformat
+      .withColumn("project_igf_id",
+        Genomics.normalizeName(Genomics.cleanProject(col("project_igf_id"))))
+
+    val withAssay = graft.meta.AssayLookup.withAssayInfo(
+      prepared.drop("library_source", "library_strategy", "experiment_type",
+        "biomaterial_type"),
+      existing("library_preparation"), existing("sample_description"),
+      existing("library_type"))
+    val withSpecies = graft.meta.AssayLookup.withSpeciesInfo(
+      withAssay.drop("species_name", "taxon_id", "scientific_name"),
+      existing("species_text"))
+
+    withSpecies
       // defaults (reformat_metadata_file.py:499-505)
       .withColumn("expected_reads", coalesce(col("expected_reads"), lit("2000000")))
       .withColumn("expected_lanes", coalesce(col("expected_lanes"), lit("1")))
-      .drop("library_preparation_key", "species_key",
-        "lk_library_source", "lk_library_strategy", "lk_experiment_type",
-        "lk_taxon_id", "lk_scientific_name")
   }
 
   /** Drop columns whose every value is empty/UNKNOWN
@@ -144,10 +121,13 @@ object MetadataPipeline {
       .withColumn("errors", array(lit("incompatible_library_combination")))
   }
 
-  /** The default compatibility universe: the triples produced by
-    * [[assayLookup]] (extend as data, like the reference's lookup). */
+  /** The default compatibility universe: the triples produced by the full
+    * [[graft.meta.AssayLookup.experimentTypeLookup]] (extend as data, like
+    * the reference's lookup). */
   val allowedLibraryCombinations: Seq[(String, String, String)] =
-    assayLookup.map { case (_, src, strat, et) => (src, strat, et) }.distinct
+    graft.meta.AssayLookup.experimentTypeLookup
+      .map(r => (r.librarySource, r.libraryStrategy, r.experimentType))
+      .distinct
 
   /** Duplicate-key error detection (metadata_validation.py:103-189). */
   def duplicateKeyErrors(df: DataFrame, keys: Seq[String]): DataFrame =

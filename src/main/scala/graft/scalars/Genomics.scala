@@ -25,6 +25,16 @@ object Genomics {
     regexp_replace(runs, "^-|-$", "")
   }
 
+  /** Person-name normalization (reformat_metadata_file.py:294-318's
+    * sample_name_reformat): like [[normalizeName]] but underscores are
+    * punctuation too — ALL of string.punctuation maps to '-'. */
+  def normalizePersonName(c: Column): Column = {
+    val ws     = regexp_replace(c, "\\s+", "-")
+    val punct  = regexp_replace(ws, "[^a-zA-Z0-9-]", "-")
+    val runs   = regexp_replace(punct, "-+", "-")
+    regexp_replace(runs, "^-|-$", "")
+  }
+
   /** Composite dual index `index + '+' + index2`; single-index rows keep
     * just index (samplesheet.py:288-316). */
   def compositeIndex(i1: Column, i2: Column): Column =
