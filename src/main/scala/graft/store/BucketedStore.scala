@@ -1,0 +1,176 @@
+package graft.store
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hash-bucketed, manifest-versioned metadata store — the partition-pruned
+  * MERGE path for fact-sized tables (run / file / *_attribute), where
+  * [[MetadataStore]]'s full-snapshot commit would be O(table) I/O per
+  * mutation.
+  *
+  * Layout:
+  * {{{
+  *   root/<table>/v000001/bucket=N/part-….parquet   bucket data files
+  *   root/<table>/v000002/_MANIFEST                 bucket -> version map
+  *   root/<table>/_CURRENT                          committed version ptr
+  * }}}
+  *
+  * Rows hash-partition on `pmod(xxhash64(keys), numBuckets)`. A commit
+  * writes parquet ONLY for buckets containing touched keys; the new
+  * version's manifest points untouched buckets at the PRIOR version's
+  * files, which are never rewritten, copied, or moved — upsert I/O is
+  * O(touched buckets), and a reader resolving `_CURRENT` sees either the
+  * old or the new manifest atomically. This is the same
+  * manifest-plus-immutable-data-files shape Delta/Iceberg use for MERGE;
+  * on a cluster deployment those replace this class 1:1
+  * (pipelineadaptor.py:408-494 create_or_update; SURVEY §7.4).
+  *
+  * At 100 TB: numBuckets bounds both the per-commit rewrite amplification
+  * (a single-row upsert rewrites 1/numBuckets of the table) and the
+  * reader's parallelism floor — size it so a bucket is a few GB.
+  */
+final class BucketedStore(spark: SparkSession, root: String, numBuckets: Int = 64) {
+  require(numBuckets > 0)
+
+  private val BucketCol = "__bucket"
+
+  private def tableDir(name: String) = Paths.get(root, name)
+  private def pointer(name: String) = tableDir(name).resolve("_CURRENT")
+  private def versionDir(name: String, v: Int) = tableDir(name).resolve(f"v$v%06d")
+  private def manifestPath(name: String, v: Int) =
+    versionDir(name, v).resolve("_MANIFEST")
+
+  def exists(name: String): Boolean = Files.exists(pointer(name))
+
+  private def currentVersion(name: String): Int =
+    if (exists(name)) new String(Files.readAllBytes(pointer(name))).trim.toInt else 0
+
+  /** bucket -> version number owning that bucket's files. */
+  def manifest(name: String): Map[Int, Int] = {
+    val v = currentVersion(name)
+    if (v == 0) Map.empty
+    else new String(Files.readAllBytes(manifestPath(name, v))).split("\n")
+      .filter(_.nonEmpty)
+      .map { l => val Array(b, ver) = l.split("="); b.toInt -> ver.toInt }
+      .toMap
+  }
+
+  private def writeManifest(name: String, v: Int, m: Map[Int, Int]): Unit = {
+    Files.createDirectories(versionDir(name, v))
+    Files.writeString(manifestPath(name, v),
+      m.toSeq.sorted.map { case (b, ver) => s"$b=$ver" }.mkString("\n"))
+  }
+
+  private def swapPointer(name: String, v: Int): Unit = {
+    val tmp = tableDir(name).resolve("_CURRENT.tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def bucketOf(keys: Seq[String]) =
+    pmod(xxhash64(concat_ws("", keys.map(c => col(c).cast("string")): _*)),
+      lit(numBuckets)).cast("int")
+
+  /** Physical paths of a bucket's data under the manifest (for tests and
+    * vacuum tooling). */
+  def bucketFiles(name: String, bucket: Int): Seq[String] = {
+    manifest(name).get(bucket).toSeq.flatMap { ver =>
+      val dir = versionDir(name, ver).resolve(s"$BucketCol=$bucket")
+      if (!Files.exists(dir)) Nil
+      else {
+        val it = Files.list(dir).iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) buf += p.toString
+        }
+        buf.toSeq.sorted
+      }
+    }
+  }
+
+  private def readBuckets(name: String, buckets: Option[Set[Int]]): DataFrame = {
+    val m = manifest(name)
+    val wanted = buckets.map(bs => m.view.filterKeys(bs).toMap).getOrElse(m)
+    val paths = wanted.toSeq.map { case (b, ver) =>
+      versionDir(name, ver).resolve(s"$BucketCol=$b").toString
+    }.filter(p => Files.exists(Paths.get(p)))
+    if (paths.isEmpty)
+      spark.emptyDataFrame
+    else
+      spark.read.parquet(paths: _*)
+  }
+
+  /** Current table contents (all buckets). */
+  def read(name: String): DataFrame = {
+    require(exists(name), s"table $name does not exist under $root")
+    readBuckets(name, None)
+  }
+
+  def create(name: String, df: DataFrame, keys: Seq[String]): Unit = {
+    val v = currentVersion(name) + 1
+    df.withColumn(BucketCol, bucketOf(keys))
+      .write.partitionBy(BucketCol).mode("overwrite")
+      .parquet(versionDir(name, v).toString)
+    writeManifest(name, v, (0 until numBuckets).map(_ -> v).toMap)
+    swapPointer(name, v)
+  }
+
+  /** Partition-pruned MERGE: matched rows replaced, unmatched inserted —
+    * but ONLY buckets containing incoming keys are read, merged, and
+    * rewritten. Returns the set of touched buckets. */
+  def upsert(name: String, df: DataFrame, keys: Seq[String]): Set[Int] = {
+    val fresh = df.withColumn(BucketCol, bucketOf(keys))
+    if (!exists(name)) {
+      create(name, df, keys)
+      fresh.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
+    } else {
+      val touched = fresh.select(BucketCol).distinct().collect()
+        .map(_.getInt(0)).toSet
+      if (touched.isEmpty) return Set.empty
+      val prior = manifest(name)
+      val v = currentVersion(name) + 1
+      val existingRaw = readBuckets(name, Some(touched))
+      // all touched buckets may be empty on disk (partitionBy only writes
+      // non-empty buckets) — then there is nothing to merge against
+      val merged =
+        if (existingRaw.columns.isEmpty) fresh
+        else {
+          val existingTouched = existingRaw.withColumn(BucketCol, bucketOf(keys))
+          existingTouched.join(
+              fresh.select(keys.map(col): _*).distinct(), keys, "left_anti")
+            .unionByName(fresh, allowMissingColumns = true)
+        }
+      merged.write.partitionBy(BucketCol).mode("overwrite")
+        .parquet(versionDir(name, v).toString)
+      writeManifest(name, v,
+        prior ++ touched.map(_ -> v).toMap)
+      swapPointer(name, v)
+      touched
+    }
+  }
+
+  /** Partition-pruned DELETE by key frame; only touched buckets rewrite. */
+  def delete(name: String, keysDf: DataFrame, keys: Seq[String]): Set[Int] = {
+    val doomed = keysDf.select(keys.map(col): _*).distinct()
+      .withColumn(BucketCol, bucketOf(keys))
+    val touched = doomed.select(BucketCol).distinct().collect()
+      .map(_.getInt(0)).toSet
+    if (touched.isEmpty) return Set.empty
+    val prior = manifest(name)
+    val existingRaw = readBuckets(name, Some(touched))
+    if (existingRaw.columns.isEmpty) return Set.empty // nothing stored there
+    val v = currentVersion(name) + 1
+    val remaining = existingRaw
+      .join(doomed.drop(BucketCol), keys, "left_anti")
+      .withColumn(BucketCol, bucketOf(keys))
+    remaining.write.partitionBy(BucketCol).mode("overwrite")
+      .parquet(versionDir(name, v).toString)
+    writeManifest(name, v, prior ++ touched.map(_ -> v).toMap)
+    swapPointer(name, v)
+    touched
+  }
+}

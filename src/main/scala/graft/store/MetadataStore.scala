@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   * On a real deployment the same API maps 1:1 onto Delta/Iceberg MERGE;
   * the snapshot indirection is only the no-extra-dependency stand-in.
   *
+  * Scope: dimension-sized tables, where an O(table) snapshot per commit is
+  * cheap. Fact-sized tables (run / file / *_attribute at 100 TB) use
+  * [[BucketedStore]], whose manifest layout rewrites only the hash buckets
+  * a MERGE actually touches.
+  *
   * Empty-string normalization on write matches the reference's "drop empty
   * values before insert" rule (baseadaptor.py:39-44).
   */
