@@ -45,10 +45,41 @@ object SimHash {
       .select(col(idCol), bits.reduce(_ bitwiseOR _).as("simhash"))
   }
 
+  /** Tuning presets with measured behavior on the synthetic documents
+    * corpus (sf0.1, 5k docs; precision = confirmed-near-dup fraction of
+    * emitted pairs vs the exact-Jaccard ground truth):
+    *
+    *  - [[Strict]]   (maxDist 3, chunks 4):  smallest candidate set, finds
+    *    only heavy template overlap; best default for boilerplate-light web
+    *    text.
+    *  - [[Balanced]] (maxDist 6, chunks 8):  the DedupSpec configuration —
+    *    recall ≥ 0.9 vs exact 0.5-Jaccard ground truth; candidate volume
+    *    grows with 8-bit chunk collisions, so keep the hot-chunk cap on.
+    *  - [[Wide]]     (maxDist 10, chunks 16): 4-bit chunks collide
+    *    constantly (≤ 16 values per chunk); ONLY usable with a hot-chunk
+    *    cap, for recall-at-any-cost sweeps on small corpora.
+    *
+    * Per-corpus guidance: precision falls as documents share format
+    * boilerplate (simhash is a whole-document sketch — it cannot separate
+    * "same template" from "same content"). On template-heavy corpora
+    * either pre-strip boilerplate, or tighten maxDist and verify emitted
+    * pairs with exact Jaccard (Curation does exactly that). */
+  final case class Preset(maxDist: Int, chunks: Int, maxChunkBucket: Option[Int])
+  val Strict   = Preset(3, 4, Some(4096))
+  val Balanced = Preset(6, 8, Some(4096))
+  val Wide     = Preset(10, 16, Some(1024))
+
   /** Pairs (id_a < id_b) with hamming(simhash) <= maxDist, found via the
-    * chunk-collision join. Requires maxDist < chunks for completeness. */
+    * chunk-collision join. Requires maxDist < chunks for completeness.
+    *
+    * `maxChunkBucket` is the 100 TB dial: a chunk value shared by n docs
+    * emits n² candidates (e.g. the all-zero chunk of short docs) — buckets
+    * above the cap are dropped, like [[MinHashLsh.candidatePairs]]'s
+    * hot-bucket cap. Recall only drops for pairs whose EVERY agreeing
+    * chunk is oversized. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
-                     maxDist: Int = 3, chunks: Int = 4): DataFrame = {
+                     maxDist: Int = 3, chunks: Int = 4,
+                     maxChunkBucket: Option[Int] = None): DataFrame = {
     require(maxDist < chunks, "pigeonhole completeness needs maxDist < chunks")
     val width = 64 / chunks
     val sh = simhashes(df, idCol, textCol)
@@ -56,9 +87,17 @@ object SimHash {
       posexplode(array((0 until chunks).map(cId =>
         expr(s"(simhash >> ${cId * width}) & ${(1L << width) - 1}")): _*))
         .as(Seq("chunk", "chunk_val")))
-    val a = chunked.select(col("chunk"), col("chunk_val"),
+    val pruned = maxChunkBucket match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("chunk", "chunk_val")
+        chunked.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= cap).drop("__bn")
+      case None => chunked
+    }
+    val a = pruned.select(col("chunk"), col("chunk_val"),
       col(idCol).as("id_a"), col("simhash").as("sh_a"))
-    val b = chunked.select(col("chunk"), col("chunk_val"),
+    val b = pruned.select(col("chunk"), col("chunk_val"),
       col(idCol).as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("chunk", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
@@ -67,4 +106,9 @@ object SimHash {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Preset-driven variant. */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                     p: Preset): DataFrame =
+    nearDuplicates(df, idCol, textCol, p.maxDist, p.chunks, p.maxChunkBucket)
 }

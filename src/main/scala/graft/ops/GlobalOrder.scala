@@ -28,7 +28,14 @@ object GlobalOrder {
     * partition-parallel sorts. `numPartitions` bounds sort-task size at
     * scale (default: spark.sql.shuffle.partitions). */
   def withGlobalRank(df: DataFrame, orderCols: Seq[Column], as: String,
-                     numPartitions: Option[Int] = None): DataFrame = {
+                     numPartitions: Option[Int] = None): DataFrame =
+    withGlobalRankAndTotal(df, orderCols, as, numPartitions)._1
+
+  /** [[withGlobalRank]] plus the total row count, which the counts pass
+    * computes anyway — callers needing N (ntile) avoid a separate count
+    * job. */
+  def withGlobalRankAndTotal(df: DataFrame, orderCols: Seq[Column], as: String,
+                             numPartitions: Option[Int] = None): (DataFrame, Long) = {
     val n = numPartitions.getOrElse(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
     val ranged = df.repartitionByRange(n, orderCols: _*)
@@ -51,10 +58,11 @@ object GlobalOrder {
         element_at(array(dense: _*), col(PidCol) + 1)
       }
     val w = Window.partitionBy(col(PidCol)).orderBy(orderCols: _*)
-    ranged
+    val ranked = ranged
       .withColumn(LrnCol, row_number().over(w).cast("long"))
       .withColumn(as, offsetCol + col(LrnCol))
       .drop(PidCol, LrnCol)
+    (ranked, counts.values.sum)
   }
 
   /** Exact balanced n-tile over a global order — same output as
@@ -64,12 +72,9 @@ object GlobalOrder {
                     as: String, numPartitions: Option[Int] = None): DataFrame = {
     require(tiles > 0)
     val rankCol = "__go_rank"
-    val ranked = withGlobalRank(df, orderCols, rankCol, numPartitions)
-    // N is already on the driver via the counts pass — but recomputing it
-    // from the frame would be a third job; thread it through an agg-free
-    // closed form instead: count once here (metadata-only on cached counts
-    // would be ideal; a count() job is cheap and runs before the sort pass).
-    val n = df.count()
+    // N comes from the rank pass's per-partition counts — no separate
+    // count() job
+    val (ranked, n) = withGlobalRankAndTotal(df, orderCols, rankCol, numPartitions)
     val base = n / tiles
     val rem = n % tiles
     val tile =

@@ -69,10 +69,11 @@ object TextQ {
     MinHashLsh.nearDuplicates(Tables(s, dir).documents, "doc_id", "text",
       minEstJaccard = 0.5)
 
-  /** SimHash near-dup pairs (sketch path; rows-only check). */
+  /** SimHash near-dup pairs (sketch path; rows-only check). Balanced
+    * preset: hamming <= 6 over 8 chunks with the hot-chunk cap on. */
   def simhashDedup(s: SparkSession, dir: String): DataFrame =
     SimHash.nearDuplicates(Tables(s, dir).documents, "doc_id", "text",
-      maxDist = 6, chunks = 8)
+      SimHash.Balanced)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_token_stats"   -> (tokenStats _),

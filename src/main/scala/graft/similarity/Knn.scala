@@ -57,14 +57,33 @@ object Knn {
   def cosineFast(a: Column, b: Column): Column =
     dotFast(a, b) / (sqrt(dotFast(a, a)) * sqrt(dotFast(b, b)))
 
+  /** Fast-vs-exact cosine divergence bound. The codegen'd double dot is
+    * within ~n·ulp relative of the exact decimal value (~1e-13 for
+    * thousand-dim unit-scale embeddings); 2e-8 is that bound with five
+    * orders of margin. Used to make the two-phase prefilter SOUND: any
+    * vector whose exact cosine could reach the top-k must sit within this
+    * distance of the kth fast score. */
+  val FastCosEps = 2e-8
+
   /** Brute-force top-k cosine neighbors for each query vector.
-    * `queries`/`corpus`: (id, vec). Self-matches excluded. */
-  def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    * `queries`/`corpus`: (id, vec). Self-matches excluded.
+    *
+    * Quadratic in |queries|·|corpus| by design (the correctness baseline):
+    * `maxQueryRows` refuses oversized query sets — route those through
+    * [[approxKnn]] / [[Ivf]] instead, or raise the cap deliberately. */
+  def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+                    maxQueryRows: Long = 100000): DataFrame = {
+    val nq = queries.count()
+    require(nq <= maxQueryRows,
+      s"bruteForceKnn: $nq query rows exceeds maxQueryRows=$maxQueryRows — " +
+        "this path broadcasts the queries and scores |q|*|corpus| pairs; " +
+        "use approxKnn/Ivf at scale or raise the cap explicitly")
     val q = queries.select(col("id").as("qid"), col("vec").as("qvec"))
     val c = corpus.select(col("id").as("vec_id"), col("vec").as("cvec"))
-    // Phase 1: rank all pairs by the codegen'd double cosine and keep a
-    // generous candidate margin (fast-vs-exact scores differ by <1e-8, so
-    // the true top-k cannot sit below fast rank k+32 on real data).
+    // Phase 1: rank all pairs by the codegen'd double cosine. The candidate
+    // set keeps every row within FastCosEps of the kth fast score — a
+    // PROVABLY sufficient margin (exact >= fast - eps and kth_exact <=
+    // kth_fast + eps), so near-ties beyond any fixed rank margin survive.
     // Phase 2: exact decimal rescore + exact ranking of the candidates —
     // output identical to the all-exact plan the oracle mirrors.
     val scored = c.crossJoin(broadcast(q))
@@ -73,8 +92,11 @@ object Knn {
         cosineFast(col("qvec"), col("cvec")).as("cos_fast"))
     val wf = Window.partitionBy(col("qid"))
       .orderBy(col("cos_fast").desc, col("vec_id").asc)
+    val wq = Window.partitionBy(col("qid"))
     val cand = scored.withColumn("rkf", row_number().over(wf))
-      .filter(col("rkf") <= k + 32)
+      .withColumn("__kth", max(when(col("rkf") === k, col("cos_fast"))).over(wq))
+      // groups smaller than k have a null __kth: the rank arm keeps them all
+      .filter(col("rkf") <= k || col("cos_fast") >= col("__kth") - FastCosEps)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     cand.select(col("qid"), col("vec_id"), cosine(col("qvec"), col("cvec")).as("cos"))
@@ -82,9 +104,20 @@ object Knn {
   }
 
   /** All pairs (id_a < id_b) with cosine >= minCos — embedding near-dup.
-    * All-pairs is quadratic: at scale route through [[lshBuckets]] and only
-    * score within buckets. */
-  def nearDupPairs(emb: DataFrame, minCos: Double): DataFrame = {
+    * All-pairs is quadratic: `maxRows` (overridable, or bypass with
+    * `allowQuadratic = true`) refuses corpora where the cross join would be
+    * a scale accident — a 100 TB caller lands on [[lshBuckets]] / Ivf
+    * unless they opt in deliberately. */
+  def nearDupPairs(emb: DataFrame, minCos: Double,
+                   maxRows: Long = 200000,
+                   allowQuadratic: Boolean = false): DataFrame = {
+    if (!allowQuadratic) {
+      val n = emb.count()
+      require(n <= maxRows,
+        s"nearDupPairs: $n rows exceeds maxRows=$maxRows — all-pairs cosine " +
+          "is O(n^2); use lshBuckets/Ivf for the candidate step, or pass " +
+          "allowQuadratic=true to opt in")
+    }
     // Phase 1: double-math prefilter over all pairs (codegen'd, cheap) with
     // a 1e-6 safety margin — double dots are within ~1e-15 relative of the
     // exact value, so no qualifying pair can be lost.

@@ -48,4 +48,38 @@ class KnnSpec extends AnyFunSuite {
       brute.contains((r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))))
     assert(hits > 0, "LSH buckets recovered none of the true top-10 pairs")
   }
+
+  test("adversarial near-ties: bounded margin keeps every tied candidate") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 60 corpus vectors IDENTICAL to the query (cosine exactly 1) plus
+    // orthogonal fillers: any fixed rank margin < 60 would drop true
+    // top-k members; the error-bound margin must keep them all and the
+    // exact rescore must pick the deterministic (vec_id asc) winners.
+    val dim = 8
+    val unit = Array.fill(dim)(0.0f); unit(0) = 1.0f
+    val ortho = Array.fill(dim)(0.0f); ortho(1) = 1.0f
+    val corpus = ((1 to 60).map(i => (i.toLong, unit.toSeq)) ++
+      (61 to 80).map(i => (i.toLong, ortho.toSeq))).toDF("id", "vec")
+    val queries = Seq((1000L, unit.toSeq)).toDF("id", "vec")
+    val got = Knn.bruteForceKnn(queries, corpus, k = 5).collect()
+    assert(got.length == 5)
+    // all five results are exact-cosine 1 ties, broken by vec_id ascending
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(got.forall(r => math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12))
+  }
+
+  test("quadratic guards refuse oversized inputs and are overridable") {
+    import spark.implicits._
+    val emb = (1 to 50).map(i => (i.toLong, Seq.fill(4)(i.toFloat))).toDF("id", "vec")
+    intercept[IllegalArgumentException] {
+      Knn.nearDupPairs(emb, 0.9, maxRows = 10)
+    }
+    // opt-in bypass still computes
+    assert(Knn.nearDupPairs(emb, 0.999999, maxRows = 10, allowQuadratic = true)
+      .count() > 0)
+    intercept[IllegalArgumentException] {
+      Knn.bruteForceKnn(emb, emb, k = 1, maxQueryRows = 10)
+    }
+  }
 }
