@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.SimilarityQ.queries -> graft.queries.SimilarityQ.oracles,
     graft.queries.MultimodalQ.queries -> graft.queries.MultimodalQ.oracles,
     graft.queries.Extra.queries      -> graft.queries.Extra.oracles,
-    graft.queries.Lineage.queries    -> graft.queries.Lineage.oracles)
+    graft.queries.Lineage.queries    -> graft.queries.Lineage.oracles,
+    graft.queries.CosmxQ.queries     -> graft.queries.CosmxQ.oracles)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

@@ -34,9 +34,10 @@ object PoolingReport {
         val cell =
           if (v == null) "null"
           else f.dataType match {
-            case _: StringType => q(v.toString)
-            case _: BooleanType => v.toString
-            case _ => v.toString
+            case _: NumericType | _: BooleanType => v.toString
+            // dates, timestamps, strings, and anything else renders as a
+            // quoted string — a bare 2018-06-10 is not valid JSON
+            case _ => q(v.toString)
           }
         s"""{"v":$cell}"""
       }.mkString("[", ",", "]")

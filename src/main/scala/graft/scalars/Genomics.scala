@@ -62,6 +62,16 @@ object Genomics {
   /** Project field cleanup: drop ':user' suffix (samplesheet.py:366-396). */
   def cleanProject(c: Column): Column = split(c, ":").getItem(0)
 
+  /** FOV range string → int array (cosmxutils.py:189-211): "1,3,5" comma
+    * lists and "a-b" inclusive ranges; malformed input yields null (the
+    * reference raises — here bad rows surface as data, filterable). */
+  def fovRangeToList(c: Column): Column = {
+    val start = regexp_extract(c, "^(\\d+)-(\\d+)$", 1)
+    val end = regexp_extract(c, "^(\\d+)-(\\d+)$", 2)
+    when(c.contains(","), transform(split(c, ","), x => trim(x).cast("int")))
+      .otherwise(when(start =!= "", sequence(start.cast("int"), end.cast("int"))))
+  }
+
   /** Email shape check (useradaptor.py:10-18). */
   def isEmail(c: Column): Column = c.rlike("^\\S+@\\S+$")
 }
