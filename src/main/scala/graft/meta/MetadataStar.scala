@@ -201,6 +201,22 @@ final class MetadataStar(s: SparkSession, dir: String) {
         col("o_orderkey") % 4).as("status"),
       nullTs.as("date_stamp"))
 
+  /** run → collection_attribute: per-collection QC metric EAV rows, the
+    * records project_analysis_utils.py:146-166 pivots into the analysis
+    * report (igfTables.py:1101-1132). */
+  lazy val collectionAttribute: DataFrame = {
+    val base = run.select(col("run_id").as("collection_id"))
+    val a = base.select((col("collection_id") * 2).as("collection_attribute_id"),
+      lit("total_reads").as("attribute_name"),
+      ((col("collection_id") * 41) % 10000000).cast("string").as("attribute_value"),
+      col("collection_id"))
+    val b = base.select((col("collection_id") * 2 + 1).as("collection_attribute_id"),
+      lit("mean_q30").as("attribute_name"),
+      ((col("collection_id") * 7) % 41 + 60).cast("string").as("attribute_value"),
+      col("collection_id"))
+    a.unionByName(b)
+  }
+
   /** customer → sample_attribute: validated flag + donor group EAV rows
     * (igfTables.py:1133-1164). */
   lazy val sampleAttribute: DataFrame = {

@@ -53,4 +53,42 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("q04_anti_join")
     assert(p.contains("LeftAnti"), p)
   }
+
+  test("6-way lineage join broadcasts the dimension sides, no cartesian") {
+    val p = plan("q37_lineage6_readcount")
+    assert(p.contains("BroadcastHashJoin"), "no broadcast in lineage join")
+    assert(!p.contains("CartesianProduct"), "cartesian in lineage join")
+    // the ACTIVE-status gates fold through the star derivation into key
+    // arithmetic at the scans (run's status rule is `% 17 = 16`); assert
+    // the folded predicate sits in the lineitem scan's DataFilters, i.e.
+    // the filter ran BELOW the joins
+    assert(p.contains("% 17"), "run status gate did not reach the scan")
+  }
+
+  test("7-way lineage join: string-key hop, anti-join, no cartesian") {
+    val p = plan("q38_lineage7_fastq")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.toLowerCase.contains("anti"), "seeded exclusion must be an anti join")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("bounded top-k aggregates with partial (map-side) combine") {
+    val p = plan("q10_topk_per_group")
+    // ObjectHashAggregate runs TopKRows in partial + final mode: map-side
+    // k-capping is what keeps the shuffle bounded
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_topkrows") || p.contains("partial_"), p)
+    assert(!p.contains("Window"), "q10 must not fall back to a window sort")
+  }
+
+  test("global-order queries carry no un-partitioned window") {
+    for (q <- Seq("q26_ntile_binpack", "q12_running_sum", "q10_topk_per_group")) {
+      val p = plan(q)
+      p.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+        assert(l.contains("partitionBy") || l.contains("__go_pid") ||
+          l.contains("l_suppkey") || l.contains("_w"),
+          s"$q has a suspicious window line: $l")
+      }
+    }
+  }
 }
