@@ -107,7 +107,12 @@ final class MetadataStar(s: SparkSession, dir: String) {
   }
 
   /** lineitem (deduped on orderkey+linenumber) → run (igfTables.py:679-728).
-    * run_id = orderkey*8 + linenumber is collision-free (linenumber ≤ 7). */
+    * run_id = orderkey*8 + linenumber is collision-free (linenumber ≤ 7).
+    * Persisted: run feeds collection / collection_group / file /
+    * run_attribute, and the lineage queries reference several of those in
+    * ONE plan — without the persist each branch re-runs the lineitem
+    * dedup aggregation (a real deployment reads run as a materialized
+    * table; the cache is the in-session equivalent). */
   lazy val run: DataFrame = t.lineitem
     .groupBy(col("l_orderkey"), col("l_linenumber"))
     .agg(min(col("l_suppkey")).as("sk"))
@@ -120,6 +125,7 @@ final class MetadataStar(s: SparkSession, dir: String) {
         .otherwise("ACTIVE").as("status"),
       col("l_linenumber").cast("string").as("lane_number"),
       nullTs.as("date_created"))
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** run → run_attribute: R1/R2 read counts as string-typed EAV rows
     * (igfTables.py:1186-1217; the values projectutils.py:46-67 reports). */
