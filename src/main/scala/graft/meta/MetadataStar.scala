@@ -84,6 +84,70 @@ final class MetadataStar(s: SparkSession, dir: String) {
     concat(lit("FC"), col("s_suppkey")).as("flowcell_id"),
     (col("s_suppkey") % 4 + 1).cast("long").as("platform_id"))
 
+  /** customer (first 50) → user (igfTables.py:66-137). Secrets columns stay
+    * null — password hashing is driver-side per SURVEY §2.7. */
+  lazy val user: DataFrame = t.customer.filter(col("c_custkey") < 50).select(
+    (col("c_custkey") + 1).as("user_id"),
+    concat(lit("U"), col("c_custkey")).as("user_igf_id"),
+    concat(lit("User "), col("c_custkey")).as("name"),
+    concat(lit("user"), col("c_custkey"), lit("@example.org")).as("email_id"),
+    concat(lit("u"), col("c_custkey")).as("username"),
+    concat(lit("hpc"), col("c_custkey")).as("hpc_username"),
+    lit(null).cast("string").as("twitter_user"),
+    lit(null).cast("string").as("orcid_id"),
+    when(col("c_custkey") % 3 === 0, "HPC_USER").otherwise("NON_HPC_USER")
+      .as("category"),
+    lit("ACTIVE").as("status"),
+    nullTs.as("date_created"),
+    lit(null).cast("string").as("password"),
+    lit(null).cast("string").as("encryption_salt"),
+    lit(null).cast("string").as("ht_password"))
+
+  /** nation → project_user: one data-authority user per project plus one
+    * plain member (igfTables.py:138-171; data_authority enum has the single
+    * value 'T', null means non-authoritative). */
+  lazy val projectUser: DataFrame = {
+    val owner = t.nation.select(
+      (col("n_nationkey") * 2 + 1).cast("long").as("project_user_id"),
+      (col("n_nationkey") + 1).cast("long").as("project_id"),
+      (col("n_nationkey") % 50 + 1).cast("long").as("user_id"),
+      lit("T").as("data_authority"))
+    val member = t.nation.select(
+      (col("n_nationkey") * 2 + 2).cast("long").as("project_user_id"),
+      (col("n_nationkey") + 1).cast("long").as("project_id"),
+      ((col("n_nationkey") + 7) % 50 + 1).cast("long").as("user_id"),
+      lit(null).cast("string").as("data_authority"))
+    owner.unionByName(member)
+  }
+
+  /** seqrun × 2 lanes → seqrun_stats with JSON barcode censuses
+    * (igfTables.py:411-452): undetermined_barcodes is a JSON object of
+    * {4-mer barcode: count}, the shape the Stats.json ingestion stores. */
+  lazy val seqrunStats: DataFrame = {
+    import org.apache.spark.sql.Column
+    def base4(k: Column) = {
+      val bases = Seq("A", "C", "G", "T")
+      concat(pick(bases, (k / 64) % 4), pick(bases, (k / 16) % 4),
+        pick(bases, (k / 4) % 4), pick(bases, k % 4))
+    }
+    val lanes = Seq(1, 2).map(l => t.supplier.select(
+      (col("s_suppkey") * 2 + l).cast("long").as("seqrun_stats_id"),
+      (col("s_suppkey") + 1).cast("long").as("seqrun_id"),
+      lit(l.toString).as("lane_number"),
+      lit("Y100N8Y100").as("bases_mask"),
+      // two barcodes per lane: a 4-mer and an 8-mer — different lengths,
+      // so the JSON object keys can never collide
+      concat(lit("{\""), base4((col("s_suppkey") * 7 + l * 3) % 256),
+        lit("\": "), (col("s_suppkey") * l * 13) % 5000,
+        lit(", \""), base4((col("s_suppkey") * 11 + l * 5) % 256),
+        base4((col("s_suppkey") * 29 + l) % 256),
+        lit("\": "), (col("s_suppkey") * l * 17) % 5000,
+        lit("}")).as("undetermined_barcodes"),
+      lit(null).cast("string").as("known_barcodes"),
+      lit(null).cast("string").as("undetermined_fastqc")))
+    lanes.reduce(_ unionByName _)
+  }
+
   /** orders ⋈ customer → experiment (igfTables.py:453-678). */
   lazy val experiment: DataFrame = {
     val plat = pick(MetadataSchema.experimentPlatform, col("o_orderkey") % 12)
@@ -263,6 +327,8 @@ object MetadataStar {
       |  FROM customer),
       |experiment AS (
       |  SELECT o_orderkey + 1 AS experiment_id,
+      |         'IGF' || o_custkey || '_' ||
+      |           (['HISEQ2500','HISEQ4000','MISEQ','NEXTSEQ','NANOPORE_MINION','NOVASEQ6000','DNBSEQ-G400','DNBSEQ-G50','DNBSEQ-T7','NEXTSEQ2000','SEQUEL2','UNKNOWN'])[o_orderkey % 12 + 1] AS experiment_igf_id,
       |         c_nationkey % 25 + 1 AS project_id,
       |         o_custkey + 1 AS sample_id,
       |         (['GENOMIC','TRANSCRIPTOMIC','GENOMIC_SINGLE_CELL','METAGENOMIC','METATRANSCRIPTOMIC','TRANSCRIPTOMIC_SINGLE_CELL','SYNTHETIC','VIRAL_RNA','UNKNOWN'])[o_orderkey % 9 + 1] AS library_source,
@@ -328,6 +394,46 @@ object MetadataStar {
       |         'experiment' AS seed_table, 1 AS pipeline_id,
       |         (['SEEDED','RUNNING','FINISHED','FAILED'])[o_orderkey % 4 + 1] AS status
       |  FROM orders WHERE o_orderkey % 5 < 2),
+      |iuser AS (
+      |  SELECT c_custkey + 1 AS user_id,
+      |         'User ' || c_custkey AS name,
+      |         'user' || c_custkey || '@example.org' AS email_id
+      |  FROM customer WHERE c_custkey < 50),
+      |project_user AS (
+      |  SELECT n_nationkey + 1 AS project_id, n_nationkey % 50 + 1 AS user_id,
+      |         'T' AS data_authority
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT n_nationkey + 1, (n_nationkey + 7) % 50 + 1, NULL
+      |  FROM nation),
+      |seqrun_stats_flat AS (
+      |  -- the PARSED form of seqrun_stats.undetermined_barcodes: DuckDB
+      |  -- here computes the expected (lane, barcode, n) rows directly from
+      |  -- the same key arithmetic the Spark side serializes INTO the JSON
+      |  -- column and parses back with from_json — a JSON round-trip check
+      |  SELECT s_suppkey + 1 AS seqrun_id, CAST(l AS VARCHAR) AS lane_number,
+      |         b1 AS barcode, (s_suppkey * l * 13) % 5000 AS n
+      |  FROM (
+      |    SELECT s_suppkey, l,
+      |      (['A','C','G','T'])[((s_suppkey * 7 + l * 3) % 256) // 64 % 4 + 1] ||
+      |      (['A','C','G','T'])[((s_suppkey * 7 + l * 3) % 256) // 16 % 4 + 1] ||
+      |      (['A','C','G','T'])[((s_suppkey * 7 + l * 3) % 256) // 4 % 4 + 1] ||
+      |      (['A','C','G','T'])[((s_suppkey * 7 + l * 3) % 256) % 4 + 1] AS b1
+      |    FROM supplier, (SELECT UNNEST([1, 2]) AS l))
+      |  UNION ALL
+      |  SELECT s_suppkey + 1, CAST(l AS VARCHAR),
+      |         b2a || b2b, (s_suppkey * l * 17) % 5000
+      |  FROM (
+      |    SELECT s_suppkey, l,
+      |      (['A','C','G','T'])[((s_suppkey * 11 + l * 5) % 256) // 64 % 4 + 1] ||
+      |      (['A','C','G','T'])[((s_suppkey * 11 + l * 5) % 256) // 16 % 4 + 1] ||
+      |      (['A','C','G','T'])[((s_suppkey * 11 + l * 5) % 256) // 4 % 4 + 1] ||
+      |      (['A','C','G','T'])[((s_suppkey * 11 + l * 5) % 256) % 4 + 1] AS b2a,
+      |      (['A','C','G','T'])[((s_suppkey * 29 + l) % 256) // 64 % 4 + 1] ||
+      |      (['A','C','G','T'])[((s_suppkey * 29 + l) % 256) // 16 % 4 + 1] ||
+      |      (['A','C','G','T'])[((s_suppkey * 29 + l) % 256) // 4 % 4 + 1] ||
+      |      (['A','C','G','T'])[((s_suppkey * 29 + l) % 256) % 4 + 1] AS b2b
+      |    FROM supplier, (SELECT UNNEST([1, 2]) AS l))),
       |sample_attribute AS (
       |  SELECT c_custkey * 2 AS sample_attribute_id, 'validated' AS attribute_name,
       |         CASE WHEN c_custkey % 3 = 0 THEN 'yes' ELSE 'no' END AS attribute_value,

@@ -92,10 +92,52 @@ object Lineage {
         countDistinct(col("species_name")).as("n_species"))
   }
 
+  /** 7-way project-cleanup listing (projectutils.py:495-512): ACTIVE
+    * projects' runs with their data-authority user, non-rejected seqruns
+    * only. Adds the user/project_user dimension hop to the lineage
+    * chains. */
+  def projectUserRuns(s: SparkSession, dir: String): DataFrame = {
+    val m = MetadataStar(s, dir)
+    m.project.filter(col("status") === "ACTIVE")
+      .select(col("project_id"), col("project_igf_id"))
+      .join(broadcast(m.projectUser.filter(col("data_authority") === "T")
+        .select(col("project_id"), col("user_id"))), Seq("project_id"))
+      .join(broadcast(m.user.select(col("user_id"), col("name"), col("email_id"))),
+        Seq("user_id"))
+      .join(m.sample.select(col("sample_id"), col("sample_igf_id"),
+        col("project_id")), Seq("project_id"))
+      .join(m.experiment.select(col("experiment_id"), col("experiment_igf_id"),
+        col("sample_id")), Seq("sample_id"))
+      .join(m.run.select(col("run_id"), col("run_igf_id"), col("lane_number"),
+        col("experiment_id"), col("seqrun_id")), Seq("experiment_id"))
+      .join(broadcast(m.seqrun.filter(col("reject_run") === "N")
+        .select(col("seqrun_id"), col("seqrun_igf_id"))), Seq("seqrun_id"))
+      .select("project_igf_id", "name", "email_id", "sample_igf_id",
+        "experiment_igf_id", "run_igf_id", "lane_number", "seqrun_igf_id")
+  }
+
+  /** seqrun_stats JSON round-trip (igfTables.py:411-452, the Stats.json
+    * barcode census shape): the star SERIALIZES {barcode: count} JSON into
+    * undetermined_barcodes; this query parses it back with from_json and
+    * explodes the map — the oracle computes the expected rows directly
+    * from the same key arithmetic, so any divergence in the JSON
+    * build/parse path fails the hash gate. */
+  def seqrunStatsBarcodes(s: SparkSession, dir: String): DataFrame = {
+    val m = MetadataStar(s, dir)
+    m.seqrunStats.select(col("seqrun_id"), col("lane_number"),
+        explode(from_json(col("undetermined_barcodes"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)))
+          .as(Seq("barcode", "n")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_lineage6_readcount" -> (lineage6ReadCount _),
     "q38_lineage7_fastq"     -> (lineage7FastqExperiments _),
-    "q39_eav_validated"      -> (eavValidatedCensus _))
+    "q39_eav_validated"      -> (eavValidatedCensus _),
+    "q42_project_user_runs"  -> (projectUserRuns _),
+    "q43_seqrun_stats_json"  -> (seqrunStatsBarcodes _))
 
   private def cte = MetadataStar.oracleCte
 
@@ -138,5 +180,22 @@ object Lineage {
          |JOIN sample s ON s.sample_id = sa.sample_id AND s.status = 'ACTIVE'
          |JOIN project p ON p.project_id = s.project_id
          |WHERE sa.attribute_name = 'validated' AND sa.attribute_value = 'yes'
-         |GROUP BY 1""".stripMargin)
+         |GROUP BY 1""".stripMargin,
+    "q42_project_user_runs" ->
+      s"""WITH $cte
+         |SELECT p.project_igf_id, u.name, u.email_id, s.sample_igf_id,
+         |       e.experiment_igf_id, r.run_igf_id, r.lane_number, sq.seqrun_igf_id
+         |FROM project p
+         |JOIN project_user pu ON pu.project_id = p.project_id
+         |  AND pu.data_authority = 'T'
+         |JOIN iuser u ON u.user_id = pu.user_id
+         |JOIN sample s ON s.project_id = p.project_id
+         |JOIN experiment e ON e.sample_id = s.sample_id
+         |JOIN run r ON r.experiment_id = e.experiment_id
+         |JOIN seqrun sq ON sq.seqrun_id = r.seqrun_id AND sq.reject_run = 'N'
+         |WHERE p.status = 'ACTIVE'""".stripMargin,
+    "q43_seqrun_stats_json" ->
+      s"""WITH $cte
+         |SELECT seqrun_id, lane_number, barcode, CAST(n AS BIGINT) AS n
+         |FROM seqrun_stats_flat""".stripMargin)
 }

@@ -32,7 +32,10 @@ class MetadataSchemaSpec extends AnyFunSuite {
         "run_attribute" -> star.runAttribute, "collection" -> star.collection,
         "collection_group" -> star.collectionGroup, "file" -> star.file,
         "pipeline" -> star.pipeline, "pipeline_seed" -> star.pipelineSeed,
-        "sample_attribute" -> star.sampleAttribute)) {
+        "sample_attribute" -> star.sampleAttribute,
+        "user" -> star.user, "project_user" -> star.projectUser,
+        "seqrun_stats" -> star.seqrunStats,
+        "collection_attribute" -> star.collectionAttribute)) {
       assert(MetadataSchema.conforms(df, name), s"$name schema drift:\n${df.schema}")
     }
   }
