@@ -35,14 +35,43 @@ object ScaleProbe {
     time("minhash_lsh") {
       graft.dedup.MinHashLsh.nearDuplicates(docs, "doc_id", "text", 0.5).count()
     }
-    time("simhash") {
+    time("simhash_nocap") {
       graft.dedup.SimHash.nearDuplicates(docs, "doc_id", "text", 6, 8).count()
     }
-    time("exact_jaccard") {
+    time("simhash_balanced") {
+      graft.dedup.SimHash.nearDuplicates(docs, "doc_id", "text",
+        graft.dedup.SimHash.Balanced).count()
+    }
+    time("exact_jaccard_nocap") {
       graft.dedup.Shingles.jaccardPairs(docs, "doc_id", "text", 3, 0.5).count()
+    }
+    time("exact_jaccard_cap64") {
+      graft.dedup.Shingles.jaccardPairs(docs, "doc_id", "text", 3, 0.5,
+        Some(64)).count()
     }
     time("token_stats") {
       graft.queries.TextQ.tokenStats(spark, "/root/testdata/sf0.1").count()
+    }
+
+    // bounded top-k vs window top-k on a replicated fact: the window sorts
+    // everything in as many tasks as there are groups; the heap aggregate's
+    // shuffle stays O(groups x partitions x k) regardless of factor
+    val li = t.lineitem
+      .crossJoin(spark.range(factor).toDF("copy"))
+      .withColumn("l_orderkey", col("l_orderkey") * factor + col("copy"))
+      .drop("copy").repartition(32).cache()
+    println(s"lineitem x$factor: ${li.count()} rows")
+    time("topk_window") {
+      graft.ops.WindowOps.topK(li, Seq("l_returnflag"),
+        Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc), k = 3).count()
+    }
+    time("topk_bounded_heap") {
+      graft.ops.WindowOps.topKBounded(li
+          .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"),
+        Seq("l_returnflag"),
+        Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)),
+        k = 3).count()
     }
     spark.stop()
   }
