@@ -126,6 +126,22 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Incremental MERGE into the partition-pruned [[graft.store.BucketedStore]]
+    * — the fact-table twin of [[ingestStream]]: each micro-batch rewrites
+    * only the hash buckets its keys touch, so ingestion I/O tracks batch
+    * size, not table size. Replays of a delivered batch converge (upsert
+    * is idempotent on identical rows). */
+  def ingestStreamBucketed(events: DataFrame, store: graft.store.BucketedStore,
+                           table: String, keys: Seq[String], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.upsert(table, batch, keys); ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** New-file discovery as a stream (the reference's new-seqrun polling,
     * re-expressed): each micro-batch sees only unseen files; downstream is
     * an ordinary append/merge into the store. */

@@ -32,4 +32,40 @@ class IngestStreamSpec extends AnyFunSuite {
     runOnce()
     assert(store.read("events").count() == n1)
   }
+
+  test("streamed micro-batches MERGE into the bucketed store with pruning") {
+    import spark.implicits._
+    val dropDir = java.nio.file.Files.createTempDirectory("bdrops")
+    val ckpt = java.nio.file.Files.createTempDirectory("bckpt").toString
+    val store = new graft.store.BucketedStore(spark,
+      java.nio.file.Files.createTempDirectory("bst").toString, numBuckets = 16)
+
+    (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .write.parquet(dropDir.resolve("batch1").toString)
+
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("id LONG, v STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dropDir.toString + "/*")
+      EventStreams.ingestStreamBucketed(src, store, "t", Seq("id"), ckpt)
+        .awaitTermination()
+    }
+    runOnce()
+    assert(store.read("t").count() == 1000)
+
+    val before = (0 until 16).map(b => b -> store.bucketFiles("t", b)).toMap
+
+    // second drop: a small update batch touching few keys
+    Seq((5L, "v5b"), (9999L, "new")).toDF("id", "v")
+      .write.parquet(dropDir.resolve("batch2").toString)
+    runOnce()
+    val after = store.read("t")
+    assert(after.count() == 1001)
+    assert(after.filter(org.apache.spark.sql.functions.col("id") === 5L)
+      .select("v").head.getString(0) == "v5b")
+    // incremental I/O: most buckets untouched by the small batch
+    val untouched = (0 until 16).count(b => store.bucketFiles("t", b) == before(b))
+    assert(untouched >= 14, s"only $untouched buckets untouched")
+  }
 }
