@@ -79,6 +79,31 @@ object JsonSchemaValidator {
     requiredRules ++ propRules
   }
 
+  /** Document-level keywords (the array wrapper around the rows):
+    * `minItems` and `uniqueItems` — the remaining keywords the reference's
+    * shipped schemas use (cosmx count files, cosmxutils.py:374-420).
+    * Returns violation names; distributed counts, no row collection. */
+  def documentErrors(df: DataFrame, schemaJson: String): Seq[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = JsonMethods.parse(schemaJson)
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = root \ "minItems" match {
+      case JInt(min) =>
+        val c = df.count()
+        if (c < min.toLong) errs += s"minItems:$min (got $c)"
+        Some(c)
+      case _ => None
+    }
+    root \ "uniqueItems" match {
+      case JBool(true) =>
+        val total = n.getOrElse(df.count())
+        if (df.distinct().count() != total) errs += "uniqueItems"
+      case _ => ()
+    }
+    errs.toSeq
+  }
+
   /** Attach an `errors` array column: stable rule names of every violated
     * rule (prose lives in Rule.message for report rendering). */
   def withErrors(df: DataFrame, rules: Seq[Rule]): DataFrame = {

@@ -104,4 +104,36 @@ class ReferenceFixturesSpec extends AnyFunSuite {
     assert(!bad.contains("IGF0001"))
     assert(bad.contains("IGF0002"))
   }
+
+  test("cosmx count-file validation against the shipped rna schema") {
+    // validate_cosmx_count_file (cosmxutils.py:374-420) semantics: the
+    // count json is an array of per-FOV QC records checked against
+    // cosmx_rna_count_file_validation_schema.json
+    val schemaJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        s"$refData/validation_schema/cosmx_rna_count_file_validation_schema.json")))
+    val good = Seq(
+      ("1", "250.25", "120.5", "4000", "98.20"),
+      ("2", "180.00", "90.1", "3500", "97.10"))
+      .toDF("fov_id", "mean_transcript_per_cell", "mean_unique_genes_per_cell",
+        "number_non_empty_cells", "pct_non_empty_cells")
+    val rules = JsonSchemaValidator.compile(schemaJson, good.columns.toSeq)
+    assert(rules.nonEmpty)
+    val flagged = JsonSchemaValidator.withErrors(good, rules)
+      .filter(size(col("errors")) > 0)
+    assert(flagged.count() == 0)
+    assert(JsonSchemaValidator.documentErrors(good, schemaJson).isEmpty)
+
+    // type violations surface per row; duplicate rows break uniqueItems
+    val bad = Seq(("x1", "n/a", "90.1", "3500", "97.10"))
+      .toDF(good.columns: _*)
+    val badFlagged = JsonSchemaValidator.withErrors(bad, rules)
+      .select("errors").head.getSeq[String](0)
+    assert(badFlagged.exists(_.startsWith("type:fov_id")))
+    assert(badFlagged.exists(_.startsWith("type:mean_transcript_per_cell")))
+    assert(JsonSchemaValidator.documentErrors(good.limit(1).union(good.limit(1)),
+      schemaJson) == Seq("uniqueItems"))
+    assert(JsonSchemaValidator.documentErrors(good.limit(0), schemaJson)
+      .exists(_.startsWith("minItems")))
+  }
 }
