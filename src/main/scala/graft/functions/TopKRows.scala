@@ -53,8 +53,19 @@ case class TopKRows(
       override def compare(a: InternalRow, b: InternalRow): Int = {
         var i = 0
         while (i < sortFields) {
-          val c = fieldOrd(i).compare(a.get(i, fieldTypes(i)), b.get(i, fieldTypes(i)))
-          if (c != 0) return if (desc(i)) -c else c
+          val va = a.get(i, fieldTypes(i))
+          val vb = b.get(i, fieldTypes(i))
+          // null placement matches Spark's window default: NULLS FIRST on
+          // ascending keys, NULLS LAST on descending
+          val c =
+            if (va == null && vb == null) 0
+            else if (va == null) { if (desc(i)) 1 else -1 }
+            else if (vb == null) { if (desc(i)) -1 else 1 }
+            else {
+              val cc = fieldOrd(i).compare(va, vb)
+              if (desc(i)) -cc else cc
+            }
+          if (c != 0) return c
           i += 1
         }
         0

@@ -153,6 +153,30 @@ final class BucketedStore(spark: SparkSession, root: String, numBuckets: Int = 6
     }
   }
 
+  /** Remove version directories no longer referenced by the CURRENT
+    * manifest (superseded bucket rewrites). Keeps the live version chain
+    * intact; gives up time travel to vacuumed versions, like Delta VACUUM.
+    * Returns the deleted version numbers. */
+  def vacuum(name: String): Seq[Int] = {
+    val live = manifest(name).values.toSet + currentVersion(name)
+    val it = Files.list(tableDir(name)).iterator()
+    val doomed = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (it.hasNext) {
+      val p = it.next()
+      val fn = p.getFileName.toString
+      if (fn.startsWith("v") && fn.length == 7 && fn.drop(1).forall(_.isDigit)) {
+        val v = fn.drop(1).toInt
+        if (!live.contains(v)) doomed += v
+      }
+    }
+    doomed.sorted.foreach { v =>
+      val dir = versionDir(name, v)
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+    doomed.toSeq.sorted
+  }
+
   /** Partition-pruned DELETE by key frame; only touched buckets rewrite. */
   def delete(name: String, keysDf: DataFrame, keys: Seq[String]): Set[Int] = {
     val doomed = keysDf.select(keys.map(col): _*).distinct()

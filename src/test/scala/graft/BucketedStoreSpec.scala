@@ -91,4 +91,39 @@ class BucketedStoreSpec extends AnyFunSuite {
     }
     assert(st.read("t").count() == 40)
   }
+
+  test("vacuum removes superseded versions and keeps the live chain") {
+    val (st, root) = newStore()
+    st.create("t", base, Seq("id"))
+    // three upserts, each touching a few buckets -> several versions, the
+    // earliest fully superseded once every bucket has been rewritten
+    (1 to 3).foreach { i =>
+      st.upsert("t", Seq((i.toLong, s"n$i", s"v$i")).toDF("id", "name", "payload"), Seq("id"))
+    }
+    val before = st.read("t").count()
+    val deleted = st.vacuum("t")
+    // live data unaffected
+    assert(st.read("t").count() == before)
+    assert(st.read("t").filter(col("id") === 2L).select("payload").head.getString(0) == "v2")
+    // any deleted version is absent from disk
+    deleted.foreach { v =>
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "t", f"v$v%06d")))
+    }
+    // vacuum is idempotent
+    assert(st.vacuum("t").isEmpty)
+  }
+
+  test("null sort keys follow Spark's window null placement in TopKRows") {
+    // asc: NULLS FIRST; desc: NULLS LAST — same rows as the window form
+    val df = Seq[(String, java.lang.Double, Long)](
+      ("g", null, 1L), ("g", 5.0, 2L), ("g", 9.0, 3L), ("g", null, 4L))
+      .toDF("grp", "score", "id")
+    val boundedDesc = graft.ops.WindowOps.topKBounded(
+      df, Seq("grp"), Seq(("score", true), ("id", false)), k = 2)
+    assert(boundedDesc.select("id").collect().map(_.getLong(0)).toSet == Set(3L, 2L))
+    val boundedAsc = graft.ops.WindowOps.topKBounded(
+      df, Seq("grp"), Seq(("score", false), ("id", false)), k = 2)
+    assert(boundedAsc.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+  }
 }
