@@ -305,7 +305,15 @@ final class MetadataStar(s: SparkSession, dir: String) {
 }
 
 object MetadataStar {
-  def apply(s: SparkSession, dir: String): MetadataStar = new MetadataStar(s, dir)
+  // one star per (session, dir): the instances are stateless plan builders,
+  // but sharing them makes the `run` persist() intent explicit (Spark's
+  // CacheManager would dedupe the identical plans anyway) and silences the
+  // repeated "already cached" warnings across queries
+  private val instances =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), MetadataStar]
+
+  def apply(s: SparkSession, dir: String): MetadataStar =
+    instances.getOrElseUpdate((s, dir), new MetadataStar(s, dir))
 
   /** DuckDB CTE prelude rebuilding the SAME star from the raw parquet views
     * — prepend to any lineage oracle query. MUST stay in lockstep with the

@@ -38,8 +38,16 @@ object GlobalOrder {
                              numPartitions: Option[Int] = None): (DataFrame, Long) = {
     val n = numPartitions.getOrElse(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    // PERSIST the range-partitioned input before the counts pass: the
+    // RangePartitioner's reservoir sampling is seeded per RDD instance, so
+    // two separate actions over an unmaterialized repartitionByRange can
+    // sample DIFFERENT boundaries once partitions exceed the sample size —
+    // pass-1 offsets would then describe pass-2 partitions incorrectly
+    // (duplicate/gapped ranks). The counts action below materializes the
+    // cache; the rank pass reads the same physical partitioning.
     val ranged = df.repartitionByRange(n, orderCols: _*)
       .withColumn(PidCol, spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: per-partition row counts → prefix offsets (driver-side, ≤ n longs)
     val counts = ranged.groupBy(PidCol).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -58,6 +66,10 @@ object GlobalOrder {
         element_at(array(dense: _*), col(PidCol) + 1)
       }
     val w = Window.partitionBy(col(PidCol)).orderBy(orderCols: _*)
+    // the cached `ranged` stays pinned for the session (CacheManager
+    // dedupes identical plans, so repeated calls share one entry); the
+    // returned frame reads it lazily, so an eager unpersist here would
+    // silently reintroduce the two-sample race
     val ranked = ranged
       .withColumn(LrnCol, row_number().over(w).cast("long"))
       .withColumn(as, offsetCol + col(LrnCol))

@@ -39,11 +39,14 @@ object AnalysisReport {
   }
 
   /** Wide attribute matrix: one row per finished collection, one column
-    * per QC attribute (project_analysis_utils.py:146-166's transpose). */
+    * per QC attribute (project_analysis_utils.py:146-166's transpose).
+    * LEFT join: a finished collection whose QC attributes haven't landed
+    * yet still appears, with null columns — dropping it would silently
+    * hide the entity from the report. */
   def attributeMatrix(finished: DataFrame, collectionAttribute: DataFrame,
                       attributes: Seq[String]): DataFrame =
     Eav.pivot(
-      finished.join(collectionAttribute, Seq("collection_id"))
+      finished.join(collectionAttribute, Seq("collection_id"), "left_outer")
         .select(col("name"), col("attribute_name"), col("attribute_value")),
       idCols = Seq("name"), names = attributes)
 

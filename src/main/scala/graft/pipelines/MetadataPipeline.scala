@@ -38,7 +38,13 @@ object MetadataPipeline {
     * species resolution is [[graft.meta.AssayLookup]] — the reference's
     * FULL 85-row EXPERIMENT_TYPE_LOOKUP and 4-row SPECIES_LOOKUP with the
     * premade-library key-selection rule and first-match tie handling
-    * (reformat_metadata_file.py:348-393). */
+    * (reformat_metadata_file.py:348-393).
+    *
+    * Like the reference's populate_metadata_values, the lookup OVERWRITES
+    * any caller-supplied library_source / library_strategy /
+    * experiment_type / biomaterial_type / taxon_id / scientific_name —
+    * those columns are derived metadata, not user input
+    * (reformat_metadata_file.py:441-510 assigns them unconditionally). */
   def reformat(raw: DataFrame): DataFrame = {
     val canon = withCanonicalColumns(raw)
     def existing(c: String): Column =

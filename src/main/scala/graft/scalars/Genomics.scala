@@ -63,8 +63,10 @@ object Genomics {
   def cleanProject(c: Column): Column = split(c, ":").getItem(0)
 
   /** FOV range string → int array (cosmxutils.py:189-211): "1,3,5" comma
-    * lists and "a-b" inclusive ranges; malformed input yields null (the
-    * reference raises — here bad rows surface as data, filterable). */
+    * lists and "a-b" inclusive ranges; any other shape — including a bare
+    * "7", which the reference ALSO rejects (its non-comma branch requires
+    * the a-b regex and raises ValueError) — yields null here, so bad rows
+    * surface as filterable data instead of exceptions. */
   def fovRangeToList(c: Column): Column = {
     val start = regexp_extract(c, "^(\\d+)-(\\d+)$", 1)
     val end = regexp_extract(c, "^(\\d+)-(\\d+)$", 2)

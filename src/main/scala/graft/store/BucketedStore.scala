@@ -92,16 +92,32 @@ final class BucketedStore(spark: SparkSession, root: String, numBuckets: Int = 6
     }
   }
 
+  private def schemaPath(name: String) = tableDir(name).resolve("_SCHEMA")
+
+  private def writeSchema(name: String, df: DataFrame): Unit = {
+    Files.createDirectories(tableDir(name))
+    Files.writeString(schemaPath(name), df.drop(BucketCol).schema.json)
+  }
+
+  /** Empty frame carrying the table's persisted schema — what a reader of
+    * an existing-but-empty table (empty create, delete-all) must see
+    * instead of a schemaless DataFrame. */
+  private def emptyWithSchema(name: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(new String(Files.readAllBytes(schemaPath(name))))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schema)
+  }
+
   private def readBuckets(name: String, buckets: Option[Set[Int]]): DataFrame = {
     val m = manifest(name)
     val wanted = buckets.map(bs => m.view.filterKeys(bs).toMap).getOrElse(m)
     val paths = wanted.toSeq.map { case (b, ver) =>
       versionDir(name, ver).resolve(s"$BucketCol=$b").toString
     }.filter(p => Files.exists(Paths.get(p)))
-    if (paths.isEmpty)
-      spark.emptyDataFrame
-    else
-      spark.read.parquet(paths: _*)
+    if (paths.isEmpty) emptyWithSchema(name)
+    else spark.read.parquet(paths: _*)
   }
 
   /** Current table contents (all buckets). */
@@ -115,8 +131,25 @@ final class BucketedStore(spark: SparkSession, root: String, numBuckets: Int = 6
     df.withColumn(BucketCol, bucketOf(keys))
       .write.partitionBy(BucketCol).mode("overwrite")
       .parquet(versionDir(name, v).toString)
+    writeSchema(name, df)
     writeManifest(name, v, (0 until numBuckets).map(_ -> v).toMap)
     swapPointer(name, v)
+  }
+
+  /** Buckets physically present in a version dir — read from the
+    * filesystem listing, NOT by re-running the input pipeline. */
+  private def bucketsInVersion(name: String, v: Int): Set[Int] = {
+    val dir = versionDir(name, v)
+    if (!Files.exists(dir)) Set.empty
+    else {
+      val it = Files.list(dir).iterator()
+      val out = scala.collection.mutable.Set.empty[Int]
+      while (it.hasNext) {
+        val fn = it.next().getFileName.toString
+        if (fn.startsWith(s"$BucketCol=")) out += fn.drop(BucketCol.length + 1).toInt
+      }
+      out.toSet
+    }
   }
 
   /** Partition-pruned MERGE: matched rows replaced, unmatched inserted —
@@ -126,26 +159,27 @@ final class BucketedStore(spark: SparkSession, root: String, numBuckets: Int = 6
     val fresh = df.withColumn(BucketCol, bucketOf(keys))
     if (!exists(name)) {
       create(name, df, keys)
-      fresh.select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
+      // touched set comes from the directories the write just produced —
+      // re-running the input pipeline for a distinct() would double the
+      // first batch's I/O
+      bucketsInVersion(name, currentVersion(name))
     } else {
       val touched = fresh.select(BucketCol).distinct().collect()
         .map(_.getInt(0)).toSet
       if (touched.isEmpty) return Set.empty
       val prior = manifest(name)
       val v = currentVersion(name) + 1
-      val existingRaw = readBuckets(name, Some(touched))
-      // all touched buckets may be empty on disk (partitionBy only writes
-      // non-empty buckets) — then there is nothing to merge against
-      val merged =
-        if (existingRaw.columns.isEmpty) fresh
-        else {
-          val existingTouched = existingRaw.withColumn(BucketCol, bucketOf(keys))
-          existingTouched.join(
-              fresh.select(keys.map(col): _*).distinct(), keys, "left_anti")
-            .unionByName(fresh, allowMissingColumns = true)
-        }
+      // touched buckets may be empty on disk (partitionBy only writes
+      // non-empty buckets): readBuckets then yields the schema-typed empty
+      // frame and the merge below degenerates to the insert
+      val existingTouched = readBuckets(name, Some(touched))
+        .withColumn(BucketCol, bucketOf(keys))
+      val merged = existingTouched.join(
+          fresh.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .unionByName(fresh, allowMissingColumns = true)
       merged.write.partitionBy(BucketCol).mode("overwrite")
         .parquet(versionDir(name, v).toString)
+      writeSchema(name, merged.drop(BucketCol))
       writeManifest(name, v,
         prior ++ touched.map(_ -> v).toMap)
       swapPointer(name, v)
@@ -186,7 +220,6 @@ final class BucketedStore(spark: SparkSession, root: String, numBuckets: Int = 6
     if (touched.isEmpty) return Set.empty
     val prior = manifest(name)
     val existingRaw = readBuckets(name, Some(touched))
-    if (existingRaw.columns.isEmpty) return Set.empty // nothing stored there
     val v = currentVersion(name) + 1
     val remaining = existingRaw
       .join(doomed.drop(BucketCol), keys, "left_anti")

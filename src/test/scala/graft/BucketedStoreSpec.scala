@@ -126,4 +126,19 @@ class BucketedStoreSpec extends AnyFunSuite {
       df, Seq("grp"), Seq(("score", false), ("id", false)), k = 2)
     assert(boundedAsc.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
   }
+
+  test("empty create and delete-all keep the table schema readable") {
+    val (st, _) = newStore()
+    st.create("t", base.limit(0), Seq("id"))
+    // schemaful empty read (was: schemaless emptyDataFrame)
+    assert(st.read("t").columns.toSeq == Seq("id", "name", "payload"))
+    assert(st.read("t").count() == 0)
+    // upsert into the empty table works
+    st.upsert("t", Seq((1L, "a", "v")).toDF("id", "name", "payload"), Seq("id"))
+    assert(st.read("t").count() == 1)
+    // delete every row: schema still survives
+    st.delete("t", Seq(1L).toDF("id"), Seq("id"))
+    assert(st.read("t").columns.toSeq == Seq("id", "name", "payload"))
+    assert(st.read("t").count() == 0)
+  }
 }
