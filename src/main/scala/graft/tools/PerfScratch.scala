@@ -46,6 +46,27 @@ object PerfScratch {
       Shingles.jaccardPairs(docs, "doc_id", "text", 3, 0.5, Some(64))
         .write.format("noop").mode("overwrite").save()
     }
+    // single-exchange variant: repartition once on sh; DF-cap via window
+    // (no extra shuffle); join sides + sizes reuse the same exchange
+    time("jaccardPairs cap=64 single-exchange") {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+      val rsh = Shingles.explodeShingleHashes(docs, "doc_id", "text", 3)
+        .repartition(col("sh"))
+      val kept = rsh.withColumn("__df", count(lit(1)).over(w))
+        .filter(col("__df") <= 64).drop("__df")
+      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = kept.select(col("doc_id").as("id_a"), col("sh"))
+      val b = kept.select(col("doc_id").as("id_b"), col("sh"))
+      val common = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+      common
+        .join(broadcast(sizes.select(col("doc_id").as("id_a"), col("sz").as("n_a"))), Seq("id_a"))
+        .join(broadcast(sizes.select(col("doc_id").as("id_b"), col("sz").as("n_b"))), Seq("id_b"))
+        .withColumn("jaccard", col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+        .filter(col("jaccard") >= 0.5)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
