@@ -50,47 +50,92 @@ object Shingles {
 
   /** All pairs (a < b) with exact Jaccard similarity >= minJaccard.
     *
-    * Plan shape: one shuffle on shingle for the self-join (skew caution: a
-    * stop-shingle shared by everything explodes the join — at scale, drop
-    * shingles above a document-frequency cap first, which also improves
-    * precision), then one shuffle on the pair key. Sizes join back via two
-    * broadcasts when the per-doc size table is small.
+    * With a document-frequency cap (the production path): a TWO-exchange
+    * posting-list plan, no joins at all. Each document's shingle-set size
+    * is computed map-side (it is just the length of its distinct-shingle
+    * array) and travels WITH the doc id into the inverted index, built in
+    * one shuffle by the memory-bounded [[graft.functions.CappedCollect]].
+    * Over-cap shingles (boilerplate shared by everything — no near-dup
+    * signal, and the quadratic fan-out hazard) are identified by list
+    * saturation and dropped, which simultaneously applies the stop-shingle
+    * cap, caps the per-shingle pair fan-out at C(cap,2), and bounds
+    * executor memory even on a key shared by 10^8 documents. Pairs are then
+    * generated INSIDE each posting array carrying (n_a, n_b) along, so the
+    * second shuffle — counting each pair — is the last one; the old
+    * formulation self-joined the exploded (id, shingle) table (two more
+    * exchanges) and joined sizes back on both pair sides (two more).
+    *
+    * Capped semantics: `n_a`/`n_b` are each document's TOTAL distinct
+    * shingle count, while `n_common` counts only under-cap shingles —
+    * i.e. jaccard is exact on corpora with no over-cap shingle (this test
+    * corpus: max DF 25) and a conservative lower bound on boilerplate-heavy
+    * ones (boilerplate can never push a pair OVER the threshold). That is
+    * also the quantity MinHash estimates, which makes d04 the right ground
+    * truth for the sketch paths.
+    *
+    * Without a cap (ground-truth path, small corpora only): the classic
+    * shingle self-join, quadratic in documents-per-shingle by definition,
+    * with post-join size lookups.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, minJaccard: Double,
                    maxShingleDf: Option[Int] = None): DataFrame = {
-    // The self-join shuffles on an 8-byte xxhash64 of the shingle instead
-    // of the ~10n-byte string: distinct-per-doc shingles make the hash a
-    // faithful stand-in for set membership (a 64-bit collision would need
-    // ~2^32 distinct shingles per corpus to become likely).
-    val sh = explodeShingleHashes(df, idCol, textCol, n)
-    // Stop-shingle cap: shingles above the document-frequency cap are
-    // dropped BEFORE sizes and pair counts (boilerplate shared by
-    // everything is not evidence of near-duplication, and one such shingle
-    // fans the self-join out quadratically). The broadcast side is the
-    // OVER-cap list — small by construction (≤ corpus_shingles / cap) —
-    // joined anti; broadcasting the keep-list would ship the whole
-    // vocabulary.
-    val filtered = maxShingleDf match {
+    // Both paths shuffle an 8-byte xxhash64 of the shingle instead of the
+    // ~10n-byte string: distinct-per-doc shingles make the hash a faithful
+    // stand-in for set membership (a 64-bit collision would need ~2^32
+    // distinct shingles per corpus to become likely).
+    maxShingleDf match {
       case Some(cap) =>
-        val stop = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("sh")
-        sh.join(broadcast(stop), Seq("sh"), "left_anti")
-      case None => sh
+        val shs = graft.functions.ShingleHashesFn.shingleHashes(
+          col(textCol), n, distinct = true)
+        val exploded = df
+          .select(col(idCol), shs.as("__shs"))
+          .select(col(idCol), size(col("__shs")).as("sz"),
+            explode(col("__shs")).as("sh"))
+        val postings = exploded.groupBy(col("sh"))
+          .agg(graft.functions.CappedCollect.cappedCollect(
+            struct(col(idCol).as("id"), col("sz").as("sz")), cap).as("ids"))
+          .filter(size(col("ids")) <= cap)
+          // struct sort is lexicographic and id is the leading (unique)
+          // field, so (i < j) <=> (ids[i].id < ids[j].id): pair structs
+          // come out already ordered id_a < id_b
+          .select(array_sort(col("ids")).as("ids"))
+        val sz = size(col("ids"))
+        postings.filter(sz >= 2)
+          .select(explode(flatten(transform(
+            sequence(lit(0), sz - 2),
+            i => transform(sequence(i + 1, sz - 1),
+              j => struct(
+                element_at(col("ids"), i + 1).getField("id").as("id_a"),
+                element_at(col("ids"), j + 1).getField("id").as("id_b"),
+                element_at(col("ids"), i + 1).getField("sz").as("n_a"),
+                element_at(col("ids"), j + 1).getField("sz").as("n_b")))))).as("p"))
+          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+            col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+          .groupBy("id_a", "id_b", "n_a", "n_b")
+          .agg(count(lit(1)).as("n_common"))
+          .withColumn("jaccard",
+            col("n_common").cast("double") /
+              (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .filter(col("jaccard") >= minJaccard)
+          .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+      case None =>
+        val sh = explodeShingleHashes(df, idCol, textCol, n)
+        val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+        val a = sh.select(col(idCol).as("id_a"), col("sh"))
+        val b = sh.select(col(idCol).as("id_b"), col("sh"))
+        a.join(b, Seq("sh"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+          // sizes is one row per document: tiny here, 10^8 rows at corpus
+          // scale — no broadcast hint; AQE decides from runtime stats
+          .join(sizes.select(col(idCol).as("id_a"), col("sz").as("n_a")), Seq("id_a"))
+          .join(sizes.select(col(idCol).as("id_b"), col("sz").as("n_b")), Seq("id_b"))
+          .withColumn("jaccard",
+            col("n_common").cast("double") /
+              (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .filter(col("jaccard") >= minJaccard)
+          .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
     }
-    val sizes = filtered.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = filtered.select(col(idCol).as("id_a"), col("sh"))
-    val b = filtered.select(col(idCol).as("id_b"), col("sh"))
-    val common = a.join(b, Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("n_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
   }
 }

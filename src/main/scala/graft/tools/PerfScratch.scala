@@ -46,6 +46,54 @@ object PerfScratch {
       Shingles.jaccardPairs(docs, "doc_id", "text", 3, 0.5, Some(64))
         .write.format("noop").mode("overwrite").save()
     }
+    // granular: where does the capped path spend its time?
+    val explodedG = docs
+      .select(col("doc_id"), graft.functions.ShingleHashesFn.shingleHashes(col("text"), 3, distinct = true).as("__shs"))
+      .select(col("doc_id"), size(col("__shs")).as("sz"), explode(col("__shs")).as("sh"))
+    time("  stage: explode w/ sz") {
+      explodedG.write.format("noop").mode("overwrite").save()
+    }
+    time("  stage: postings cappedCollect") {
+      explodedG.groupBy(col("sh"))
+        .agg(graft.functions.CappedCollect.cappedCollect(struct(col("doc_id").as("id"), col("sz").as("sz")), 64).as("ids"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("  stage: postings collect_list") {
+      explodedG.groupBy(col("sh"))
+        .agg(collect_list(struct(col("doc_id").as("id"), col("sz").as("sz"))).as("ids"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("  stage: postings count only") {
+      explodedG.groupBy(col("sh")).agg(count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val postingsG = explodedG.groupBy(col("sh"))
+      .agg(graft.functions.CappedCollect.cappedCollect(struct(col("doc_id").as("id"), col("sz").as("sz")), 64).as("ids"))
+      .filter(size(col("ids")) <= 64)
+      .select(array_sort(col("ids")).as("ids"))
+    time("  stage: postings+sort+filter>=2") {
+      postingsG.filter(size(col("ids")) >= 2)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val szG = size(col("ids"))
+    val pairGenG = postingsG.filter(szG >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(0), szG - 2),
+        i => transform(sequence(i + 1, szG - 1),
+          j => struct(
+            element_at(col("ids"), i + 1).getField("id").as("id_a"),
+            element_at(col("ids"), j + 1).getField("id").as("id_b"),
+            element_at(col("ids"), i + 1).getField("sz").as("n_a"),
+            element_at(col("ids"), j + 1).getField("sz").as("n_b")))))).as("p"))
+    time("  stage: + pair explode") {
+      pairGenG.write.format("noop").mode("overwrite").save()
+    }
+    time("  stage: + pair groupBy (full)") {
+      pairGenG.select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+          col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("n_common"))
+        .write.format("noop").mode("overwrite").save()
+    }
     // single-exchange variant: repartition once on sh; DF-cap via window
     // (no extra shuffle); join sides + sizes reuse the same exchange
     time("jaccardPairs cap=64 single-exchange") {
