@@ -24,6 +24,7 @@ object SparkEntry {
     graft.queries.SimilarityQ.queries -> graft.queries.SimilarityQ.oracles,
     graft.queries.MultimodalQ.queries -> graft.queries.MultimodalQ.oracles,
     graft.queries.Extra.queries      -> graft.queries.Extra.oracles,
+    graft.queries.PipelineQ.queries  -> graft.queries.PipelineQ.oracles,
     graft.queries.Lineage.queries    -> graft.queries.Lineage.oracles,
     graft.queries.CosmxQ.queries     -> graft.queries.CosmxQ.oracles)
 

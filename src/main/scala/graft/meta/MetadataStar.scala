@@ -148,7 +148,9 @@ final class MetadataStar(s: SparkSession, dir: String) {
     lanes.reduce(_ unionByName _)
   }
 
-  /** orders ⋈ customer → experiment (igfTables.py:453-678). */
+  /** orders ⋈ customer → experiment (igfTables.py:453-678). Persisted for
+    * the same reason as [[run]]: three lineage queries consume it, and in a
+    * real deployment it is a stored table, not a join to re-derive. */
   lazy val experiment: DataFrame = {
     val plat = pick(MetadataSchema.experimentPlatform, col("o_orderkey") % 12)
     t.orders.join(t.customer.select(col("c_custkey"), col("c_nationkey")),
@@ -168,6 +170,7 @@ final class MetadataStar(s: SparkSession, dir: String) {
           .otherwise("ACTIVE").as("status"),
         nullTs.as("date_created"),
         plat.as("platform_name"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** lineitem (deduped on orderkey+linenumber) → run (igfTables.py:679-728).

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed as-of (nearest-event) join — the operator behind "attach the
+  * most recent prior click to every purchase" attribution and time-series
+  * feature joins. Spark has no built-in; the naive formulation (non-equi
+  * theta join + per-left-row max) is a cartesian blow-up per key.
+  *
+  * This is the union+carry formulation: both sides are unioned on the join
+  * keys, sorted once per key by (time, side), and the right payload is
+  * carried across left rows with `last(_, ignoreNulls)` over a running
+  * window. ONE shuffle on the keys, one sort, zero joins — each input row
+  * is touched once, so the plan scales linearly and inherits AQE skew
+  * splitting on hot keys. Matching is inclusive (a right row AT the left
+  * timestamp matches): right rows order before left rows on timestamp ties.
+  *
+  * The caller supplies integer-comparable time columns (this repo's
+  * convention: epoch microseconds as long — see [[graft.queries.Events]]).
+  * If several right rows share (key, time) the carried one is the last in
+  * the sort, which is nondeterministic — dedupe the right side first when
+  * that can happen (the spec pins this contract).
+  */
+object AsOfJoin {
+
+  /** Left as-of-backward join: for each left row, the right row with the
+    * greatest `rightTs <= leftTs` for the same `keys` (within `tolerance`
+    * microseconds when given). Output: all left columns, then the right
+    * payload columns (`rightTs` plus every non-key right column), null
+    * when no right row qualifies.
+    */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               tolerance: Option[Long] = None): DataFrame =
+    asOf(left, right, keys, leftTs, rightTs, tolerance, forward = false)
+
+  /** Left as-of-forward join: nearest right row with `rightTs >= leftTs`. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String,
+              tolerance: Option[Long] = None): DataFrame =
+    asOf(left, right, keys, leftTs, rightTs, tolerance, forward = true)
+
+  private def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String,
+                   tolerance: Option[Long], forward: Boolean): DataFrame = {
+    val payloadCols = right.columns.filterNot(keys.contains).toSeq
+    require(payloadCols.contains(rightTs), s"right side must contain $rightTs")
+    require(left.columns.intersect(payloadCols).isEmpty,
+      s"right payload ${payloadCols.mkString(",")} must not collide with left columns")
+
+    val lStruct = struct(left.columns.map(col).toSeq: _*)
+    val rStruct = struct(payloadCols.map(col): _*)
+    // build the right row first so the left side can null-cast to its type
+    val r0 = right.select(keys.map(col) ++ Seq(
+      col(rightTs).as("__t"), lit(false).as("__is_left"), rStruct.as("__r")): _*)
+    val rType = r0.schema("__r").dataType
+    val l = left.select(keys.map(col) ++ Seq(
+      col(leftTs).as("__t"), lit(true).as("__is_left"),
+      lit(null).cast(rType).as("__r"), lStruct.as("__l")): _*)
+    val unioned = l.unionByName(r0.withColumn("__l",
+      lit(null).cast(l.schema("__l").dataType)))
+
+    // right rows sort BEFORE left rows on timestamp ties => inclusive match
+    val ord =
+      if (forward) Seq(col("__t").desc, col("__is_left").asc)
+      else Seq(col("__t").asc, col("__is_left").asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = last(col("__r"), ignoreNulls = true).over(w)
+
+    val within: Column = tolerance match {
+      case Some(tol) =>
+        val gap =
+          if (forward) col("__m").getField(rightTs) - col("__t")
+          else col("__t") - col("__m").getField(rightTs)
+        col("__m").isNotNull && gap <= tol
+      case None => col("__m").isNotNull
+    }
+    unioned.withColumn("__m", carried)
+      .filter(col("__is_left"))
+      .withColumn("__m", when(within, col("__m")))
+      .select(left.columns.map(c => col("__l").getField(c).as(c)) ++
+        payloadCols.map(c => col("__m").getField(c).as(c)): _*)
+  }
+}

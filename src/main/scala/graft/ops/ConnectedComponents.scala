@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge list — the step that turns
+  * near-duplicate PAIRS (MinHash/SimHash/exact-Jaccard output) into
+  * duplicate CLUSTERS so a curation pipeline can keep one canonical
+  * document per group. Deterministic: every node is labeled with the
+  * minimum node id in its component.
+  *
+  * Algorithm: min-label propagation with pointer jumping. Each round every
+  * node takes the min of its own and its neighbors' labels (join +
+  * groupBy on the node key), then follows its label one hop through the
+  * label table (`l(id) := l(l(id))`, one more join) — the pointer jump
+  * halves the distance a min label still has to travel, so rounds are
+  * O(log diameter) instead of O(diameter); dedup graphs (near-cliques)
+  * converge in 2–3. Every round is lineage-truncated with
+  * `localCheckpoint`: iterative plans otherwise grow exponentially (each
+  * round references the previous twice) until the driver OOMs building the
+  * plan string — the classic Spark iterative-algorithm trap.
+  */
+object ConnectedComponents {
+
+  /** (id, cluster_id) for every node in `edges` (both endpoint columns);
+    * cluster_id = min node id in the component. Long node ids. */
+  def clusters(edges: DataFrame, aCol: String, bCol: String,
+               maxRounds: Int = 50): DataFrame = {
+    // materialize the (possibly expensive) edge plan ONCE before the
+    // symmetric union references it twice — a lazy persist would race both
+    // branches into recomputing it. localCheckpoint trades fault-tolerance
+    // for speed; a production run on preemptible executors would use a
+    // reliable checkpoint dir instead.
+    val e0 = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint(true)
+    val sym = e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val neigh = labels.join(sym, col("id") === col("src"))
+        .select(col("dst").as("id"), col("cluster_id"))
+        .unionByName(labels)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      // pointer jump: l(id) := l(l(id)) — labels are always node ids of the
+      // same component, so the jump stays inside it
+      val next = neigh
+        .join(neigh.select(col("id").as("cluster_id"), col("cluster_id").as("__jump")),
+          Seq("cluster_id"), "left")
+        .select(col("id"), coalesce(col("__jump"), col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    sym.unpersist()
+    require(converged, s"connected components did not converge in $maxRounds rounds")
+    labels
+  }
+}

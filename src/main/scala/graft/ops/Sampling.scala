@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-independent dataset splitting — the train/val/test
+  * assignment a training-data pipeline must make reproducibly: the same
+  * row lands in the same split on every engine, every run, every cluster
+  * size, with no stored split table.
+  *
+  * Mechanism: the row key is hashed with md5 (identical bytes on every
+  * engine for the same UTF-8 string, unlike engine-private hashes such as
+  * Spark's xxhash64 seed conventions) and the first 4 hex chars — 65,536
+  * uniform buckets — are compared lexicographically against precomputed
+  * hex thresholds. Purely scalar, codegen-friendly, no shuffle, pushes
+  * down; adding rows never reassigns existing ones (a random() split
+  * reshuffles everything whenever the partition layout changes).
+  */
+object Sampling {
+
+  /** Split assignment column. `fractions` are (label, weight) in priority
+    * order; weights are normalized and converted to cumulative 4-hex-char
+    * thresholds, so resolution is 1/65536 ≈ 0.0015%. */
+  def md5Split(key: Column, fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0))
+    val total = fractions.map(_._2).sum
+    val hex = substring(md5(key.cast("string").cast("binary")), 1, 4)
+    var cum = 0.0
+    val cases = fractions.init.map { case (label, w) =>
+      cum += w / total
+      val threshold = f"${math.floor(cum * 65536).toLong}%04x"
+      (label, hex < lit(threshold))
+    }
+    cases.foldRight(lit(fractions.last._1): Column) { case ((label, cond), rest) =>
+      when(cond, label).otherwise(rest)
+    }
+  }
+
+  /** The same thresholds as DuckDB-portable SQL, for oracle lockstep. */
+  def md5SplitSql(keyExpr: String, fractions: Seq[(String, Double)]): String = {
+    val total = fractions.map(_._2).sum
+    var cum = 0.0
+    val whens = fractions.init.map { case (label, w) =>
+      cum += w / total
+      val threshold = f"${math.floor(cum * 65536).toLong}%04x"
+      s"WHEN substr(md5(CAST($keyExpr AS VARCHAR)),1,4) < '$threshold' THEN '$label'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE '${fractions.last._1}' END"
+  }
+}

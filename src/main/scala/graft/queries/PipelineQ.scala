@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Shingles
+import graft.ops.{AsOfJoin, ConnectedComponents, RangeJoin, Sampling}
+import graft.text.TextMetrics
+
+/** Training-data-pipeline operators the reference does not have but a
+  * 100 TB curation deployment needs — each one is a scale-shaped custom
+  * operator from [[graft.ops]] bound to an oracle:
+  *
+  *  - q44: as-of join (union+carry, one shuffle — [[AsOfJoin]]) vs
+  *    DuckDB's NATIVE `ASOF LEFT JOIN` operator, i.e. two independent
+  *    implementations of the same semantics.
+  *  - q45: interval join ([[RangeJoin]] coarse-bucket equi-join) vs
+  *    DuckDB's range-join planner (IEJoin).
+  *  - q46: deterministic md5 train/val/test split ([[Sampling]]) —
+  *    engine-portable by construction, asserted by the oracle.
+  *  - q47: sequence packing — documents concatenated per source stream and
+  *    chunked at a token capacity, the batch-shaping step before LLM
+  *    pretraining; exact integer window arithmetic.
+  *  - q48: near-dup clusters — [[ConnectedComponents]] min-label
+  *    propagation over the exact-Jaccard pairs (d04), vs a DuckDB
+  *    recursive-CTE reachability closure. Driver-side iteration with a
+  *    distributed body (each round is one join + one groupBy).
+  */
+object PipelineQ {
+
+  private def us(c: String) = expr(s"$c div 1000")
+
+  /** Most recent prior click for every purchase, per user (attribution). */
+  def asofAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), us("ts").as("p_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), us("ts").as("c_us"))
+    AsOfJoin.backward(purchases, clicks, Seq("user_id"), "p_us", "c_us")
+      .withColumn("gap_us", col("p_us") - col("c_us"))
+  }
+
+  /** Purchases landing inside each error's 5-minute blast window — a pure
+    * range join with no equi-key, bucketized at the window width. */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), us("ts").as("s_us"),
+        (us("ts") + 300000000L).as("e_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(us("ts").as("p_us"))
+    RangeJoin.pointsInIntervalsLeft(errors, purchases,
+        "s_us", "e_us", "p_us", bucketWidth = 300000000L)
+      .groupBy("event_id", "s_us")
+      .agg(count(col("p_us")).as("n_purchases"))
+  }
+
+  private val splitFractions = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
+  /** Deterministic split census: every document hashed into train/val/test,
+    * rolled up per split and language. */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .withColumn("split", Sampling.md5Split(col("doc_id"), splitFractions))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
+  /** Sequence packing: per-source document stream chunked at 2048 BPE
+    * tokens. The window is partitioned by source — at cluster scale the
+    * stream is sharded (source, shard) so no single task owns a source;
+    * exact global packing would use [[graft.ops.GlobalOrder]]. */
+  def seqPacking(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("source"),
+        TextMetrics.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+      .withColumn("offset_in_stream", coalesce(sum(col("n_bpe")).over(w), lit(0L)))
+      .withColumn("chunk_id", expr("offset_in_stream div 2048"))
+  }
+
+  /** Near-duplicate clusters from the exact-Jaccard pairs: connected
+    * components, cluster id = min doc_id in the component. */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Shingles.jaccardPairs(Tables(s, dir).documents,
+      "doc_id", "text", n = 3, minJaccard = 0.5, maxShingleDf = Some(64))
+    val cl = ConnectedComponents.clusters(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+    val sizes = cl.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    cl.join(sizes, Seq("cluster_id"))
+      .select("doc_id", "cluster_id", "n_members")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_asof_attribution" -> (asofAttribution _),
+    "q45_interval_join"    -> (intervalJoin _),
+    "q46_hash_split"       -> (hashSplit _),
+    "q47_seq_packing"      -> (seqPacking _),
+    "q48_dup_clusters"     -> (dupClusters _))
+
+  private val d04PairsCte: String =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+      |  WHERE len(t) >= 3),
+      |sh AS (
+      |  SELECT * FROM sh0
+      |  WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 64)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY 1),
+      |pairs0 AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |dup_pairs AS (
+      |  SELECT id_a, id_b FROM pairs0
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q44_asof_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS p_us FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events
+        |      WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.p_us, c.c_us, p.p_us - c.c_us AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.c_us <= p.p_us""".stripMargin,
+    "q45_interval_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS s_us,
+        |                  epoch_us(ts) + 300000000 AS e_us
+        |           FROM events WHERE event_type = 'error'),
+        |p AS (SELECT epoch_us(ts) AS p_us FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.s_us, count(p.p_us) AS n_purchases
+        |FROM e LEFT JOIN p ON p.p_us >= e.s_us AND p.p_us <= e.e_us
+        |GROUP BY 1, 2""".stripMargin,
+    "q46_hash_split" ->
+      s"""SELECT ${Sampling.md5SplitSql("doc_id", splitFractions)} AS split,
+         |       lang, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q47_seq_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+        |  FROM documents)
+        |SELECT doc_id, source, n_bpe,
+        |  CAST(COALESCE(SUM(n_bpe) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset_in_stream,
+        |  CAST(COALESCE(SUM(n_bpe) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS chunk_id
+        |FROM d""".stripMargin,
+    "q48_dup_clusters" ->
+      s"""WITH RECURSIVE $d04PairsCte,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM dup_pairs
+         |          UNION ALL SELECT id_b, id_a FROM dup_pairs),
+         |walk(id, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1)
+         |SELECT doc_id, cluster_id,
+         |       count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |FROM cl""".stripMargin)
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{AsOfJoin, ConnectedComponents, RangeJoin, Sampling}
+
+/** Contract tests for the training-pipeline operators (as-of join, range
+  * join, connected components, deterministic splits) against brute-force
+  * formulations on data small enough to enumerate. */
+class PipelineOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  // ---- AsOfJoin ----
+
+  private val trades = Seq(
+    (1L, 100L, "t1"), (1L, 200L, "t2"), (1L, 300L, "t3"),
+    (2L, 150L, "t4"), (3L, 50L, "t5")).toDF("k", "l_ts", "trade")
+  private val quotes = Seq(
+    (1L, 90L, 1.0), (1L, 200L, 2.0), (1L, 250L, 3.0),
+    (2L, 160L, 4.0)).toDF("k", "r_ts", "px")
+
+  test("asof backward: greatest r_ts <= l_ts per key, inclusive, null when none") {
+    val got = AsOfJoin.backward(trades, quotes, Seq("k"), "l_ts", "r_ts")
+      .select("trade", "r_ts", "px").as[(String, Option[Long], Option[Double])]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got("t1") == ((Some(90L), Some(1.0))))   // 90 <= 100
+    assert(got("t2") == ((Some(200L), Some(2.0))))  // tie: 200 <= 200 matches
+    assert(got("t3") == ((Some(250L), Some(3.0))))
+    assert(got("t4") == ((None, None)))             // only quote at 160 > 150
+    assert(got("t5") == ((None, None)))             // key 3 has no quotes
+  }
+
+  test("asof forward: smallest r_ts >= l_ts; tolerance prunes far matches") {
+    val got = AsOfJoin.forward(trades, quotes, Seq("k"), "l_ts", "r_ts")
+      .select("trade", "r_ts").as[(String, Option[Long])].collect().toMap
+    assert(got("t1") == Some(200L))
+    assert(got("t2") == Some(200L)) // inclusive on ties
+    assert(got("t3") == None)       // nothing at or after 300
+    val tol = AsOfJoin.backward(trades, quotes, Seq("k"), "l_ts", "r_ts",
+        tolerance = Some(10L))
+      .select("trade", "r_ts").as[(String, Option[Long])].collect().toMap
+    assert(tol("t1") == Some(90L))  // gap 10 <= 10
+    assert(tol("t3") == None)       // gap 50 > 10 nulled out
+  }
+
+  test("asof matches the brute-force theta-join on random data") {
+    val l = (1 to 300).map(i => ((i % 7).toLong, (i * 37 % 1000).toLong, i))
+      .toDF("k", "l_ts", "lid")
+    val r = (1 to 200).map(i => ((i % 5).toLong, (i * 53 % 1000).toLong, i * 1.5))
+      .toDF("k", "r_ts", "payload")
+      // the carried row on (k, r_ts) ties is sort-order dependent: dedupe
+      // per the operator contract
+      .groupBy("k", "r_ts").agg(max("payload").as("payload"))
+    val got = AsOfJoin.backward(l, r, Seq("k"), "l_ts", "r_ts")
+    val brute = l.join(r.withColumnRenamed("k", "rk"),
+        col("k") === col("rk") && col("r_ts") <= col("l_ts"), "left")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k", "l_ts", "lid")
+          .orderBy(col("r_ts").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select("k", "l_ts", "lid", "r_ts", "payload")
+    assert(got.count() == l.count())
+    assert(got.except(brute).count() == 0 && brute.except(got).count() == 0)
+  }
+
+  // ---- RangeJoin ----
+
+  test("bucketized range join equals the cross-join filter; left keeps empties") {
+    val iv = (1 to 50).map(i => (i.toLong, (i * 97 % 500).toLong))
+      .map { case (id, s) => (id, s, s + (id * 13 % 80)) }
+      .toDF("iv_id", "s", "e")
+    val pts = (1 to 200).map(i => (i.toLong, (i * 31 % 600).toLong)).toDF("p_id", "p")
+    val got = RangeJoin.pointsInIntervals(iv, pts, "s", "e", "p", bucketWidth = 80L)
+    val brute = iv.crossJoin(pts).filter(col("p") >= col("s") && col("p") <= col("e"))
+    assert(got.count() == brute.count())
+    assert(got.except(brute).count() == 0 && brute.except(got).count() == 0)
+    val left = RangeJoin.pointsInIntervalsLeft(iv, pts, "s", "e", "p", 80L)
+    assert(left.select("iv_id").distinct().count() == 50)
+    assert(left.filter(col("p_id").isNull).count() ==
+      50 - brute.select("iv_id").distinct().count())
+  }
+
+  test("range join refuses intervals wider than the bucket") {
+    val iv = Seq((1L, 0L, 200L)).toDF("iv_id", "s", "e")
+    val pts = Seq((1L, 10L)).toDF("p_id", "p")
+    val ex = intercept[Exception] {
+      RangeJoin.pointsInIntervals(iv, pts, "s", "e", "p", bucketWidth = 100L)
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  // ---- ConnectedComponents ----
+
+  test("connected components: min-label clusters on a known graph") {
+    // components: {1,2,3,4} (path), {5,6} (edge), {7,8,9} (triangle)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L),
+      (7L, 8L), (8L, 9L), (7L, 9L)).toDF("a", "b")
+    val got = ConnectedComponents.clusters(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("connected components: long path needs multiple rounds and converges") {
+    val n = 33
+    val edges = (1 until n).map(i => (i.toLong + 1, i.toLong)).toDF("a", "b")
+    val got = ConnectedComponents.clusters(edges, "a", "b")
+      .as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 1L))
+  }
+
+  // ---- Sampling ----
+
+  test("md5 split is deterministic, complete, and near the target fractions") {
+    val df = (1 to 20000).map(_.toLong).toDF("id")
+    val fr = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val counts = df.withColumn("s", Sampling.md5Split(col("id"), fr))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 20000)
+    assert(math.abs(counts("train") - 18000) < 400)
+    assert(math.abs(counts("val") - 1000) < 150)
+    assert(math.abs(counts("test") - 1000) < 150)
+    // stable under re-evaluation and row order
+    val again = df.orderBy(rand(7)).withColumn("s", Sampling.md5Split(col("id"), fr))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(again == counts)
+  }
+}
