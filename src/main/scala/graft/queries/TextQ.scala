@@ -66,6 +66,25 @@ object TextQ {
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
 
+  /** Intra-document repetition: duplicate word-trigram ratio, the
+    * Gopher-style quality signal that catches boilerplate/looping text a
+    * cross-document dedup never sees. Shuffle-free scalar projection over
+    * the one-pass ShingleHashes expression (distinct=false), so it runs at
+    * scan speed; docs with no trigram (under 3 tokens) are excluded on
+    * both sides. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val grams = graft.functions.ShingleHashesFn.shingleHashes(
+      col("text"), 3, distinct = false)
+    Tables(s, dir).documents
+      .select(col("doc_id"), grams.as("__g"))
+      .filter(size(col("__g")) > 0)
+      .select(col("doc_id"),
+        size(col("__g")).cast("long").as("n_grams"),
+        (size(col("__g")) - size(array_distinct(col("__g")))).cast("long").as("n_dup"))
+      .withColumn("dup_ratio",
+        round(col("n_dup").cast("double") / col("n_grams").cast("double"), 9))
+  }
+
   /** MinHash+LSH near-dup candidates (sketch path; rows-only check). */
   def minhashDedup(s: SparkSession, dir: String): DataFrame =
     MinHashLsh.nearDuplicates(Tables(s, dir).documents, "doc_id", "text",
@@ -83,6 +102,7 @@ object TextQ {
     "d03_exact_dedup"   -> (exactDedup _),
     "d04_ngram_jaccard" -> (ngramJaccard _),
     "d05_source_census" -> (sourceCensus _),
+    "d08_repetition"    -> (repetition _),
     "d06_minhash_dedup" -> (minhashDedup _),
     "d07_simhash_dedup" -> (simhashDedup _))
 
@@ -150,6 +170,17 @@ object TextQ {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5""".stripMargin,
+    "d08_repetition" ->
+      s"""WITH toks AS ($toksSql),
+         |g AS (
+         |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+         |  WHERE len(t) >= 3)
+         |SELECT doc_id, count(*) AS n_grams,
+         |       count(*) - count(DISTINCT shingle) AS n_dup,
+         |       round(CAST(count(*) - count(DISTINCT shingle) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 9) AS dup_ratio
+         |FROM g GROUP BY 1""".stripMargin,
     "d05_source_census" ->
       """SELECT source, lang, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,

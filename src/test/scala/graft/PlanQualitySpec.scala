@@ -44,9 +44,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
-  test("jaccard pipeline has no cartesian product") {
+  test("jaccard pipeline is join-free: posting lists, two exchanges") {
     val p = plan("d04_ngram_jaccard")
     assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Join"), "capped jaccard must be the join-free posting-list plan\n" + p)
+    assert(p.contains("ObjectHashAggregate"), "CappedCollect postings missing\n" + p)
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
+      "capped jaccard should shuffle exactly twice\n" + p)
+  }
+
+  test("as-of join compiles to union+window: no join operator at all") {
+    val p = plan("q44_asof_attribution")
+    assert(!p.contains("Join"), "as-of must not plan a join\n" + p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("Union"), p)
+  }
+
+  test("range join is a bucketized equi-join, not a nested-loop scan") {
+    val p = plan("q45_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range predicate fell back to nested-loop\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("hash split never reads the text column and never joins") {
+    val p = plan("q46_hash_split")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"),
+      "split census must prune the scan to 3 columns\n" + p)
   }
 
   test("anti-join seeding compiles to a broadcast or shuffled anti join") {
