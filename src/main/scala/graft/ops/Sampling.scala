@@ -36,6 +36,22 @@ object Sampling {
     }
   }
 
+  /** Keep-predicate for per-row sampling rates (dataset-mixture weighting:
+    * each source kept at its target proportion, deterministically). `rate`
+    * may be a column, so the mixture spec can live in a joined weights
+    * table. Same 4-hex-char buckets as [[md5Split]]. */
+  def md5Keep(key: Column, rate: Column): Column = {
+    val hex = substring(md5(key.cast("string").cast("binary")), 1, 4)
+    val thr = format_string("%04x",
+      least(floor(rate * 65536), lit(65535.0)).cast("int"))
+    rate >= 1.0 || hex < thr
+  }
+
+  /** [[md5Keep]] as DuckDB-portable SQL, for oracle lockstep. */
+  def md5KeepSql(keyExpr: String, rateExpr: String): String =
+    s"($rateExpr >= 1.0 OR substr(md5(CAST($keyExpr AS VARCHAR)),1,4) " +
+      s"< printf('%04x', CAST(least(floor($rateExpr * 65536), 65535) AS INT)))"
+
   /** The same thresholds as DuckDB-portable SQL, for oracle lockstep. */
   def md5SplitSql(keyExpr: String, fractions: Seq[(String, Double)]): String = {
     val total = fractions.map(_._2).sum

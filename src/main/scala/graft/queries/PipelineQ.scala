@@ -82,6 +82,23 @@ object PipelineQ {
       .withColumn("chunk_id", expr("offset_in_stream div 2048"))
   }
 
+  /** Dataset-mixture sampling: a driver-provided weights table assigns
+    * every source a target keep-rate; rows are kept deterministically via
+    * [[Sampling.md5Keep]] after a broadcast join — the composition step
+    * that turns N crawled sources into one training mix at fixed
+    * proportions, reproducible across engines and runs. */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rates = Seq(1.0, 0.5, 0.25, 0.1)
+    val weights = (0 until 20).map(i => (s"src$i", rates(i % 4)))
+      .toDF("source", "rate")
+    Tables(s, dir).documents
+      .join(broadcast(weights), Seq("source"))
+      .filter(Sampling.md5Keep(col("doc_id"), col("rate")))
+      .groupBy("source", "rate")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("total_chars"))
+  }
+
   /** Near-duplicate clusters from the exact-Jaccard pairs: connected
     * components, cluster id = min doc_id in the component. */
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
@@ -99,7 +116,8 @@ object PipelineQ {
     "q45_interval_join"    -> (intervalJoin _),
     "q46_hash_split"       -> (hashSplit _),
     "q47_seq_packing"      -> (seqPacking _),
-    "q48_dup_clusters"     -> (dupClusters _))
+    "q48_dup_clusters"     -> (dupClusters _),
+    "q49_mixture_sample"   -> (mixtureSample _))
 
   private val d04PairsCte: String =
     """toks AS (
@@ -157,6 +175,16 @@ object PipelineQ {
         |  CAST(COALESCE(SUM(n_bpe) OVER (PARTITION BY source ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS chunk_id
         |FROM d""".stripMargin,
+    "q49_mixture_sample" ->
+      s"""WITH weights AS (
+         |  SELECT 'src' || i AS source,
+         |         (CAST([1.0,0.5,0.25,0.1] AS DOUBLE[]))[i % 4 + 1] AS rate
+         |  FROM generate_series(0, 19) AS t(i))
+         |SELECT d.source, w.rate, count(*) AS n_kept,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM documents d JOIN weights w ON w.source = d.source
+         |WHERE ${Sampling.md5KeepSql("doc_id", "w.rate")}
+         |GROUP BY 1, 2""".stripMargin,
     "q48_dup_clusters" ->
       s"""WITH RECURSIVE $d04PairsCte,
          |edges AS (SELECT id_a AS a, id_b AS b FROM dup_pairs

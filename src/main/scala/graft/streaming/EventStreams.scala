@@ -73,6 +73,46 @@ object EventStreams {
         col("value"), col("purchase_time"), col("click_time"))
   }
 
+  final case class AsOfRow(user_id: Long, event_id: Long, p_us: Long,
+                           c_us: Option[Long], gap_us: Option[Long])
+
+  /** Streaming as-of join — the incremental twin of
+    * [[graft.ops.AsOfJoin.backward]]: every purchase is emitted with the
+    * same user's most recent prior-or-equal click. Per-user state is ONE
+    * long (the latest click time), updated and read via
+    * flatMapGroupsWithState; within a micro-batch rows are processed in
+    * (time, click-before-purchase) order, matching the batch operator's
+    * inclusive tie rule exactly. Across micro-batches the stream must be
+    * time-ordered per key (the file source delivers drops in order) — a
+    * click arriving late cannot retro-match an already-emitted purchase,
+    * which is the standard streaming relaxation; AsOfStreamSpec proves
+    * batch equality on an in-order replay. */
+  def asofStream(spark: SparkSession, events: DataFrame): Dataset[AsOfRow] = {
+    import spark.implicits._
+    val typed = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, AsOfRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[Long]) =>
+          // clicks sort before purchases on time ties => inclusive match
+          val sorted = rows.toSeq.sortBy(r => (r._3, if (r._4 == "click") 0 else 1))
+          var lastClick = state.getOption.getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[AsOfRow]
+          sorted.foreach {
+            case (_, _, us, "click") => lastClick = us
+            case (_, eid, us, _) =>
+              val c = if (lastClick == Long.MinValue) None else Some(lastClick)
+              out += AsOfRow(uid, eid, us, c, c.map(us - _))
+          }
+          if (lastClick != Long.MinValue) state.update(lastClick)
+          out.result().iterator
+      }
+  }
+
   final case class SessionState(start_us: Long, last_us: Long, n: Long)
   final case class SessionSummary(user_id: Long, start_us: Long, last_us: Long,
                                   n_events: Long, n_sessions: Long)
