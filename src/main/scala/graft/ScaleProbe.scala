@@ -13,6 +13,11 @@ object ScaleProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      // every TypedImperativeAggregate in graft keeps an O(k)-bounded
+      // buffer (CappedCollect, TopKRows, MinHashSig, SimHashSig), so the
+      // 128-key sort-based fallback only costs (measured 2-5x on the
+      // posting-list dedup paths) without protecting anything
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 21)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val t = Tables(spark, "/root/testdata/sf0.1")
@@ -49,8 +54,56 @@ object ScaleProbe {
       graft.dedup.Shingles.jaccardPairs(docs, "doc_id", "text", 3, 0.5,
         Some(64)).count()
     }
+    time("exact_jaccard_cap64_legacy_selfjoin") {
+      // r3 formulation: stop-list + anti-join + shingle self-join
+      val sh = graft.dedup.Shingles.explodeShingleHashes(docs, "doc_id", "text", 3)
+      val stop = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 64).select("sh")
+      val filtered = sh.join(broadcast(stop), Seq("sh"), "left_anti")
+      val sizes = filtered.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val a = filtered.select(col("doc_id").as("id_a"), col("sh"))
+      val b = filtered.select(col("doc_id").as("id_b"), col("sh"))
+      a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("n_a")), Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("n_b")), Seq("id_b"))
+        .withColumn("jaccard", col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+        .filter(col("jaccard") >= 0.5).count()
+    }
     time("token_stats") {
       graft.queries.TextQ.tokenStats(spark, "/root/testdata/sf0.1").count()
+    }
+    time("dup_clusters_cc") {
+      graft.ops.ConnectedComponents.clusters(
+        graft.dedup.Shingles.jaccardPairs(docs, "doc_id", "text", 3, 0.5,
+          Some(64)), "id_a", "id_b").count()
+    }
+
+    // events-side operators: replicate with fresh event ids AND fresh user
+    // ids, so the key space grows with the factor (the scale-out shape; the
+    // per-key history length stays constant)
+    val ev = t.events
+      .crossJoin(spark.range(factor).toDF("copy"))
+      .withColumn("event_id", col("event_id") * factor + col("copy"))
+      .withColumn("user_id", col("user_id") * factor + col("copy"))
+      .drop("copy").repartition(32).cache()
+    println(s"events x$factor: ${ev.count()} rows")
+    time("asof_union_window") {
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("p_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 1000").as("c_us"))
+      graft.ops.AsOfJoin.backward(p, c, Seq("user_id"), "p_us", "c_us").count()
+    }
+    time("range_join_bucketized") {
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), expr("ts div 1000").as("s_us"),
+          (expr("ts div 1000") + 300000000L).as("e_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(expr("ts div 1000").as("p_us"))
+      graft.ops.RangeJoin.pointsInIntervals(e, p, "s_us", "e_us", "p_us",
+        300000000L).count()
     }
 
     // bounded top-k vs window top-k on a replicated fact: the window sorts

@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // every TypedImperativeAggregate in graft keeps an O(k)-bounded
+      // buffer (CappedCollect, TopKRows, MinHashSig, SimHashSig), so the
+      // 128-key sort-based fallback only costs (measured 2-5x on the
+      // posting-list dedup paths) without protecting anything
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 21)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

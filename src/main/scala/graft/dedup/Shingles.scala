@@ -50,92 +50,84 @@ object Shingles {
 
   /** All pairs (a < b) with exact Jaccard similarity >= minJaccard.
     *
-    * With a document-frequency cap (the production path): a TWO-exchange
-    * posting-list plan, no joins at all. Each document's shingle-set size
-    * is computed map-side (it is just the length of its distinct-shingle
-    * array) and travels WITH the doc id into the inverted index, built in
-    * one shuffle by the memory-bounded [[graft.functions.CappedCollect]].
-    * Over-cap shingles (boilerplate shared by everything — no near-dup
-    * signal, and the quadratic fan-out hazard) are identified by list
-    * saturation and dropped, which simultaneously applies the stop-shingle
-    * cap, caps the per-shingle pair fan-out at C(cap,2), and bounds
-    * executor memory even on a key shared by 10^8 documents. Pairs are then
-    * generated INSIDE each posting array carrying (n_a, n_b) along, so the
-    * second shuffle — counting each pair — is the last one; the old
-    * formulation self-joined the exploded (id, shingle) table (two more
-    * exchanges) and joined sizes back on both pair sides (two more).
+    * Capped semantics: shingles above the document-frequency cap are
+    * removed from the corpus FIRST (stop-shingle preprocessing — boiler-
+    * plate shared by everything carries no near-dup signal and is the
+    * quadratic fan-out hazard), and jaccard — n_common AND sizes — is
+    * computed over the filtered shingle space. Filtering both keeps the
+    * metric coherent: a cluster of thousands of near-identical documents
+    * has ALL its shared shingles over the cap, and measuring their
+    * leftover sizes against pre-cap totals would report jaccard ≈ 0 for
+    * pairs that are in fact near-identical (the 8× ScaleProbe corpus
+    * demonstrates exactly this; the r3→r4 rewrite briefly got it wrong).
     *
-    * Capped semantics: `n_a`/`n_b` are each document's TOTAL distinct
-    * shingle count, while `n_common` counts only under-cap shingles —
-    * i.e. jaccard is exact on corpora with no over-cap shingle (this test
-    * corpus: max DF 25) and a conservative lower bound on boilerplate-heavy
-    * ones (boilerplate can never push a pair OVER the threshold). That is
-    * also the quantity MinHash estimates, which makes d04 the right ground
-    * truth for the sketch paths.
+    * Plan (capped, the production path): a THREE-exchange posting-list
+    * pipeline. One shuffle builds the inverted index shingle → [doc ids]
+    * via the memory-bounded [[graft.functions.CappedCollect]] — over-cap
+    * shingles are identified by list saturation and dropped, which
+    * simultaneously applies the stop-shingle cap, bounds the per-shingle
+    * pair fan-out at C(cap,2), and bounds executor memory on a key shared
+    * by 10^8 documents. Pairs are generated INSIDE each posting array (no
+    * self-join) and counted in a second shuffle; post-cap sizes are an
+    * explode of the same persisted index (third shuffle) joined back on
+    * the pair endpoints (AQE chooses broadcast vs shuffle — sizes is one
+    * row per doc). The persisted index is what a production dedup keeps
+    * materialized anyway. The old formulation self-joined the exploded
+    * (id, shingle) table: five exchanges and double the shuffled bytes.
     *
     * Without a cap (ground-truth path, small corpora only): the classic
-    * shingle self-join, quadratic in documents-per-shingle by definition,
-    * with post-join size lookups.
+    * shingle self-join, quadratic in documents-per-shingle by definition.
+    *
+    * Both paths shuffle an 8-byte xxhash64 of the shingle instead of the
+    * ~10n-byte string: distinct-per-doc shingles make the hash a faithful
+    * stand-in for set membership (a 64-bit collision would need ~2^32
+    * distinct shingles per corpus to become likely).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, minJaccard: Double,
                    maxShingleDf: Option[Int] = None): DataFrame = {
-    // Both paths shuffle an 8-byte xxhash64 of the shingle instead of the
-    // ~10n-byte string: distinct-per-doc shingles make the hash a faithful
-    // stand-in for set membership (a 64-bit collision would need ~2^32
-    // distinct shingles per corpus to become likely).
-    maxShingleDf match {
+    val sh = explodeShingleHashes(df, idCol, textCol, n)
+    val (sizes, common) = maxShingleDf match {
       case Some(cap) =>
-        val shs = graft.functions.ShingleHashesFn.shingleHashes(
-          col(textCol), n, distinct = true)
-        val exploded = df
-          .select(col(idCol), shs.as("__shs"))
-          .select(col(idCol), size(col("__shs")).as("sz"),
-            explode(col("__shs")).as("sh"))
-        val postings = exploded.groupBy(col("sh"))
-          .agg(graft.functions.CappedCollect.cappedCollect(
-            struct(col(idCol).as("id"), col("sz").as("sz")), cap).as("ids"))
+        val postings = sh.groupBy(col("sh"))
+          .agg(graft.functions.CappedCollect.cappedCollect(col(idCol), cap)
+            .as("ids"))
           .filter(size(col("ids")) <= cap)
-          // struct sort is lexicographic and id is the leading (unique)
-          // field, so (i < j) <=> (ids[i].id < ids[j].id): pair structs
+          // ids sorted ascending => (i < j) <=> (ids[i] < ids[j]): pairs
           // come out already ordered id_a < id_b
           .select(array_sort(col("ids")).as("ids"))
-        val sz = size(col("ids"))
-        postings.filter(sz >= 2)
-          .select(explode(flatten(transform(
-            sequence(lit(0), sz - 2),
-            i => transform(sequence(i + 1, sz - 1),
-              j => struct(
-                element_at(col("ids"), i + 1).getField("id").as("id_a"),
-                element_at(col("ids"), j + 1).getField("id").as("id_b"),
-                element_at(col("ids"), i + 1).getField("sz").as("n_a"),
-                element_at(col("ids"), j + 1).getField("sz").as("n_b")))))).as("p"))
-          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-            col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
-          .groupBy("id_a", "id_b", "n_a", "n_b")
-          .agg(count(lit(1)).as("n_common"))
-          .withColumn("jaccard",
-            col("n_common").cast("double") /
-              (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-          .filter(col("jaccard") >= minJaccard)
-          .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sizes = postings.select(explode(col("ids")).as(idCol))
+          .groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+        // two chained codegen'd generators (posexplode + explode-of-slice)
+        // instead of a nested higher-order-function lambda: HOF lambdas are
+        // interpreted per element, and at a DF cap of 64 a hot shingle
+        // emits C(64,2)=2016 pairs — measured 3× slower interpreted on a
+        // heavily-duplicated corpus
+        val common = postings.filter(size(col("ids")) >= 2)
+          .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+          .select(col("id_a"), explode(slice(col("ids"), col("i") + 2,
+            size(col("ids")) - col("i") - 1)).as("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+        (sizes, common)
       case None =>
-        val sh = explodeShingleHashes(df, idCol, textCol, n)
         val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
         val a = sh.select(col(idCol).as("id_a"), col("sh"))
         val b = sh.select(col(idCol).as("id_b"), col("sh"))
-        a.join(b, Seq("sh"))
+        val common = a.join(b, Seq("sh"))
           .filter(col("id_a") < col("id_b"))
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-          // sizes is one row per document: tiny here, 10^8 rows at corpus
-          // scale — no broadcast hint; AQE decides from runtime stats
-          .join(sizes.select(col(idCol).as("id_a"), col("sz").as("n_a")), Seq("id_a"))
-          .join(sizes.select(col(idCol).as("id_b"), col("sz").as("n_b")), Seq("id_b"))
-          .withColumn("jaccard",
-            col("n_common").cast("double") /
-              (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-          .filter(col("jaccard") >= minJaccard)
-          .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+        (sizes, common)
     }
+    // sizes is one row per document: tiny here, 10^8 rows at corpus scale —
+    // no broadcast hint; AQE picks broadcast vs shuffle from runtime stats
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
   }
 }

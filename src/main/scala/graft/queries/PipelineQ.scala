@@ -130,7 +130,7 @@ object PipelineQ {
       |sh AS (
       |  SELECT * FROM sh0
       |  WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 64)),
-      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY 1),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
       |pairs0 AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -47,11 +47,10 @@ object TextQ {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
 
   /** Exact n-gram Jaccard near-duplicate pairs (the sketch ground truth).
-    * Shingles seen in > 64 documents are stop-shingles: dropped from the
-    * intersection (and mirrored in the oracle) — boilerplate n-grams carry
-    * no near-dup signal and fan the inverted index out quadratically. Sizes
-    * stay pre-cap, so jaccard is exact here (max DF in this corpus is 25)
-    * and a conservative lower bound on boilerplate-heavy corpora. */
+    * Shingles seen in > 64 documents are stop-shingles, removed as
+    * preprocessing (mirrored in the oracle); jaccard runs over the
+    * filtered shingle space — see [[Shingles.jaccardPairs]] for why sizes
+    * must be post-cap too. Exact on this corpus (max DF 25 < 64). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     Shingles.jaccardPairs(Tables(s, dir).documents, "doc_id", "text",
       n = 3, minJaccard = 0.5, maxShingleDf = Some(64))
@@ -153,13 +152,13 @@ object TextQ {
         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
         |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
         |  WHERE len(t) >= 3),
-        |-- stop-shingle cap mirrors the Spark side: document frequency <= 64
+        |-- stop-shingle preprocessing mirrors the Spark side: shingles with
+        |-- document frequency > 64 are removed from the corpus first, and
+        |-- jaccard (n_common AND sizes) runs over the filtered space
         |sh AS (
         |  SELECT * FROM sh0
         |  WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 64)),
-        |-- sizes are PRE-cap (total distinct shingles per doc); only the
-        |-- intersection is capped — mirrors Shingles.jaccardPairs
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY 1),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

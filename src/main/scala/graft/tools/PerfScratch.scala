@@ -12,6 +12,11 @@ object PerfScratch {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // every TypedImperativeAggregate in graft keeps an O(k)-bounded
+      // buffer (CappedCollect, TopKRows, MinHashSig, SimHashSig), so the
+      // 128-key sort-based fallback only costs (measured 2-5x on the
+      // posting-list dedup paths) without protecting anything
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 21)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

