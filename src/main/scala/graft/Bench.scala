@@ -29,6 +29,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.registerAll(spark)
 
     def runOnce(dir: String, name: String): Double = {
       val t0 = System.nanoTime()

@@ -14,7 +14,7 @@ import graft.functions.{DoubleDot, PolyHash}
   * `--conf spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction(
         (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             getClass.getName, name),
           builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -34,11 +36,17 @@ object GraftExtensions {
     "rev_comp" -> (cs => Reverse(StringTranslate(Upper(cs.head),
       Literal.create("ACGT"), Literal.create("TGCA")))))
 
-  /** Register the same functions into an ALREADY-RUNNING session
-    * (withExtensions only applies at session construction). */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register the same functions AND the range-join rewrite into an
+    * ALREADY-RUNNING session (withExtensions only applies at session
+    * construction; `experimental.extraOptimizations` is the live-session
+    * hook for optimizer rules). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+  }
 }

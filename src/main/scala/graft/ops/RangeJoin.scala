@@ -44,6 +44,28 @@ object RangeJoin {
       .drop("__b")
   }
 
+  /** Width annotation for the DECLARATIVE form: write the naive range
+    * predicate `p >= s && p <= bucketedEnd(e, w)` and let
+    * [[graft.plans.RangeJoinRewrite]] (installed via
+    * [[graft.GraftExtensions]]) rewrite the join to the coarse-bucket
+    * plan. Identity at runtime — a session without the rule still returns
+    * correct rows, just through Spark's nested-loop join. */
+  def bucketedEnd(end: org.apache.spark.sql.Column, width: Long): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BucketedEnd(
+        org.apache.spark.sql.graftbridge.Bridge.expression(end), width))
+
+  /** The declarative twin of [[pointsInIntervals]]: a plain range-predicate
+    * join carrying the [[bucketedEnd]] annotation, rewritten to the
+    * bucketized equi-join by [[graft.plans.RangeJoinRewrite]] when graft's
+    * extensions are installed. Output: point columns then interval columns. */
+  def pointsInIntervalsAuto(intervals: DataFrame, points: DataFrame,
+                            startCol: String, endCol: String, pointCol: String,
+                            bucketWidth: Long): DataFrame =
+    points.join(intervals,
+      points(pointCol) >= intervals(startCol) &&
+        points(pointCol) <= bucketedEnd(intervals(endCol), bucketWidth))
+
   /** Left variant: intervals with no matching point survive with null
     * point columns. Implemented as the inner join plus an anti-joined
     * union — the inner path stays a pure equi-join. */

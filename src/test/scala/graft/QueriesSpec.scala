@@ -15,6 +15,7 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftExtensions.registerAll(s)
     s
   }
   val sf: String = "/root/testdata/sf0.001"
