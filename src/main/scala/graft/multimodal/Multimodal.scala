@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * reference uses for per-fastq md5/read-count work,
   * collect_seqrun_fastq_to_db.py:248-337).
   *
-  * The codec itself is STUBBED — image/audio libraries are not in this
-  * container — with a deterministic fake that derives pseudo-metadata from
-  * the bytes. The Spark-side contract (schema, partitioning, batch shape,
-  * typed Encoder) is real and tested; swapping [[DecodeStub.decode]] for a
-  * real JNI/library call changes nothing in the plan.
+  * Two codec-free formats are decoded FOR REAL in pure JVM code — PCM WAV
+  * ([[Multimodal.PcmWav]]: RIFF parsing, RMS/peak feature extraction) and
+  * binary PPM ([[Multimodal.Ppm]]: header + mean-RGB) — so the decode
+  * stage is exercised end-to-end with true byte-level parsing. Compressed
+  * codecs (JPEG/MP3/H.264) remain STUBBED behind the same interface
+  * ([[Multimodal.DecodeStub]], a deterministic fake) because their
+  * libraries are not in this container; swapping the stub for a real
+  * JNI/library call changes nothing in the plan.
   */
 object Multimodal {
 
@@ -40,6 +43,130 @@ object Multimodal {
       val feats = payload.take(8).padTo(8, 0.toByte).map(b => (b & 0xff) / 255.0f)
       MediaMeta(id, n, w, h, 3, feats)
     }
+  }
+
+  /** Decoded audio metadata (PCM WAV — decoded for real, no codec libs
+    * needed). */
+  final case class AudioMeta(
+      doc_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_samples: Long,
+      duration_ms: Double,
+      rms: Double,
+      peak: Int)
+
+  /** Decoded image metadata (binary PPM "P6" — decoded for real). */
+  final case class ImageMeta(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      maxval: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double)
+
+  /** REAL pure-JVM PCM WAV decoder — RIFF/WAVE container, `fmt ` +
+    * `data` chunks, 16-bit little-endian PCM. Two codec-free formats
+    * (this and [[Ppm]]) are decoded for real so the decode stage is not
+    * stub-only; compressed codecs (JPEG/MP3/H.264) stay behind the same
+    * interface as [[DecodeStub]] until their libraries exist in the
+    * deployment image. Returns None on anything that is not a PCM WAV —
+    * the pipeline routes those rows to the stub rather than failing the
+    * task. */
+  object PcmWav {
+    def decode(id: Long, b: Array[Byte]): Option[AudioMeta] = {
+      def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      def u32(o: Int) = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+      if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // audioFormat, ch, rate, bits
+      var data: Option[(Int, Int)] = None          // offset, length
+      while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+        val id4 = tag(off); val sz = u32(off + 4).toInt
+        if (id4 == "fmt " && off + 24 <= b.length)
+          fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
+        else if (id4 == "data")
+          data = Some((off + 8, math.min(sz, b.length - off - 8)))
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      for {
+        (audioFormat, ch, rate, bits) <- fmt
+        if audioFormat == 1 && bits == 16 && ch > 0 && rate > 0
+        (dOff, dLen) <- data
+      } yield {
+        val nFrames = dLen / (2 * ch)
+        var sumSq = 0.0; var peak = 0; var i = 0
+        while (i < nFrames * ch) {
+          val s = ((b(dOff + 2 * i) & 0xff) | (b(dOff + 2 * i + 1) << 8)).toShort.toInt
+          sumSq += s.toDouble * s; if (math.abs(s) > peak) peak = math.abs(s)
+          i += 1
+        }
+        val n = (nFrames * ch).max(1)
+        AudioMeta(id, rate, ch, bits, nFrames.toLong,
+          nFrames * 1000.0 / rate, math.sqrt(sumSq / n), peak)
+      }
+    }
+  }
+
+  /** REAL pure-JVM binary-PPM (P6) decoder: header `P6 <w> <h> <maxval>`
+    * with comment support, then raw RGB triplets. */
+  object Ppm {
+    def decode(id: Long, b: Array[Byte]): Option[ImageMeta] = {
+      var off = 0
+      def skipWs(): Unit = {
+        var go = true
+        while (go && off < b.length) {
+          val c = b(off).toChar
+          if (c == '#') { while (off < b.length && b(off) != '\n') off += 1 }
+          else if (c.isWhitespace) off += 1
+          else go = false
+        }
+      }
+      def int(): Option[Int] = {
+        skipWs(); val start = off
+        while (off < b.length && b(off).toChar.isDigit) off += 1
+        if (off > start) Some(new String(b, start, off - start, "US-ASCII").toInt)
+        else None
+      }
+      if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+      off = 2
+      for {
+        w <- int(); h <- int(); mx <- int()
+        if w > 0 && h > 0 && mx > 0 && mx < 65536
+        _ = { off += 1 } // single whitespace after maxval
+        if off + 3L * w * h <= b.length && mx < 256 // 1 byte/sample
+      } yield {
+        var (sr, sg, sb2) = (0L, 0L, 0L); var i = 0; val n = w * h
+        while (i < n) {
+          sr += b(off + 3 * i) & 0xff
+          sg += b(off + 3 * i + 1) & 0xff
+          sb2 += b(off + 3 * i + 2) & 0xff
+          i += 1
+        }
+        ImageMeta(id, w, h, mx, sr.toDouble / n, sg.toDouble / n, sb2.toDouble / n)
+      }
+    }
+  }
+
+  /** Audio decode stage: iterator-to-iterator over PCM WAV payloads; rows
+    * that are not PCM WAV are dropped (route them to [[DecodeStub]]). */
+  def decodeWavPartitions(payloads: DataFrame, spark: SparkSession): Dataset[AudioMeta] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => PcmWav.decode(id, bytes) })
+  }
+
+  /** Image decode stage for binary PPM payloads. */
+  def decodePpmPartitions(payloads: DataFrame, spark: SparkSession): Dataset[ImageMeta] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => Ppm.decode(id, bytes) })
   }
 
   /** Attach a binary payload column (here: the UTF-8 bytes of `textCol`;

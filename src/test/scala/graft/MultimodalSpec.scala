@@ -31,3 +31,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(checked.count() == 0)
   }
 }
+
+/** Real decoders: synthesized PCM WAV and binary PPM payloads must decode
+  * to exactly-known metadata through the distributed decode stage. */
+class RealDecodersSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SparkTestSession._
+  import graft.multimodal.Multimodal
+
+  private def wavBytes(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)            // PCM, mono
+    bb.putInt(rate); bb.putInt(rate * 2)      // byte rate
+    bb.putShort(2); bb.putShort(16)           // block align, bits
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  private def ppmBytes(w: Int, h: Int, rgb: Array[(Int, Int, Int)]): Array[Byte] = {
+    val header = s"P6\n# test comment\n$w $h\n255\n".getBytes("US-ASCII")
+    val body = rgb.flatMap { case (r, g, b) => Seq(r.toByte, g.toByte, b.toByte) }
+    header ++ body
+  }
+
+  test("PCM WAV decodes to exact sample stats through mapPartitions") {
+    import spark.implicits._
+    val square = Array.tabulate(200)(i => if (i % 2 == 0) 1000.toShort else (-1000).toShort)
+    val silent = Array.fill(80)(0.toShort)
+    val df = Seq((1L, wavBytes(8000, square)), (2L, wavBytes(16000, silent)),
+      (3L, "not a wav at all".getBytes)).toDF("doc_id", "payload")
+    val got = Multimodal.decodeWavPartitions(df, spark).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(got.keySet == Set(1L, 2L)) // the non-WAV row routes away, no crash
+    val a = got(1L)
+    assert(a.sample_rate == 8000 && a.channels == 1 && a.bits == 16)
+    assert(a.n_samples == 200 && a.duration_ms == 25.0)
+    assert(a.rms == 1000.0 && a.peak == 1000) // |square wave| is constant
+    assert(got(2L).rms == 0.0 && got(2L).peak == 0 && got(2L).n_samples == 80)
+  }
+
+  test("binary PPM decodes to exact dimensions and channel means") {
+    import spark.implicits._
+    val px = Array((255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255))
+    val df = Seq((7L, ppmBytes(2, 2, px)), (8L, Array[Byte]('P', '1'))).toDF("doc_id", "payload")
+    val got = Multimodal.decodePpmPartitions(df, spark).collect()
+    assert(got.length == 1)
+    val m = got.head
+    assert(m.doc_id == 7L && m.width == 2 && m.height == 2 && m.maxval == 255)
+    assert(m.mean_r == 127.5 && m.mean_g == 127.5 && m.mean_b == 127.5)
+  }
+}
