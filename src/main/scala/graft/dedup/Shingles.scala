@@ -85,18 +85,27 @@ object Shingles {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, minJaccard: Double,
-                   maxShingleDf: Option[Int] = None): DataFrame = {
+                   maxShingleDf: Option[Int] = None,
+                   persistIndex: Boolean = true): DataFrame = {
     val sh = explodeShingleHashes(df, idCol, textCol, n)
     val (sizes, common) = maxShingleDf match {
       case Some(cap) =>
-        val postings = sh.groupBy(col("sh"))
+        val postings0 = sh.groupBy(col("sh"))
           .agg(graft.functions.CappedCollect.cappedCollect(col(idCol), cap)
             .as("ids"))
           .filter(size(col("ids")) <= cap)
           // ids sorted ascending => (i < j) <=> (ids[i] < ids[j]): pairs
           // come out already ordered id_a < id_b
           .select(array_sort(col("ids")).as("ids"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // cache lifetime: CacheManager keys entries by canonicalized plan,
+        // so repeated calls over the same input share ONE entry rather
+        // than leaking one per call; callers that want no cached index at
+        // all (one-shot jobs managing their own memory) pass
+        // persistIndex=false and pay recomputation per consumer instead
+        val postings =
+          if (persistIndex)
+            postings0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else postings0
         val sizes = postings.select(explode(col("ids")).as(idCol))
           .groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
         // two chained codegen'd generators (posexplode + explode-of-slice)

@@ -86,12 +86,15 @@ object Multimodal {
       var fmt: Option[(Int, Int, Int, Int)] = None // audioFormat, ch, rate, bits
       var data: Option[(Int, Int)] = None          // offset, length
       while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
-        val id4 = tag(off); val sz = u32(off + 4).toInt
+        val id4 = tag(off); val sz = u32(off + 4)
+        // a chunk size >= 2^31 (or otherwise insane) in untrusted bytes
+        // must bail to None, not wrap negative and wedge/crash the task
+        if (sz < 0 || sz > b.length) return None
         if (id4 == "fmt " && off + 24 <= b.length)
           fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
         else if (id4 == "data")
-          data = Some((off + 8, math.min(sz, b.length - off - 8)))
-        off += 8 + sz + (sz & 1) // chunks are word-aligned
+          data = Some((off + 8, math.min(sz.toInt, b.length - off - 8)))
+        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
       }
       for {
         (audioFormat, ch, rate, bits) <- fmt
@@ -129,7 +132,9 @@ object Multimodal {
       def int(): Option[Int] = {
         skipWs(); val start = off
         while (off < b.length && b(off).toChar.isDigit) off += 1
-        if (off > start) Some(new String(b, start, off - start, "US-ASCII").toInt)
+        // > 9 digits overflows Int — malformed header, None not an exception
+        if (off > start && off - start <= 9)
+          Some(new String(b, start, off - start, "US-ASCII").toInt)
         else None
       }
       if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None

@@ -52,8 +52,14 @@ object AsOfJoin {
 
     val lStruct = struct(left.columns.map(col).toSeq: _*)
     val rStruct = struct(payloadCols.map(col): _*)
+    // join semantics: a right row with a null key (or null time) can never
+    // match anything — drop it here, or the null-key WINDOW partition
+    // would happily carry it onto null-key left rows (which must instead
+    // survive unmatched, as a left join and DuckDB's ASOF LEFT JOIN do)
+    val matchableRight = (keys :+ rightTs)
+      .foldLeft(right)((df, c) => df.filter(col(c).isNotNull))
     // build the right row first so the left side can null-cast to its type
-    val r0 = right.select(keys.map(col) ++ Seq(
+    val r0 = matchableRight.select(keys.map(col) ++ Seq(
       col(rightTs).as("__t"), lit(false).as("__is_left"), rStruct.as("__r")): _*)
     val rType = r0.schema("__r").dataType
     val l = left.select(keys.map(col) ++ Seq(
@@ -76,7 +82,8 @@ object AsOfJoin {
           if (forward) col("__m").getField(rightTs) - col("__t")
           else col("__t") - col("__m").getField(rightTs)
         col("__m").isNotNull && gap <= tol
-      case None => col("__m").isNotNull
+      // a null left timestamp satisfies no comparison — never matches
+      case None => col("__m").isNotNull && col("__t").isNotNull
     }
     unioned.withColumn("__m", carried)
       .filter(col("__is_left"))

@@ -28,9 +28,12 @@ object RangeJoin {
                         startCol: String, endCol: String, pointCol: String,
                         bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0)
-    // a filter cannot be pruned away, so the width guard always evaluates
+    // a filter cannot be pruned away, so the width guard always evaluates;
+    // null bounds DROP the row (join semantics — a null can never satisfy
+    // the range predicate) rather than falling into the raise branch
     val guarded = intervals.filter(
-      when(col(endCol) - col(startCol) <= bucketWidth, lit(true))
+      when(col(startCol).isNull || col(endCol).isNull, lit(false))
+        .when(col(endCol) - col(startCol) <= bucketWidth, lit(true))
         .otherwise(raise_error(concat(lit(
           s"RangeJoin: interval longer than bucketWidth=$bucketWidth at start="),
           col(startCol)))))
@@ -67,16 +70,24 @@ object RangeJoin {
         points(pointCol) <= bucketedEnd(intervals(endCol), bucketWidth))
 
   /** Left variant: intervals with no matching point survive with null
-    * point columns. Implemented as the inner join plus an anti-joined
-    * union — the inner path stays a pure equi-join. */
+    * point columns (including intervals with null bounds, which can never
+    * match). Implemented as the inner join plus an anti-joined union —
+    * the inner path stays a pure equi-join. The inner result feeds both
+    * union branches, so it is materialized once with an eager
+    * localCheckpoint instead of being recomputed per branch; the
+    * anti-join compares null-safely (`<=>`) so an interval carrying a
+    * null attribute column still matches its own inner rows. */
   def pointsInIntervalsLeft(intervals: DataFrame, points: DataFrame,
                             startCol: String, endCol: String, pointCol: String,
                             bucketWidth: Long): DataFrame = {
     val inner = pointsInIntervals(intervals, points, startCol, endCol,
-      pointCol, bucketWidth)
-    val unmatched = intervals.join(
-      inner.select(intervals.columns.map(col).toSeq: _*),
-      intervals.columns.toSeq, "left_anti")
+      pointCol, bucketWidth).localCheckpoint(true)
+    val matched = inner.select(intervals.columns.map(col).toSeq: _*).as("m")
+    val unmatched = intervals.as("iv")
+      .join(matched,
+        intervals.columns.map(c => col(s"iv.$c") <=> col(s"m.$c")).reduce(_ && _),
+        "left_anti")
+      .select(intervals.columns.map(c => col(s"iv.$c").as(c)).toSeq: _*)
     val withNulls = points.columns.foldLeft(unmatched) { (df, c) =>
       df.withColumn(c, lit(null).cast(points.schema(c).dataType))
     }

@@ -119,27 +119,15 @@ object PipelineQ {
     "q48_dup_clusters"     -> (dupClusters _),
     "q49_mixture_sample"   -> (mixtureSample _))
 
-  private val d04PairsCte: String =
-    """toks AS (
-      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
-      |  FROM documents),
-      |sh0 AS (
-      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-      |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
-      |  WHERE len(t) >= 3),
-      |sh AS (
-      |  SELECT * FROM sh0
-      |  WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 64)),
-      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-      |pairs0 AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |dup_pairs AS (
-      |  SELECT id_a, id_b FROM pairs0
-      |  JOIN sizes sa ON sa.doc_id = id_a
-      |  JOIN sizes sb ON sb.doc_id = id_b
-      |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5)""".stripMargin
+  /** q48's pair CTE = the SHARED d04 oracle chain ([[TextQ.jaccardOracleCte]])
+    * plus the threshold filter — one definition, no copy to drift. */
+  private def d04PairsCte: String =
+    s"""${TextQ.jaccardOracleCte},
+       |dup_pairs AS (
+       |  SELECT id_a, id_b FROM pairs0
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q44_asof_attribution" ->

@@ -110,6 +110,32 @@ object TextQ {
       |       list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
       |FROM documents""".stripMargin
 
+  /** Shared oracle CTE chain for the capped exact-Jaccard pipeline
+    * (tokens → distinct trigram shingles → stop-shingle cap → post-cap
+    * sizes → per-pair common counts). d04's oracle and q48's recursive
+    * clustering oracle ([[PipelineQ]]) both build on THIS definition, so
+    * a semantics change cannot drift between them. Mirrors
+    * [[graft.dedup.Shingles.jaccardPairs]] with maxShingleDf=64, n=3. */
+  val jaccardOracleCte: String =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+      |  WHERE len(t) >= 3),
+      |-- stop-shingle preprocessing mirrors the Spark side: shingles with
+      |-- document frequency > 64 are removed from the corpus first, and
+      |-- jaccard (n_common AND sizes) runs over the filtered space
+      |sh AS (
+      |  SELECT * FROM sh0
+      |  WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 64)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |pairs0 AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d01_token_stats" ->
       s"""WITH toks AS ($toksSql)
@@ -145,30 +171,13 @@ object TextQ {
       """SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "d04_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |sh0 AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
-        |  WHERE len(t) >= 3),
-        |-- stop-shingle preprocessing mirrors the Spark side: shingles with
-        |-- document frequency > 64 are removed from the corpus first, and
-        |-- jaccard (n_common AND sizes) runs over the filtered space
-        |sh AS (
-        |  SELECT * FROM sh0
-        |  WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 64)),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b, n_common, sa.sz AS n_a, sb.sz AS n_b,
-        |       CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
-        |FROM pairs
-        |JOIN sizes sa ON sa.doc_id = id_a
-        |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5""".stripMargin,
+      s"""WITH $jaccardOracleCte
+         |SELECT id_a, id_b, n_common, sa.sz AS n_a, sb.sz AS n_b,
+         |       CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+         |FROM pairs0
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5""".stripMargin,
     "d08_repetition" ->
       s"""WITH toks AS ($toksSql),
          |g AS (

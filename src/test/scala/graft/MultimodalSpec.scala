@@ -85,3 +85,26 @@ class RealDecodersSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(m.mean_r == 127.5 && m.mean_g == 127.5 && m.mean_b == 127.5)
   }
 }
+
+/** Malformed untrusted bytes must yield None, never hang or kill a task. */
+class DecoderRobustnessSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.multimodal.Multimodal.{PcmWav, Ppm}
+
+  test("WAV: hostile chunk sizes return None instead of looping or throwing") {
+    val base = "RIFF".getBytes ++ Array.fill(4)(0.toByte) ++ "WAVE".getBytes
+    // chunk size 0xFFFFFFF8 => signed -8 => zero-advance loop in the old code
+    val evil = base ++ "fmt ".getBytes ++
+      Array(0xf8, 0xff, 0xff, 0xff).map(_.toByte) ++ Array.fill(24)(1.toByte)
+    assert(PcmWav.decode(1L, evil).isEmpty)
+    // chunk size far past the buffer
+    val past = base ++ "fmt ".getBytes ++
+      Array(0xff, 0xff, 0x00, 0x00).map(_.toByte) ++ Array.fill(24)(1.toByte)
+    assert(PcmWav.decode(2L, past).isEmpty)
+    assert(PcmWav.decode(3L, Array[Byte]()).isEmpty)
+  }
+
+  test("PPM: overflowing header numbers return None instead of throwing") {
+    assert(Ppm.decode(1L, "P6 99999999999 2 255 ".getBytes ++ Array.fill(12)(0.toByte)).isEmpty)
+    assert(Ppm.decode(2L, "P6 2 2 255 ".getBytes).isEmpty) // truncated body
+  }
+}

@@ -82,6 +82,42 @@ class PipelineOpsSpec extends AnyFunSuite {
       50 - brute.select("iv_id").distinct().count())
   }
 
+  test("asof: null keys and null timestamps never match (join semantics)") {
+    val l = Seq((Option(1L), Option(100L), "ok"), (Option.empty[Long], Option(100L), "nullkey"),
+      (Option(1L), Option.empty[Long], "nullts")).toDF("k", "l_ts", "trade")
+    val r = Seq((Option(1L), Option(90L), 1.0), (Option.empty[Long], Option(50L), 9.0),
+      (Option(1L), Option.empty[Long], 8.0)).toDF("k", "r_ts", "px")
+    val got = AsOfJoin.backward(l, r, Seq("k"), "l_ts", "r_ts")
+      .select("trade", "px").as[(String, Option[Double])].collect().toMap
+    assert(got("ok") == Some(1.0))     // normal match unaffected
+    assert(got("nullkey") == None)     // null key matches nothing, row survives
+    assert(got("nullts") == None)      // null time matches nothing
+  }
+
+  test("range join drops null-bound intervals instead of raising; left keeps them unmatched") {
+    val iv = Seq((1L, Option(10L), Option(20L)), (2L, Option.empty[Long], Option(20L)),
+      (3L, Option(10L), Option.empty[Long])).toDF("iv_id", "s", "e")
+    val pts = Seq((1L, 15L)).toDF("p_id", "p")
+    val inner = RangeJoin.pointsInIntervals(iv, pts, "s", "e", "p", 100L)
+    assert(inner.select("iv_id").as[Long].collect().toSeq == Seq(1L))
+    val left = RangeJoin.pointsInIntervalsLeft(iv, pts, "s", "e", "p", 100L)
+    assert(left.count() == 3)
+    assert(left.filter(col("p_id").isNull).select("iv_id").as[Long]
+      .collect().toSet == Set(2L, 3L))
+  }
+
+  test("left range join is exact when intervals carry null attribute columns") {
+    val iv = Seq((1L, 10L, 20L, Option("a")), (2L, 10L, 20L, Option.empty[String]),
+      (3L, 400L, 420L, Option.empty[String])).toDF("iv_id", "s", "e", "label")
+    val pts = Seq((1L, 15L)).toDF("p_id", "p")
+    val left = RangeJoin.pointsInIntervalsLeft(iv, pts, "s", "e", "p", 100L)
+    // interval 2 matched (despite its null label: the anti-join must be
+    // null-safe); interval 3 is the only unmatched one
+    assert(left.count() == 3)
+    assert(left.filter(col("p_id").isNull).select("iv_id").as[Long]
+      .collect().toSeq == Seq(3L))
+  }
+
   test("range join refuses intervals wider than the bucket") {
     val iv = Seq((1L, 0L, 200L)).toDF("iv_id", "s", "e")
     val pts = Seq((1L, 10L)).toDF("p_id", "p")
