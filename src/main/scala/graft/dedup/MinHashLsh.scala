@@ -66,14 +66,18 @@ object MinHashLsh {
   /** Distinct candidate pairs (id_a < id_b) that collide in >= 1 band.
     * The band signature hashes r consecutive minhashes together; the
     * self-join shuffles on (band, bandSig) so only same-bucket docs meet. */
-  def candidatePairs(sig: DataFrame, idCol: String,
-                     p: Params = Params(),
-                     maxBucketSize: Option[Int] = None): DataFrame = {
+  /** (id, band, band_sig) — one row per document per band. */
+  private def bandTable(sig: DataFrame, idCol: String, p: Params): DataFrame = {
     val bandSigs = transform(
       sequence(lit(0), lit(p.bands - 1)),
       bnd => xxhash64(bnd, slice(col("sig"), bnd * p.rowsPerBand + 1, lit(p.rowsPerBand))))
-    val banded = sig
-      .select(col(idCol), posexplode(bandSigs).as(Seq("band", "band_sig")))
+    sig.select(col(idCol), posexplode(bandSigs).as(Seq("band", "band_sig")))
+  }
+
+  def candidatePairs(sig: DataFrame, idCol: String,
+                     p: Params = Params(),
+                     maxBucketSize: Option[Int] = None): DataFrame = {
+    val banded = bandTable(sig, idCol, p)
     // Hot-bucket cap (the 100 TB dial): a band bucket holding n docs emits
     // n^2 candidate pairs — boilerplate-heavy corpora concentrate there.
     // Dropping oversized buckets bounds the blowup; recall only drops for
@@ -90,6 +94,29 @@ object MinHashLsh {
     a.join(b, Seq("band", "band_sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Incremental dedup probe — the daily-crawl flow: candidate pairs that
+    * involve AT LEAST ONE new document (new×existing and new×new), probed
+    * against the stored signature table without ever re-pairing the
+    * existing corpus against itself. The existing side is exactly what a
+    * production deployment keeps materialized (signatures per doc, same
+    * Params + seed — determinism is what makes the stored table
+    * reusable); cost per increment is O(new bands) join O(all bands),
+    * shuffled on the band key, vs re-running the full self-join.
+    * IncrementalDedupSpec proves the result equals the full-corpus
+    * candidate set restricted to pairs touching a new doc. */
+  def incrementalCandidates(newSig: DataFrame, existingSig: DataFrame,
+                            idCol: String, p: Params = Params()): DataFrame = {
+    val bn = bandTable(newSig, idCol, p)
+      .select(col("band"), col("band_sig"), col(idCol).as("id_n"))
+    val ball = bandTable(existingSig.unionByName(newSig), idCol, p)
+      .select(col("band"), col("band_sig"), col(idCol).as("id_o"))
+    bn.join(ball, Seq("band", "band_sig"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+      .distinct()
   }
 
   /** Candidates + signature-estimated Jaccard (fraction of agreeing

@@ -111,13 +111,34 @@ object PipelineQ {
       .select("doc_id", "cluster_id", "n_members")
   }
 
+  /** Benchmark-contamination scan: which training documents share enough
+    * word 5-grams with a held-out benchmark set to be contaminated (the
+    * pre-training hygiene check run before every eval). Benchmark side is
+    * tiny by construction, so its exploded shingle table broadcasts and
+    * the probe costs one scan of the training corpus + one aggregation —
+    * no shuffle of the training shingles for the join. Here the
+    * "benchmark" is the deterministic 2% slice doc_id % 50 = 0. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    def sh(df: DataFrame) = Shingles.explodeShingleHashes(df, "doc_id", "text", 5)
+    val bench = sh(docs.filter(col("doc_id") % 50 === 0))
+      .withColumnRenamed("doc_id", "bench_id")
+    val train = sh(docs.filter(col("doc_id") % 50 =!= 0))
+    train.join(broadcast(bench), Seq("sh"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 8)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bench_docs"), max(col("n_shared")).as("max_shared"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_asof_attribution" -> (asofAttribution _),
     "q45_interval_join"    -> (intervalJoin _),
     "q46_hash_split"       -> (hashSplit _),
     "q47_seq_packing"      -> (seqPacking _),
     "q48_dup_clusters"     -> (dupClusters _),
-    "q49_mixture_sample"   -> (mixtureSample _))
+    "q49_mixture_sample"   -> (mixtureSample _),
+    "q50_contamination"    -> (contamination _))
 
   /** q48's pair CTE = the SHARED d04 oracle chain ([[TextQ.jaccardOracleCte]])
     * plus the threshold filter — one definition, no copy to drift. */
@@ -173,6 +194,24 @@ object PipelineQ {
          |FROM documents d JOIN weights w ON w.source = d.source
          |WHERE ${Sampling.md5KeepSql("doc_id", "w.rate")}
          |GROUP BY 1, 2""".stripMargin,
+    "q50_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh5 AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS shingle
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+        |  WHERE len(t) >= 5),
+        |bench AS (SELECT doc_id AS bench_id, shingle FROM sh5 WHERE doc_id % 50 = 0),
+        |train AS (SELECT doc_id, shingle FROM sh5 WHERE doc_id % 50 <> 0),
+        |overlap AS (
+        |  SELECT t.doc_id, b.bench_id, count(*) AS n_shared
+        |  FROM train t JOIN bench b USING (shingle)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_bench_docs, max(n_shared) AS max_shared
+        |FROM overlap WHERE n_shared >= 8
+        |GROUP BY 1""".stripMargin,
     "q48_dup_clusters" ->
       s"""WITH RECURSIVE $d04PairsCte,
          |edges AS (SELECT id_a AS a, id_b AS b FROM dup_pairs

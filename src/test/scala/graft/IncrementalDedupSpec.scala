@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.MinHashLsh
+
+/** The incremental probe must find exactly the full-corpus candidates that
+  * involve a new document — no more (it never pairs existing docs with
+  * each other), no fewer (the stored signatures are reusable because the
+  * hash family is seeded). */
+class IncrementalDedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val p = MinHashLsh.Params()
+
+  test("incremental candidates == full candidates restricted to new docs") {
+    val docs = Tables(spark, sf).documents
+    val newDocs = docs.filter(col("doc_id") % 5 === 0)
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val newSig = MinHashLsh.signatures(newDocs, "doc_id", "text", p)
+    val oldSig = MinHashLsh.signatures(existing, "doc_id", "text", p)
+
+    val inc = MinHashLsh.incrementalCandidates(newSig, oldSig, "doc_id", p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val full = MinHashLsh.candidatePairs(
+        MinHashLsh.signatures(docs, "doc_id", "text", p), "doc_id", p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => a % 5 == 0 || b % 5 == 0 }
+
+    assert(inc == expected)
+    assert(inc.nonEmpty, "corpus has implanted near-dups; probe must find some")
+    assert(inc.forall { case (a, b) => a % 5 == 0 || b % 5 == 0 })
+  }
+
+  test("signatures recomputed from stored params are bit-identical (reusability)") {
+    val docs = Tables(spark, sf).documents.limit(100)
+    val s1 = MinHashLsh.signatures(docs, "doc_id", "text", p)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val s2 = MinHashLsh.signatures(docs, "doc_id", "text", p)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(s1.keySet == s2.keySet && s1.forall { case (k, v) => s2(k) == v })
+  }
+}
