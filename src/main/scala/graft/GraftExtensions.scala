@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
   }
 }
 
@@ -40,13 +41,17 @@ object GraftExtensions {
     * ALREADY-RUNNING session (withExtensions only applies at session
     * construction; `experimental.extraOptimizations` is the live-session
     * hook for optimizer rules). */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
-    builders.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    // idempotent (and quiet about it): callers may invoke per-query
+    if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategies)) {
+      builders.foreach { case (name, builder) =>
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(name, builder, "built-in")
+      }
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.GraftStrategies
     }
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
-  }
 }

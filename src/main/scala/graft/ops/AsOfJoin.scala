@@ -36,6 +36,40 @@ object AsOfJoin {
                tolerance: Option[Long] = None): DataFrame =
     asOf(left, right, keys, leftTs, rightTs, tolerance, forward = false)
 
+  /** Backward as-of join through the NATIVE operator
+    * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]]): same
+    * semantics as [[backward]], but planned as an SMJ-style merge — each
+    * side shuffled and sorted independently on (keys, time), one
+    * streaming pass per co-partition, no union, no window state. Output
+    * matches [[backward]]: left columns then right payload columns. Works
+    * on any session — the strategy is attached to the plan by
+    * [[graft.GraftExtensions.registerAll]]; call that first. */
+  def backwardMerge(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    leftTs: String, rightTs: String,
+                    tolerance: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val payloadCols = right.columns.filterNot(keys.contains).toSeq
+    require(payloadCols.contains(rightTs), s"right side must contain $rightTs")
+    val lPlan = Bridge.analyzed(left)
+    // a self-as-of over the same source would share ExprIds across the
+    // children, which mis-prunes the right side — renew the right
+    // subtree's relation instances like the analyzer does for its own
+    // binary nodes
+    val rPlan = Bridge.renewRelationInstances(Bridge.analyzed(right))
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name)
+        .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    val node = graft.plans.AsOfJoinPlan(lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, leftTs), attr(rPlan, rightTs), tolerance)
+    // project away the right side's key columns so the output shape is
+    // identical to backward(): left.* ++ right payload
+    val keep = lPlan.output ++ rPlan.output.filter(a => payloadCols.contains(a.name))
+    Bridge.ofRows(left.sparkSession, node)
+      .select(keep.map(a => Bridge.column(a)): _*)
+  }
+
   /** Left as-of-forward join: nearest right row with `rightTs >= leftTs`. */
   def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
               leftTs: String, rightTs: String,

@@ -31,14 +31,19 @@ object PipelineQ {
 
   private def us(c: String) = expr(s"$c div 1000")
 
-  /** Most recent prior click for every purchase, per user (attribution). */
+  /** Most recent prior click for every purchase, per user (attribution).
+    * Runs through the NATIVE operator ([[graft.plans.AsOfJoinExec]], an
+    * SMJ-style streamed merge) — AsOfJoinExecSpec proves it equal to the
+    * union+window formulation, and this binding puts the custom physical
+    * operator itself behind the DuckDB oracle gate. */
   def asofAttribution(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.registerAll(s) // idempotent; installs the strategy
     val ev = Tables(s, dir).events
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), us("ts").as("p_us"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), us("ts").as("c_us"))
-    AsOfJoin.backward(purchases, clicks, Seq("user_id"), "p_us", "c_us")
+    AsOfJoin.backwardMerge(purchases, clicks, Seq("user_id"), "p_us", "c_us")
       .withColumn("gap_us", col("p_us") - col("c_us"))
   }
 

@@ -14,4 +14,33 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame from a custom LogicalPlan (Dataset.ofRows is private[sql]),
+    * and the analyzed plan of a DataFrame — the two hooks a custom
+    * operator (LogicalPlan + Strategy + SparkPlan) needs. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  def analyzed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Re-instance every relation leaf with fresh ExprIds, rewriting all
+    * upstream references (transformUpWithNewOutput does the remapping
+    * generically). A hand-built binary node whose two children read the
+    * same source would otherwise share attribute ids across sides — the
+    * analyzer dedups ITS binary nodes this way; a custom LogicalPlan
+    * must do it for itself before analysis. */
+  def renewRelationInstances(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformUpWithNewOutput {
+      case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+        val old = m.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+        val fresh = m.newInstance().asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+        (fresh, old.output.zip(fresh.output))
+    }
 }
