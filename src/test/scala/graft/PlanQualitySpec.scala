@@ -57,11 +57,13 @@ class PlanQualitySpec extends AnyFunSuite {
       "posting index should be served from its persisted copy\n" + p)
   }
 
-  test("as-of join compiles to union+window: no join operator at all") {
+  test("as-of join plans the native merge exec: no window, no generic join") {
     val p = plan("q44_asof_attribution")
-    assert(!p.contains("Join"), "as-of must not plan a join\n" + p)
-    assert(p.contains("Window"), p)
-    assert(p.contains("Union"), p)
+    assert(p.contains("AsOfJoin ["), "q44 must use the native operator\n" + p)
+    assert(!p.contains("Window"), "no window state in the native path\n" + p)
+    assert(!p.toLowerCase.contains("mergejoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"),
+      "event-type filters must still push to the scans\n" + p)
   }
 
   test("range join is a bucketized equi-join, not a nested-loop scan") {
