@@ -96,6 +96,14 @@ object ScaleProbe {
         .select(col("user_id"), expr("ts div 1000").as("c_us"))
       graft.ops.AsOfJoin.backward(p, c, Seq("user_id"), "p_us", "c_us").count()
     }
+    time("asof_native_merge") {
+      graft.GraftExtensions.registerAll(spark)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("p_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 1000").as("c_us"))
+      graft.ops.AsOfJoin.backwardMerge(p, c, Seq("user_id"), "p_us", "c_us").count()
+    }
     time("range_join_bucketized") {
       val e = ev.filter(col("event_type") === "error")
         .select(col("event_id"), expr("ts div 1000").as("s_us"),

@@ -51,23 +51,29 @@ object AsOfJoin {
     val payloadCols = right.columns.filterNot(keys.contains).toSeq
     require(payloadCols.contains(rightTs), s"right side must contain $rightTs")
     val lPlan = Bridge.analyzed(left)
-    // a self-as-of over the same source would share ExprIds across the
-    // children, which mis-prunes the right side — renew the right
-    // subtree's relation instances like the analyzer does for its own
-    // binary nodes
-    val rPlan = Bridge.renewRelationInstances(Bridge.analyzed(right))
+    // A self-as-of over the same source shares ExprIds across the
+    // children — including ids minted by withColumn/select aliases, which
+    // relation-instance renewal cannot refresh — and ambiguous ids make
+    // the optimizer mis-prune the right child (it attributes the node's
+    // key reference to the LEFT side). Isolate the right side by renaming
+    // every column through fresh aliases: a DIFFERENT name is never a
+    // "redundant alias", so the optimizer cannot strip the barrier, and
+    // every right-side output id is freshly minted.
+    val renamed = right.select(right.columns.map(c => col(c).as("__r_" + c)).toSeq: _*)
+    val rPlan = Bridge.analyzed(renamed)
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
              name: String) =
       plan.output.find(_.name == name)
         .getOrElse(throw new IllegalArgumentException(s"no column $name"))
     val node = graft.plans.AsOfJoinPlan(lPlan, rPlan,
-      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
-      attr(lPlan, leftTs), attr(rPlan, rightTs), tolerance)
-    // project away the right side's key columns so the output shape is
-    // identical to backward(): left.* ++ right payload
-    val keep = lPlan.output ++ rPlan.output.filter(a => payloadCols.contains(a.name))
-    Bridge.ofRows(left.sparkSession, node)
-      .select(keep.map(a => Bridge.column(a)): _*)
+      keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, "__r_" + k)),
+      attr(lPlan, leftTs), attr(rPlan, "__r_" + rightTs), tolerance)
+    // project away the right side's key columns and restore payload names,
+    // so the output shape is identical to backward(): left.* ++ payload
+    val keep = lPlan.output.map(a => Bridge.column(a)) ++
+      rPlan.output.filter(a => payloadCols.contains(a.name.stripPrefix("__r_")))
+        .map(a => Bridge.column(a).as(a.name.stripPrefix("__r_")))
+    Bridge.ofRows(left.sparkSession, node).select(keep: _*)
   }
 
   /** Left as-of-forward join: nearest right row with `rightTs >= leftTs`. */

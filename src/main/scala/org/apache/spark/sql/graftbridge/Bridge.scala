@@ -28,19 +28,4 @@ object Bridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
-  /** Re-instance every relation leaf with fresh ExprIds, rewriting all
-    * upstream references (transformUpWithNewOutput does the remapping
-    * generically). A hand-built binary node whose two children read the
-    * same source would otherwise share attribute ids across sides — the
-    * analyzer dedups ITS binary nodes this way; a custom LogicalPlan
-    * must do it for itself before analysis. */
-  def renewRelationInstances(
-      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
-    plan.transformUpWithNewOutput {
-      case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
-        val old = m.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
-        val fresh = m.newInstance().asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
-        (fresh, old.output.zip(fresh.output))
-    }
 }

@@ -56,6 +56,23 @@ class AsOfJoinExecSpec extends AnyFunSuite {
     cmp(p, c, Seq("user_id"), "p_us", "c_us")
   }
 
+  test("both sides from one CACHED frame with an ALIASED key (exprId-collision case)") {
+    // the key is minted by withColumn, so its ExprId is identical on both
+    // sides and cannot be refreshed by relation renewal — the rename
+    // barrier must isolate it (this exact shape mis-pruned the right
+    // child and failed at runtime before the fix)
+    val ev = Tables(spark, sf).events
+      .withColumn("user_id", col("user_id") * 2)
+      .withColumn("us", expr("ts div 1000"))
+      .cache()
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us").as("p_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("c_us"))
+    cmp(p, c, Seq("user_id"), "p_us", "c_us")
+    ev.unpersist()
+  }
+
   test("plan shape: AsOfJoinExec with exchanges+sorts, no window, no join") {
     val ev = Tables(spark, sf).events
     val p = ev.filter(col("event_type") === "purchase")
