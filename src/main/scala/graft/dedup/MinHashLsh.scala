@@ -107,12 +107,27 @@ object MinHashLsh {
     * IncrementalDedupSpec proves the result equals the full-corpus
     * candidate set restricted to pairs touching a new doc. */
   def incrementalCandidates(newSig: DataFrame, existingSig: DataFrame,
-                            idCol: String, p: Params = Params()): DataFrame = {
+                            idCol: String, p: Params = Params(),
+                            maxBucketSize: Option[Int] = None): DataFrame = {
     val bn = bandTable(newSig, idCol, p)
       .select(col("band"), col("band_sig"), col(idCol).as("id_n"))
-    val ball = bandTable(existingSig.unionByName(newSig), idCol, p)
+    // reuse the new side's band table for the probe target instead of
+    // re-banding it inside the union
+    val ball = bandTable(existingSig, idCol, p)
       .select(col("band"), col("band_sig"), col(idCol).as("id_o"))
-    bn.join(ball, Seq("band", "band_sig"))
+      .unionByName(bn.withColumnRenamed("id_n", "id_o"))
+    // the hot-bucket cap is MORE important here than in the batch path:
+    // the daily-crawl flow probes every new doc against the whole corpus,
+    // and one boilerplate band bucket with 10^6 existing members would
+    // emit 10^6 pairs per new doc landing in it
+    val pruned = maxBucketSize match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_sig")
+        ball.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= cap).drop("__bn")
+      case None => ball
+    }
+    bn.join(pruned, Seq("band", "band_sig"))
       .filter(col("id_n") =!= col("id_o"))
       .select(least(col("id_n"), col("id_o")).as("id_a"),
         greatest(col("id_n"), col("id_o")).as("id_b"))

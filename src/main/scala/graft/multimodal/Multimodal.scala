@@ -82,19 +82,21 @@ object Multimodal {
         ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
       def tag(o: Int) = new String(b, o, 4, "US-ASCII")
       if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-      var off = 12
+      // Long cursor: u32 chunk sizes up to 4 GiB in untrusted bytes must
+      // neither wrap the walk negative (zero-advance wedge / crash) nor
+      // reject truncated-but-decodable files — a declared size past the
+      // buffer simply clamps (data) or ends the walk (other chunks)
+      var off = 12L
       var fmt: Option[(Int, Int, Int, Int)] = None // audioFormat, ch, rate, bits
       var data: Option[(Int, Int)] = None          // offset, length
       while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
-        val id4 = tag(off); val sz = u32(off + 4)
-        // a chunk size >= 2^31 (or otherwise insane) in untrusted bytes
-        // must bail to None, not wrap negative and wedge/crash the task
-        if (sz < 0 || sz > b.length) return None
-        if (id4 == "fmt " && off + 24 <= b.length)
-          fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
+        val o = off.toInt
+        val id4 = tag(o); val sz = u32(o + 4)
+        if (id4 == "fmt " && o + 24 <= b.length)
+          fmt = Some((u16(o + 8), u16(o + 10), u32(o + 12).toInt, u16(o + 22)))
         else if (id4 == "data")
-          data = Some((off + 8, math.min(sz.toInt, b.length - off - 8)))
-        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+          data = Some((o + 8, math.min(sz, b.length.toLong - o - 8).toInt))
+        off += 8L + sz + (sz & 1L) // chunks are word-aligned
       }
       for {
         (audioFormat, ch, rate, bits) <- fmt

@@ -50,6 +50,8 @@ object AsOfJoin {
     import org.apache.spark.sql.graftbridge.Bridge
     val payloadCols = right.columns.filterNot(keys.contains).toSeq
     require(payloadCols.contains(rightTs), s"right side must contain $rightTs")
+    require(left.columns.intersect(payloadCols).isEmpty,
+      s"right payload ${payloadCols.mkString(",")} must not collide with left columns")
     val lPlan = Bridge.analyzed(left)
     // A self-as-of over the same source shares ExprIds across the
     // children — including ids minted by withColumn/select aliases, which

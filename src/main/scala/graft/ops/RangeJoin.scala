@@ -73,15 +73,18 @@ object RangeJoin {
     * point columns (including intervals with null bounds, which can never
     * match). Implemented as the inner join plus an anti-joined union —
     * the inner path stays a pure equi-join. The inner result feeds both
-    * union branches, so it is materialized once with an eager
-    * localCheckpoint instead of being recomputed per branch; the
-    * anti-join compares null-safely (`<=>`) so an interval carrying a
-    * null attribute column still matches its own inner rows. */
+    * union branches, so it is persisted (lazy — construction stays
+    * plan-only, CacheManager dedupes repeated calls by canonical plan,
+    * and the bucketized join remains visible in the executed plan for
+    * the shape gates); the anti-join compares null-safely (`<=>`) so an
+    * interval carrying a null attribute column still matches its own
+    * inner rows. */
   def pointsInIntervalsLeft(intervals: DataFrame, points: DataFrame,
                             startCol: String, endCol: String, pointCol: String,
                             bucketWidth: Long): DataFrame = {
     val inner = pointsInIntervals(intervals, points, startCol, endCol,
-      pointCol, bucketWidth).localCheckpoint(true)
+      pointCol, bucketWidth)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val matched = inner.select(intervals.columns.map(col).toSeq: _*).as("m")
     val unmatched = intervals.as("iv")
       .join(matched,

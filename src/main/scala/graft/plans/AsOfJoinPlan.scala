@@ -55,6 +55,11 @@ final case class AsOfJoinExec(
     leftTs: Expression, rightTs: Expression,
     tolerance: Option[Long]) extends BinaryExecNode {
 
+  require(leftTs.dataType == rightTs.dataType,
+    s"time columns must share a type (${leftTs.dataType} vs ${rightTs.dataType}); " +
+      "cast before joining — the merge compares them with one ordering")
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    "key columns must share types side to side")
   require(tolerance.isEmpty || leftTs.dataType == LongType,
     "tolerance requires long (epoch-micros) time columns")
 

@@ -21,8 +21,12 @@ class AsOfJoinExecSpec extends AnyFunSuite {
     val a = AsOfJoin.backward(l, r, keys, lts, rts, tol)
     val b = AsOfJoin.backwardMerge(l, r, keys, lts, rts, tol)
     assert(a.columns.toSeq == b.columns.toSeq, "output shape must match")
+    // multiplicity-exact comparison: set-based except would miss one
+    // operator redistributing duplicates
+    val ga = a.groupBy(a.columns.map(col): _*).count()
+    val gb = b.groupBy(b.columns.map(col): _*).count()
+    assert(ga.except(gb).count() == 0 && gb.except(ga).count() == 0)
     assert(a.count() == b.count())
-    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
 
   test("merge exec equals union+window on random data with ties and repeats") {

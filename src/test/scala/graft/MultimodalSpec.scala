@@ -103,6 +103,19 @@ class DecoderRobustnessSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(PcmWav.decode(3L, Array[Byte]()).isEmpty)
   }
 
+  test("WAV: a truncated file (data chunk declaring more than present) decodes partially") {
+    val bb = java.nio.ByteBuffer.allocate(44 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + 8); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(1000000) // declares 1 MB, holds 8 B
+    Seq(100, -100, 100, -100).foreach(s => bb.putShort(s.toShort))
+    val got = PcmWav.decode(9L, bb.array())
+    assert(got.nonEmpty && got.get.n_samples == 4 && got.get.peak == 100)
+  }
+
   test("PPM: overflowing header numbers return None instead of throwing") {
     assert(Ppm.decode(1L, "P6 99999999999 2 255 ".getBytes ++ Array.fill(12)(0.toByte)).isEmpty)
     assert(Ppm.decode(2L, "P6 2 2 255 ".getBytes).isEmpty) // truncated body

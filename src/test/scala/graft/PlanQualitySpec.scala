@@ -71,6 +71,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "range predicate fell back to nested-loop\n" + p)
     assert(!p.contains("CartesianProduct"), p)
+    // the inner operator's plan, asserted directly — the left variant's
+    // persist could otherwise serve the join from a cache scan and make
+    // the two negative asserts above vacuous
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables(spark, sf).events
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), expr("ts div 1000").as("s_us"),
+        (expr("ts div 1000") + 300000000L).as("e_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(expr("ts div 1000").as("p_us"))
+    val ip = graft.ops.RangeJoin.pointsInIntervals(errors, purchases,
+      "s_us", "e_us", "p_us", 300000000L)
+      .queryExecution.executedPlan.toString
+    assert(!ip.contains("BroadcastNestedLoopJoin") && !ip.contains("CartesianProduct"), ip)
+    assert(ip.contains("Generate explode"), "bucket explode missing\n" + ip)
   }
 
   test("hash split never reads the text column and never joins") {
