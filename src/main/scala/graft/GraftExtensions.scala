@@ -35,7 +35,16 @@ object GraftExtensions {
     "poly_hash" -> (cs => PolyHash(cs.head, PolyHash.DefaultBase)),
     // rev_comp as a composed expression tree (sequtils.py:3-15)
     "rev_comp" -> (cs => Reverse(StringTranslate(Upper(cs.head),
-      Literal.create("ACGT"), Literal.create("TGCA")))))
+      Literal.create("ACGT"), Literal.create("TGCA")))),
+    // range-join width hint for SQL users: ... ON p >= s AND
+    // p <= bucketed_end(e, 300000000) — identity at runtime, rewritten
+    // to the bucketized equi-join by RangeJoinRewrite
+    "bucketed_end" -> (cs => graft.functions.BucketedEnd(cs(0), cs(1) match {
+      case Literal(w: Long, _) => w
+      case Literal(w: Int, _) => w.toLong
+      case other => throw new IllegalArgumentException(
+        s"bucketed_end width must be an integer literal, got $other")
+    })))
 
   /** Register the same functions AND the range-join rewrite into an
     * ALREADY-RUNNING session (withExtensions only applies at session

@@ -49,6 +49,18 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("SQL users can hint through the registered bucketed_end function") {
+    GraftExtensions.registerAll(spark)
+    iv.createOrReplaceTempView("iv_sql")
+    pts.createOrReplaceTempView("pts_sql")
+    val auto = spark.sql(
+      """SELECT p_id, iv_id FROM pts_sql JOIN iv_sql
+        |ON p >= s AND p <= bucketed_end(e, 80)""".stripMargin)
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(auto.count() == naive.count() && auto.count() > 0)
+  }
+
   test("incomplete pattern (no lower bound) is left untouched but correct") {
     GraftExtensions.registerAll(spark)
     val onlyUpper = pts.join(iv, col("p") <= RangeJoin.bucketedEnd(col("e"), 80L))
