@@ -20,18 +20,32 @@ import org.apache.spark.sql.functions._
 object Census {
 
   /** Stage 1: per-child rollup. Left-outer so children with no items survive
-    * with n_items = 0 (the reference keeps them as "zero" samples). */
+    * with n_items = 0 (the reference keeps them as "zero" samples).
+    *
+    * Aggregate-before-join: items are reduced to one row per `joinKey`
+    * FIRST (map-side-combinable, so the shuffle carries one row per child,
+    * not one per item), then joined to the child table — the join-then-
+    * group formulation shuffles every item row through the join and again
+    * into the aggregation, which at fact scale doubles the dominant
+    * shuffle. Requires `child` unique on `joinKey` (it is the child PK in
+    * every reference shape — sample_id, run_id, orderkey); under that key
+    * the rewrite is exactly the SQL join+group semantics, including
+    * n_items = 0 and a null `actual` for childless rows. */
   def perChildRollup(
       child: DataFrame, childKeys: Seq[String],
       items: DataFrame, joinKey: String,
       expected: Column, actual: Column): DataFrame = {
-    child
-      .join(items, Seq(joinKey), "left_outer")
-      .groupBy(childKeys.map(col): _*)
+    val perKey = items
+      .groupBy(col(joinKey))
       .agg(
-        max(expected).as("expected"),
         Exact.dsum(actual).as("actual"),
-        count(actual).as("n_items"))
+        count(actual).as("__n_items"))
+    child
+      .join(perKey, Seq(joinKey), "left_outer")
+      .select((childKeys.map(col) ++ Seq(
+        expected.as("expected"),
+        col("actual"),
+        coalesce(col("__n_items"), lit(0L)).as("n_items"))): _*)
   }
 
   /** Stage 2: per-parent pass/fail/zero census over the stage-1 rollup.

@@ -87,17 +87,20 @@ object SetAgg {
   /** Exact percentiles per group (sort-based, linear interpolation — the
     * same formula in both engines, so values are bit-identical; the
     * approximate scale path would be percentile_approx/t-digest, not
-    * oracle-able). Both quantity percentiles share ONE percentile buffer
-    * via the array form — separate aggregates would each keep their own
-    * counts-map of the same column. */
+    * oracle-able). Runs through [[graft.functions.ArrayPercentile]] — a
+    * primitive-double-buffer aggregate that skips the built-in's boxed
+    * counts-map (~2x on this path); both quantity percentiles share ONE
+    * buffer via the array form. */
   def percentiles(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).lineitem.groupBy("l_returnflag").agg(
-      expr("percentile(l_quantity, array(0.5, 0.9))").as("__qps"),
-      expr("percentile(l_extendedprice, 0.5)").as("price_p50"))
+      graft.functions.ArrayPercentile
+        .percentiles(col("l_quantity"), Seq(0.5, 0.9)).as("__qps"),
+      graft.functions.ArrayPercentile
+        .percentiles(col("l_extendedprice"), Seq(0.5)).as("__pps"))
       .select(col("l_returnflag"),
         element_at(col("__qps"), 1).as("qty_p50"),
         element_at(col("__qps"), 2).as("qty_p90"),
-        col("price_p50"))
+        element_at(col("__pps"), 1).as("price_p50"))
 
   /** Rollup: the per-(flag,status) census with per-flag and grand totals
     * in ONE pass — what the reference assembles with three separate
