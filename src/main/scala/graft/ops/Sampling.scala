@@ -56,6 +56,38 @@ object Sampling {
     s"($rateExpr >= 1.0 OR substr(md5(CAST($keyExpr AS VARCHAR)),1,4) " +
       s"< printf('%04x', CAST(least(floor($rateExpr * 65536), 65535) AS INT)))"
 
+  /** Exact stratified sampling: the first ceil(rate·|stratum|) rows of each
+    * stratum in md5-of-key order. Unlike [[md5Keep]] (whose per-stratum
+    * yield is binomial around the rate), the quota is EXACT per stratum —
+    * the guarantee a training-mixture spec usually wants for small strata.
+    *
+    * Deterministic: the md5 order is a total order (key appended as
+    * tiebreaker for identical hashes), engine-portable, and stable under
+    * appends — a new row displaces at most one existing selection in its
+    * own stratum instead of reshuffling everything.
+    *
+    * Scale shape: ONE shuffle on the stratum columns; both windows (the
+    * count and the rank) share that partitioning. Strata are assumed
+    * bounded per key (source × lang, not user-id-like); a skewed stratum
+    * sorts on one task — salt via [[Skew]] if a stratum outgrows an
+    * executor.
+    */
+  def stratifiedExact(df: org.apache.spark.sql.DataFrame, strata: Seq[String],
+                      key: Column, rateNum: Int, rateDen: Int): org.apache.spark.sql.DataFrame = {
+    require(rateNum > 0 && rateDen >= rateNum, s"rate must be in (0,1]: $rateNum/$rateDen")
+    val part = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata.map(col): _*)
+    val hex = md5(key.cast("string").cast("binary"))
+    // quota = ceil(n·num/den) in pure integer arithmetic — a float rate
+    // would put exact multiples one ulp above the integer and ceil past it
+    df.withColumn("__n", count(lit(1)).over(part))
+      .withColumn("__rn", row_number().over(
+        part.orderBy(hex.asc, key.asc)))
+      .filter(col("__rn") <= expr(s"(__n * $rateNum + ${rateDen - 1}) div $rateDen"))
+      .withColumnRenamed("__rn", "pick_rank")
+      .withColumnRenamed("__n", "n_stratum")
+  }
+
   /** The same thresholds as DuckDB-portable SQL, for oracle lockstep. */
   def md5SplitSql(keyExpr: String, fractions: Seq[(String, Double)]): String = {
     val total = fractions.map(_._2).sum

@@ -60,13 +60,41 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"))
 
+  /** Gap-based batch sessionization (30-minute inactivity): the batch twin
+    * of the streaming mapGroupsWithState sessionizer, as an oracle-backed
+    * rollup. One shuffle on user_id shared by both windows and the final
+    * aggregation ([[graft.ops.Sessionize]]). */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessionize.sessions(
+      Tables(s, dir).events.withColumn("us", expr("ts div 1000")),
+      keyCol = "user_id", tsCol = "us", tieCol = "event_id",
+      gapUs = 30L * 60 * 1000000)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_sessionize"     -> (sessionize _),
     "q33_daily_funnel"   -> (dailyFunnel _),
     "q23_events_hourly"  -> (hourlyWindow _),
     "q24_events_json"    -> (jsonExtract _),
     "q25_user_journey"   -> (userJourney _))
 
   val oracles: Map[String, String] = Map(
+    "q51_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, us,
+        |         CASE WHEN us - lag(us) OVER w IS NULL
+        |                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |numbered AS (
+        |  SELECT user_id, us,
+        |         CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(us) AS start_us, max(us) AS end_us,
+        |       max(us) - min(us) AS dur_us
+        |FROM numbered GROUP BY 1, 2""".stripMargin,
     "q33_daily_funnel" ->
       """SELECT (epoch_us(ts) // 86400000000) * 86400 AS day_ep, event_type,
         |       count(DISTINCT user_id) AS n_users, count(*) AS n_events

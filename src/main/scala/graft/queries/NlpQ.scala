@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.{LangId, Relevance, Winnowing}
+
+/** Round-5 NLP/corpus-statistics operators over `documents`: TF-IDF term
+  * extraction, vocabulary building, winnowing fingerprints, and the
+  * trigram-profile language classifier. All four are oracle-backed — the
+  * scoring arithmetic is deliberately integer-exact (see [[Relevance]])
+  * and the winnowing hash is md5-based so DuckDB reproduces it verbatim.
+  */
+object NlpQ {
+
+  /** Top-3 most distinctive terms per document (scaled-integer tf-idf). */
+  def tfidf(s: SparkSession, dir: String): DataFrame =
+    Relevance.topTerms(Tables(s, dir).documents, "doc_id", "text", k = 3)
+
+  /** Corpus vocabulary: top 100 tokens by collection frequency. */
+  def vocab(s: SparkSession, dir: String): DataFrame =
+    Relevance.vocabulary(Tables(s, dir).documents, "doc_id", "text", k = 100)
+
+  /** Winnowing fingerprints (k=7 char-grams, window w=4): every shared
+    * substring of length ≥ 10 between two documents shares a fingerprint. */
+  def winnow(s: SparkSession, dir: String): DataFrame =
+    Winnowing.fingerprintRows(Tables(s, dir).documents, "doc_id", "text",
+      k = 7, w = 4)
+
+  /** Trigram-profile language ID (the production upgrade of d02's
+    * stopword heuristic). */
+  def langid(s: SparkSession, dir: String): DataFrame =
+    LangId.classify(Tables(s, dir).documents, "doc_id", "text")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d09_tfidf_terms"    -> (tfidf _),
+    "d10_vocab_topk"     -> (vocab _),
+    "d11_winnow_fps"     -> (winnow _),
+    "d12_langid_trigram" -> (langid _))
+
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents)""".stripMargin
+
+  /** The langid profile as a SQL VALUES list — generated from
+    * [[LangId.profiles]], so classifier and oracle cannot drift. */
+  private def profileValues: String =
+    LangId.profiles
+      .map { case (l, g, w) => s"('$l','${g.replace("'", "''")}',$w)" }
+      .mkString(",")
+
+  private val langs = LangId.profiles.map(_._1).distinct.sorted
+
+  val oracles: Map[String, String] = Map(
+    "d09_tfidf_terms" ->
+      s"""WITH $toksCte,
+         |tf AS (
+         |  SELECT doc_id, u.term, count(*) AS tf
+         |  FROM toks, UNNEST(t) AS u(term) GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT doc_id, tf.term, tf.tf, df.df,
+         |         (tf.tf * 1000000 * (SELECT count(*) FROM documents)) // df.df AS score
+         |  FROM tf JOIN df USING (term))
+         |SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, term) AS rnk FROM scored)
+         |WHERE rnk <= 3""".stripMargin,
+    "d10_vocab_topk" ->
+      s"""WITH $toksCte,
+         |c AS (
+         |  SELECT u.term, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+         |  FROM toks, UNNEST(t) AS u(term) GROUP BY 1)
+         |SELECT term, n, n_docs, CAST(rank AS INT) AS rank
+         |FROM (SELECT *, row_number() OVER (ORDER BY n DESC, term) AS rank FROM c)
+         |WHERE rank <= 100""".stripMargin,
+    "d11_winnow_fps" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(i AS INT) AS i,
+        |         substr(md5(substr(text, CAST(i AS INT), 7)), 1, 12) AS h,
+        |         length(text) - 6 AS m
+        |  FROM documents, UNNEST(generate_series(1, length(text) - 6)) AS u(i)),
+        |wmin AS (
+        |  SELECT w.doc_id, w.i AS j, min(x.h) AS mn
+        |  FROM g w JOIN g x ON x.doc_id = w.doc_id AND x.i BETWEEN w.i AND w.i + 3
+        |  WHERE w.i <= w.m - 3
+        |  GROUP BY 1, 2),
+        |sel AS (
+        |  SELECT m.doc_id, max(x.i) AS pos, m.mn AS fp
+        |  FROM wmin m JOIN g x ON x.doc_id = m.doc_id
+        |    AND x.i BETWEEN m.j AND m.j + 3 AND x.h = m.mn
+        |  GROUP BY m.doc_id, m.j, m.mn)
+        |SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, fp FROM sel""".stripMargin,
+    "d12_langid_trigram" -> {
+      val sums = langs.map(l =>
+        s"CAST(sum(CASE WHEN plang = '$l' THEN weight ELSE 0 END) AS BIGINT) AS s_$l")
+        .mkString(",\n         |         ")
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val cascade = langs.map(l => s"WHEN s_$l = $best THEN '$l'")
+        .mkString("\n         |            ")
+      s"""WITH prof(plang, trigram, weight) AS (VALUES $profileValues),
+         |norm AS (
+         |  SELECT doc_id, replace(' ' || lower(text) || ' ', ' ', '_') AS s
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, CAST(length(s) - 2 AS INT) AS n_trigrams,
+         |         substr(s, CAST(i AS INT), 3) AS trigram
+         |  FROM norm, UNNEST(generate_series(1, length(s) - 2)) AS u(i)),
+         |sc AS (
+         |  SELECT doc_id, n_trigrams,
+         |         $sums
+         |  FROM grams LEFT JOIN prof USING (trigram)
+         |  GROUP BY 1, 2)
+         |SELECT doc_id,
+         |       CASE WHEN $best <= 0 THEN 'und'
+         |            $cascade
+         |       END AS lang_id,
+         |       $best AS best_score,
+         |       n_trigrams
+         |FROM sc""".stripMargin
+    })
+}

@@ -136,7 +136,18 @@ object PipelineQ {
       .agg(count(lit(1)).as("n_bench_docs"), max(col("n_shared")).as("max_shared"))
   }
 
+  /** Exact stratified sample: first ceil(|stratum|/10) docs of every
+    * (source, lang) stratum in md5 order ([[Sampling.stratifiedExact]]) —
+    * the exact-quota counterpart of q49's binomial mixture sampling. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedExact(Tables(s, dir).documents,
+        strata = Seq("source", "lang"), key = col("doc_id"),
+        rateNum = 1, rateDen = 10)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("pick_rank"), col("n_stratum"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_stratified_sample" -> (stratifiedSample _),
     "q44_asof_attribution" -> (asofAttribution _),
     "q45_interval_join"    -> (intervalJoin _),
     "q46_hash_split"       -> (hashSplit _),
@@ -156,6 +167,15 @@ object PipelineQ {
        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q53_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, lang,
+        |         count(*) OVER (PARTITION BY source, lang) AS n_stratum,
+        |         row_number() OVER (PARTITION BY source, lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
+        |  FROM documents)
+        |SELECT doc_id, source, lang, CAST(pick_rank AS INT) AS pick_rank, n_stratum
+        |FROM r WHERE pick_rank <= (n_stratum * 1 + 9) // 10""".stripMargin,
     "q44_asof_attribution" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS p_us FROM events
         |           WHERE event_type = 'purchase'),

@@ -42,12 +42,68 @@ object Scalars {
       col("p_brand").rlike("^Brand#[0-9]+$").as("brand_shape"),
       Genomics.isGHomopolymer(upper(col("p_name"))).as("g_homopolymer"))
 
+  /** PII redaction ([[graft.text.Redaction]]): the synthetic corpus carries
+    * no real PII, so the query CONSTRUCTS a PII-bearing string from customer
+    * fields deterministically (same construction in the oracle) and then
+    * redacts it — the patterns and their application order are what's under
+    * test. Pure scalar projection, shuffle-free. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Redaction
+    val txt = concat(
+      col("c_name"), lit(" <"), lower(col("c_name")), lit("@example.com> from 192.168."),
+      pmod(col("c_custkey"), lit(256)), lit(".1 call 555-123-"),
+      lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"),
+      lit(" or visit https://ex.com/u/"), col("c_custkey"))
+    Tables(s, dir).customer.select(
+      col("c_custkey"),
+      Redaction.redact(txt).as("clean"),
+      Redaction.countMatches(txt, "email").as("n_email"),
+      Redaction.countMatches(txt, "ipv4").as("n_ip"),
+      Redaction.totalHits(txt).as("n_pii"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_string_funcs"   -> (stringFuncs _),
     "q19_date_funcs"     -> (dateFuncs _),
-    "q22_regex_classify" -> (regexClassify _))
+    "q22_regex_classify" -> (regexClassify _),
+    "q54_pii_redact"     -> (piiRedact _))
+
+  /** q54's patterns, quoted for a DuckDB string literal (the URL class
+    * contains a single quote) — generated from [[graft.text.Redaction]]
+    * so query and oracle share one pattern table. */
+  private def pat(name: String): String =
+    graft.text.Redaction.patterns
+      .collectFirst { case (`name`, p, _) => p.replace("'", "''") }
+      .getOrElse(sys.error(s"unknown pattern $name"))
+
+  private val piiOracle: String =
+    s"""WITH t AS (
+       |  SELECT c_custkey,
+       |         c_name || ' <' || lower(c_name) || '@example.com> from 192.168.'
+       |           || CAST(c_custkey % 256 AS VARCHAR) || '.1 call 555-123-'
+       |           || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+       |           || ' or visit https://ex.com/u/' || CAST(c_custkey AS VARCHAR) AS txt
+       |  FROM customer),
+       |-- totalHits counts each pattern on the text AFTER the previous
+       |-- replacements, exactly like Redaction.totalHits's fold
+       |c AS (
+       |  SELECT c_custkey, txt,
+       |         regexp_replace(txt, '${pat("url")}', '[URL]', 'g') AS s1
+       |  FROM t),
+       |c2 AS (SELECT *, regexp_replace(s1, '${pat("email")}', '[EMAIL]', 'g') AS s2 FROM c),
+       |c3 AS (SELECT *, regexp_replace(s2, '${pat("phone")}', '[PHONE]', 'g') AS s3 FROM c2)
+       |SELECT c_custkey,
+       |       regexp_replace(s3, '${pat("ipv4")}', '[IP]', 'g') AS clean,
+       |       CAST(len(regexp_extract_all(txt, '${pat("email")}')) AS INT) AS n_email,
+       |       CAST(len(regexp_extract_all(txt, '${pat("ipv4")}')) AS INT) AS n_ip,
+       |       CAST(len(regexp_extract_all(txt, '${pat("url")}'))
+       |          + len(regexp_extract_all(s1, '${pat("email")}'))
+       |          + len(regexp_extract_all(s2, '${pat("phone")}'))
+       |          + len(regexp_extract_all(s3, '${pat("ipv4")}')) AS INT) AS n_pii
+       |FROM c3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q54_pii_redact" -> piiOracle,
     "q18_string_funcs" ->
       """SELECT p_partkey,
         |       reverse(translate(upper(p_name), 'ACGT', 'TGCA')) AS rc,

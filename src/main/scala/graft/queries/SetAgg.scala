@@ -110,7 +110,22 @@ object SetAgg {
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"), Exact.dsum(col("l_quantity")).as("qty"))
 
+  /** CUBE census with explicit grouping flags — the full grouping-sets
+    * lattice (q35 covers ROLLUP's prefix lattice); the GROUPING() bits
+    * disambiguate "NULL because aggregated" from "NULL in the data".
+    * Same single-shuffle partial-agg shape as a plain groupBy: Spark
+    * expands the cube map-side, so no extra exchange. */
+  def cubeCensus(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        count(lit(1)).as("n"),
+        Exact.dsum(col("o_totalprice")).as("total"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_cube_census"  -> (cubeCensus _),
     "q34_percentiles"  -> (percentiles _),
     "q35_rollup"       -> (rollupCensus _),
     "q11_group_minmax" -> (groupMinmax _),
@@ -122,6 +137,13 @@ object SetAgg {
     "q21_corr_moments" -> (corrMoments _))
 
   val oracles: Map[String, String] = Map(
+    "q52_cube_census" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |       count(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "q34_percentiles" ->
       """SELECT l_returnflag,
         |       quantile_cont(l_quantity, 0.5) AS qty_p50,

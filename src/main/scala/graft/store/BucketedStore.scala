@@ -47,14 +47,34 @@ final class BucketedStore(spark: SparkSession, root: String, numBuckets: Int = 6
   private def currentVersion(name: String): Int =
     if (exists(name)) new String(Files.readAllBytes(pointer(name))).trim.toInt else 0
 
-  /** bucket -> version number owning that bucket's files. */
-  def manifest(name: String): Map[Int, Int] = {
-    val v = currentVersion(name)
-    if (v == 0) Map.empty
-    else new String(Files.readAllBytes(manifestPath(name, v))).split("\n")
+  /** bucket -> version number owning that bucket's files, as of `v`. */
+  def manifestAt(name: String, v: Int): Map[Int, Int] = {
+    require(Files.exists(manifestPath(name, v)),
+      s"version $v of $name does not exist (vacuumed or never committed)")
+    new String(Files.readAllBytes(manifestPath(name, v))).split("\n")
       .filter(_.nonEmpty)
       .map { l => val Array(b, ver) = l.split("="); b.toInt -> ver.toInt }
       .toMap
+  }
+
+  /** bucket -> version number owning that bucket's files (current). */
+  def manifest(name: String): Map[Int, Int] = {
+    val v = currentVersion(name)
+    if (v == 0) Map.empty else manifestAt(name, v)
+  }
+
+  /** Committed versions still present on disk, oldest first. */
+  def versions(name: String): Seq[Int] = {
+    if (!Files.exists(tableDir(name))) return Nil
+    val it = Files.list(tableDir(name)).iterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (it.hasNext) {
+      val fn = it.next().getFileName.toString
+      if (fn.startsWith("v") && fn.length == 7 && fn.drop(1).forall(_.isDigit)
+          && Files.exists(manifestPath(name, fn.drop(1).toInt)))
+        out += fn.drop(1).toInt
+    }
+    out.toSeq.sorted
   }
 
   private def writeManifest(name: String, v: Int, m: Map[Int, Int]): Unit = {
@@ -110,8 +130,9 @@ final class BucketedStore(spark: SparkSession, root: String, numBuckets: Int = 6
       schema)
   }
 
-  private def readBuckets(name: String, buckets: Option[Set[Int]]): DataFrame = {
-    val m = manifest(name)
+  private def readBuckets(name: String, buckets: Option[Set[Int]],
+                          asOf: Option[Int] = None): DataFrame = {
+    val m = asOf.map(manifestAt(name, _)).getOrElse(manifest(name))
     val wanted = buckets.map(bs => m.view.filterKeys(bs).toMap).getOrElse(m)
     val paths = wanted.toSeq.map { case (b, ver) =>
       versionDir(name, ver).resolve(s"$BucketCol=$b").toString
@@ -124,6 +145,17 @@ final class BucketedStore(spark: SparkSession, root: String, numBuckets: Int = 6
   def read(name: String): DataFrame = {
     require(exists(name), s"table $name does not exist under $root")
     readBuckets(name, None)
+  }
+
+  /** Time travel: the table as of commit `version` — resolved through that
+    * commit's own manifest, whose data files are immutable, so this is a
+    * zero-copy read exactly like Delta's `VERSION AS OF`. Available until
+    * [[vacuum]] reclaims versions the CURRENT manifest no longer references.
+    * Note `_SCHEMA` is not versioned: an empty historical read reports the
+    * LATEST schema (only reachable when version `v` held zero rows). */
+  def readAt(name: String, version: Int): DataFrame = {
+    require(exists(name), s"table $name does not exist under $root")
+    readBuckets(name, None, asOf = Some(version))
   }
 
   def create(name: String, df: DataFrame, keys: Seq[String]): Unit = {

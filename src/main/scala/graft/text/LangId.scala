@@ -1,0 +1,119 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Character-trigram language identification (Cavnar & Trenkle,
+  * "N-Gram-Based Text Categorization", 1994 — the textcat family).
+  *
+  * Upgrades the 5-stopword-per-language heuristic in
+  * [[TextMetrics.langIdFromTokens]] (which the round-1 review correctly
+  * called a toy): each language gets a profile of its most frequent
+  * character trigrams — drawn from function words and characteristic
+  * orthography, space-padded so word boundaries count — and a document's
+  * score per language is the integer sum of profile weights over ALL of its
+  * trigrams (frequent function words vote once per occurrence). Winner =
+  * argmax score, ties broken alphabetically; 'und' when nothing matches.
+  * A production deployment swaps [[profiles]] for counts trained on a
+  * labeled corpus — the classifier is profile-as-data by construction.
+  *
+  * Everything is integer arithmetic and the profile is a plain table, so
+  * the DuckDB oracle reproduces the classifier exactly from a VALUES list.
+  *
+  * Scale shape: trigram explode (one row per character) → broadcast join
+  * against the ~200-row profile → one hash-agg shuffle on doc_id with
+  * map-side combine carrying ≤ |langs| longs per document. Documents too
+  * short to contain a trigram are dropped (mirrored in the oracle).
+  */
+object LangId {
+
+  /** (language, trigram, weight): 3 = top function-word trigrams,
+    * 2 = strong, 1 = common. '_' stands for space; no (lang, trigram)
+    * appears twice. */
+  val profiles: Seq[(String, String, Int)] = {
+    def p(lang: String, w3: Seq[String], w2: Seq[String], w1: Seq[String]) = {
+      val rows = w3.map((lang, _, 3)) ++ w2.map((lang, _, 2)) ++ w1.map((lang, _, 1))
+      require(rows.map(_._2).distinct.size == rows.size, s"dup trigram in $lang profile")
+      rows
+    }
+    p("en",
+      Seq("_th", "the", "he_", "_an", "and", "nd_"),
+      Seq("_of", "of_", "_to", "to_", "_in", "in_", "_is", "is_", "ing", "ng_"),
+      Seq("hat", "at_", "er_", "_be", "es_", "_wi", "ion", "on_", "ed_", "ent")) ++
+    p("es",
+      Seq("_de", "de_", "_la", "la_", "_el", "el_", "que"),
+      Seq("_qu", "ue_", "los", "_lo", "as_", "_co", "con", "ión"),
+      Seq("_un", "una", "ara", "_pa", "par", "ent", "os_", "es_", "ado", "_se")) ++
+    p("de",
+      Seq("_de", "der", "die", "_di", "das", "und", "_un", "nd_"),
+      Seq("ie_", "er_", "ein", "_ei", "ich", "ch_", "sch"),
+      Seq("_is", "ist", "st_", "cht", "ung", "gen", "en_", "_zu", "zu_", "ver")) ++
+    p("fr",
+      Seq("_le", "le_", "les", "_de", "de_", "des", "_et", "et_"),
+      Seq("_la", "la_", "que", "_qu", "ue_", "est", "_es"),
+      Seq("une", "_un", "ent", "nt_", "ion", "eur", "eau", "aux", "ais", "oir")) ++
+    p("it",
+      Seq("_il", "il_", "_di", "di_", "che", "_ch", "he_"),
+      Seq("_pe", "per", "er_", "_co", "con", "lla", "ell"),
+      Seq("_so", "son", "ono", "no_", "zio", "ion", "gli", "_gl", "ta_", "to_")) ++
+    p("pt",
+      Seq("_de", "de_", "que", "_qu", "ue_", "ão_", "ção"),
+      Seq("_co", "com", "om_", "_pa", "par", "ara", "uma"),
+      Seq("_um", "ma_", "os_", "as_", "_na", "na_", "_se", "se_", "dos", "das"))
+  }
+
+  /** Space-padded lowercase character trigrams of `text`, '_' for space —
+    * one array per row, built with a single transform (no regex). */
+  /** Normalized text for trigram extraction: space-padded, lowercased,
+    * '_' for space. */
+  def normalized(text: Column): Column =
+    translate(concat(lit(" "), lower(text), lit(" ")), " ", "_")
+
+  /** Trigrams of an already-NORMALIZED (ideally column-bound) string —
+    * interpreted HOF lambdas re-evaluate referenced subtrees per element,
+    * so callers should materialize [[normalized]] first rather than inline
+    * it (O(len²) otherwise; see [[Winnowing]] for the extreme case). */
+  def charTrigrams(norm: Column): Column =
+    // sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — guard the
+    // empty-text case (padded length 2 → no trigram)
+    when(length(norm) >= 3,
+      transform(
+        sequence(lit(1), length(norm) - 2),
+        i => norm.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-document language scores + winner:
+    * (idCol, lang_id, best_score, n_trigrams). */
+  def classify(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prof = broadcast(profiles.toDF("plang", "trigram", "weight"))
+    val langs = profiles.map(_._1).distinct.sorted
+    val grams = df
+      .select(col(idCol), normalized(col(textCol)).as("__s"))
+      .select(col(idCol), charTrigrams(col("__s")).as("__g"))
+      .select(col(idCol), size(col("__g")).as("n_trigrams"),
+        explode(col("__g")).as("trigram"))
+    // left join: a trigram in several languages' profiles fans out, but
+    // each per-language sum picks up only its own rows, so scores stay
+    // exact; n_trigrams rides the group key (computed before the explode)
+    val aggs = langs.map(l =>
+      sum(when(col("plang") === l, col("weight")).otherwise(lit(0))).as(s"s_$l"))
+    val scored = grams.join(prof, Seq("trigram"), "left")
+      .groupBy(col(idCol), col("n_trigrams"))
+      .agg(aggs.head, aggs.tail: _*)
+    // argmax with alphabetic tie-break: struct compare is field-order
+    // lexicographic, so (score, inverse-alphabet-rank, lang) makes the
+    // earliest language win ties
+    val ranked = langs.zipWithIndex.map { case (l, i) =>
+      struct(col(s"s_$l").as("score"), lit(langs.size - i).as("inv"), lit(l).as("lang"))
+    }
+    val top = greatest(ranked: _*)
+    scored.select(
+      col(idCol),
+      when(top.getField("score") > 0, top.getField("lang"))
+        .otherwise(lit("und")).as("lang_id"),
+      top.getField("score").cast("long").as("best_score"),
+      col("n_trigrams"))
+  }
+}

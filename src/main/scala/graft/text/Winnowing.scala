@@ -1,0 +1,100 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03 —
+  * the MOSS algorithm). The reference's fingerprint needs stop at whole-file
+  * md5 (fileutils.py calculate_file_checksum); winnowing is the standard
+  * scale-path upgrade: position-robust partial-overlap detection for
+  * plagiarism / contamination scans, with guaranteed density (at least one
+  * fingerprint per `w` consecutive k-grams).
+  *
+  * Algorithm: hash every k-char-gram, slide a window of `w` hashes, and in
+  * each window select the minimum hash — rightmost occurrence on ties (the
+  * paper's robust-winnowing tie rule). The union of selected (position,
+  * hash) pairs is the document's fingerprint set; any shared substring of
+  * length ≥ w + k − 1 between two documents is guaranteed to share a
+  * fingerprint.
+  *
+  * Implementation is two shuffle-free projections: one materializes the
+  * k-gram hash array, the next runs the window selection over it with
+  * array higher-order functions. The split is load-bearing, not cosmetic:
+  * HOF lambdas are interpreted, and an interpreted lambda RE-EVALUATES
+  * every expression subtree it references per element — embedding the hash
+  * array's defining expression inside the per-window lambda multiplies the
+  * md5 work by O(windows × window refs), measured as a ~1000× blowup at
+  * sf0.01. With the array bound to a column, each reference is an O(1)
+  * buffer access. Same reason the selection uses `element_at` on the bound
+  * array rather than `slice` (which would copy the window per reference).
+  *
+  * The k-gram hash is the first 12 hex chars of md5 (48 bits; fixed-width
+  * lowercase hex, so lexicographic MIN == numeric MIN), chosen over
+  * xxhash64 because every SQL engine has md5 — the DuckDB oracle
+  * reproduces it verbatim.
+  */
+object Winnowing {
+
+  /** Array of (1-based) k-gram hashes of `text`: h(i) = hex12(md5(substr(text, i, k))).
+    * Guarded for short text — Spark's sequence(1, stop) turns DESCENDING
+    * when stop < 1 ([1, 0]), it does not return empty. */
+  def kgramHashes(text: Column, k: Int): Column =
+    when(length(text) >= k,
+      transform(
+        sequence(lit(1), length(text) - (k - 1)),
+        i => substring(md5(text.substr(i, lit(k)).cast("binary")), 1, 12)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Selected fingerprints as an array of struct(pos, fp), given a BOUND
+    * k-gram hash array column (see the class doc for why it must be a
+    * column reference, not the defining expression).
+    *
+    * Per window start j in [1, m-w+1]: a single left-to-right fold keeps
+    * the best (hash, position) with `<=` so the RIGHTMOST minimum wins.
+    * Adjacent windows mostly re-select the same position; `array_distinct`
+    * collapses them to the fingerprint set.
+    */
+  def fingerprintsFromHashes(h: Column, w: Int): Column = {
+    val m = size(h)
+    val picks = transform(
+      sequence(lit(1), m - (w - 1)),
+      j =>
+        aggregate(
+          sequence(lit(0), lit(w - 1)),
+          // sentinel above any 12-char hex; pos 0 can never survive w >= 1
+          struct(lit(0).as("pos"), lit("￿").as("fp")),
+          (acc, o) => {
+            val v = element_at(h, j + o)
+            when(v <= acc.getField("fp"),
+              struct((j + o).as("pos"), v.as("fp"))).otherwise(acc)
+          }))
+    // descending-sequence guard: documents with fewer than w k-grams
+    // produce no window, not a bogus [1, 0] one
+    when(m >= w, array_distinct(picks))
+      .otherwise(array().cast("array<struct<pos:int,fp:string>>"))
+  }
+
+  /** Per-document fingerprint rows: (idCol, pos, fp). Two narrow
+    * projections + one generator — shuffle-free end to end. */
+  def fingerprintRows(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 7, w: Int = 4): DataFrame =
+    df.select(col(idCol), kgramHashes(col(textCol), k).as("__h"))
+      .select(col(idCol), explode(fingerprintsFromHashes(col("__h"), w)).as("f"))
+      .select(col(idCol), col("f.pos").as("pos"), col("f.fp").as("fp"))
+
+  /** Documents sharing ≥ `minShared` fingerprints — the winnowing twin of
+    * the shingle-Jaccard pair generator: fingerprints are ~2/(w+1) of the
+    * k-grams, so the self-join index is smaller than d04's for the same
+    * guarantee on matches of length ≥ w+k−1. */
+  def sharedFingerprintPairs(df: DataFrame, idCol: String, textCol: String,
+                             k: Int = 7, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val fps = fingerprintRows(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

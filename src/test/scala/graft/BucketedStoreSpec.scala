@@ -114,6 +114,33 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(st.vacuum("t").isEmpty)
   }
 
+  test("time travel: readAt(v) sees the table as of commit v until vacuumed") {
+    val (st, _) = newStore()
+    st.create("t", base, Seq("id"))                       // v1
+    st.upsert("t", Seq((42L, "name_42", "v1"), (9999L, "new", "v1"))
+      .toDF("id", "name", "payload"), Seq("id"))          // v2
+    st.delete("t", Seq(Tuple1(1L)).toDF("id"), Seq("id")) // v3
+
+    assert(st.versions("t") == Seq(1, 2, 3))
+    val v1 = st.readAt("t", 1)
+    assert(v1.count() == 500)
+    assert(v1.filter(col("id") === 42 && col("payload") === "v0").count() == 1)
+    assert(v1.filter(col("id") === 9999).count() == 0)
+    val v2 = st.readAt("t", 2)
+    assert(v2.count() == 501)
+    assert(v2.filter(col("id") === 42 && col("payload") === "v1").count() == 1)
+    assert(st.read("t").count() == 500) // v3: 501 - deleted id=1
+    assert(st.readAt("t", 3).count() == 500)
+
+    // a full rewrite supersedes v1-v3 entirely; vacuum reclaims them and
+    // time travel to them then fails loudly
+    st.create("t", base, Seq("id"))                       // v4
+    val dropped = st.vacuum("t")
+    assert(dropped.nonEmpty)
+    assert(st.versions("t") == Seq(4))
+    intercept[IllegalArgumentException](st.readAt("t", 2))
+  }
+
   test("null sort keys follow Spark's window null placement in TopKRows") {
     // asc: NULLS FIRST; desc: NULLS LAST — same rows as the window form
     val df = Seq[(String, java.lang.Double, Long)](
