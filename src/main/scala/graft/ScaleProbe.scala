@@ -79,6 +79,28 @@ object ScaleProbe {
         graft.dedup.Shingles.jaccardPairs(docs, "doc_id", "text", 3, 0.5,
           Some(64)), "id_a", "id_b").count()
     }
+    time("winnow_fps_native") {
+      graft.text.Winnowing.fingerprintRows(docs, "doc_id", "text").count()
+    }
+    time("winnow_shared_pairs") {
+      // replicated copies share everything but the trailing marker token —
+      // the fingerprint self-join sees a worst-case duplicated corpus
+      graft.text.Winnowing.sharedFingerprintPairs(docs, "doc_id", "text",
+        minShared = 30).count()
+    }
+    time("langid_join") {
+      graft.text.LangId.classify(docs, "doc_id", "text").count()
+    }
+    time("langid_native") {
+      graft.text.LangId.classifyNative(docs, "doc_id", "text").count()
+    }
+    time("tfidf_topk") {
+      graft.text.Relevance.topTerms(docs, "doc_id", "text", 3).count()
+    }
+    time("stratified_exact") {
+      graft.ops.Sampling.stratifiedExact(docs, Seq("source", "lang"),
+        col("doc_id"), 1, 10).count()
+    }
 
     // events-side operators: replicate with fresh event ids AND fresh user
     // ids, so the key space grows with the factor (the scale-out shape; the
@@ -103,6 +125,11 @@ object ScaleProbe {
       val c = ev.filter(col("event_type") === "click")
         .select(col("user_id"), expr("ts div 1000").as("c_us"))
       graft.ops.AsOfJoin.backwardMerge(p, c, Seq("user_id"), "p_us", "c_us").count()
+    }
+    time("sessionize_batch") {
+      graft.ops.Sessionize.sessions(
+        ev.withColumn("us", expr("ts div 1000")),
+        "user_id", "us", "event_id", 30L * 60 * 1000000).count()
     }
     time("range_join_bucketized") {
       val e = ev.filter(col("event_type") === "error")

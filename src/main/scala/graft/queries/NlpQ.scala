@@ -29,9 +29,11 @@ object NlpQ {
       k = 7, w = 4)
 
   /** Trigram-profile language ID (the production upgrade of d02's
-    * stopword heuristic). */
+    * stopword heuristic) — native one-pass scorer; the join-based
+    * formulation is proven equal in LangIdNativeSpec and remains available
+    * when the profile must be a joinable table. */
   def langid(s: SparkSession, dir: String): DataFrame =
-    LangId.classify(Tables(s, dir).documents, "doc_id", "text")
+    LangId.classifyNative(Tables(s, dir).documents, "doc_id", "text")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d09_tfidf_terms"    -> (tfidf _),

@@ -124,4 +124,30 @@ object LangId {
       top.getField("score").cast("long").as("best_score"),
       col("n_trigrams"))
   }
+
+  /** One-pass native classification (the d12 production path): the profile
+    * compiled into [[graft.functions.TrigramLangScores]], no explode, no
+    * join, no agg shuffle — a scalar projection over the scan. Proven
+    * equal to [[classify]] in LangIdNativeSpec; use [[classify]] when the
+    * profile must stay a joinable table. */
+  def classifyNative(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val langs = profiles.map(_._1).distinct.sorted
+    val scored = df
+      .select(col(idCol), normalized(col(textCol)).as("__s"))
+      .select(col(idCol),
+        graft.functions.TrigramLangScoresFn
+          .trigramLangScores(col("__s"), profiles).as("__r"))
+      .filter(col("__r.n_trigrams") > 0) // join path drops trigram-less docs
+    val ranked = langs.zipWithIndex.map { case (l, i) =>
+      struct(element_at(col("__r.scores"), i + 1).as("score"),
+        lit(langs.size - i).as("inv"), lit(l).as("lang"))
+    }
+    val top = greatest(ranked: _*)
+    scored.select(
+      col(idCol),
+      when(top.getField("score") > 0, top.getField("lang"))
+        .otherwise(lit("und")).as("lang_id"),
+      top.getField("score").cast("long").as("best_score"),
+      col("__r.n_trigrams").as("n_trigrams"))
+  }
 }

@@ -63,5 +63,16 @@ class EventStreamsSpec extends AnyFunSuite {
     // with a 30-minute gap over sparse synthetic events, some user must
     // have more than one session
     assert(got.values.exists(_._2 > 1))
+
+    // full batch-twin convergence: the stateful stream's per-user session
+    // count equals the q51 batch operator's (ops.Sessionize, oracle-backed)
+    val batchSessions = graft.ops.Sessionize.sessions(
+        Tables(spark, sf).events.withColumn("us", expr("ts div 1000")),
+        "user_id", "us", "event_id", 30L * 60 * 1000 * 1000)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_sessions")).toMap
+    assert(got.view.mapValues(_._2).toMap == batchSessions,
+      "streaming session counts diverge from the batch sessionizer")
   }
 }
