@@ -7,10 +7,10 @@ import graft.Tables
 import graft.similarity.Knn
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
-  * e01/e02 are oracle-backed (decimal-exact dot products close identically
-  * in both engines); e03 is the LSH scale path — approximate by design, so
-  * the driver records rows-only and KnnSpec measures its recall against
-  * e01's exact result. */
+  * e01/e02/e04 are oracle-backed (decimal-exact dot products close
+  * identically in both engines); e03 is the LSH scale path — approximate
+  * by design, so the driver records rows-only and KnnSpec measures its
+  * recall against e01's exact result. */
 object SimilarityQ {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -33,10 +33,32 @@ object SimilarityQ {
     Knn.approxKnn(emb(s, dir), dim = 64, k = 10, nPlanes = 6)
       .select("qid", "vec_id", "cos", "rk")
 
+  /** Nearest-centroid assignment — the IVF build step ([[graft.similarity.Ivf]])
+    * as an oracle-backed query: the 8 seed vectors (vec_id < 8) act as
+    * fixed centroids (a deterministic k-means iteration 0), every other
+    * vector is assigned to its max-cosine centroid, ties to the lower id.
+    *
+    * Shape: broadcast cross join (8 rows) → partial-agg max(struct) —
+    * map-side combine collapses to one row per vector before the shuffle,
+    * so the exchange carries |vectors| rows regardless of centroid count. */
+  def centroidAssign(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val cents = broadcast(all.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("vec").as("cvec")))
+    all.filter(col("id") >= 8)
+      .crossJoin(cents)
+      .select(col("id").as("vec_id"), col("cid"),
+        Knn.cosine(col("vec"), col("cvec")).as("cos"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("cid")).as("ncid"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"), col("best.cos").as("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_knn_brute"      -> (knnBrute _),
     "e02_cosine_neardup" -> (cosineNearDup _),
-    "e03_knn_approx"     -> (knnApprox _))
+    "e03_knn_approx"     -> (knnApprox _),
+    "e04_centroid_assign" -> (centroidAssign _))
 
   // Shared oracle scaffolding: exact decimal dot products, closed in double
   // with the same expression shape as Knn.dotExact/cosine.
@@ -47,6 +69,26 @@ object SimilarityQ {
       |GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e04_centroid_assign" ->
+      s"""WITH norms AS ($normsSql),
+         |cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |dots AS (
+         |  SELECT e.vec_id, c.cid,
+         |         CAST(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(c.cvec[i] AS DOUBLE) AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS d
+         |  FROM embeddings e, cents c, UNNEST(generate_series(1, len(e.embedding))) AS u(i)
+         |  WHERE e.vec_id >= 8
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT dots.vec_id AS vec_id, cid,
+         |         d / (sqrt(ne.nrm2) * sqrt(nc.nrm2)) AS cos
+         |  FROM dots
+         |  JOIN norms ne ON ne.vec_id = dots.vec_id
+         |  JOIN norms nc ON nc.vec_id = cid),
+         |ranked AS (
+         |  SELECT vec_id, cid, cos,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+         |  FROM scored)
+         |SELECT vec_id, cid, cos FROM ranked WHERE rk = 1""".stripMargin,
     "e01_knn_brute" ->
       s"""WITH norms AS ($normsSql),
          |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
