@@ -83,8 +83,13 @@ object ScaleProbe {
       graft.text.Winnowing.fingerprintRows(docs, "doc_id", "text").count()
     }
     time("winnow_shared_pairs") {
-      // replicated copies share everything but the trailing marker token —
-      // the fingerprint self-join sees a worst-case duplicated corpus
+      // worst-case input for the fp self-join: a ~30-word-vocabulary soup
+      // means every 7-char gram is corpus-wide boilerplate, so the df cap
+      // drops ALL fingerprints (0 pairs is the correct answer here — no
+      // 7-gram distinguishes the copies) — what this measures is that the
+      // capped join stays bounded instead of going quadratic (the uncapped
+      // variant hangs on this corpus); pair recovery on realistic text is
+      // NlpSpec's planted-near-dup test
       graft.text.Winnowing.sharedFingerprintPairs(docs, "doc_id", "text",
         minShared = 30).count()
     }

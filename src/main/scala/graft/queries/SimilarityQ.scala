@@ -60,13 +60,22 @@ object SimilarityQ {
     "e03_knn_approx"     -> (knnApprox _),
     "e04_centroid_assign" -> (centroidAssign _))
 
-  // Shared oracle scaffolding: exact decimal dot products, closed in double
-  // with the same expression shape as Knn.dotExact/cosine.
+  // Shared oracle scaffolding, in lockstep with Knn.dotExact/cosine:
+  // each element quantizes to the INTEGER round_even(double(x)·1e9) —
+  // bit-identical to Spark's bround by construction (same IEEE product,
+  // same half-even rule; a DECIMAL(_,9) cast instead inherits the engine's
+  // cast rounding and diverged on .5-boundary dyadic floats like
+  // 0.1494140625) — sums are exact hugeint (1e18-scaled; the scale cancels
+  // in every cosine), and the closure routes through VARCHAR because
+  // DuckDB's direct hugeint→double double-rounds above 2^53.
+  private def q9(x: String) =
+    s"CAST(round_even(CAST($x AS DOUBLE) * 1e9, 0) AS HUGEINT)"
+
   private val normsSql =
-    """SELECT vec_id,
-      |       CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS nrm2
-      |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
-      |GROUP BY 1""".stripMargin
+    s"""SELECT vec_id,
+       |       CAST(CAST(SUM(${q9("embedding[i]")} * ${q9("embedding[i]")}) AS VARCHAR) AS DOUBLE) AS nrm2
+       |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+       |GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "e04_centroid_assign" ->
@@ -74,7 +83,7 @@ object SimilarityQ {
          |cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
          |dots AS (
          |  SELECT e.vec_id, c.cid,
-         |         CAST(CAST(SUM(CAST(CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(c.cvec[i] AS DOUBLE) AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS d
+         |         CAST(CAST(SUM(${q9("e.embedding[i]")} * ${q9("c.cvec[i]")}) AS VARCHAR) AS DOUBLE) AS d
          |  FROM embeddings e, cents c, UNNEST(generate_series(1, len(e.embedding))) AS u(i)
          |  WHERE e.vec_id >= 8
          |  GROUP BY 1, 2),
@@ -94,7 +103,7 @@ object SimilarityQ {
          |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
          |dots AS (
          |  SELECT q.qid, c.vec_id AS vec_id,
-         |         CAST(CAST(SUM(CAST(CAST(q.qv[i] AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS d
+         |         CAST(CAST(SUM(${q9("q.qv[i]")} * ${q9("c.embedding[i]")}) AS VARCHAR) AS DOUBLE) AS d
          |  FROM q, embeddings c, UNNEST(generate_series(1, len(c.embedding))) AS u(i)
          |  WHERE q.qid <> c.vec_id
          |  GROUP BY 1, 2),
@@ -113,7 +122,7 @@ object SimilarityQ {
       s"""WITH norms AS ($normsSql),
          |dots AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |         CAST(CAST(SUM(CAST(CAST(a.embedding[i] AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) AS d
+         |         CAST(CAST(SUM(${q9("a.embedding[i]")} * ${q9("b.embedding[i]")}) AS VARCHAR) AS DOUBLE) AS d
          |  FROM embeddings a, embeddings b, UNNEST(generate_series(1, len(a.embedding))) AS u(i)
          |  WHERE a.vec_id < b.vec_id
          |  GROUP BY 1, 2)

@@ -19,29 +19,44 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Knn {
 
-  // Element decimal (12,9): rounds floats at 9dp (same as the oracle's
-  // DECIMAL(18,9) cast — width is irrelevant to rounding) while keeping the
-  // product (25,18) and accumulator (32,18) inside Spark's 38-digit cap so
-  // every addition is exact. The lambda cast back to the accumulator type is
-  // lossless (sums are far below 10^14) — without it Spark silently drops to
-  // scale 17 and the last ulp diverges from the oracle.
-  private val D  = DecimalType(12, 9)
-  private val DA = DecimalType(32, 18)
+  // Quantization: each float element becomes the INTEGER
+  // half-even-round(double(x) · 1e9). Both engines compute the identical
+  // IEEE double product and then the identical half-even integer (Spark
+  // `bround`, DuckDB `round_even`; the exact expansion of a double is
+  // .5-fractional only when the double IS n+0.5, where both go even), so
+  // the quantized elements are bit-identical BY CONSTRUCTION. The previous
+  // formulation cast double → DECIMAL(_, 9) and inherited each engine's
+  // cast rounding mode — Spark HALF_UP, DuckDB half-even — which diverged
+  // on dyadic floats landing exactly on .5 at the 9th decimal (found at
+  // sf0.1: embedding element 0.1494140625 → e04 cos off by 4e-11 on one
+  // row; latent in e01/e02 whose outputs happened not to touch a boundary
+  // element).
+  //
+  // Dots are then EXACT integer sums (scaled by 1e18): products fit
+  // DECIMAL(37,0), the 64-term sum ≤ ~8e18 fits DECIMAL(38,0) with every
+  // addition exact. Cosine divides the scale away, so no 1e-18 closure
+  // ever happens — the only float ops are one decimal→double per sum
+  // (correctly rounded; the DuckDB oracle routes hugeint→double through
+  // VARCHAR to match) and the same sqrt/divide IEEE closing in both
+  // engines.
+  private val DI = DecimalType(18, 0)
+  private val DA = DecimalType(38, 0)
 
-  /** Exact decimal dot product of two float arrays, closed as double. */
+  private def q9(x: Column): Column =
+    bround(x.cast("double") * lit(1e9), 0).cast(DI)
+
+  /** Exact integer-scaled dot product of two float arrays (value = true
+    * dot · 1e18), closed as double. Scale cancels in [[cosine]]; callers
+    * needing the unscaled dot divide by 1e18 once. */
   def dotExact(a: Column, b: Column): Column =
     aggregate(
-      // float→double→decimal: both engines then round the same exact binary
-      // value (DuckDB's direct float→decimal scales in float space and
-      // drifts at the 8th digit).
-      zip_with(a, b, (x, y) => x.cast("double").cast(D) * y.cast("double").cast(D)),
+      zip_with(a, b, (x, y) => q9(x) * q9(y)),
       lit(0).cast(DA),
       (acc, v) => (acc + v).cast(DA)).cast("double")
-      // JVM decimal→double is correctly rounded; the DuckDB oracle must
-      // route its conversion through VARCHAR to match (its direct
-      // decimal→double double-rounds via hugeint above 2^53).
 
-  /** Cosine similarity via exact dots (same IEEE closing both engines). */
+  /** Cosine similarity via exact scaled dots — the 1e18 scale cancels:
+    * dot·1e18 / (sqrt(n2a·1e18)·sqrt(n2b·1e18)); same IEEE closing both
+    * engines. */
   def cosine(a: Column, b: Column): Column =
     dotExact(a, b) / (sqrt(dotExact(a, a)) * sqrt(dotExact(b, b)))
 

@@ -107,11 +107,26 @@ object Winnowing {
   /** Documents sharing ≥ `minShared` fingerprints — the winnowing twin of
     * the shingle-Jaccard pair generator: fingerprints are ~2/(w+1) of the
     * k-grams, so the self-join index is smaller than d04's for the same
-    * guarantee on matches of length ≥ w+k−1. */
+    * guarantee on matches of length ≥ w+k−1.
+    *
+    * `maxFpDf` is the same stop-key cap the shingle path needs at scale
+    * (d04's lesson): a fingerprint appearing in more than `maxFpDf`
+    * documents is boilerplate — each such bucket fans out O(df²) pairs,
+    * and on a template-heavy corpus the join degenerates without the cap
+    * (measured: an 8× replicated word-soup corpus hung the uncapped join;
+    * capped it runs in seconds with the planted pairs intact). */
   def sharedFingerprintPairs(df: DataFrame, idCol: String, textCol: String,
-                             k: Int = 7, w: Int = 4, minShared: Int = 2): DataFrame = {
-    val fps = fingerprintRows(df, idCol, textCol, k, w)
+                             k: Int = 7, w: Int = 4, minShared: Int = 2,
+                             maxFpDf: Option[Int] = Some(256)): DataFrame = {
+    val fps0 = fingerprintRows(df, idCol, textCol, k, w)
       .select(col(idCol).as("id"), col("fp")).distinct()
+    val fps = maxFpDf match {
+      case None => fps0
+      case Some(cap) =>
+        val hot = fps0.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("fp")
+        fps0.join(hot, Seq("fp"), "left_anti")
+    }
     fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
