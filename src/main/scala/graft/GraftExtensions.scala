@@ -44,7 +44,21 @@ object GraftExtensions {
       case Literal(w: Int, _) => w.toLong
       case other => throw new IllegalArgumentException(
         s"bucketed_end width must be an integer literal, got $other")
-    })))
+    })),
+    // winnowing fingerprints for SQL users:
+    // SELECT doc_id, f.pos, f.fp FROM docs
+    // LATERAL VIEW explode(winnow_fps(text, 7, 4)) t AS f
+    "winnow_fps" -> (cs => graft.functions.WinnowFps(cs(0),
+      intLit(cs(1), "winnow_fps k"), intLit(cs(2), "winnow_fps w"))),
+    "shingle_hashes" -> (cs => graft.functions.ShingleHashes(cs(0),
+      intLit(cs(1), "shingle_hashes n"), distinct = true)))
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 
   /** Register the same functions AND the range-join rewrite into an
     * ALREADY-RUNNING session (withExtensions only applies at session

@@ -57,6 +57,13 @@ object Relevance {
     * (id)-partitioned window — bounded work per key, no global order. */
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val n = df.count() // corpus size: one scalar, computed before the plan
+    // overflow bound: score = tf·Scale·n must fit a Long for the largest
+    // plausible tf (a document is bounded by ~10^4 repeated tokens here);
+    // past ~10^8 documents, shrink Scale — the ranking only needs enough
+    // resolution to separate df values, which cap at n
+    require(n <= 100000000L,
+      s"topTerms integer score would overflow Long at n=$n docs with " +
+        s"Scale=$Scale; use a smaller Scale for corpora beyond 1e8 documents")
     val tf = termFrequencies(df, idCol, textCol)
     val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // SQL `div` keeps the whole score integer (no float division anywhere);

@@ -45,6 +45,13 @@ class SkewAndExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT rev_comp('acgtACGT') AS r").head().getString(0) == "ACGTACGT")
     assert(spark.sql("SELECT poly_hash('x') = poly_hash('x') AND poly_hash('x') <> poly_hash('y') AS ok")
       .head().getBoolean(0))
+    // round-5 registrations: winnowing + shingle hashing from SQL
+    val fps = spark.sql(
+      "SELECT size(winnow_fps('the quick brown fox jumps over it', 7, 4)) AS n")
+      .head().getInt(0)
+    assert(fps > 0)
+    assert(spark.sql("SELECT size(shingle_hashes('a b c d', 3)) AS n")
+      .head().getInt(0) == 2)
   }
 
   test("CSV sink round-trips with quoting; JSON records sink") {
