@@ -41,6 +41,18 @@ class LangIdNativeSpec extends AnyFunSuite {
       (9L, "    "), (10L, "multi   space   runs")).toDF("doc_id", "text"))
   }
 
+  test("native == join-based on random multi-byte unicode, property-style") {
+    val rnd = new scala.util.Random(11)
+    val cps = "the der le el il o de é日🎉 _".codePoints().toArray
+    val docs = (1 to 60).map { i =>
+      val len = rnd.nextInt(100)
+      val sb = new java.lang.StringBuilder
+      (0 until len).foreach(_ => sb.appendCodePoint(cps(rnd.nextInt(cps.length))))
+      (i.toLong, sb.toString)
+    }.toDF("doc_id", "text")
+    assertIdentical(docs)
+  }
+
   test("native path is a shuffle-free projection") {
     val df = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
     val p = LangId.classifyNative(df, "doc_id", "text")

@@ -51,4 +51,19 @@ class WinnowFpsSpec extends AnyFunSuite {
     }.toDF("doc_id", "text")
     assertIdentical(docs)
   }
+
+  test("native == declarative on random multi-byte unicode, property-style") {
+    val rnd = new scala.util.Random(7)
+    // alphabet mixing 1-, 2-, 3-, and 4-byte UTF-8 encodings (🎉 is a
+    // surrogate pair in Java chars), small so window ties occur across
+    // code-point widths
+    val cps = "ab é日🎉".codePoints().toArray
+    val docs = (1 to 60).map { i =>
+      val len = rnd.nextInt(80)
+      val sb = new java.lang.StringBuilder
+      (0 until len).foreach(_ => sb.appendCodePoint(cps(rnd.nextInt(cps.length))))
+      (i.toLong, sb.toString)
+    }.toDF("doc_id", "text")
+    assertIdentical(docs)
+  }
 }
