@@ -125,15 +125,14 @@ object PipelineQ {
     * "benchmark" is the deterministic 2% slice doc_id % 50 = 0. */
   def contamination(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
-    def sh(df: DataFrame) = Shingles.explodeShingleHashes(df, "doc_id", "text", 5)
-    val bench = sh(docs.filter(col("doc_id") % 50 === 0))
-      .withColumnRenamed("doc_id", "bench_id")
-    val train = sh(docs.filter(col("doc_id") % 50 =!= 0))
-    train.join(broadcast(bench), Seq("sh"))
-      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 8)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bench_docs"), max(col("n_shared")).as("max_shared"))
+    // shared with the streaming twin (graft.streaming.DocStreams): the
+    // SAME pair-scan + rollup code runs batch here and incrementally
+    // there, so the two cannot drift; DocStreamsSpec replays this table
+    // through the stream and asserts equality with this query
+    graft.streaming.DocStreams.contaminationRollup(
+      graft.streaming.DocStreams.contaminationStream(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0)))
   }
 
   /** Exact stratified sample: first ceil(|stratum|/10) docs of every

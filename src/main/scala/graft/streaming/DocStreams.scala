@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dedup.Shingles
+
+/** Structured-Streaming twins of the document-corpus operators — the
+  * daily-crawl-drop flow: new document files land in a directory and are
+  * scanned incrementally instead of recomputing the corpus-wide batch
+  * job. Complements [[EventStreams]] (event-time operators) and
+  * [[graft.dedup.MinHashLsh.incrementalCandidates]] (incremental dedup).
+  */
+object DocStreams {
+
+  /** documents.parquet schema (TESTDATA.md) — file streams need it fixed. */
+  val documentSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def readDocumentStream(spark: SparkSession, dir: String,
+                         maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(documentSchema)
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
+      .parquet(dir)
+  }
+
+  /** Incremental benchmark-contamination scan — the streaming twin of
+    * q50 ([[graft.queries.PipelineQ.contamination]]): each newly-arrived
+    * training document's word-5-gram shingles probe a BROADCAST static
+    * benchmark shingle index; the running aggregate keeps n_shared per
+    * (doc, benchmark doc) pair.
+    *
+    * One streaming aggregation (Spark disallows chaining a second); the
+    * final ≥ threshold filter + per-doc rollup are a trivial view over
+    * this output — DocStreamsSpec proves the composition converges to the
+    * batch q50 result on replay. The shingle expression is a scalar
+    * projection (ShingleHashes), so the per-batch work is scan-speed and
+    * the state is bounded by the true contamination surface, not the
+    * corpus.
+    */
+  def contaminationStream(trainDocs: DataFrame, benchDocs: DataFrame): DataFrame = {
+    val benchSh = broadcast(
+      Shingles.explodeShingleHashes(benchDocs, "doc_id", "text", 5)
+        .withColumnRenamed("doc_id", "bench_id"))
+    Shingles.explodeShingleHashes(trainDocs, "doc_id", "text", 5)
+      .join(benchSh, Seq("sh"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** The batch-side closing rollup over [[contaminationStream]]'s output
+    * (threshold + per-doc census) — shared by the spec and any sink-side
+    * consumer, and textually identical to q50's tail. */
+  def contaminationRollup(pairs: DataFrame, minShared: Long = 8): DataFrame =
+    pairs.filter(col("n_shared") >= minShared)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bench_docs"), max(col("n_shared")).as("max_shared"))
+}
