@@ -47,6 +47,47 @@ object RangeJoin {
       .drop("__b")
   }
 
+  /** Interval×interval OVERLAP join (`a.start <= b.end && b.start <= a.end`,
+    * inclusive) — the shape pointsInIntervals cannot express (both sides
+    * are ranges). Same coarse-bucket trick, both sides exploded: a pair
+    * that overlaps must share at least one covered bucket, so the
+    * bucket equi-join is a superset of the answer; because a pair can
+    * co-occur in up to TWO shared buckets, matches dedupe through a
+    * groupBy on the join keys (`aKey`/`bKey` must each be unique in their
+    * frame — enforced semantics, documented not checked: a duplicate key
+    * would silently merge its matches). The exact predicate recheck runs
+    * after dedup, and both widths are runtime-guarded like
+    * [[pointsInIntervals]].
+    *
+    * Output: aKey, bKey, the four bound columns, and `overlap` =
+    * min(aEnd,bEnd) - max(aStart,bStart) (inclusive-bound length in the
+    * key unit). */
+  def intervalsOverlap(a: DataFrame, b: DataFrame,
+                       aKey: String, aStart: String, aEnd: String,
+                       bKey: String, bStart: String, bEnd: String,
+                       bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0)
+    def guard(df: DataFrame, s: String, e: String) = df.filter(
+      when(col(s).isNull || col(e).isNull, lit(false))
+        .when(col(e) - col(s) <= bucketWidth, lit(true))
+        .otherwise(raise_error(concat(lit(
+          s"RangeJoin: interval longer than bucketWidth=$bucketWidth at start="),
+          col(s)))))
+    def explodeBuckets(df: DataFrame, s: String, e: String) =
+      guard(df, s, e).withColumn("__b", explode(sequence(
+        floor(col(s) / bucketWidth), floor(col(e) / bucketWidth))))
+    val av = explodeBuckets(a.select(col(aKey), col(aStart), col(aEnd)), aStart, aEnd)
+    val bv = explodeBuckets(b.select(col(bKey), col(bStart), col(bEnd)), bStart, bEnd)
+    av.join(bv, Seq("__b"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      // a pair can share up to two buckets: dedupe on the unique keys
+      .groupBy(col(aKey), col(bKey))
+      .agg(first(col(aStart)).as(aStart), first(col(aEnd)).as(aEnd),
+        first(col(bStart)).as(bStart), first(col(bEnd)).as(bEnd))
+      .withColumn("overlap",
+        least(col(aEnd), col(bEnd)) - greatest(col(aStart), col(bStart)))
+  }
+
   /** Width annotation for the DECLARATIVE form: write the naive range
     * predicate `p >= s && p <= bucketedEnd(e, w)` and let
     * [[graft.plans.RangeJoinRewrite]] (installed via

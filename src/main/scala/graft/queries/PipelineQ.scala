@@ -145,7 +145,26 @@ object PipelineQ {
       .select(col("doc_id"), col("source"), col("lang"),
         col("pick_rank"), col("n_stratum"))
 
+  /** Interval-OVERLAP join (both sides ranges — the shape q45's
+    * points-in-intervals cannot express): error windows × purchase windows
+    * within ±2 minutes, via [[RangeJoin.intervalsOverlap]]'s double-sided
+    * coarse-bucket equi-join. DuckDB's range-join planner (IEJoin) is the
+    * oracle. */
+  def overlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+    val win = 120000000L // 2 minutes in µs
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), expr("ts div 1000").as("e_s"),
+        (expr("ts div 1000") + win).as("e_e"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pur_id"), expr("ts div 1000").as("p_s"),
+        (expr("ts div 1000") + win).as("p_e"))
+    RangeJoin.intervalsOverlap(e, p, "err_id", "e_s", "e_e",
+      "pur_id", "p_s", "p_e", bucketWidth = win)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_overlap_join"     -> (overlapJoin _),
     "q53_stratified_sample" -> (stratifiedSample _),
     "q44_asof_attribution" -> (asofAttribution _),
     "q45_interval_join"    -> (intervalJoin _),
@@ -166,6 +185,18 @@ object PipelineQ {
        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q55_overlap_join" ->
+      """WITH e AS (
+        |  SELECT event_id AS err_id, epoch_us(ts) AS e_s,
+        |         epoch_us(ts) + 120000000 AS e_e
+        |  FROM events WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT event_id AS pur_id, epoch_us(ts) AS p_s,
+        |         epoch_us(ts) + 120000000 AS p_e
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT err_id, pur_id, e_s, e_e, p_s, p_e,
+        |       least(e_e, p_e) - greatest(e_s, p_s) AS overlap
+        |FROM e JOIN p ON e_s <= p_e AND p_s <= e_e""".stripMargin,
     "q53_stratified_sample" ->
       """WITH r AS (
         |  SELECT doc_id, source, lang,

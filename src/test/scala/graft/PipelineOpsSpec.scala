@@ -130,6 +130,30 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   // ---- ConnectedComponents ----
 
+  test("interval overlap join: exact vs naive cross join, dedup across shared buckets") {
+    import graft.ops.RangeJoin
+    // A=[5,15] and B=[8,18] share BOTH buckets {0,1} at width 10 — without
+    // the groupBy dedup the pair would emit twice
+    val a = Seq((1L, 5L, 15L), (2L, 95L, 105L), (3L, 200L, 205L), (4L, 300L, 308L))
+      .toDF("aid", "as", "ae")
+    val b = Seq((10L, 8L, 18L), (20L, 100L, 110L), (30L, 206L, 214L), (40L, 320L, 330L))
+      .toDF("bid", "bs", "be")
+    val got = RangeJoin.intervalsOverlap(a, b, "aid", "as", "ae",
+        "bid", "bs", "be", bucketWidth = 10)
+      .select("aid", "bid", "overlap").as[(Long, Long, Long)].collect().toSet
+    val naive = a.crossJoin(b)
+      .filter(col("as") <= col("be") && col("bs") <= col("ae"))
+      .select(col("aid"), col("bid"),
+        (least(col("ae"), col("be")) - greatest(col("as"), col("bs"))).as("ov"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == naive)
+    assert(got == Set((1L, 10L, 7L), (2L, 20L, 5L)))
+    // no duplicate pair rows
+    val rows = RangeJoin.intervalsOverlap(a, b, "aid", "as", "ae",
+      "bid", "bs", "be", bucketWidth = 10).collect()
+    assert(rows.length == rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length)
+  }
+
   test("connected components: min-label clusters on a known graph") {
     // components: {1,2,3,4} (path), {5,6} (edge), {7,8,9} (triangle)
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L),
