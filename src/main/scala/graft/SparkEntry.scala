@@ -22,6 +22,7 @@ object SparkEntry {
     graft.queries.Events.queries     -> graft.queries.Events.oracles,
     graft.queries.TextQ.queries      -> graft.queries.TextQ.oracles,
     graft.queries.NlpQ.queries       -> graft.queries.NlpQ.oracles,
+    graft.queries.CurationQ.queries  -> graft.queries.CurationQ.oracles,
     graft.queries.SimilarityQ.queries -> graft.queries.SimilarityQ.oracles,
     graft.queries.MultimodalQ.queries -> graft.queries.MultimodalQ.oracles,
     graft.queries.Extra.queries      -> graft.queries.Extra.oracles,

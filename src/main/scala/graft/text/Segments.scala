@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Segment-level (line-level) corpus operators: C4-style global segment
+  * deduplication with document reconstruction, and boilerplate (heavy-
+  * hitter segment) detection.
+  *
+  * The C4 pipeline (Raffel et al., JMLR 2020, §2.2) removes every line
+  * that occurs more than once in the corpus, keeping one occurrence, then
+  * rebuilds each document from its surviving lines. The same operation is
+  * the standard defense against navigation chrome / cookie banners in web
+  * scrape. The synthetic `documents` table has no newlines, so a segment
+  * here is a fixed-width chunk of the whitespace token stream — the
+  * operator is agnostic: any `array<string>` segment column works
+  * (newline-split lines, sentence splits, token windows).
+  *
+  * Scale shape: one shuffle keyed by segment to pick the global first
+  * occurrence, one shuffle keyed by document to reconstruct. Both are
+  * plain hash exchanges; nothing is quadratic and no window sees more
+  * rows than one segment's occurrence list (boilerplate-sized keys are
+  * exactly the ones with long lists — at 100 TB dedup by `md5(seg)` so
+  * the exchange carries a 32-byte key instead of the segment text; the
+  * reconstruction exchange carries each document's own segments only).
+  */
+object Segments {
+
+  /** Fixed-width token-window segments over a MATERIALIZED token array
+    * (see [[graft.dedup.Shingles.wordShinglesFromTokens]] for why the
+    * array must be a column reference, not an inlined expression).
+    * Last chunk may be shorter; empty input yields an empty array. */
+  def tokenSegments(toks: Column, segTokens: Int): Column = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    // sequence(0, -1) yields the DESCENDING [0, -1] — short-circuit empties
+    when(size(toks) === 0, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(0),
+          floor((size(toks) + (segTokens - 1)) / lit(segTokens)).cast("int") - 1),
+        i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " ")))
+  }
+
+  /** (id, seg_idx, seg) — one row per segment, position-preserving.
+    * Documents with no tokens survive as a single (id, null, null) row so
+    * downstream reconstruction keeps them (`posexplode_outer` also keeps
+    * `InferFiltersFromGenerate` from re-inlining the defining expression
+    * below the projection — the round-5 d12 lesson). */
+  def explodeSegments(df: DataFrame, idCol: String, textCol: String,
+                      segTokens: Int): DataFrame =
+    df.select(col(idCol), TextMetrics.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), tokenSegments(col("__toks"), segTokens).as("__segs"))
+      .select(col(idCol), posexplode_outer(col("__segs")).as(Seq("seg_idx", "seg")))
+
+  /** C4-style global segment dedup with reconstruction.
+    *
+    * A segment instance survives iff it is the corpus-wide FIRST
+    * occurrence of its text, ordered by (id, seg_idx) — later copies in
+    * the same or any other document are dropped. Returns one row per
+    * input document:
+    * {{{ id | n_segs | n_kept | text_clean }}}
+    * where `text_clean` re-joins the surviving segments in original order
+    * (empty string when everything was someone else's duplicate).
+    *
+    * The id column must totally order documents (true for any ingest id);
+    * this makes the operator deterministic and append-stable: re-running
+    * over a grown corpus never un-picks a previously kept occurrence as
+    * long as new ids sort after old ones.
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   segTokens: Int = 8): DataFrame = {
+    val segs = explodeSegments(df, idCol, textCol, segTokens)
+    val firstWin = Window.partitionBy(col("seg"))
+      .orderBy(col(idCol), col("seg_idx"))
+    val flagged = segs.withColumn(
+      "keep", col("seg").isNotNull && row_number().over(firstWin) === 1)
+    flagged.groupBy(col(idCol))
+      .agg(
+        count(col("seg")).as("n_segs"),
+        count(when(col("keep"), lit(true))).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("seg_idx"), col("seg"))))),
+            s => s.getField("seg")),
+          " ").as("text_clean"))
+  }
+
+  /** Boilerplate detection: segments occurring in at least `minDocs`
+    * distinct documents, with document frequency and total occurrence
+    * count. The output is the corpus's navigation-chrome / licence-
+    * header list — the input to a removal pass or a stop-segment cap.
+    * Single shuffle (segment-keyed aggregation); the result is
+    * boilerplate-sized, not corpus-sized. */
+  def boilerplate(df: DataFrame, idCol: String, textCol: String,
+                  segTokens: Int = 8, minDocs: Int = 3): DataFrame =
+    explodeSegments(df, idCol, textCol, segTokens)
+      .where(col("seg").isNotNull)
+      .groupBy(col("seg"))
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_total"))
+      .where(col("n_docs") >= minDocs)
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.Segments
+
+/** C4-style segment dedup + boilerplate detection (d13/d14). */
+class SegmentsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b c d e f"),          // segs: "a b c", "d e f"
+    (2L, "a b c x y z"),          // "a b c" duplicates doc 1's first seg
+    (3L, "d e f a b c"),          // both segs are dups of earlier docs
+    (4L, "x y z z y"),            // "x y z" dups doc 2; "z y" is a short tail
+    (5L, ""),                     // empty doc must survive reconstruction
+    (6L, "unique tail"))          // single short segment
+    .toDF("doc_id", "text")
+
+  test("segmentDedup keeps the global first occurrence and rebuilds in order") {
+    val out = Segments.segmentDedup(docs, "doc_id", "text", segTokens = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, "a b c d e f")))   // first doc keeps all
+    assert(out(2L) == ((2L, 1L, "x y z")))         // lost "a b c" to doc 1
+    assert(out(3L) == ((2L, 0L, "")))              // everything was seen before
+    assert(out(4L) == ((2L, 1L, "z y")))           // lost "x y z" to doc 2
+    assert(out(5L) == ((0L, 0L, "")))              // empty doc preserved
+    assert(out(6L) == ((1L, 1L, "unique tail")))
+    assert(out.size == 6)
+  }
+
+  test("within-document repeats also deduplicate to the first instance") {
+    val d = Seq((1L, "p q r p q r p q r")).toDF("doc_id", "text")
+    val out = Segments.segmentDedup(d, "doc_id", "text", segTokens = 3)
+      .collect().head
+    assert((out.getLong(1), out.getLong(2), out.getString(3)) == ((3L, 1L, "p q r")))
+  }
+
+  test("dedup is append-stable: new docs never steal an old doc's kept segment") {
+    val grown = docs.union(Seq((7L, "a b c d e f")).toDF("doc_id", "text"))
+    val before = Segments.segmentDedup(docs, "doc_id", "text", 3)
+      .where(col("doc_id") <= 6)
+    val after = Segments.segmentDedup(grown, "doc_id", "text", 3)
+      .where(col("doc_id") <= 6)
+    assert(before.except(after).isEmpty && after.except(before).isEmpty)
+  }
+
+  test("boilerplate reports segments in >= minDocs distinct docs with counts") {
+    val d = Seq(
+      (1L, "n a v"), (2L, "n a v"), (3L, "n a v n a v"), (4L, "o n e"))
+      .toDF("doc_id", "text")
+    val out = Segments.boilerplate(d, "doc_id", "text", segTokens = 3, minDocs = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("n a v", 3L, 4L))) // 3 docs, 4 occurrences
+  }
+
+  test("segment derivation: fixed 3-token chunks with a short tail") {
+    val segs = Segments.explodeSegments(
+      Seq((1L, "  t1 t2  t3 t4 ")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .orderBy("seg_idx").select("seg").as[String].collect()
+    assert(segs.toSeq == Seq("t1 t2 t3", "t4"))
+  }
+
+  test("dedup stays a two-exchange plan (segment window + doc rebuild)") {
+    val plan = Segments.segmentDedup(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 hash exchanges, plan:\n$plan")
+  }
+}
