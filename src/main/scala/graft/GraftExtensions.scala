@@ -51,7 +51,11 @@ object GraftExtensions {
     "winnow_fps" -> (cs => graft.functions.WinnowFps(cs(0),
       intLit(cs(1), "winnow_fps k"), intLit(cs(2), "winnow_fps w"))),
     "shingle_hashes" -> (cs => graft.functions.ShingleHashes(cs(0),
-      intLit(cs(1), "shingle_hashes n"), distinct = true)))
+      intLit(cs(1), "shingle_hashes n"), distinct = true)),
+    // Unicode normalization, named for DuckDB-compatibility:
+    // SELECT nfc_normalize(text) FROM docs  (nfkc via the second form)
+    "nfc_normalize" -> (cs => graft.functions.UnicodeNormalize(cs(0), "NFC")),
+    "nfkc_normalize" -> (cs => graft.functions.UnicodeNormalize(cs(0), "NFKC")))
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v

@@ -2,7 +2,10 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import org.apache.spark.sql.functions._
+
 import graft.Tables
+import graft.functions.UnicodeNormalize
 import graft.text.Segments
 
 /** Round-6 corpus-curation operators: C4-style segment-level dedup with
@@ -26,9 +29,25 @@ object CurationQ {
     Segments.boilerplate(Tables(s, dir).documents, "doc_id", "text",
       SegTokens, MinDocs)
 
+  /** Unicode NFC normalization ([[graft.functions.UnicodeNormalize]]).
+    * The corpus is ASCII, so the query first derives a decomposed variant
+    * (combining acute after every 'e') IDENTICALLY in both engines, then
+    * normalizes — composed codepoints shrink the character length, which
+    * both outputs report. The oracle is DuckDB's own `nfc_normalize`:
+    * two independent implementations of the Unicode standard must agree. */
+  def nfcNormalize(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "e", "e\u0301").as("__dec"))
+      .select(col("doc_id"),
+        length(col("__dec")).as("len_decomposed"),
+        UnicodeNormalize.nfc(col("__dec")).as("text_nfc"))
+      .withColumn("len_nfc", length(col("text_nfc")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d13_segment_dedup" -> (segmentDedup _),
-    "d14_boilerplate"   -> (boilerplate _))
+    "d14_boilerplate"   -> (boilerplate _),
+    "q56_nfc_normalize" -> (nfcNormalize _))
 
   /** Shared segment derivation: 3-token chunks of the whitespace token
     * stream, 1-based list slicing in DuckDB mirroring Spark's `slice`. */
@@ -61,5 +80,13 @@ object CurationQ {
     "d14_boilerplate" ->
       s"""WITH $segsCte
          |SELECT seg, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
-         |FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= $MinDocs""".stripMargin)
+         |FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= $MinDocs""".stripMargin,
+    "q56_nfc_normalize" ->
+      """WITH dec AS (
+        |  SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS d FROM documents)
+        |SELECT doc_id,
+        |       CAST(length(d) AS INT) AS len_decomposed,
+        |       nfc_normalize(d) AS text_nfc,
+        |       CAST(length(nfc_normalize(d)) AS INT) AS len_nfc
+        |FROM dec""".stripMargin)
 }
