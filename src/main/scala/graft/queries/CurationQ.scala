@@ -5,8 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.UnicodeNormalize
-import graft.text.Segments
+import graft.functions.{BpeEncode, UnicodeNormalize}
+import graft.text.{Bpe, Segments, TextMetrics}
 
 /** Round-6 corpus-curation operators: C4-style segment-level dedup with
   * document reconstruction and boilerplate (heavy-hitter segment)
@@ -44,9 +44,34 @@ object CurationQ {
         UnicodeNormalize.nfc(col("__dec")).as("text_nfc"))
       .withColumn("len_nfc", length(col("text_nfc")))
 
+  /** BPE training round one: adjacent-symbol-pair counts over the word
+    * vocabulary, top 50 with the deterministic (count desc, pair lex)
+    * merge-pick order — the exact aggregation every training round runs. */
+  def bpePairs(s: SparkSession, dir: String): DataFrame =
+    Bpe.pairCounts(Tables(s, dir).documents, "text", k = 50)
+
+  /** Full BPE train + encode (no SQL oracle — the iterative merge loop is
+    * not SQL-expressible; BpeSpec proves the distributed trainer equals
+    * the local reference and that encodings round-trip). Output is
+    * per-document subword statistics under a 24-merge model. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val model = Bpe.train(docs, "text", numMerges = 24)
+    val toks = TextMetrics.tokens(col("text"))
+    docs.select(col("doc_id"), toks.as("__toks"),
+        BpeEncode.bpeEncode(col("text"), model).as("__enc"))
+      .select(col("doc_id"),
+        size(col("__toks")).as("n_words"),
+        aggregate(transform(col("__toks"), w => length(w) + 1),
+          lit(0), (acc, x) => acc + x).as("n_symbols"),
+        size(col("__enc")).as("n_subwords"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d13_segment_dedup" -> (segmentDedup _),
     "d14_boilerplate"   -> (boilerplate _),
+    "d15_bpe_pairs"     -> (bpePairs _),
+    "d16_bpe_encode"    -> (bpeEncode _),
     "q56_nfc_normalize" -> (nfcNormalize _))
 
   /** Shared segment derivation: 3-token chunks of the whitespace token
@@ -81,6 +106,22 @@ object CurationQ {
       s"""WITH $segsCte
          |SELECT seg, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
          |FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= $MinDocs""".stripMargin,
+    "d15_bpe_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |words AS (SELECT u.w AS w, count(*) AS n FROM toks, UNNEST(t) AS u(w) GROUP BY 1),
+         |sym AS (
+         |  SELECT n, list_transform(generate_series(1, length(w)), i -> substr(w, i, 1))
+         |         || ['${Bpe.Eow}'] AS s
+         |  FROM words),
+         |pairs AS (
+         |  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(n) AS BIGINT) AS n
+         |  FROM sym, UNNEST(generate_series(1, len(s) - 1)) AS u(i)
+         |  GROUP BY 1, 2)
+         |SELECT l, r, n, CAST(rnk AS INT) AS rnk
+         |FROM (SELECT *, row_number() OVER (ORDER BY n DESC, l, r) AS rnk FROM pairs)
+         |WHERE rnk <= 50""".stripMargin,
     "q56_nfc_normalize" ->
       """WITH dec AS (
         |  SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS d FROM documents)
