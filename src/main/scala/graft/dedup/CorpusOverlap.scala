@@ -1,0 +1,78 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextMetrics
+
+/** Dataset-level overlap: pairwise Jaccard similarity between the shingle
+  * sets of corpus partitions (sources, crawls, snapshots). The curation
+  * question it answers: "how much of source B is already in source A?" —
+  * the dataset-mixing / decontamination precursor to per-document dedup.
+  *
+  * Exact path: distinct (source, shingle) → self-join on shingle. The
+  * per-shingle fan-out is bounded by the NUMBER OF SOURCES (each shingle
+  * contributes at most C(|sources|,2) pairs), so unlike document-level
+  * all-pairs this stays safe at any corpus size; the shuffles are
+  * (source, shingle)-distinct and shingle-keyed join, both plain hash
+  * exchanges. At 100 TB swap the shingle string for its 64-bit hash
+  * ([[graft.functions.ShingleHashes]]) to shrink shuffle bytes ~5×; the
+  * string form is kept here because the DuckDB oracle must reproduce it.
+  *
+  * Sketch path: one MinHash signature per source ([[graft.functions
+  * .MinHashSig]] over ALL of a source's shingles — signatures merge
+  * associatively, so this is a single map-side-combined aggregation) and
+  * the standard matching-coordinate estimate. One tiny shuffle, |sources|
+  * rows; the estimator's error is checked against the exact path in
+  * CorpusOverlapSpec.
+  */
+object CorpusOverlap {
+
+  /** Distinct (group, shingle) pairs: group-level shingle sets. */
+  def groupShingles(df: DataFrame, groupCol: String, textCol: String,
+                    n: Int): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        TextMetrics.tokens(col(textCol)).as("__toks"))
+      .select(col("grp"),
+        explode(Shingles.wordShinglesFromTokens(col("__toks"), n)).as("shingle"))
+      .distinct()
+
+  /** Exact pairwise Jaccard between all group pairs (grp_a < grp_b) that
+    * share at least one shingle. */
+  def exactPairJaccard(df: DataFrame, groupCol: String, textCol: String,
+                       n: Int = 3): DataFrame = {
+    val sh = groupShingles(df, groupCol, textCol, n)
+    val sizes = sh.groupBy("grp").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.as("sa"), col("grp_a") === col("sa.grp"))
+      .join(sizes.as("sb"), col("grp_b") === col("sb.grp"))
+      .select(col("grp_a"), col("grp_b"),
+        col("sa.sz").as("n_a"), col("sb.sz").as("n_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("n_common")).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** MinHash-estimated pairwise Jaccard: one signature per group, then a
+    * driver-size cross of signature rows. `numHashes` trades accuracy
+    * (stderr ≈ 1/sqrt(numHashes)) for signature size. */
+  def sketchPairJaccard(df: DataFrame, groupCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 128,
+                        seed: Long = 0x5eedL): DataFrame = {
+    val sh = df.select(col(groupCol).as("grp"),
+        explode(graft.functions.ShingleHashesFn.shingleHashes(
+          col(textCol), n, distinct = true)).as("sh"))
+    val sigs = sh.groupBy("grp")
+      .agg(graft.functions.MinHashSig.minHashSig(col("sh"), numHashes, seed)
+        .as("sig"))
+    val est = sigs.as("a").join(sigs.as("b"), col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          b => b)).cast("double") / lit(numHashes.toDouble)).as("jaccard_est"))
+    est
+  }
+}

@@ -67,11 +67,20 @@ object CurationQ {
         size(col("__enc")).as("n_subwords"))
   }
 
+  /** Dataset-level overlap: exact pairwise Jaccard between the 20
+    * sources' trigram-shingle sets (the "how much of crawl B is already
+    * in crawl A" question). The MinHash sketch twin is bound to this
+    * exact result in CorpusOverlapSpec. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.CorpusOverlap.exactPairJaccard(
+      Tables(s, dir).documents, "source", "text", n = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d13_segment_dedup" -> (segmentDedup _),
     "d14_boilerplate"   -> (boilerplate _),
     "d15_bpe_pairs"     -> (bpePairs _),
     "d16_bpe_encode"    -> (bpeEncode _),
+    "d17_source_overlap" -> (sourceOverlap _),
     "q56_nfc_normalize" -> (nfcNormalize _))
 
   /** Shared segment derivation: 3-token chunks of the whitespace token
@@ -122,6 +131,24 @@ object CurationQ {
          |SELECT l, r, n, CAST(rnk AS INT) AS rnk
          |FROM (SELECT *, row_number() OVER (ORDER BY n DESC, l, r) AS rnk FROM pairs)
          |WHERE rnk <= 50""".stripMargin,
+    "d17_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source AS grp, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |sizes AS (SELECT grp, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.grp < b.grp
+        |  GROUP BY 1, 2)
+        |SELECT grp_a, grp_b, sa.sz AS n_a, sb.sz AS n_b, n_common,
+        |       CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.grp = grp_a
+        |JOIN sizes sb ON sb.grp = grp_b""".stripMargin,
     "q56_nfc_normalize" ->
       """WITH dec AS (
         |  SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS d FROM documents)
