@@ -55,6 +55,45 @@ class LayoutSpec extends AnyFunSuite {
         s"for a ${selected}-row range")
   }
 
+  test("z-order prunes on BOTH dimensions; range clustering only on its lead") {
+    val li = Tables(spark, sf).lineitem.select(
+      col("l_orderkey"),
+      datediff(to_date(col("l_shipdate")), lit("1992-01-01").cast("date"))
+        .as("ship_day"),
+      col("l_partkey"), col("l_quantity"))
+    val total = li.count()
+    val zdir = java.nio.file.Files.createTempDirectory("li-zorder").toString
+    val rdir = java.nio.file.Files.createTempDirectory("li-range").toString
+    Layout.writeZOrdered(li, zdir, numFiles = 16,
+      zCols = Seq("ship_day", "l_partkey"))
+    Layout.writeRangeClustered(li, rdir, numFiles = 16, col("ship_day"))
+
+    val maxDay = li.agg(max("ship_day")).head.getInt(0)
+    val maxPart = li.agg(max("l_partkey")).head.getLong(0)
+    val dayPred = col("ship_day") >= maxDay / 2 - maxDay / 20 &&
+      col("ship_day") < maxDay / 2 + maxDay / 20 // ~10% slab in dim 1
+    val partPred = col("l_partkey") >= maxPart / 2 - maxPart / 20 &&
+      col("l_partkey") < maxPart / 2 + maxPart / 20 // ~10% slab in dim 2
+
+    def scan(dir: String, pred: org.apache.spark.sql.Column): Long =
+      scannedRows(spark.read.parquet(dir).filter(pred))
+
+    // identical results from both layouts
+    assert(spark.read.parquet(zdir).filter(dayPred && partPred).count() ==
+      spark.read.parquet(rdir).filter(dayPred && partPred).count())
+    // range layout: perfect on lead dim, blind on the other
+    assert(scan(rdir, dayPred) < (total * 0.3).toLong, "range layout lead-dim pruning broken")
+    assert(scan(rdir, partPred) > (total * 0.9).toLong, "test premise: range layout can't prune dim 2")
+    // z-order: meaningful pruning on EACH dim alone...
+    val zDay = scan(zdir, dayPred)
+    val zPart = scan(zdir, partPred)
+    assert(zDay < (total * 0.7).toLong, s"z-order dim-1 pruning weak: $zDay of $total")
+    assert(zPart < (total * 0.7).toLong, s"z-order dim-2 pruning weak: $zPart of $total")
+    // ...and multiplicative pruning on the rectangle
+    val zBoth = scan(zdir, dayPred && partPred)
+    assert(zBoth < (total * 0.45).toLong, s"z-order rectangle pruning weak: $zBoth of $total")
+  }
+
   test("approx_percentile (scale path for q34) is within its accuracy bound of exact") {
     // At 100 TB a grouped exact percentile (ArrayPercentile buffers the
     // group) is the verification path; the scale path is the built-in
