@@ -56,7 +56,7 @@ object CurationQ {
     * per-document subword statistics under a 24-merge model. */
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
-    val model = Bpe.train(docs, "text", numMerges = 24)
+    val model = Bpe.trainAuto(docs, "text", numMerges = 24)
     val toks = TextMetrics.tokens(col("text"))
     docs.select(col("doc_id"), toks.as("__toks"),
         BpeEncode.bpeEncode(col("text"), model).as("__enc"))

@@ -105,7 +105,14 @@ object Bpe {
         s"concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)), array('$Eow'))").as("s"))
       .select(col("n"), expr(
         "transform(sequence(1, size(s) - 1), i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))").as("ps"))
-      .select(explode(col("ps")).as("p"), col("n"))
+      // explode_OUTER, though ps is never empty (every word has >= 1 char):
+      // an inner generate lets InferFiltersFromGenerate synthesize
+      // size(ps) > 0, re-inline ps's whole interpreted lambda chain into
+      // it, and push it below the word aggregation — where it re-runs per
+      // TOKEN OCCURRENCE, not per distinct word (measured 4.5 s of a 4.9 s
+      // query at sf0.1; the d12 lesson through a new hole)
+      .select(explode_outer(col("ps")).as("p"), col("n"))
+      .where(col("p").isNotNull)
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("n")).as("n"))
       .orderBy(col("n").desc, col("l").asc, col("r").asc)
@@ -158,6 +165,24 @@ object Bpe {
     }
     words.unpersist(false)
     Model(merges.toSeq)
+  }
+
+  /** Adaptive trainer: BPE rounds only ever look at the DISTINCT-WORD
+    * table, so when that table is small enough to collect (it usually is —
+    * 10^6 words × ~20 bytes), the driver loop beats `numMerges` Spark
+    * jobs by orders of magnitude in scheduling latency alone. Beyond
+    * `maxLocalVocab` distinct words it falls back to the distributed
+    * loop. Both paths produce identical models (BpeSpec proves it), so
+    * this is a pure execution-strategy choice, like a broadcast-join
+    * threshold. */
+  def trainAuto(df: DataFrame, textCol: String, numMerges: Int,
+                minCount: Long = 2, maxLocalVocab: Long = 1L << 20): Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wc = wordCounts(df, textCol)
+    if (wc.limit((maxLocalVocab + 1).toInt).count() <= maxLocalVocab)
+      trainLocal(wc.as[(String, Long)].collect().toMap, numMerges, minCount)
+    else train(df, textCol, numMerges, minCount)
   }
 
   /** Driver-side trainer for small vocabularies (spec twin of [[train]] —

@@ -31,6 +31,13 @@ class BpeSpec extends AnyFunSuite {
     assert(dist.merges == local.merges)
   }
 
+  test("trainAuto (local fast path) equals the distributed trainer") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val auto = Bpe.trainAuto(docs, "text", numMerges = 15)
+    val dist = Bpe.train(docs, "text", numMerges = 15)
+    assert(auto.merges == dist.merges)
+  }
+
   test("training is deterministic across repartitionings") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Bpe.train(docs, "text", numMerges = 10)
