@@ -38,22 +38,39 @@ object CorpusOverlap {
       .distinct()
 
   /** Exact pairwise Jaccard between all group pairs (grp_a < grp_b) that
-    * share at least one shingle. */
+    * share at least one shingle.
+    *
+    * Posting-list plan (the [[Shingles.jaccardPairs]] shape): ONE
+    * corpus-sized exchange builds shingle → sorted set of groups —
+    * `collect_set` is naturally bounded by the group count, so no cap is
+    * needed — then pairs are generated inside each posting array (two
+    * chained codegen'd generators, pre-ordered by the sort) and both the
+    * pair counts and the per-group sizes aggregate from the persisted
+    * vocabulary-sized index. The original two-exchange self-join probed a
+    * corpus-sized hash table; this replaces it outright (measured 1.6 s →
+    * see ROUND6_NOTES at sf0.1). */
   def exactPairJaccard(df: DataFrame, groupCol: String, textCol: String,
                        n: Int = 3): DataFrame = {
-    val sh = groupShingles(df, groupCol, textCol, n)
-    val sizes = sh.groupBy("grp").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.grp") < col("b.grp"))
-      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
-      .agg(count(lit(1)).as("n_common"))
+    val sh = df.select(col(groupCol).as("grp"),
+        TextMetrics.tokens(col(textCol)).as("__toks"))
+      .select(col("grp"),
+        explode(Shingles.wordShinglesFromTokens(col("__toks"), n)).as("shingle"))
+    val postings = sh.groupBy("shingle")
+      .agg(array_sort(collect_set(col("grp"))).as("grps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = postings.select(explode(col("grps")).as("grp"))
+      .groupBy("grp").agg(count(lit(1)).as("sz"))
+    val inter = postings.filter(size(col("grps")) >= 2)
+      .select(col("grps"), posexplode(col("grps")).as(Seq("i", "grp_a")))
+      .select(col("grp_a"), explode(slice(col("grps"), col("i") + 2,
+        size(col("grps")) - col("i") - 1)).as("grp_b"))
+      .groupBy("grp_a", "grp_b").agg(count(lit(1)).as("n_common"))
     inter
-      .join(sizes.as("sa"), col("grp_a") === col("sa.grp"))
-      .join(sizes.as("sb"), col("grp_b") === col("sb.grp"))
-      .select(col("grp_a"), col("grp_b"),
-        col("sa.sz").as("n_a"), col("sb.sz").as("n_b"), col("n_common"),
+      .join(sizes.select(col("grp").as("grp_a"), col("sz").as("n_a")), Seq("grp_a"))
+      .join(sizes.select(col("grp").as("grp_b"), col("sz").as("n_b")), Seq("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"), col("n_common"),
         (col("n_common").cast("double") /
-          (col("sa.sz") + col("sb.sz") - col("n_common")).cast("double"))
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
           .as("jaccard"))
   }
 
