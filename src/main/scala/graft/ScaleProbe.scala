@@ -154,6 +154,40 @@ object ScaleProbe {
       .withColumn("l_orderkey", col("l_orderkey") * factor + col("copy"))
       .drop("copy").repartition(32).cache()
     println(s"lineitem x$factor: ${li.count()} rows")
+    time("segment_dedup") {
+      graft.text.Segments.segmentDedup(docs, "doc_id", "text", 3).count()
+    }
+    time("boilerplate_exact") {
+      graft.text.Segments.boilerplate(docs, "doc_id", "text", 3, 3).count()
+    }
+    time("boilerplate_sketch_mg") {
+      val segs = graft.text.Segments.explodeSegments(docs, "doc_id", "text", 3)
+        .where(col("seg").isNotNull)
+      segs.agg(graft.functions.FreqSketch.freqSketch(col("seg"), 64).as("s"))
+        .select(explode(col("s"))).count()
+    }
+    time("bpe_train_distributed_8") {
+      graft.text.Bpe.train(docs, "text", numMerges = 8).merges.size.toLong
+    }
+    time("bpe_encode") {
+      val model = graft.text.Bpe.trainAuto(docs, "text", numMerges = 24)
+      docs.select(size(graft.functions.BpeEncode.bpeEncode(col("text"), model))
+        .as("n")).agg(sum("n")).head.getLong(0)
+    }
+    time("source_overlap_exact") {
+      graft.dedup.CorpusOverlap.exactPairJaccard(docs, "source", "text", 3).count()
+    }
+    time("source_overlap_sketch") {
+      graft.dedup.CorpusOverlap.sketchPairJaccard(docs, "source", "text", 3, 128).count()
+    }
+    time("bloom_prune_semijoin") {
+      // decontamination shape: probe side too big to want an exact
+      // broadcast — 1/50 of the corpus's texts
+      val probe = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("text").as("probe_text"))
+      graft.ops.BloomPrune.semiJoin(docs, "text", probe, "probe_text",
+        expectedItems = n / 50 + 1).count()
+    }
     time("topk_window") {
       graft.ops.WindowOps.topK(li, Seq("l_returnflag"),
         Seq(col("l_extendedprice").desc, col("l_orderkey").asc,

@@ -86,6 +86,50 @@ object Segments {
           " ").as("text_clean"))
   }
 
+  /** Incremental C4 dedup — the daily-crawl flow: dedup a NEW batch of
+    * documents against the registry of segments already kept from earlier
+    * batches, without touching the old corpus.
+    *
+    * `knownSegments` is the stored `(seg)` table of every segment kept so
+    * far (what a production pipeline materializes anyway). A new batch's
+    * segment survives iff it is (a) not in the registry and (b) the first
+    * occurrence within the batch. Returns the deduped batch in
+    * [[segmentDedup]]'s output shape plus the registry delta to append.
+    *
+    * Append stability is what makes this EQUAL to re-running the full
+    * batch dedup over old ∪ new (SegmentsSpec proves it): the full run's
+    * first-occurrence picks for old docs never move when new docs arrive
+    * (new ids sort after old), so the registry is exactly the set of
+    * segments the full run would have already claimed. Cost per
+    * increment: one anti-join of the batch's segments against the
+    * registry (shuffled on the segment key) — never a rescan of the
+    * accumulated corpus. */
+  def incrementalSegmentDedup(newDocs: DataFrame, idCol: String,
+                              textCol: String, knownSegments: DataFrame,
+                              segTokens: Int = 8): (DataFrame, DataFrame) = {
+    val segs = explodeSegments(newDocs, idCol, textCol, segTokens)
+    val firstWin = Window.partitionBy(col("seg"))
+      .orderBy(col(idCol), col("seg_idx"))
+    val flagged = segs
+      .join(knownSegments.select(col("seg")).distinct()
+        .withColumn("__known", lit(true)), Seq("seg"), "left")
+      .withColumn("keep",
+        col("seg").isNotNull && col("__known").isNull &&
+          row_number().over(firstWin) === 1)
+    val cleaned = flagged.groupBy(col(idCol))
+      .agg(
+        count(col("seg")).as("n_segs"),
+        count(when(col("keep"), lit(true))).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("seg_idx"), col("seg"))))),
+            s => s.getField("seg")),
+          " ").as("text_clean"))
+    val registryDelta = flagged.filter(col("keep")).select(col("seg"))
+    (cleaned, registryDelta)
+  }
+
   /** Boilerplate detection: segments occurring in at least `minDocs`
     * distinct documents, with document frequency and total occurrence
     * count. The output is the corpus's navigation-chrome / licence-

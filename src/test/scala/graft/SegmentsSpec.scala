@@ -48,6 +48,23 @@ class SegmentsSpec extends AnyFunSuite {
     assert(before.except(after).isEmpty && after.except(before).isEmpty)
   }
 
+  test("incremental dedup over two batches equals the full run on the union") {
+    val batch1 = docs.where(col("doc_id") <= 3)
+    val batch2 = docs.where(col("doc_id") > 3)
+      .union(Seq((7L, "a b c fresh seg here")).toDF("doc_id", "text"))
+    val (clean1, delta1) = Segments.incrementalSegmentDedup(
+      batch1, "doc_id", "text", spark.emptyDataset[String].toDF("seg"), 3)
+    val (clean2, delta2) = Segments.incrementalSegmentDedup(
+      batch2, "doc_id", "text", delta1, 3)
+    val full = Segments.segmentDedup(batch1.union(batch2), "doc_id", "text", 3)
+    val incremental = clean1.union(clean2)
+    assert(incremental.except(full).isEmpty && full.except(incremental).isEmpty)
+    // registry after both batches == full run's kept segments
+    val registry = delta1.union(delta2)
+    assert(registry.count() ==
+      full.agg(sum(col("n_kept"))).head.getLong(0))
+  }
+
   test("boilerplate reports segments in >= minDocs distinct docs with counts") {
     val d = Seq(
       (1L, "n a v"), (2L, "n a v"), (3L, "n a v n a v"), (4L, "o n e"))
