@@ -94,6 +94,36 @@ class LayoutSpec extends AnyFunSuite {
     assert(zBoth < (total * 0.45).toLong, s"z-order rectangle pruning weak: $zBoth of $total")
   }
 
+  test("approx_count_distinct (vocab/cardinality scale path) within its rsd bound") {
+    // d10/d17-style cardinality questions (vocabulary size, distinct
+    // shingles per source) use exact counts here; the 100 TB path is the
+    // HLL++ sketch, whose relative standard deviation is a parameter. Pin
+    // the contract at 4 sigma so the suite catches a regression in either
+    // the sketch or our assumption about it.
+    val rsd = 0.02
+    val docs = Tables(spark, sf).documents
+    val toks = docs.select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .where(col("t") =!= "")
+    val exact = toks.agg(countDistinct(col("t"))).head.getLong(0)
+    val approx = toks.agg(approx_count_distinct(col("t"), rsd)).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble <= math.max(4 * rsd * exact, 1.0),
+      s"approx $approx vs exact $exact beyond 4x rsd=$rsd")
+    // grouped form: per-source distinct shingle estimates
+    val bySrc = docs.select(col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("t"))
+      .where(col("t") =!= "")
+      .groupBy("source")
+      .agg(countDistinct(col("t")).as("exact"),
+        approx_count_distinct(col("t"), rsd).as("approx"))
+      .collect()
+    assert(bySrc.length > 1)
+    for (r <- bySrc) {
+      val (e, a) = (r.getAs[Long]("exact"), r.getAs[Long]("approx"))
+      assert(math.abs(a - e).toDouble <= math.max(4 * rsd * e, 2.0),
+        s"${r.getAs[String]("source")}: approx $a vs exact $e")
+    }
+  }
+
   test("approx_percentile (scale path for q34) is within its accuracy bound of exact") {
     // At 100 TB a grouped exact percentile (ArrayPercentile buffers the
     // group) is the verification path; the scale path is the built-in

@@ -139,4 +139,31 @@ class PlanQualitySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("NFC normalization is a shuffle-free pruned projection") {
+    val p = plan("q56_nfc_normalize")
+    assert(!p.contains("Exchange"), "a pure projection must not shuffle\n" + p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("BPE pair counts: no interpreted lambda re-inlined below the word agg") {
+    // the InferFiltersFromGenerate regression (round 6): an inferred
+    // size(ps) > 0 filter re-inlines the pair-building lambda chain and
+    // runs it per TOKEN below the aggregation — 6x the query. A Filter
+    // evaluating a lambdafunction anywhere in this plan means it's back.
+    val p = plan("d15_bpe_pairs")
+    val badFilter = p.linesIterator.exists(l =>
+      l.trim.startsWith("+- Filter") && l.contains("lambdafunction"))
+    assert(!badFilter, "inferred filter re-inlines interpreted lambdas:\n" + p)
+  }
+
+  test("source overlap: posting-list plan, no shingle self-join") {
+    val p = plan("d17_source_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("InMemoryTableScan"),
+      "posting index should be served from its persisted copy\n" + p)
+    // only the two size lookups on the pair endpoints remain as joins
+    assert(p.linesIterator.count(_.contains("Join")) <= 2,
+      "exact overlap must not self-join the shingle table\n" + p)
+  }
 }
