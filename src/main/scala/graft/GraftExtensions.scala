@@ -55,7 +55,12 @@ object GraftExtensions {
     // Unicode normalization, named for DuckDB-compatibility:
     // SELECT nfc_normalize(text) FROM docs  (nfkc via the second form)
     "nfc_normalize" -> (cs => graft.functions.UnicodeNormalize(cs(0), "NFC")),
-    "nfkc_normalize" -> (cs => graft.functions.UnicodeNormalize(cs(0), "NFKC")))
+    "nfkc_normalize" -> (cs => graft.functions.UnicodeNormalize(cs(0), "NFKC")),
+    // Misra-Gries heavy hitters for SQL users (the analyzer wraps a bare
+    // AggregateFunction in its AggregateExpression):
+    // SELECT explode(freq_sketch(seg, 64)) FROM segments
+    "freq_sketch" -> (cs => graft.functions.FreqSketch(cs(0),
+      intLit(cs(1), "freq_sketch capacity"))))
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v

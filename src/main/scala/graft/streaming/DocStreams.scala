@@ -53,6 +53,46 @@ object DocStreams {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Streaming C4 segment dedup — the daily-crawl twin of
+    * [[graft.text.Segments.segmentDedup]], built on the incremental batch
+    * operator: every micro-batch dedups against the segment registry
+    * accumulated from all previous batches (one anti-join per batch, no
+    * rescan of history), appends its registry delta, and appends its
+    * cleaned documents.
+    *
+    * The registry is the same `(seg)` table a batch deployment
+    * materializes; here it is a parquet directory so the stream's state
+    * survives restarts without growing executor memory — Spark's own
+    * stateful operators cap state by watermark, but segment identity
+    * never expires, so an external append-only store is the right shape
+    * (Delta/Iceberg in production; the directory is the test stand-in,
+    * with at-least-once semantics on retry — a transactional sink makes
+    * it exactly-once).
+    *
+    * Equality with the full batch dedup (DocStreamsSpec replays and
+    * checks) holds when batch arrival respects id order — true for
+    * ingest-assigned monotonic ids, and the same append-stability
+    * contract the incremental batch operator documents. */
+  def segmentDedupStream(docStream: DataFrame, idCol: String, textCol: String,
+                         segTokens: Int, registryDir: String,
+                         cleanDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val registry =
+        if (new java.io.File(registryDir).exists())
+          spark.read.parquet(registryDir)
+        else spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("seg", StringType))))
+      val cached = batch.persist()
+      try {
+        val (clean, delta) = graft.text.Segments.incrementalSegmentDedup(
+          cached, idCol, textCol, registry, segTokens)
+        delta.write.mode("append").parquet(registryDir)
+        clean.write.mode("append").parquet(cleanDir)
+      } finally { cached.unpersist(); () }
+    }
+
   /** The batch-side closing rollup over [[contaminationStream]]'s output
     * (threshold + per-doc census) — shared by the spec and any sink-side
     * consumer, and textually identical to q50's tail. */

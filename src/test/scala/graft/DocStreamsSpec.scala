@@ -44,4 +44,38 @@ class DocStreamsSpec extends AnyFunSuite {
       "incremental contamination diverged from the batch oracle query")
     assert(batch.nonEmpty, "fixture produced no contaminated docs — vacuous test")
   }
+
+  test("streaming segment dedup converges to the batch d13 operator") {
+    val docs = Tables(spark, sf).documents
+    // stage three id-ordered drops with distinct mtimes: FileStreamSource
+    // processes oldest-first, matching the monotonic-id arrival the
+    // incremental operator's equality contract needs
+    val stageDir = java.nio.file.Files.createTempDirectory("seg-stream").toString
+    for ((lo, hi, i) <- Seq((0L, 150L, 0), (150L, 320L, 1), (320L, 10000L, 2))) {
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .repartition(1).write.mode("append").parquet(stageDir)
+      Thread.sleep(1100) // distinct second-granularity mtimes
+      val _ = i
+    }
+    val registryDir = java.nio.file.Files.createTempDirectory("seg-reg").toString + "/r"
+    val cleanDir = java.nio.file.Files.createTempDirectory("seg-clean").toString + "/c"
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt2").toString
+    val q = DocStreams.segmentDedupStream(
+        DocStreams.readDocumentStream(spark, stageDir, maxFilesPerTrigger = Some(1)),
+        "doc_id", "text", 3, registryDir, cleanDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 3,
+      "expected a multi-batch incremental run")
+    val streamed = spark.read.parquet(cleanDir)
+    val batch = graft.text.Segments.segmentDedup(docs, "doc_id", "text", 3)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streaming segment dedup diverged from the batch operator")
+    // the persisted registry is exactly the batch run's kept-segment count
+    assert(spark.read.parquet(registryDir).count() ==
+      batch.agg(sum(col("n_kept"))).head.getLong(0))
+  }
 }

@@ -52,6 +52,12 @@ class SkewAndExtensionsSpec extends AnyFunSuite {
     assert(fps > 0)
     assert(spark.sql("SELECT size(shingle_hashes('a b c d', 3)) AS n")
       .head().getInt(0) == 2)
+    // round-6: Misra-Gries heavy hitters as a SQL aggregate
+    val hh = spark.sql(
+      "SELECT freq_sketch(x, 4) AS s FROM VALUES ('a'),('a'),('a'),('b') t(x)")
+      .selectExpr("inline(s)").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(hh.toSeq == Seq(("a", 3L), ("b", 1L)))
   }
 
   test("CSV sink round-trips with quoting; JSON records sink") {
