@@ -74,11 +74,28 @@ object SimilarityQ {
       .select(col("vec_id"), col("best.cid").as("cid"), col("best.cos").as("cos"))
   }
 
+  /** SemDeDup-style semantic dedup: e02's embedding near-dup pairs →
+    * connected components → keep one representative per cluster (the
+    * min-id member, which min-label CC makes the cluster_id itself).
+    * Composition of two already-oracle-backed operators into the third
+    * curation stage; only vectors in >= 1 pair appear (same contract as
+    * q48). */
+  def semanticClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Knn.nearDupPairs(emb(s, dir), minCos = 0.4)
+    val cl = graft.ops.ConnectedComponents.clusters(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "vec_id")
+    val sizes = cl.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    cl.join(sizes, Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"), col("n_members"),
+        (col("vec_id") === col("cluster_id")).as("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_knn_brute"      -> (knnBrute _),
     "e02_cosine_neardup" -> (cosineNearDup _),
     "e03_knn_approx"     -> (knnApprox _),
-    "e04_centroid_assign" -> (centroidAssign _))
+    "e04_centroid_assign" -> (centroidAssign _),
+    "e05_semantic_clusters" -> (semanticClusters _))
 
   // Shared oracle scaffolding, in lockstep with Knn.dotExact/cosine:
   // each element quantizes to the INTEGER round_even(double(x)·1e9) —
@@ -150,5 +167,30 @@ object SimilarityQ {
          |FROM (SELECT id_a, id_b, d FROM dots) dots2
          |JOIN (SELECT vec_id, sqrt(nrm2) AS nrm2_sqrt FROM norms) na ON na.vec_id = id_a
          |JOIN (SELECT vec_id, sqrt(nrm2) AS nrm2_sqrt FROM norms) nb ON nb.vec_id = id_b
-         |WHERE d / (na.nrm2_sqrt * nb.nrm2_sqrt) >= 0.4""".stripMargin)
+         |WHERE d / (na.nrm2_sqrt * nb.nrm2_sqrt) >= 0.4""".stripMargin,
+    "e05_semantic_clusters" ->
+      s"""WITH RECURSIVE norms AS ($normsSql),
+         |dots AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         CAST(CAST(SUM(${q9("a.embedding[i]")} * ${q9("b.embedding[i]")}) AS VARCHAR) AS DOUBLE) AS d
+         |  FROM embeddings a, embeddings b, UNNEST(generate_series(1, len(a.embedding))) AS u(i)
+         |  WHERE a.vec_id < b.vec_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM dots
+         |  JOIN (SELECT vec_id, sqrt(nrm2) AS na FROM norms) x ON x.vec_id = id_a
+         |  JOIN (SELECT vec_id, sqrt(nrm2) AS nb FROM norms) y ON y.vec_id = id_b
+         |  WHERE d / (na * nb) >= 0.4),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |walk(id, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r),
+         |cl AS (SELECT id AS vec_id, min(r) AS cluster_id FROM walk GROUP BY 1)
+         |SELECT vec_id, cluster_id,
+         |       count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         |       vec_id = cluster_id AS keep
+         |FROM cl""".stripMargin)
 }
