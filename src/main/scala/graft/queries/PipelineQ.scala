@@ -269,7 +269,7 @@ object PipelineQ {
         |GROUP BY 1""".stripMargin,
     "q48_dup_clusters" ->
       s"""WITH RECURSIVE $d04PairsCte,
-         |edges AS (SELECT id_a AS a, id_b AS b FROM dup_pairs
+         |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM dup_pairs
          |          UNION ALL SELECT id_b, id_a FROM dup_pairs),
          |walk(id, r) AS (
          |  SELECT DISTINCT a, a FROM edges

@@ -176,13 +176,19 @@ object SimilarityQ {
          |  FROM embeddings a, embeddings b, UNNEST(generate_series(1, len(a.embedding))) AS u(i)
          |  WHERE a.vec_id < b.vec_id
          |  GROUP BY 1, 2),
-         |pairs AS (
+         |-- MATERIALIZED, twice: DuckDB inlines plain CTEs per reference,
+         |-- so un-materialized `pairs` runs its O(n^2 * dim) dots pipeline
+         |-- once per edge direction, and an un-materialized `edges` re-runs
+         |-- it in EVERY iteration of the recursive walk (measured: minutes
+         |-- instead of seconds at sf0.1)
+         |pairs AS MATERIALIZED (
          |  SELECT id_a, id_b
          |  FROM dots
          |  JOIN (SELECT vec_id, sqrt(nrm2) AS na FROM norms) x ON x.vec_id = id_a
          |  JOIN (SELECT vec_id, sqrt(nrm2) AS nb FROM norms) y ON y.vec_id = id_b
          |  WHERE d / (na * nb) >= 0.4),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |edges AS MATERIALIZED (
+         |          SELECT id_a AS a, id_b AS b FROM pairs
          |          UNION ALL SELECT id_b, id_a FROM pairs),
          |walk(id, r) AS (
          |  SELECT DISTINCT a, a FROM edges
