@@ -50,14 +50,20 @@ object CorpusOverlap {
     * corpus-sized hash table; this replaces it outright (measured 1.6 s →
     * see ROUND6_NOTES at sf0.1). */
   def exactPairJaccard(df: DataFrame, groupCol: String, textCol: String,
-                       n: Int = 3): DataFrame = {
+                       n: Int = 3, persistIndex: Boolean = true): DataFrame = {
     val sh = df.select(col(groupCol).as("grp"),
         TextMetrics.tokens(col(textCol)).as("__toks"))
       .select(col("grp"),
         explode(Shingles.wordShinglesFromTokens(col("__toks"), n)).as("shingle"))
-    val postings = sh.groupBy("shingle")
+    val postings0 = sh.groupBy("shingle")
       .agg(array_sort(collect_set(col("grp"))).as("grps"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same cache contract as Shingles.jaccardPairs: CacheManager keys by
+    // canonicalized plan so repeated calls over one input share an entry;
+    // one-shot callers managing their own memory pass persistIndex=false
+    val postings =
+      if (persistIndex)
+        postings0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else postings0
     val sizes = postings.select(explode(col("grps")).as("grp"))
       .groupBy("grp").agg(count(lit(1)).as("sz"))
     val inter = postings.filter(size(col("grps")) >= 2)

@@ -84,13 +84,23 @@ object DocStreams {
         else spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           StructType(Seq(StructField("seg", StringType))))
-      val cached = batch.persist()
+      // persist the flagged plan, not just the raw batch: the registry
+      // delta and the cleaned docs both consume it, and re-running it
+      // would anti-join the (growing) registry twice per micro-batch.
+      // ORDER MATTERS: the delta append to registryDir triggers
+      // CacheManager.recacheByPath(registryDir), which re-plans every
+      // cached plan reading that path — flagged included — against the
+      // POST-append listing; writing the cleaned docs afterwards would
+      // then see this batch's own segments as already-known and keep
+      // nothing (a measured full-batch wipe). Clean first, delta last.
+      val flagged = graft.text.Segments.incrementalFlags(
+        batch, idCol, textCol, registry, segTokens).persist()
       try {
-        val (clean, delta) = graft.text.Segments.incrementalSegmentDedup(
-          cached, idCol, textCol, registry, segTokens)
-        delta.write.mode("append").parquet(registryDir)
-        clean.write.mode("append").parquet(cleanDir)
-      } finally { cached.unpersist(); () }
+        graft.text.Segments.rebuildFromFlags(flagged, idCol)
+          .write.mode("append").parquet(cleanDir)
+        graft.text.Segments.registryDelta(flagged)
+          .write.mode("append").parquet(registryDir)
+      } finally { flagged.unpersist(); () }
     }
 
   /** The batch-side closing rollup over [[contaminationStream]]'s output

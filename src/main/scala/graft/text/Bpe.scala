@@ -180,7 +180,8 @@ object Bpe {
     val spark = df.sparkSession
     import spark.implicits._
     val wc = wordCounts(df, textCol)
-    if (wc.limit((maxLocalVocab + 1).toInt).count() <= maxLocalVocab)
+    val probeLimit = math.min(maxLocalVocab + 1, Int.MaxValue.toLong).toInt
+    if (wc.limit(probeLimit).count() <= maxLocalVocab)
       trainLocal(wc.as[(String, Long)].collect().toMap, numMerges, minCount)
     else train(df, textCol, numMerges, minCount)
   }

@@ -33,8 +33,11 @@ object Segments {
     * Last chunk may be shorter; empty input yields an empty array. */
   def tokenSegments(toks: Column, segTokens: Int): Column = {
     require(segTokens > 0, s"segTokens must be positive, got $segTokens")
-    // sequence(0, -1) yields the DESCENDING [0, -1] — short-circuit empties
-    when(size(toks) === 0, array().cast("array<string>")).otherwise(
+    // sequence(0, -1) yields the DESCENDING [0, -1] — short-circuit empties;
+    // coalesce: size(null array) is null (sizeOfNull=false), and a null
+    // slipping into the otherwise branch would feed sequence a null bound
+    when(coalesce(size(toks), lit(0)) === 0, array().cast("array<string>"))
+      .otherwise(
       transform(
         sequence(lit(0),
           floor((size(toks) + (segTokens - 1)) / lit(segTokens)).cast("int") - 1),
@@ -107,16 +110,36 @@ object Segments {
   def incrementalSegmentDedup(newDocs: DataFrame, idCol: String,
                               textCol: String, knownSegments: DataFrame,
                               segTokens: Int = 8): (DataFrame, DataFrame) = {
+    val flagged = incrementalFlags(newDocs, idCol, textCol, knownSegments,
+      segTokens)
+    (rebuildFromFlags(flagged, idCol), registryDelta(flagged))
+  }
+
+  /** The shared core of the incremental dedup: one row per segment of the
+    * new batch with its survival flag. Both outputs (cleaned docs,
+    * registry delta) derive from this plan — a caller consuming both
+    * should persist it (the streaming twin does, per micro-batch, and
+    * unpersists after its writes so a long-running stream does not
+    * accumulate cache entries). */
+  private[graft] def incrementalFlags(newDocs: DataFrame, idCol: String,
+                                      textCol: String,
+                                      knownSegments: DataFrame,
+                                      segTokens: Int): DataFrame = {
     val segs = explodeSegments(newDocs, idCol, textCol, segTokens)
     val firstWin = Window.partitionBy(col("seg"))
       .orderBy(col(idCol), col("seg_idx"))
-    val flagged = segs
+    segs
       .join(knownSegments.select(col("seg")).distinct()
         .withColumn("__known", lit(true)), Seq("seg"), "left")
       .withColumn("keep",
         col("seg").isNotNull && col("__known").isNull &&
           row_number().over(firstWin) === 1)
-    val cleaned = flagged.groupBy(col(idCol))
+  }
+
+  /** Rebuild per-document rows from [[incrementalFlags]] output. */
+  private[graft] def rebuildFromFlags(flagged: DataFrame,
+                                      idCol: String): DataFrame =
+    flagged.groupBy(col(idCol))
       .agg(
         count(col("seg")).as("n_segs"),
         count(when(col("keep"), lit(true))).as("n_kept"),
@@ -126,9 +149,10 @@ object Segments {
               struct(col("seg_idx"), col("seg"))))),
             s => s.getField("seg")),
           " ").as("text_clean"))
-    val registryDelta = flagged.filter(col("keep")).select(col("seg"))
-    (cleaned, registryDelta)
-  }
+
+  /** The kept segments of this batch — what the registry gains. */
+  private[graft] def registryDelta(flagged: DataFrame): DataFrame =
+    flagged.filter(col("keep")).select(col("seg"))
 
   /** Boilerplate detection: segments occurring in at least `minDocs`
     * distinct documents, with document frequency and total occurrence

@@ -74,6 +74,16 @@ class SegmentsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("n a v", 3L, 4L))) // 3 docs, 4 occurrences
   }
 
+  test("null text behaves like an empty document end to end") {
+    val d = Seq((1L, "a b c"), (2L, null: String)).toDF("doc_id", "text")
+    val out = Segments.segmentDedup(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1L, 1L, "a b c")))
+    assert(out(2L) == ((0L, 0L, "")))
+    assert(Segments.boilerplate(d, "doc_id", "text", 3, 1).count() == 1)
+  }
+
   test("segment derivation: fixed 3-token chunks with a short tail") {
     val segs = Segments.explodeSegments(
       Seq((1L, "  t1 t2  t3 t4 ")).toDF("doc_id", "text"), "doc_id", "text", 3)
