@@ -75,7 +75,48 @@ object CurationQ {
     graft.dedup.CorpusOverlap.exactPairJaccard(
       Tables(s, dir).documents, "source", "text", n = 3)
 
+  private val MinQuality = 0.6
+
+  /** End-to-end curation pass as ONE declarative plan, fully
+    * oracle-checkable: quality gate (d02's exact scoring) → exact dedup
+    * (d03's min-id-per-fingerprint) → segment dedup over the survivors
+    * (d13), keeping documents that retain at least half their segments.
+    * Output is the per-source funnel census a pipeline owner watches:
+    * every stage count is monotone non-increasing. The sketch-based
+    * variant of stage 3 (MinHash near-dup removal) lives in
+    * [[graft.pipelines.Curation]] — this query is its deterministic twin,
+    * so the whole funnel sits behind the cell-exact gate. */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val toks = TextMetrics.tokens(col("text"))
+    val flagged = docs
+      .withColumn("__toks", toks)
+      .withColumn("__q",
+        TextMetrics.qualityScoreFromTokens(col("__toks"), col("text")))
+      .withColumn("qual_ok", col("__q") >= MinQuality)
+      .withColumn("__fp", TextMetrics.fingerprint(col("text")))
+      .withColumn("__canon",
+        min(when(col("qual_ok"), col("doc_id")))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
+      .withColumn("exact_keep", col("qual_ok") && col("doc_id") === col("__canon"))
+    val survivors = flagged.filter(col("exact_keep"))
+      .select("doc_id", "source", "text")
+    val seg = Segments.segmentDedup(survivors, "doc_id", "text", SegTokens)
+      .withColumn("final_ok", col("n_kept") * 2 >= col("n_segs"))
+      .join(survivors.select("doc_id", "source"), Seq("doc_id"))
+    val base = flagged.groupBy("source").agg(
+      count(lit(1)).as("n_total"),
+      count(when(col("qual_ok"), lit(true))).as("n_quality"),
+      count(when(col("exact_keep"), lit(true))).as("n_exact"))
+    val fin = seg.groupBy("source")
+      .agg(count(when(col("final_ok"), lit(true))).as("n_final"))
+    base.join(fin, Seq("source"), "left")
+      .select(col("source"), col("n_total"), col("n_quality"), col("n_exact"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_curation_funnel" -> (curationFunnel _),
     "d13_segment_dedup" -> (segmentDedup _),
     "d14_boilerplate"   -> (boilerplate _),
     "d15_bpe_pairs"     -> (bpePairs _),
@@ -115,6 +156,56 @@ object CurationQ {
       s"""WITH $segsCte
          |SELECT seg, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
          |FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= $MinDocs""".stripMargin,
+    "d18_curation_funnel" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, text,
+         |         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, source, text, t,
+         |         len(list_filter(t, x -> list_contains(
+         |           ['the','a','of','and','to','el','la','de','y','que','der','die','das','und','zu','le','et'], x))) AS s_all
+         |  FROM toks),
+         |q AS (
+         |  SELECT doc_id, source, text,
+         |         round(least(CAST(len(t) AS DOUBLE) / 50.0, 1.0) * 0.4
+         |           + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         |               / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.3
+         |           + least(CAST(s_all AS DOUBLE) / greatest(CAST(len(t) AS DOUBLE), 1.0) * 8.0, 1.0) * 0.3, 9)
+         |           >= $MinQuality AS qual_ok
+         |  FROM sc),
+         |ex AS (
+         |  SELECT *, qual_ok AND doc_id = min(CASE WHEN qual_ok THEN doc_id END)
+         |           OVER (PARTITION BY md5(text)) AS exact_keep
+         |  FROM q),
+         |surv AS (SELECT doc_id, source, text FROM ex WHERE exact_keep),
+         |stoks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+         |  FROM surv),
+         |segs AS (
+         |  SELECT doc_id, CAST(i AS INT) AS seg_idx,
+         |         array_to_string(t[(i*$SegTokens+1):(i*$SegTokens+$SegTokens)], ' ') AS seg
+         |  FROM stoks, UNNEST(generate_series(0, CAST(ceil(len(t) / $SegTokens.0) AS BIGINT) - 1)) AS u(i)),
+         |sflag AS (
+         |  SELECT doc_id, seg_idx,
+         |         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1 AS keep
+         |  FROM segs),
+         |sdoc AS (
+         |  SELECT doc_id, count(*) AS n_segs,
+         |         sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept
+         |  FROM sflag GROUP BY 1),
+         |fin AS (
+         |  SELECT s.source,
+         |         count(CASE WHEN 2 * coalesce(d.n_kept, 0) >= coalesce(d.n_segs, 0) THEN 1 END) AS n_final
+         |  FROM surv s LEFT JOIN sdoc d USING (doc_id) GROUP BY 1),
+         |base AS (
+         |  SELECT source, count(*) AS n_total,
+         |         count(CASE WHEN qual_ok THEN 1 END) AS n_quality,
+         |         count(CASE WHEN exact_keep THEN 1 END) AS n_exact
+         |  FROM ex GROUP BY 1)
+         |SELECT base.source, n_total, n_quality, n_exact,
+         |       coalesce(fin.n_final, 0) AS n_final
+         |FROM base LEFT JOIN fin USING (source)""".stripMargin,
     "d15_bpe_pairs" ->
       s"""WITH toks AS (
          |  SELECT list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
