@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{BpeEncode, UnicodeNormalize}
-import graft.text.{Bpe, Segments, TextMetrics}
+import graft.text.{Bpe, Fluency, Segments, TextMetrics}
 
 /** Round-6 corpus-curation operators: C4-style segment-level dedup with
   * document reconstruction and boilerplate (heavy-hitter segment)
@@ -115,8 +115,15 @@ object CurationQ {
         coalesce(col("n_final"), lit(0L)).as("n_final"))
   }
 
+  /** Corpus-statistics fluency (n-gram-LM quality proxy): mean scaled-
+    * integer conditional bigram probability per document
+    * ([[graft.text.Fluency]]). */
+  def bigramFluency(s: SparkSession, dir: String): DataFrame =
+    graft.text.Fluency.bigramFluency(Tables(s, dir).documents, "doc_id", "text")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d18_curation_funnel" -> (curationFunnel _),
+    "d19_bigram_fluency" -> (bigramFluency _),
     "d13_segment_dedup" -> (segmentDedup _),
     "d14_boilerplate"   -> (boilerplate _),
     "d15_bpe_pairs"     -> (bpePairs _),
@@ -206,6 +213,27 @@ object CurationQ {
          |SELECT base.source, n_total, n_quality, n_exact,
          |       coalesce(fin.n_final, 0) AS n_final
          |FROM base LEFT JOIN fin USING (source)""".stripMargin,
+    "d19_bigram_fluency" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+         |  WHERE len(t) >= 2),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+         |cp AS (SELECT w1, count(*) AS cp FROM bg GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id, (cb.cb * ${Fluency.Scale}) // cp.cp AS s
+         |  FROM bg JOIN cb USING (w1, w2) JOIN cp USING (w1)),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |         CAST(sum(s) // count(*) AS BIGINT) AS fluency
+         |  FROM sc GROUP BY 1)
+         |SELECT d.doc_id,
+         |       coalesce(a.n_bigrams, 0) AS n_bigrams,
+         |       coalesce(a.fluency, 0) AS fluency
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "d15_bpe_pairs" ->
       s"""WITH toks AS (
          |  SELECT list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
