@@ -43,6 +43,32 @@ case class BpeEncode(child: Expression, model: Bpe.Model)
     copy(child = newChild)
 }
 
+/** [[BpeEncode]]'s integer twin: subword TOKEN IDS per document
+  * (`array<int>`), looked up in the model's stable vocabulary (sorted
+  * alphabet, then merge products); symbols outside the vocabulary —
+  * text containing characters unseen at training time — map to
+  * `model.unkId`. This is the column a training pipeline actually
+  * materializes. */
+case class BpeEncodeIds(child: Expression, model: Bpe.Model)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeEncode.encodeIds(input.asInstanceOf[UTF8String], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val modelRef = ctx.addReferenceObj("bpeModel", model, classOf[Bpe.Model].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.BpeEncode.encodeIds($c, $modelRef);""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BpeEncode {
 
   private val MaxMemo = 1 << 16
@@ -51,6 +77,10 @@ object BpeEncode {
     * identity: two models in one JVM (e.g. tests) must not cross-hit. */
   private val memos =
     new ConcurrentHashMap[Bpe.Model, ConcurrentHashMap[String, Array[UTF8String]]]()
+
+  /** word → token ids, same contract as [[memos]]. */
+  private val idMemos =
+    new ConcurrentHashMap[Bpe.Model, ConcurrentHashMap[String, Array[Int]]]()
 
   def encode(text: UTF8String, model: Bpe.Model): ArrayData = {
     val memo = memos.computeIfAbsent(model,
@@ -74,6 +104,32 @@ object BpeEncode {
     new GenericArrayData(out.toArray[Any])
   }
 
+  def encodeIds(text: UTF8String, model: Bpe.Model): ArrayData = {
+    val memo = idMemos.computeIfAbsent(model,
+      _ => new ConcurrentHashMap[String, Array[Int]]())
+    val words = text.toString.trim.split("\\s+")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.nonEmpty) {
+        var enc = memo.get(w)
+        if (enc == null) {
+          enc = model.encodeWord(w)
+            .map(s => model.tokenIds.getOrElse(s, model.unkId))
+          if (memo.size >= MaxMemo) memo.clear()
+          memo.put(w, enc)
+        }
+        out ++= enc
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def bpeEncode(c: Column, model: Bpe.Model): Column =
     Bridge.column(BpeEncode(Bridge.expression(c), model))
+
+  def bpeEncodeIds(c: Column, model: Bpe.Model): Column =
+    Bridge.column(BpeEncodeIds(Bridge.expression(c), model))
 }

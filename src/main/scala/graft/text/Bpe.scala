@@ -33,10 +33,27 @@ object Bpe {
     * word-final subwords without leaking whitespace into symbols). */
   val Eow = "</w>"
 
-  /** A trained merge list, in merge order. */
-  final case class Model(merges: Seq[(String, String)]) {
+  /** A trained merge list, in merge order, plus the initial-symbol
+    * alphabet seen at training time (what makes a stable id vocabulary
+    * possible). */
+  final case class Model(merges: Seq[(String, String)],
+                         alphabet: Seq[String] = Nil) {
     @transient lazy val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.toMap
+
+    /** Token vocabulary: sorted alphabet first (stable across corpora
+      * orderings), then merge products in merge order — the GPT-2 vocab
+      * layout. Encoding can only ever emit alphabet symbols or merge
+      * products, so this is exhaustive for in-alphabet text; symbols
+      * containing an UNSEEN character map to [[unkId]]. */
+    @transient lazy val vocabulary: Seq[String] =
+      (alphabet.sorted ++ merges.map { case (a, b) => a + b }).distinct
+
+    @transient lazy val tokenIds: Map[String, Int] =
+      vocabulary.zipWithIndex.toMap
+
+    /** One past the last vocabulary id — the unknown-symbol bucket. */
+    def unkId: Int = vocabulary.size
 
     /** Encode one word (no whitespace) into subword symbols. */
     def encodeWord(word: String): Array[String] = {
@@ -135,6 +152,7 @@ object Bpe {
       .map { case (w, n) => (initialSymbols(w), n) }
       .persist()
     words.count()
+    val alphabet = words.flatMap(_._1.iterator).distinct().collect().toSeq
     val merges = ArrayBuffer.empty[(String, String)]
     var round = 0
     var done = false
@@ -164,7 +182,7 @@ object Bpe {
       round += 1
     }
     words.unpersist(false)
-    Model(merges.toSeq)
+    Model(merges.toSeq, alphabet)
   }
 
   /** Adaptive trainer: BPE rounds only ever look at the DISTINCT-WORD
@@ -194,6 +212,7 @@ object Bpe {
                  minCount: Long = 2): Model = {
     var words: Seq[(Array[String], Long)] =
       wordCounts.toSeq.map { case (w, n) => (initialSymbols(w), n) }
+    val alphabet = words.iterator.flatMap(_._1).toSeq.distinct
     val merges = ArrayBuffer.empty[(String, String)]
     var round = 0
     var done = false
@@ -211,6 +230,6 @@ object Bpe {
       }
       round += 1
     }
-    Model(merges.toSeq)
+    Model(merges.toSeq, alphabet)
   }
 }

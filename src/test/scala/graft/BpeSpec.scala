@@ -86,6 +86,35 @@ class BpeSpec extends AnyFunSuite {
       ("a", "</w>", 1L, 3), ("b", "a", 1L, 4)))
   }
 
+  test("token-id encoding: ids mirror the string encoding; unseen chars -> unkId") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = Bpe.train(corpus, "text", numMerges = 12)
+    assert(model.alphabet.nonEmpty)
+    assert(model.vocabulary.size == model.alphabet.size + 12)
+    // trainers agree on the alphabet too
+    val wc = Bpe.wordCounts(corpus, "text").as[(String, Long)].collect().toMap
+    assert(Bpe.trainLocal(wc, 12).alphabet.sorted == model.alphabet.sorted)
+    val docs = Seq((1L, "the table stream"), (2L, "ünseen glyph"))
+      .toDF("doc_id", "text")
+    val rows = docs.select(col("doc_id"),
+        BpeEncode.bpeEncode(col("text"), model).as("toks"),
+        BpeEncode.bpeEncodeIds(col("text"), model).as("ids"))
+      .as[(Long, Seq[String], Seq[Int])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    for ((_, (toks, ids)) <- rows) {
+      assert(toks.length == ids.length)
+      toks.zip(ids).foreach { case (t, id) =>
+        assert(id == model.tokenIds.getOrElse(t, model.unkId))
+        assert(id >= 0 && id <= model.unkId)
+      }
+    }
+    // 'ü' never appears in the corpus -> its symbol must be unk
+    assert(rows(2L)._1.zip(rows(2L)._2)
+      .exists { case (t, id) => t.contains("ü") && id == model.unkId })
+    // in-alphabet text maps every symbol to a real vocab id
+    assert(rows(1L)._2.forall(_ < model.unkId))
+  }
+
   test("encode expression: interpreted eval matches codegen") {
     val model = Bpe.Model(Seq(("a", "b"), ("ab", "</w>")))
     val df = Seq((1L, "ab abc a b"), (2L, null: String)).toDF("id", "s")
