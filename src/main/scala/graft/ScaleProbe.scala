@@ -180,6 +180,14 @@ object ScaleProbe {
     time("source_overlap_sketch") {
       graft.dedup.CorpusOverlap.sketchPairJaccard(docs, "source", "text", 3, 128).count()
     }
+    time("bigram_fluency") {
+      graft.text.Fluency.bigramFluency(docs, "doc_id", "text").count()
+    }
+    time("bpe_encode_ids") {
+      val model = graft.text.Bpe.trainAuto(docs, "text", numMerges = 24)
+      docs.select(size(graft.functions.BpeEncode.bpeEncodeIds(col("text"), model))
+        .as("n")).agg(sum("n")).head.getLong(0)
+    }
     time("bloom_prune_semijoin") {
       // decontamination shape: probe side too big to want an exact
       // broadcast — 1/50 of the corpus's texts
