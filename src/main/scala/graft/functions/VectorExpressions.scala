@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the vector hot path.
   *
@@ -56,8 +56,162 @@ case class DoubleDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** EXACT quantized dot product of two float vectors, as the correctly-
+  * rounded double of the exact integer sum Σᵢ q9(aᵢ)·q9(bᵢ), where
+  * q9(x) = rint(double(x)·1e9) (half-even; identical to Spark `bround` /
+  * DuckDB `round_even` by construction).
+  *
+  * Replaces the interpreted `zip_with`/`aggregate` DECIMAL(38,0)
+  * formulation with a codegen'd integer loop — same value bit-for-bit:
+  * the decimal path's closing `cast(double)` is BigDecimal.doubleValue
+  * (correctly rounded), and this loop reproduces the correctly-rounded
+  * double of the same exact integer. Overflow-safe 128-bit accumulation
+  * without BigInteger: each product p (|p| < 2^62 for |x| ≲ 2) splits
+  * exactly as (p >> 32)·2^32 + (p & 0xffffffff) — true in two's
+  * complement for negative p as well — and the two partial sums stay
+  * far from 2^63 for any realistic (n ≤ 2^20) embedding. The closing is
+  * hi·2^32 + lo computed in doubles: after carry-normalization hi has
+  * ≤ 53 significant bits and lo < 2^32, so both terms are exact doubles
+  * and the single addition rounds once — a correctly-rounded result (the
+  * same value DuckDB's hugeint → VARCHAR → DOUBLE route yields).
+  */
+case class Q9Dot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var hi = 0L
+    var lo = 0L
+    var i = 0
+    while (i < n) {
+      val p = Math.rint(x.getFloat(i).toDouble * 1e9).toLong *
+        Math.rint(y.getFloat(i).toDouble * 1e9).toLong
+      hi += (p >> 32)
+      lo += (p & 0xffffffffL)
+      i += 1
+    }
+    hi += (lo >> 32)
+    lo &= 0xffffffffL
+    hi.toDouble * 4294967296.0 + lo.toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val hi = ctx.freshName("hi")
+      val lo = ctx.freshName("lo")
+      val p = ctx.freshName("p")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $hi = 0L; long $lo = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $p = (long) java.lang.Math.rint((double) $a.getFloat($i) * 1.0E9)
+         |          * (long) java.lang.Math.rint((double) $b.getFloat($i) * 1.0E9);
+         |  $hi += ($p >> 32);
+         |  $lo += ($p & 0xffffffffL);
+         |}
+         |$hi += ($lo >> 32);
+         |$lo &= 0xffffffffL;
+         |${ev.value} = (double) $hi * 4294967296.0 + (double) $lo;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane LSH bucket of a float vector, computed as one
+  * codegen'd loop over INTEGER-quantized planes.
+  *
+  * Bit j of the result is set iff Σᵢ q9(xᵢ)·wⱼᵢ > 0, where q9(x) =
+  * rint(double(x)·1e9) (half-even — Spark `bround`, DuckDB `round_even`)
+  * and wⱼᵢ are the plane weights pre-quantized to integers at plan-build
+  * time. The sum is EXACT long arithmetic (|q9| ≲ 1e9, |w| ≲ 1e4, ≤ 2^13
+  * terms stays under 2^63), so the bucket is bit-identical across engines
+  * and partitionings — which is what lets the approximate-KNN query carry
+  * a DuckDB oracle. Replaces a per-plane interpreted `zip_with`/`aggregate`
+  * formulation that allocated per row and fell out of whole-stage codegen
+  * (the r05 e03 bench regression, 0.78 → 1.91 s).
+  */
+case class QuantLshBucket(child: Expression, planes: Seq[Seq[Int]])
+    extends UnaryExpression {
+
+  require(planes.nonEmpty && planes.size <= 62, "bucket must fit a long")
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val planeArr: Array[Array[Int]] =
+    planes.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < planeArr.length) {
+      val w = planeArr(j)
+      val m = math.min(n, w.length)
+      var s = 0L
+      var i = 0
+      while (i < m) {
+        s += Math.rint(v.getFloat(i).toDouble * 1e9).toLong * w(i)
+        i += 1
+      }
+      if (s > 0L) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val p = ctx.addReferenceObj("planes", planeArr, "int[][]")
+      val n = ctx.freshName("n")
+      val b = ctx.freshName("bucket")
+      val j = ctx.freshName("j")
+      val w = ctx.freshName("w")
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $v.numElements();
+         |long $b = 0L;
+         |for (int $j = 0; $j < $p.length; $j++) {
+         |  int[] $w = $p[$j];
+         |  int $m = java.lang.Math.min($n, $w.length);
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $s += (long) java.lang.Math.rint((double) $v.getFloat($i) * 1.0E9)
+         |          * (long) $w[$i];
+         |  }
+         |  if ($s > 0L) $b |= (1L << $j);
+         |}
+         |${ev.value} = $b;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column wrapper: codegen'd double dot product of two float vectors. */
   def doubleDot(a: Column, b: Column): Column =
     Bridge.column(DoubleDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column wrapper: codegen'd quantized-plane LSH bucket (long). */
+  def quantLshBucket(vec: Column, planes: Seq[Seq[Int]]): Column =
+    Bridge.column(QuantLshBucket(Bridge.expression(vec), planes))
+
+  /** Column wrapper: codegen'd exact quantized dot (1e18-scaled, double). */
+  def q9Dot(a: Column, b: Column): Column =
+    Bridge.column(Q9Dot(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -28,7 +28,10 @@ object SimilarityQ {
   def cosineNearDup(s: SparkSession, dir: String): DataFrame =
     Knn.nearDupPairs(emb(s, dir), minCos = 0.4)
 
-  /** LSH-bucketed approximate top-10 (scale path; rows-only check). */
+  /** LSH-bucketed approximate top-10 (the scale path). Oracle-backed since
+    * r06: bucket assignment is exact integer math over seeded quantized
+    * planes and within-bucket scoring rescores exactly, so DuckDB can
+    * reproduce the full output bit-for-bit. */
   def knnApprox(s: SparkSession, dir: String): DataFrame =
     Knn.approxKnn(emb(s, dir), dim = 64, k = 10, nPlanes = 6)
       .select("qid", "vec_id", "cos", "rk")
@@ -108,6 +111,13 @@ object SimilarityQ {
   private def q9(x: String) =
     s"CAST(round_even(CAST($x AS DOUBLE) * 1e9, 0) AS HUGEINT)"
 
+  // The same quantized plane matrix Knn.lshBuckets uses, rendered as SQL
+  // VALUES rows — both engines derive the bucket from identical integers.
+  private def planesSql(dim: Int, nPlanes: Int): String =
+    Knn.quantPlanes(dim, nPlanes).zipWithIndex.map { case (w, j) =>
+      s"($j, [${w.mkString(", ")}]::BIGINT[])"
+    }.mkString(",\n")
+
   private val normsSql =
     s"""SELECT vec_id,
        |       CAST(CAST(SUM(${q9("embedding[i]")} * ${q9("embedding[i]")}) AS VARCHAR) AS DOUBLE) AS nrm2
@@ -115,6 +125,44 @@ object SimilarityQ {
        |GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "e03_knn_approx" ->
+      s"""WITH qv AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(round_even(CAST(x AS DOUBLE) * 1e9, 0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |planes AS (SELECT * FROM (VALUES
+         |${planesSql(64, 6)}) p(j, w)),
+         |pdots AS (
+         |  SELECT v.vec_id, p.j, SUM(v.q[i] * p.w[i]) AS d
+         |  FROM qv v, planes p, UNNEST(generate_series(1, len(v.q))) AS u(i)
+         |  GROUP BY 1, 2),
+         |-- MATERIALIZED: `be` is referenced twice below; DuckDB inlines
+         |-- plain CTEs per reference and would re-run the bucket pipeline
+         |buckets AS MATERIALIZED (
+         |  SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM pdots GROUP BY 1),
+         |be AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, b.bucket
+         |  FROM embeddings e JOIN buckets b ON b.vec_id = e.vec_id),
+         |norms AS ($normsSql),
+         |dots AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |         CAST(CAST(SUM(${q9("q.embedding[i]")} * ${q9("c.embedding[i]")}) AS VARCHAR) AS DOUBLE) AS d
+         |  FROM be q, be c, UNNEST(generate_series(1, len(q.embedding))) AS u(i)
+         |  WHERE q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT qid, dots.vec_id AS vec_id,
+         |         d / (sqrt(nq.nrm2) * sqrt(nc.nrm2)) AS cos
+         |  FROM dots
+         |  JOIN norms nq ON nq.vec_id = qid
+         |  JOIN norms nc ON nc.vec_id = dots.vec_id),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT qid, vec_id, cos, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 10""".stripMargin,
     "e04_centroid_assign" ->
       s"""WITH norms AS ($normsSql),
          |cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),

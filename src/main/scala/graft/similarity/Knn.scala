@@ -3,7 +3,6 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -39,20 +38,18 @@ object Knn {
   // (correctly rounded; the DuckDB oracle routes hugeint→double through
   // VARCHAR to match) and the same sqrt/divide IEEE closing in both
   // engines.
-  private val DI = DecimalType(18, 0)
-  private val DA = DecimalType(38, 0)
-
-  private def q9(x: Column): Column =
-    bround(x.cast("double") * lit(1e9), 0).cast(DI)
-
   /** Exact integer-scaled dot product of two float arrays (value = true
     * dot · 1e18), closed as double. Scale cancels in [[cosine]]; callers
-    * needing the unscaled dot divide by 1e18 once. */
+    * needing the unscaled dot divide by 1e18 once.
+    *
+    * Since r06 this is the codegen'd [[graft.functions.Q9Dot]] — the
+    * correctly-rounded double of the exact integer sum, bit-identical to
+    * the earlier interpreted `zip_with`/`aggregate` DECIMAL(38,0)
+    * formulation (whose closing cast was BigDecimal.doubleValue, also
+    * correctly rounded) but inside whole-stage codegen: no per-row
+    * allocation, no interpreted lambdas on any similarity hot path. */
   def dotExact(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => q9(x) * q9(y)),
-      lit(0).cast(DA),
-      (acc, v) => (acc + v).cast(DA)).cast("double")
+    graft.functions.VectorExpressions.q9Dot(a, b)
 
   /** Cosine similarity via exact scaled dots — the 1e18 scale cancels:
     * dot·1e18 / (sqrt(n2a·1e18)·sqrt(n2b·1e18)); same IEEE closing both
@@ -105,6 +102,21 @@ object Knn {
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), col("qvec"), col("cvec"),
         cosineFast(col("qvec"), col("cvec")).as("cos_fast"))
+    exactTopK(scored, k)
+  }
+
+  /** Phase 2 of the two-phase top-k: given fast-scored candidate pairs
+    * `(qid, vec_id, qvec, cvec, cos_fast)`, keep every row within
+    * [[FastCosEps]] of the kth fast score per query (provably sufficient:
+    * exact >= fast - eps and kth_exact <= kth_fast + eps), rescore the
+    * survivors with the exact decimal cosine, and rank exactly — output
+    * identical to an all-exact plan over the same pair set.
+    *
+    * If the input carries precomputed exact norms (`qnrm`/`cnrm`), the
+    * rescore is one exact dot per survivor instead of three (norms once
+    * per VECTOR beats once per PAIR — the e04 lesson); sqrt-then-multiply
+    * is the identical IEEE closing the oracle uses. */
+  private[graft] def exactTopK(scored: DataFrame, k: Int): DataFrame = {
     val wf = Window.partitionBy(col("qid"))
       .orderBy(col("cos_fast").desc, col("vec_id").asc)
     val wq = Window.partitionBy(col("qid"))
@@ -112,9 +124,13 @@ object Knn {
       .withColumn("__kth", max(when(col("rkf") === k, col("cos_fast"))).over(wq))
       // groups smaller than k have a null __kth: the rank arm keeps them all
       .filter(col("rkf") <= k || col("cos_fast") >= col("__kth") - FastCosEps)
+    val rescore =
+      if (scored.columns.contains("qnrm"))
+        dotExact(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm"))
+      else cosine(col("qvec"), col("cvec"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    cand.select(col("qid"), col("vec_id"), cosine(col("qvec"), col("cvec")).as("cos"))
+    cand.select(col("qid"), col("vec_id"), rescore.as("cos"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
@@ -153,38 +169,55 @@ object Knn {
       .filter(col("cos") >= minCos)
   }
 
+  /** Seeded random hyperplanes, pre-quantized to integers (rint(w·1e3)):
+    * the shared plane matrix for [[lshBuckets]] and the DuckDB oracle's
+    * SQL literal rendering. Quantizing the plane changes only WHICH random
+    * hyperplane is used (they're random anyway); what it buys is an exact
+    * integer sign test both engines compute identically. */
+  def quantPlanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Int]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(math.rint(rnd.nextGaussian() * 1e3).toInt))
+  }
+
   /** Random-hyperplane LSH signature (`nPlanes`-bit long) per vector —
-    * the bucketing key for approximate search. Hyperplane components are
-    * drawn from a seeded PRNG at plan-build time: deterministic, identical
-    * on every executor, no data shipping. */
+    * the bucketing key for approximate search. Planes are drawn from a
+    * seeded PRNG at plan-build time (deterministic, identical on every
+    * executor, no data shipping) and quantized to integers so bit j is an
+    * EXACT long sign test Σ q9(x)·w — bit-identical across engines, and
+    * one codegen'd loop per row ([[graft.functions.QuantLshBucket]]) with
+    * no interpreted lambdas (PlanQualitySpec pins this). */
   def lshBuckets(emb: DataFrame, dim: Int, nPlanes: Int = 16,
                  seed: Long = 42L): DataFrame = {
     require(nPlanes <= 62, "signature must fit a long")
-    val rnd = new scala.util.Random(seed)
-    val planes = Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-    val bits = planes.zipWithIndex.map { case (p, j) =>
-      val dot = aggregate(
-        zip_with(col("vec"), typedLit(p.toSeq), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    emb.select(col("id"), col("vec"), bits.reduce(_ bitwiseOR _).as("bucket"))
+    emb.select(col("id"), col("vec"),
+      graft.functions.VectorExpressions
+        .quantLshBucket(col("vec"), quantPlanes(dim, nPlanes, seed)).as("bucket"))
   }
 
   /** Approximate top-k: score only within LSH buckets. Recall/cost dial is
-    * nPlanes (fewer planes → bigger buckets → higher recall, more work). */
+    * nPlanes (fewer planes → bigger buckets → higher recall, more work).
+    * Within a bucket the result is EXACT (two-phase fast prefilter + exact
+    * decimal rescore, same soundness argument as [[bruteForceKnn]]), and
+    * bucket assignment is exact integer math — so the full output is
+    * deterministic and oracle-checkable despite being "approximate" w.r.t.
+    * the global top-k. */
   def approxKnn(emb: DataFrame, dim: Int, k: Int, nPlanes: Int = 8,
                 seed: Long = 42L): DataFrame = {
+    // norms once per vector, not per pair — both the fast prefilter norm
+    // and the exact rescore norm are carried through the bucket join
     val bucketed = lshBuckets(emb, dim, nPlanes, seed)
-    val a = bucketed.select(col("bucket"), col("id").as("qid"), col("vec").as("qvec"))
-    val b = bucketed.select(col("bucket"), col("id").as("vec_id"), col("vec").as("cvec"))
-    // Approximate (non-oracle) path: double cosine — the recall error of
-    // LSH bucketing dwarfs double-vs-decimal differences.
+      .withColumn("nrm", sqrt(dotExact(col("vec"), col("vec"))))
+      .withColumn("nrm_f", sqrt(dotFast(col("vec"), col("vec"))))
+    val a = bucketed.select(col("bucket"), col("id").as("qid"),
+      col("vec").as("qvec"), col("nrm").as("qnrm"), col("nrm_f").as("qnrm_f"))
+    val b = bucketed.select(col("bucket"), col("id").as("vec_id"),
+      col("vec").as("cvec"), col("nrm").as("cnrm"), col("nrm_f").as("cnrm_f"))
     val scored = a.join(b, Seq("bucket"))
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id"), cosineFast(col("qvec"), col("cvec")).as("cos"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), col("qvec"), col("cvec"),
+        col("qnrm"), col("cnrm"),
+        (dotFast(col("qvec"), col("cvec")) / (col("qnrm_f") * col("cnrm_f")))
+          .as("cos_fast"))
+    exactTopK(scored, k)
   }
 }

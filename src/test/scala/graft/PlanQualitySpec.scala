@@ -157,6 +157,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!badFilter, "inferred filter re-inlines interpreted lambdas:\n" + p)
   }
 
+  test("approx KNN buckets are codegen'd — no interpreted lambdas anywhere") {
+    // the r05 e03 regression: per-plane zip_with/aggregate HOF dots fell
+    // out of whole-stage codegen and allocated per row (0.78 → 1.91 s).
+    // The bucket must come from the single codegen'd QuantLshBucket loop.
+    val p = plan("e03_knn_approx")
+    // interpreted lambdas are allowed ONLY in the top exact-rescore
+    // projection (runs on ~k survivors per query); the per-row hot path —
+    // bucket assignment and the fast prefilter score — must stay codegen'd
+    val hotLambdas = p.linesIterator.filter(_.contains("lambdafunction"))
+      .filterNot(_.contains("AS cos#")).toSeq
+    assert(hotLambdas.isEmpty,
+      "interpreted HOF lambda in the e03 hot path:\n" + hotLambdas.mkString("\n"))
+    assert(p.contains("quantlshbucket"), "QuantLshBucket missing from plan:\n" + p)
+    assert(p.contains("doubledot"), "codegen'd prefilter dot missing:\n" + p)
+  }
+
   test("source overlap: posting-list plan, no shingle self-join") {
     val p = plan("d17_source_overlap")
     assert(!p.contains("CartesianProduct"), p)
