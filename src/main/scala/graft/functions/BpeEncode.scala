@@ -73,6 +73,11 @@ object BpeEncode {
 
   private val MaxMemo = 1 << 16
 
+  /** Max distinct models memoized per executor JVM before a full reset —
+    * long-lived executors running many models must not grow without bound
+    * (Model.hashCode is cached, so the per-row key cost is O(1)). */
+  private val MaxModels = 8
+
   /** word → encoded symbols, per (executor, model). Keyed by the model's
     * identity: two models in one JVM (e.g. tests) must not cross-hit. */
   private val memos =
@@ -83,6 +88,7 @@ object BpeEncode {
     new ConcurrentHashMap[Bpe.Model, ConcurrentHashMap[String, Array[Int]]]()
 
   def encode(text: UTF8String, model: Bpe.Model): ArrayData = {
+    if (memos.size >= MaxModels && !memos.containsKey(model)) memos.clear()
     val memo = memos.computeIfAbsent(model,
       _ => new ConcurrentHashMap[String, Array[UTF8String]]())
     val words = text.toString.trim.split("\\s+")
@@ -105,6 +111,7 @@ object BpeEncode {
   }
 
   def encodeIds(text: UTF8String, model: Bpe.Model): ArrayData = {
+    if (idMemos.size >= MaxModels && !idMemos.containsKey(model)) idMemos.clear()
     val memo = idMemos.computeIfAbsent(model,
       _ => new ConcurrentHashMap[String, Array[Int]]())
     val words = text.toString.trim.split("\\s+")

@@ -43,9 +43,12 @@ object BloomPrune {
                smallKey: String, expectedItems: Long,
                fpp: Double = 0.01): DataFrame = {
     val bloom = buildBloom(small, col(smallKey), expectedItems, fpp)
+    // the probe key gets an internal alias: with bigKey == smallKey (the
+    // common case for a semi-join) a bare col(bigKey) === col(smallKey)
+    // is an ambiguous reference and throws at analysis
+    val probe = small.select(col(smallKey).as("__probe_key")).distinct()
     big.filter(mightContain(bloom, col(bigKey)))
-      .join(small.select(col(smallKey)).distinct(),
-        col(bigKey) === col(smallKey), "left_semi")
+      .join(probe, col(bigKey) === col("__probe_key"), "left_semi")
   }
 
   /** Aggregate `key`'s xxhash64 values into one serialized bloom filter.

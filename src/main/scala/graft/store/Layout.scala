@@ -56,9 +56,11 @@ object Layout {
     val doubled = zCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
       d.withColumn(s"__zd$i", col(c).cast("double"))
     }
-    val boundSets: Seq[Array[Double]] = zCols.indices.map { i =>
-      doubled.stat.approxQuantile(s"__zd$i", probs, 0.001).distinct
-    }
+    // one sampling pass for ALL dimensions — the multi-column overload;
+    // a per-column call would re-scan the input once per z dimension
+    val boundSets: Seq[Array[Double]] = doubled.stat
+      .approxQuantile(zCols.indices.map(i => s"__zd$i").toArray, probs, 0.001)
+      .map(_.distinct).toSeq
     // bucket index = #boundaries <= value (null -> bucket 0, sorts first)
     val bucketCols: Seq[Column] = boundSets.zipWithIndex.map { case (bs, i) =>
       coalesce(

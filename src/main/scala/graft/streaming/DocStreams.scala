@@ -78,8 +78,14 @@ object DocStreams {
                          cleanDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
+      // existence via Hadoop's FileSystem, not java.io.File: the registry
+      // may live on HDFS/S3/file:-URIs where a local-path check is always
+      // false — every micro-batch would then silently read an empty
+      // registry and dedup only within itself (wrong results, no error)
+      val registryPath = new org.apache.hadoop.fs.Path(registryDir)
+      val fs = registryPath.getFileSystem(spark.sessionState.newHadoopConf())
       val registry =
-        if (new java.io.File(registryDir).exists())
+        if (fs.exists(registryPath))
           spark.read.parquet(registryDir)
         else spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),

@@ -38,6 +38,12 @@ object Bpe {
     * possible). */
   final case class Model(merges: Seq[(String, String)],
                          alphabet: Seq[String] = Nil) {
+    // cached: the per-executor encode memo is keyed by Model, so hashCode
+    // runs once per ROW — a case class recomputes the structural hash over
+    // the full merge list each call (O(|merges|), noticeable at 30k+ merges)
+    @transient override lazy val hashCode: Int =
+      scala.util.hashing.MurmurHash3.productHash(this)
+
     @transient lazy val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.toMap
 

@@ -24,6 +24,17 @@ class BloomPruneSpec extends AnyFunSuite {
     assert(want.select("doc_id").except(got.select("doc_id")).isEmpty)
   }
 
+  test("works when both sides name the key identically") {
+    // the common semi-join shape: same column name on both sides used to
+    // throw an ambiguous-reference AnalysisException before the internal
+    // probe-key alias
+    val probe = docs.filter(col("doc_id") % 7 === 0).select("text")
+    val want = docs.filter(col("doc_id") % 7 === 0).count()
+    val got = BloomPrune.semiJoin(docs, "text", probe, "text",
+      expectedItems = 100)
+    assert(got.count() >= want && got.count() > 0)
+  }
+
   test("no false negatives even with an absurdly undersized filter") {
     val probe = docs.select(col("text").as("probe_text")) // everything matches
     val got = BloomPrune.semiJoin(docs, "text", probe, "probe_text",
