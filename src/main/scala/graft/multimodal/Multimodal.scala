@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   * reference uses for per-fastq md5/read-count work,
   * collect_seqrun_fastq_to_db.py:248-337).
   *
-  * Two codec-free formats are decoded FOR REAL in pure JVM code — PCM WAV
+  * Decoded FOR REAL, in-JVM with no extra dependency: compressed images
+  * (PNG/JPEG/GIF/BMP via `javax.imageio` — [[Multimodal.CompressedImage]],
+  * oracle-backed through the lossless PNG path), PCM WAV
   * ([[Multimodal.PcmWav]]: RIFF parsing, RMS/peak feature extraction) and
-  * binary PPM ([[Multimodal.Ppm]]: header + mean-RGB) — so the decode
-  * stage is exercised end-to-end with true byte-level parsing. Compressed
-  * codecs (JPEG/MP3/H.264) remain STUBBED behind the same interface
+  * binary PPM ([[Multimodal.Ppm]]: header + mean-RGB). Only compressed
+  * AUDIO/VIDEO codecs (MP3/H.264) remain behind the stub interface
   * ([[Multimodal.DecodeStub]], a deterministic fake) because their
   * libraries are not in this container; swapping the stub for a real
   * JNI/library call changes nothing in the plan.
@@ -157,6 +158,82 @@ object Multimodal {
         ImageMeta(id, w, h, mx, sr.toDouble / n, sg.toDouble / n, sb2.toDouble / n)
       }
     }
+  }
+
+  /** Decoded compressed image: dimensions + EXACT integer channel sums
+    * (means = sum / (width·height), left to the caller — integer sums are
+    * what cross-engine checks can compare without float policy). */
+  final case class DecodedImage(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** REAL compressed-image codec via `javax.imageio` (PNG/JPEG/GIF/BMP —
+    * in-JVM, no new dependency). Returns None on anything ImageIO cannot
+    * read: hostile/truncated/random bytes must route to None, never fail
+    * the task (MultimodalSpec feeds it garbage). PNG is lossless, which
+    * is what lets the m02 query carry an exact DuckDB oracle: a decoded
+    * PNG's channel sums equal the sums of the pixels that were encoded. */
+  object CompressedImage {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+
+    def decode(id: Long, bytes: Array[Byte]): Option[DecodedImage] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+        else {
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          Some(DecodedImage(id, img.getWidth, img.getHeight, sr, sg, sb))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Encode a deterministic test pattern as PNG (or JPEG) bytes: pixel
+      * (x, y) channel c is `(3x + 7y + 11c + seed) mod 256` — the same
+      * closed form a SQL oracle can sum without decoding anything. */
+    def renderPattern(seed: Long, w: Int, h: Int, format: String = "png"): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((3L * x + 7L * y + seed) % 256).toInt
+          val g = ((3L * x + 7L * y + 11 + seed) % 256).toInt
+          val b = ((3L * x + 7L * y + 22 + seed) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, out)
+      out.toByteArray
+    }
+  }
+
+  /** Compressed-image decode stage: iterator-to-iterator `mapPartitions`
+    * over binary payloads through the REAL ImageIO codec; undecodable
+    * rows are dropped (or route them to [[DecodeStub]] upstream). */
+  def decodeImagePartitions(payloads: DataFrame, spark: SparkSession): Dataset[DecodedImage] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => CompressedImage.decode(id, bytes) })
   }
 
   /** Audio decode stage: iterator-to-iterator over PCM WAV payloads; rows

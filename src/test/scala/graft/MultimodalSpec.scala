@@ -88,7 +88,8 @@ class RealDecodersSpec extends org.scalatest.funsuite.AnyFunSuite {
 
 /** Malformed untrusted bytes must yield None, never hang or kill a task. */
 class DecoderRobustnessSpec extends org.scalatest.funsuite.AnyFunSuite {
-  import graft.multimodal.Multimodal.{PcmWav, Ppm}
+  import SparkTestSession._
+  import graft.multimodal.Multimodal.{CompressedImage, PcmWav, Ppm}
 
   test("WAV: hostile chunk sizes return None instead of looping or throwing") {
     val base = "RIFF".getBytes ++ Array.fill(4)(0.toByte) ++ "WAVE".getBytes
@@ -119,5 +120,62 @@ class DecoderRobustnessSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("PPM: overflowing header numbers return None instead of throwing") {
     assert(Ppm.decode(1L, "P6 99999999999 2 255 ".getBytes ++ Array.fill(12)(0.toByte)).isEmpty)
     assert(Ppm.decode(2L, "P6 2 2 255 ".getBytes).isEmpty) // truncated body
+  }
+
+  test("ImageIO: PNG round-trip is pixel-exact (sums match the pattern)") {
+    val (seed, w, h) = (12345L, 17, 9)
+    val png = CompressedImage.renderPattern(seed, w, h)
+    val got = CompressedImage.decode(7L, png)
+    assert(got.nonEmpty)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      sr += (3L * x + 7L * y + seed) % 256
+      sg += (3L * x + 7L * y + 11 + seed) % 256
+      sb += (3L * x + 7L * y + 22 + seed) % 256
+    }
+    assert(got.get == Multimodal.DecodedImage(7L, w, h, sr, sg, sb))
+  }
+
+  test("ImageIO: JPEG decodes with exact dimensions and near pattern sums") {
+    val (seed, w, h) = (999L, 32, 24)
+    val jpg = CompressedImage.renderPattern(seed, w, h, format = "jpg")
+    val got = CompressedImage.decode(8L, jpg).get
+    assert(got.width == w && got.height == h)
+    // lossy: channel MEANS must land within a small tolerance of the source
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      sr += (3L * x + 7L * y + seed) % 256
+      sg += (3L * x + 7L * y + 11 + seed) % 256
+      sb += (3L * x + 7L * y + 22 + seed) % 256
+    }
+    val n = (w * h).toDouble
+    assert(math.abs(got.sum_r / n - sr / n) < 16.0)
+    assert(math.abs(got.sum_g / n - sg / n) < 16.0)
+    assert(math.abs(got.sum_b / n - sb / n) < 16.0)
+  }
+
+  test("ImageIO: hostile bytes return None, never throw") {
+    val rnd = new scala.util.Random(4L)
+    val garbage = Array.fill(4096)(rnd.nextInt().toByte)
+    assert(CompressedImage.decode(1L, garbage).isEmpty)
+    assert(CompressedImage.decode(2L, Array[Byte]()).isEmpty)
+    // valid PNG magic, truncated body
+    val png = CompressedImage.renderPattern(1L, 16, 16)
+    assert(CompressedImage.decode(3L, png.take(24)).isEmpty)
+    // a PNG whose IHDR claims a huge size but carries no data
+    val evil = png.take(33) // magic + IHDR only
+    assert(CompressedImage.decode(4L, evil).isEmpty)
+    // text bytes (what the documents table would feed it raw)
+    assert(CompressedImage.decode(5L, "not an image at all".getBytes).isEmpty)
+  }
+
+  test("image decode stage runs distributed over payload partitions") {
+    val payloads = spark.range(20).toDF("doc_id")
+      .select(col("doc_id"), udf((id: Long) =>
+        CompressedImage.renderPattern(id, (id % 7).toInt + 3, (id % 5).toInt + 3))
+        .apply(col("doc_id")).as("payload"))
+    val decoded = Multimodal.decodeImagePartitions(payloads, spark).collect()
+    assert(decoded.length == 20)
+    assert(decoded.forall(d => d.width == (d.doc_id % 7) + 3 && d.height == (d.doc_id % 5) + 3))
   }
 }
