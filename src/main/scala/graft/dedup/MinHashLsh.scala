@@ -30,12 +30,22 @@ object MinHashLsh {
   private val P = 2147483647L // 2^31 - 1 (prime)
 
   /** Seeded affine hash family; a in [1, p), b in [0, p). MUST stay in
-    * lockstep with [[graft.functions.MinHashSig]]'s family derivation. */
-  private[dedup] def hashFamily(p: Params): Seq[(Long, Long)] = {
+    * lockstep with [[graft.functions.MinHashSig]]'s family derivation.
+    * `private[graft]`: the d06 oracle renders these as SQL literals. */
+  private[graft] def hashFamily(p: Params): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(p.seed)
     Seq.fill(p.numHashes)((1L + rnd.nextInt((P - 1).toInt).toLong,
       rnd.nextInt(P.toInt).toLong))
   }
+
+  /** md5-derived base hash, already reduced mod p — the ORACLE-COMPATIBLE
+    * hash source: md5 is the one hash family Spark and DuckDB share, so a
+    * signature built on it is engine-computable end-to-end (the xxhash64
+    * fast path has no SQL twin). 15 hex chars = 60 bits, parsed by
+    * codegen'd built-ins (`conv`); ~2x the per-shingle cost of xxhash64 —
+    * use the default path when cross-engine parity is not needed. */
+  def md5BaseHash(shingle: Column): Column =
+    pmod(conv(substring(md5(shingle), 1, 15), 16, 10).cast("long"), lit(P))
 
   /** (id, sig: array<long>) — k minhashes per document, computed by the
     * one-pass [[graft.functions.MinHashSig]] aggregate (primitive long[k]
@@ -66,18 +76,33 @@ object MinHashLsh {
   /** Distinct candidate pairs (id_a < id_b) that collide in >= 1 band.
     * The band signature hashes r consecutive minhashes together; the
     * self-join shuffles on (band, bandSig) so only same-bucket docs meet. */
-  /** (id, band, band_sig) — one row per document per band. */
-  private def bandTable(sig: DataFrame, idCol: String, p: Params): DataFrame = {
-    val bandSigs = transform(
-      sequence(lit(0), lit(p.bands - 1)),
-      bnd => xxhash64(bnd, slice(col("sig"), bnd * p.rowsPerBand + 1, lit(p.rowsPerBand))))
+  /** (id, band, band_sig) — one row per document per band. With
+    * `literalKeys` the band signature is the ':'-joined minhash values
+    * themselves instead of their xxhash64 — identical pair sets (band
+    * equality is all that matters), but engine-computable for the oracle
+    * at the cost of wider shuffle keys; the hashed default stays the
+    * 100 TB path. */
+  private def bandTable(sig: DataFrame, idCol: String, p: Params,
+                        literalKeys: Boolean = false): DataFrame = {
+    val bandSigs =
+      if (literalKeys)
+        transform(
+          sequence(lit(0), lit(p.bands - 1)),
+          bnd => concat_ws(":",
+            transform(slice(col("sig"), bnd * p.rowsPerBand + 1, lit(p.rowsPerBand)),
+              v => v.cast("string"))).cast("string"))
+      else
+        transform(
+          sequence(lit(0), lit(p.bands - 1)),
+          bnd => xxhash64(bnd, slice(col("sig"), bnd * p.rowsPerBand + 1, lit(p.rowsPerBand))))
     sig.select(col(idCol), posexplode(bandSigs).as(Seq("band", "band_sig")))
   }
 
   def candidatePairs(sig: DataFrame, idCol: String,
                      p: Params = Params(),
-                     maxBucketSize: Option[Int] = None): DataFrame = {
-    val banded = bandTable(sig, idCol, p)
+                     maxBucketSize: Option[Int] = None,
+                     literalKeys: Boolean = false): DataFrame = {
+    val banded = bandTable(sig, idCol, p, literalKeys)
     // Hot-bucket cap (the 100 TB dial): a band bucket holding n docs emits
     // n^2 candidate pairs — boilerplate-heavy corpora concentrate there.
     // Dropping oversized buckets bounds the blowup; recall only drops for
@@ -138,9 +163,30 @@ object MinHashLsh {
     * minhashes), filtered at `minEstJaccard`. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      minEstJaccard: Double,
-                     p: Params = Params()): DataFrame = {
-    val sig = signatures(df, idCol, textCol, p).cache()
-    val cand = candidatePairs(sig, idCol, p)
+                     p: Params = Params()): DataFrame =
+    nearDupFromSig(signatures(df, idCol, textCol, p), idCol, minEstJaccard, p)
+
+  /** [[nearDuplicates]] on the md5 hash source with literal band keys —
+    * the ORACLE-BACKED variant: every stage (base hash, affine family,
+    * minima, banding, agreement estimate) is engine-computable, so DuckDB
+    * reproduces the full output bit-for-bit (est = n/numHashes is exact
+    * binary arithmetic — no float policy needed). Same plan shape as the
+    * fast path: one signature shuffle + one band-bucket self-join. */
+  def nearDuplicatesMd5(df: DataFrame, idCol: String, textCol: String,
+                        minEstJaccard: Double,
+                        p: Params = Params()): DataFrame = {
+    val sig = Shingles.explodeShingles(df, idCol, textCol, p.shingleN)
+      .groupBy(col(idCol))
+      .agg(graft.functions.MinHashSig
+        .minHashSig(md5BaseHash(col("shingle")), p.numHashes, p.seed).as("sig"))
+    nearDupFromSig(sig, idCol, minEstJaccard, p, literalKeys = true)
+  }
+
+  private def nearDupFromSig(sigDf: DataFrame, idCol: String,
+                             minEstJaccard: Double, p: Params,
+                             literalKeys: Boolean = false): DataFrame = {
+    val sig = sigDf.cache()
+    val cand = candidatePairs(sig, idCol, p, literalKeys = literalKeys)
     val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
       (m: Column) => m)).cast("double") / lit(p.numHashes.toDouble)
     cand

@@ -29,6 +29,23 @@ object SimHash {
       .groupBy(col(idCol))
       .agg(graft.functions.SimHashSig.simHashSig(col("h")).as("simhash"))
 
+  /** md5-derived 64-bit token hash, assembled from two 32-bit hex halves
+    * with bit ops (shifts cannot overflow under ANSI arithmetic) — the
+    * ORACLE-COMPATIBLE hash source: DuckDB reproduces every bit from the
+    * same md5 hex, where xxhash64 has no SQL twin. */
+  def md5TokenHash(tok: Column): Column =
+    shiftleft(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(tok), 9, 8), 16, 10).cast("long"))
+
+  /** [[simhashes]] on the md5 hash source (oracle-backed variant); same
+    * one-pass [[graft.functions.SimHashSig]] aggregate. */
+  def simhashesMd5(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(graft.text.TextMetrics.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), md5TokenHash(col("tok")).as("h"))
+      .groupBy(col(idCol))
+      .agg(graft.functions.SimHashSig.simHashSig(col("h")).as("simhash"))
+
   /** k-sum-columns formulation, kept for differential testing. */
   def simhashesColumns(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol),
@@ -79,10 +96,22 @@ object SimHash {
     * chunk is oversized. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      maxDist: Int = 3, chunks: Int = 4,
-                     maxChunkBucket: Option[Int] = None): DataFrame = {
+                     maxChunkBucket: Option[Int] = None): DataFrame =
+    nearDupFromSimhash(simhashes(df, idCol, textCol), idCol,
+      maxDist, chunks, maxChunkBucket)
+
+  /** [[nearDuplicates]] on the md5 hash source — the oracle-backed
+    * variant; pair discovery and hamming filtering are identical. */
+  def nearDuplicatesMd5(df: DataFrame, idCol: String, textCol: String,
+                        p: Preset): DataFrame =
+    nearDupFromSimhash(simhashesMd5(df, idCol, textCol), idCol,
+      p.maxDist, p.chunks, p.maxChunkBucket)
+
+  private def nearDupFromSimhash(sh: DataFrame, idCol: String,
+                                 maxDist: Int, chunks: Int,
+                                 maxChunkBucket: Option[Int]): DataFrame = {
     require(maxDist < chunks, "pigeonhole completeness needs maxDist < chunks")
     val width = 64 / chunks
-    val sh = simhashes(df, idCol, textCol)
     val chunked = sh.select(col(idCol), col("simhash"),
       posexplode(array((0 until chunks).map(cId =>
         expr(s"(simhash >> ${cId * width}) & ${(1L << width) - 1}")): _*))

@@ -8,11 +8,14 @@ import graft.dedup.{MinHashLsh, Shingles, SimHash}
 import graft.text.TextMetrics
 
 /** Text-analysis + deduplication operators over the `documents` table.
-  * d01–d05 are oracle-backed; d06/d07 (MinHash-LSH, SimHash) are sketch
-  * operators whose hash families have no SQL twin — the driver records a
-  * rows-only check, and their ground truth is d04's exact Jaccard (see
-  * DedupSpec, which asserts the sketches recover the implanted near-dup
-  * pairs d04 finds). */
+  * All oracle-backed since r06: d06/d07 (MinHash-LSH, SimHash) run on the
+  * md5-derived hash source ([[MinHashLsh.md5BaseHash]] /
+  * [[SimHash.md5TokenHash]] — md5 is the one hash family both engines
+  * share), so DuckDB reproduces the full sketch pipeline bit-for-bit:
+  * signatures, banding/chunking, candidate pairs, and the agreement
+  * estimate. The xxhash64 fast paths stay the production default and are
+  * proven equivalent in recall by DedupSpec against d04's exact Jaccard
+  * ground truth. */
 object TextQ {
 
   /** Token statistics per document (token array materialized once). */
@@ -84,15 +87,15 @@ object TextQ {
         round(col("n_dup").cast("double") / col("n_grams").cast("double"), 9))
   }
 
-  /** MinHash+LSH near-dup candidates (sketch path; rows-only check). */
+  /** MinHash+LSH near-dup candidates — oracle-backed md5 hash source. */
   def minhashDedup(s: SparkSession, dir: String): DataFrame =
-    MinHashLsh.nearDuplicates(Tables(s, dir).documents, "doc_id", "text",
+    MinHashLsh.nearDuplicatesMd5(Tables(s, dir).documents, "doc_id", "text",
       minEstJaccard = 0.5)
 
-  /** SimHash near-dup pairs (sketch path; rows-only check). Balanced
+  /** SimHash near-dup pairs — oracle-backed md5 hash source. Balanced
     * preset: hamming <= 6 over 8 chunks with the hot-chunk cap on. */
   def simhashDedup(s: SparkSession, dir: String): DataFrame =
-    SimHash.nearDuplicates(Tables(s, dir).documents, "doc_id", "text",
+    SimHash.nearDuplicatesMd5(Tables(s, dir).documents, "doc_id", "text",
       SimHash.Balanced)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -136,7 +139,102 @@ object TextQ {
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** hex→bigint in DuckDB (no native hex-parse of 60-bit values): digit
+    * positions shifted and summed — exact integer arithmetic. */
+  private def hexToBigint(hexExpr: String, nDigits: Int, skip: Int = 0): String =
+    s"""list_sum(list_transform(generate_series(1, $nDigits),
+       |  i -> CAST(strpos('0123456789abcdef', substr($hexExpr, i + $skip, 1)) - 1 AS BIGINT)
+       |       * (CAST(1 AS BIGINT) << (4 * ($nDigits - i)))))""".stripMargin
+
+  /** d06's oracle: the full MinHash pipeline in SQL, on the SAME seeded
+    * affine family the Spark aggregate uses (rendered as literals). */
+  private def minhashOracle: String = {
+    val p = MinHashLsh.Params()
+    val fam = MinHashLsh.hashFamily(p).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    val r = p.rowsPerBand
+    s"""WITH toks AS ($toksSql),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+       |  WHERE len(t) >= 3),
+       |xs AS MATERIALIZED (
+       |  SELECT doc_id, ${hexToBigint("md5(shingle)", 15)} % 2147483647 AS x
+       |  FROM sh),
+       |fam(i, a, b) AS (VALUES $fam),
+       |sigv AS (
+       |  SELECT xs.doc_id, f.i, MIN((f.a * xs.x + f.b) % 2147483647) AS h
+       |  FROM xs, fam f GROUP BY 1, 2),
+       |-- MATERIALIZED: referenced three times (banding + both pair ends)
+       |sigl AS MATERIALIZED (
+       |  SELECT doc_id, list(h ORDER BY i) AS sig FROM sigv GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, b,
+       |         array_to_string(list_slice(sig, b * $r + 1, b * $r + $r), ':') AS key
+       |  FROM sigl, UNNEST(generate_series(0, ${p.bands - 1})) AS u(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |       CAST(len(list_filter(generate_series(1, ${p.numHashes}),
+       |              i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / ${p.numHashes}.0 AS est_jaccard
+       |FROM cand
+       |JOIN sigl sa ON sa.doc_id = id_a
+       |JOIN sigl sb ON sb.doc_id = id_b
+       |WHERE CAST(len(list_filter(generate_series(1, ${p.numHashes}),
+       |        i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / ${p.numHashes}.0 >= 0.5""".stripMargin
+  }
+
+  /** d07's oracle: the full SimHash pipeline in SQL — per-token md5 hash
+    * split into two 32-bit halves, 64 plane votes, bit assembly, chunk
+    * collision join with the hot-chunk cap, hamming filter. */
+  private def simhashOracle: String = {
+    val preset = SimHash.Balanced
+    val planeSums = (0 until 64).map { j =>
+      val src = if (j < 32) s"(lo >> $j)" else s"(hi >> ${j - 32})"
+      s"SUM(CASE WHEN $src & 1 = 1 THEN 1 ELSE -1 END) AS p$j"
+    }.mkString(",\n       |         ").stripMargin
+    val loBits = (0 until 32)
+      .map(j => s"CASE WHEN p$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END")
+      .mkString(" + ")
+    val hiBits = (32 until 64)
+      .map(j => s"CASE WHEN p$j > 0 THEN (CAST(1 AS BIGINT) << ${j - 32}) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS ($toksSql),
+       |tok AS (SELECT doc_id, u.tok AS tok FROM toks, UNNEST(t) AS u(tok)),
+       |h AS (
+       |  SELECT doc_id,
+       |         ${hexToBigint("md5(tok)", 8)} AS hi,
+       |         ${hexToBigint("md5(tok)", 8, skip = 8)} AS lo
+       |  FROM tok),
+       |planes AS (
+       |  SELECT doc_id,
+       |         $planeSums
+       |  FROM h GROUP BY 1),
+       |sim AS MATERIALIZED (
+       |  SELECT doc_id, $loBits AS lo_sim, $hiBits AS hi_sim FROM planes),
+       |chunks AS (
+       |  SELECT doc_id, c,
+       |         CASE WHEN c < 4 THEN (lo_sim >> (c * 8)) & 255
+       |              ELSE (hi_sim >> ((c - 4) * 8)) & 255 END AS cv,
+       |         hi_sim, lo_sim
+       |  FROM sim, UNNEST(generate_series(0, ${preset.chunks - 1})) AS u(c)),
+       |pruned AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY c, cv) AS bn FROM chunks)
+       |  WHERE bn <= ${preset.maxChunkBucket.get}),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         bit_count(xor(a.hi_sim, b.hi_sim)) + bit_count(xor(a.lo_sim, b.lo_sim)) AS hamming
+       |  FROM pruned a JOIN pruned b
+       |    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+       |FROM pairs WHERE hamming <= ${preset.maxDist}""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "d06_minhash_dedup" -> minhashOracle,
+    "d07_simhash_dedup" -> simhashOracle,
     "d01_token_stats" ->
       s"""WITH toks AS ($toksSql)
          |SELECT doc_id,
