@@ -104,13 +104,11 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("q37_lineage6_readcount")
     assert(p.contains("BroadcastHashJoin"), "no broadcast in lineage join")
     assert(!p.contains("CartesianProduct"), "cartesian in lineage join")
-    // the ACTIVE-status gates fold through the star derivation into key
-    // arithmetic at the scans (run's status rule is `% 17 = 16`), UNLESS
-    // the run table is served from its cache — then the status filter
-    // applies on the InMemoryTableScan instead. Either way it runs BELOW
-    // the joins.
-    assert(p.contains("% 17") || p.contains("InMemoryTableScan"),
-      "run status gate did not reach the scan")
+    // the run table is a materialized parquet star table since r06, so
+    // the ACTIVE-status gate must push into its scan as a plain column
+    // filter (before materialization it folded into `% 17` key arithmetic)
+    assert(p.contains("EqualTo(status,ACTIVE)") || p.contains("% 17"),
+      "run status gate did not reach the scan:\n" + p)
   }
 
   test("7-way lineage join: string-key hop, anti-join, no cartesian") {
