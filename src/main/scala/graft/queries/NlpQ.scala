@@ -35,11 +35,44 @@ object NlpQ {
   def langid(s: SparkSession, dir: String): DataFrame =
     LangId.classifyNative(Tables(s, dir).documents, "doc_id", "text")
 
+  /** Substring-level repeated-region detection over the winnowing
+    * fingerprints: character spans whose content also occurs in another
+    * document (gapMax=10 = w+k−1, so any cross-document repeat of length
+    * ≥ 17 is guaranteed detected; ≥ 2 fingerprints per region). */
+  def repeats(s: SparkSession, dir: String): DataFrame =
+    Winnowing.repeatedRegions(Tables(s, dir).documents, "doc_id", "text",
+      k = 7, w = 4, gapMax = 10, minFps = 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d09_tfidf_terms"    -> (tfidf _),
     "d10_vocab_topk"     -> (vocab _),
     "d11_winnow_fps"     -> (winnow _),
-    "d12_langid_trigram" -> (langid _))
+    "d12_langid_trigram" -> (langid _),
+    "d20_repeat_regions" -> (repeats _))
+
+  /** The winnowing fingerprint derivation (k=7, w=4) as a CTE chain ending
+    * in `fps(doc_id, pos int, fp)` — shared by d11 (which selects it
+    * verbatim) and d20 (which builds islands on it). `fps` is MATERIALIZED:
+    * d20 references it twice, and DuckDB inlines plain CTEs per reference,
+    * which would re-run the O(n·w) window-min joins. */
+  private val winnowCtes =
+    """g AS (
+      |  SELECT doc_id, CAST(i AS INT) AS i,
+      |         substr(md5(substr(text, CAST(i AS INT), 7)), 1, 12) AS h,
+      |         length(text) - 6 AS m
+      |  FROM documents, UNNEST(generate_series(1, length(text) - 6)) AS u(i)),
+      |wmin AS (
+      |  SELECT w.doc_id, w.i AS j, min(x.h) AS mn
+      |  FROM g w JOIN g x ON x.doc_id = w.doc_id AND x.i BETWEEN w.i AND w.i + 3
+      |  WHERE w.i <= w.m - 3
+      |  GROUP BY 1, 2),
+      |sel AS (
+      |  SELECT m.doc_id, max(x.i) AS pos, m.mn AS fp
+      |  FROM wmin m JOIN g x ON x.doc_id = m.doc_id
+      |    AND x.i BETWEEN m.j AND m.j + 3 AND x.h = m.mn
+      |  GROUP BY m.doc_id, m.j, m.mn),
+      |fps AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, fp FROM sel)""".stripMargin
 
   private val toksCte =
     """toks AS (
@@ -79,22 +112,30 @@ object NlpQ {
          |FROM (SELECT *, row_number() OVER (ORDER BY n DESC, term) AS rank FROM c)
          |WHERE rank <= 100""".stripMargin,
     "d11_winnow_fps" ->
-      """WITH g AS (
-        |  SELECT doc_id, CAST(i AS INT) AS i,
-        |         substr(md5(substr(text, CAST(i AS INT), 7)), 1, 12) AS h,
-        |         length(text) - 6 AS m
-        |  FROM documents, UNNEST(generate_series(1, length(text) - 6)) AS u(i)),
-        |wmin AS (
-        |  SELECT w.doc_id, w.i AS j, min(x.h) AS mn
-        |  FROM g w JOIN g x ON x.doc_id = w.doc_id AND x.i BETWEEN w.i AND w.i + 3
-        |  WHERE w.i <= w.m - 3
-        |  GROUP BY 1, 2),
-        |sel AS (
-        |  SELECT m.doc_id, max(x.i) AS pos, m.mn AS fp
-        |  FROM wmin m JOIN g x ON x.doc_id = m.doc_id
-        |    AND x.i BETWEEN m.j AND m.j + 3 AND x.h = m.mn
-        |  GROUP BY m.doc_id, m.j, m.mn)
-        |SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, fp FROM sel""".stripMargin,
+      s"""WITH $winnowCtes
+         |SELECT doc_id, pos, fp FROM fps""".stripMargin,
+    "d20_repeat_regions" ->
+      s"""WITH $winnowCtes,
+         |xdoc AS (
+         |  SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) > 1),
+         |sh AS (
+         |  SELECT f.doc_id, f.pos FROM fps f WHERE f.fp IN (SELECT fp FROM xdoc)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 10
+         |              THEN 0 ELSE 1 END AS brk
+         |  FROM sh),
+         |grp AS (
+         |  SELECT doc_id, pos,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+         |  FROM isl),
+         |r AS (
+         |  SELECT doc_id, min(pos) AS start_pos, max(pos) + 6 AS end_pos,
+         |         CAST(count(*) AS INT) AS n_fps
+         |  FROM grp GROUP BY doc_id, isl_id)
+         |SELECT doc_id, start_pos, end_pos,
+         |       end_pos - start_pos + 1 AS span, n_fps
+         |FROM r WHERE n_fps >= 2""".stripMargin,
     "d12_langid_trigram" -> {
       val sums = langs.map(l =>
         s"CAST(sum(CASE WHEN plang = '$l' THEN weight ELSE 0 END) AS BIGINT) AS s_$l")

@@ -104,6 +104,55 @@ object Winnowing {
       .filter(col("f").isNotNull)
       .select(col(idCol), col("f.pos").as("pos"), col("f.fp").as("fp"))
 
+  /** Substring-level repeat detection: per-document regions whose content
+    * also appears in at least one OTHER document (RefinedWeb/The-Pile-style
+    * repeated-substring removal, the dedup flavor between exact-document
+    * (d03) and segment-level C4 (d13); reference's nearest analog is the
+    * whole-file md5 of fileutils.py calculate_file_checksum).
+    *
+    * Winnowing guarantees every shared substring of length ≥ w+k−1 shares a
+    * fingerprint, and selects a fingerprint at least every w k-grams inside
+    * it — so a long cross-document repeat shows up as a RUN of
+    * cross-document-shared fingerprints at small position gaps. Regions are
+    * those runs (gaps-and-islands over positions, new island when the gap
+    * exceeds `gapMax`), reported as [start_pos, end_pos] character spans
+    * with their fingerprint count; `minFps` ≥ 2 suppresses single-
+    * fingerprint coincidences. Spans are winnowing-resolution estimates of
+    * the true repeat (± w+k−2 chars at each edge) — the guarantee is
+    * recall: no repeat of length ≥ gapMax+k survives undetected.
+    *
+    * Scale shape (the reason this beats a suffix array at 100 TB): NO pair
+    * join anywhere — one hash-agg + semi-join on `fp` to find cross-doc
+    * fingerprints, one window over (doc, pos) to form islands. Both
+    * exchanges are linear in the fingerprint count (~2/(w+1) of the
+    * corpus chars); a hot boilerplate fingerprint costs one aggregation
+    * row, not an O(df²) fan-out.
+    */
+  def repeatedRegions(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 7, w: Int = 4, gapMax: Int = 10,
+                      minFps: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = fingerprintRows(df, idCol, textCol, k, w)
+    val crossDoc = fps.groupBy("fp")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > 1).select("fp")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    fps.join(crossDoc, Seq("fp"), "left_semi")
+      // lag is null on the first row → the `otherwise` arm opens island 1
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= gapMax, 0)
+          .otherwise(1))
+      .withColumn("__isl", sum(col("__brk")).over(byDoc))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(
+        min(col("pos")).as("start_pos"),
+        (max(col("pos")) + (k - 1)).as("end_pos"),
+        count(lit(1)).cast("int").as("n_fps"))
+      .filter(col("n_fps") >= minFps)
+      .select(col(idCol), col("start_pos"), col("end_pos"),
+        (col("end_pos") - col("start_pos") + 1).as("span"), col("n_fps"))
+  }
+
   /** Documents sharing ≥ `minShared` fingerprints — the winnowing twin of
     * the shingle-Jaccard pair generator: fingerprints are ~2/(w+1) of the
     * k-grams, so the self-join index is smaller than d04's for the same

@@ -12,6 +12,14 @@ class PlanQualitySpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("substring repeat detection is linear: semi-join on fp, no pair join") {
+    val p = plan("d20_repeat_regions")
+    assert(p.contains("LeftSemi"), "cross-doc fp gate must be a semi-join\n" + p)
+    assert(!p.contains("Inner"), "no pairwise join may appear — the plan " +
+      "must stay linear in the fingerprint count\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("semi-join pushes the price filter into the orders scan") {
     val p = plan("q03_semi_join")
     assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,200000.0)"), p)
