@@ -1,0 +1,205 @@
+package graft.store
+
+import java.sql.Connection
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** JDBC-backed [[Store]] — the engine's counterpart of the reference's live
+  * MySQL deployment (dbconnect.py:8-165; baseadaptor.py:331-345 read_sql →
+  * `spark.read.jdbc`, SURVEY §2.1's "spark.read.jdbc or Parquet" mapping).
+  *
+  * Execution shape, designed for a real DBMS behind a 1000-executor cluster:
+  *   - READS go through `spark.read.jdbc`; [[readPartitioned]] splits the
+  *     scan into `numPartitions` range predicates so a fact-sized table
+  *     streams through many executors instead of one connection.
+  *   - WRITES append partition-parallel via `df.write.jdbc` (one INSERT
+  *     batch per partition).
+  *   - MUTATIONS (insert-if-absent / upsert / delete) stage the incoming
+  *     frame into a side table partition-parallel, then run ONE set-based
+  *     SQL statement (INSERT..WHERE NOT EXISTS / MERGE / DELETE..EXISTS)
+  *     inside the DBMS — the N+1 per-row probe loops of the reference
+  *     (collect_seqrun_fastq_to_db.py:515-757) become a single join the
+  *     database executes with its own planner. No per-row driver round trip
+  *     anywhere.
+  *
+  * Tables are created with quoted, case-preserved identifiers and strings
+  * as VARCHAR(`varcharLen`) — NOT the dialect default CLOB, which most
+  * engines (Derby included) refuse to compare in MERGE/join predicates.
+  *
+  * Differences from the parquet [[MetadataStore]], inherent to a live DBMS:
+  * no snapshot versioning/time travel, and `upsert` requires the incoming
+  * frame to be unique on `keys` (SQL MERGE raises on cardinality violations
+  * where the snapshot path would keep both rows).
+  *
+  * Tested against embedded Derby (the in-JVM DBMS on the Spark classpath);
+  * the URL is the only thing that changes for MySQL/Postgres.
+  */
+final class JdbcStore(spark: SparkSession, url: String,
+                      props: Properties = new Properties,
+                      varcharLen: Int = 1024) extends Store {
+  JdbcStore.quietDerby()
+
+  private def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+
+  private def withConn[A](f: Connection => A): A = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try f(conn) finally conn.close()
+  }
+
+  private def exec(sql: String): Int = withConn { c =>
+    val st = c.createStatement(); try st.executeUpdate(sql) finally st.close()
+  }
+
+  override def exists(name: String): Boolean = withConn { c =>
+    val rs = c.getMetaData.getTables(null, null, name, null)
+    try rs.next() finally rs.close()
+  }
+
+  override def read(name: String): DataFrame = {
+    require(exists(name), s"table $name does not exist at $url")
+    spark.read.jdbc(url, q(name), props)
+  }
+
+  /** Range-partitioned parallel read — one connection per partition, each
+    * fetching `partitionCol` within its stride (the Spark-side answer to a
+    * fact-sized DB table). */
+  def readPartitioned(name: String, partitionCol: String,
+                      lower: Long, upper: Long, numPartitions: Int): DataFrame =
+    spark.read.jdbc(url, q(name), q(partitionCol), lower, upper, numPartitions, props)
+
+  private def ddlType(dt: DataType): String = dt match {
+    case StringType         => s"VARCHAR($varcharLen)"
+    case LongType           => "BIGINT"
+    case IntegerType        => "INTEGER"
+    case ShortType          => "SMALLINT"
+    case ByteType           => "SMALLINT"
+    case DoubleType         => "DOUBLE"
+    case FloatType          => "REAL"
+    case BooleanType        => "BOOLEAN"
+    case DateType           => "DATE"
+    case TimestampType      => "TIMESTAMP"
+    case BinaryType         => "BLOB"
+    case d: DecimalType     => s"DECIMAL(${d.precision},${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"JdbcStore has no DDL mapping for $other")
+  }
+
+  private def createEmpty(name: String, schema: StructType): Unit = {
+    val cols = schema.fields
+      .map(f => s"${q(f.name)} ${ddlType(f.dataType)}").mkString(", ")
+    exec(s"CREATE TABLE ${q(name)} ($cols)")
+  }
+
+  private def dropIfExists(name: String): Unit =
+    if (exists(name)) { exec(s"DROP TABLE ${q(name)}"); () }
+
+  private def appendRows(name: String, df: DataFrame): Unit =
+    df.write.mode("append").jdbc(url, q(name), props)
+
+  override def create(name: String, df: DataFrame): Unit = {
+    val fresh = Store.normalize(df)
+    dropIfExists(name)
+    createEmpty(name, fresh.schema)
+    appendRows(name, fresh)
+  }
+
+  override def append(name: String, df: DataFrame): Unit = {
+    val fresh = Store.normalize(df)
+    if (!exists(name)) createEmpty(name, fresh.schema)
+    appendRows(name, fresh)
+  }
+
+  /** Stage `df` into `<name>__stage` (partition-parallel), run `sql` against
+    * it as one statement, drop the stage. Returns the statement's row count. */
+  private def viaStage(name: String, df: DataFrame)(sql: String => String): Int = {
+    val stage = name + "__stage"
+    dropIfExists(stage)
+    createEmpty(stage, df.schema)
+    appendRows(stage, df)
+    try exec(sql(q(stage))) finally dropIfExists(stage)
+  }
+
+  override def insertIfAbsent(name: String, df: DataFrame, keys: Seq[String]): Long = {
+    val fresh = Store.normalize(df)
+    if (!exists(name)) { createEmpty(name, fresh.schema); appendRows(name, fresh); fresh.count() }
+    else {
+      val cols = fresh.schema.fieldNames
+      val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      viaStage(name, fresh) { stage =>
+        s"""INSERT INTO ${q(name)} (${cols.map(q).mkString(", ")})
+           |SELECT ${cols.map(c => "s." + q(c)).mkString(", ")} FROM $stage s
+           |WHERE NOT EXISTS (SELECT 1 FROM ${q(name)} t WHERE $on)""".stripMargin
+      }.toLong
+    }
+  }
+
+  override def upsert(name: String, df: DataFrame, keys: Seq[String]): Unit = {
+    val fresh = Store.normalize(df)
+    if (!exists(name)) { createEmpty(name, fresh.schema); appendRows(name, fresh) }
+    else {
+      val cols = fresh.schema.fieldNames
+      val nonKeys = cols.filterNot(keys.contains)
+      val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val matchedArm =
+        if (nonKeys.isEmpty) ""
+        else "WHEN MATCHED THEN UPDATE SET " +
+          nonKeys.map(c => s"${q(c)} = s.${q(c)}").mkString(", ") + "\n"
+      viaStage(name, fresh) { stage =>
+        s"MERGE INTO ${q(name)} t USING $stage s ON $on\n" + matchedArm +
+          s"WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")}) " +
+          s"VALUES (${cols.map(c => "s." + q(c)).mkString(", ")})"
+      }
+      ()
+    }
+  }
+
+  override def delete(name: String, keysDf: DataFrame, keys: Seq[String]): Unit = {
+    val keyFrame = keysDf.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct()
+    val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    viaStage(name, keyFrame) { stage =>
+      s"DELETE FROM ${q(name)} t WHERE EXISTS (SELECT 1 FROM $stage s WHERE $on)"
+    }
+    ()
+  }
+
+  override def deleteCascade(parent: String, keysDf: DataFrame, keys: Seq[String],
+                             children: Seq[(String, String)]): Unit = {
+    delete(parent, keysDf, keys)
+    children.foreach { case (child, fk) =>
+      exec(s"""DELETE FROM ${q(child)} c WHERE NOT EXISTS
+              |(SELECT 1 FROM ${q(parent)} p WHERE p.${q(keys.head)} = c.${q(fk)})""".stripMargin)
+    }
+  }
+}
+
+object JdbcStore {
+  import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects, JdbcType}
+
+  /** Spark's built-in Derby dialect maps StringType → CLOB, which Derby
+    * refuses to compare in predicates AND binds nulls as setNull(CLOB) —
+    * failing against the VARCHAR columns this store creates. Shadow it for
+    * derby: URLs with a VARCHAR mapping; reads fall through to Spark's
+    * default JDBC→Catalyst mapping. */
+  private object DerbyVarcharDialect extends JdbcDialect {
+    override def canHandle(url: String): Boolean = url.startsWith("jdbc:derby")
+    override def quoteIdentifier(colName: String): String =
+      "\"" + colName.replace("\"", "\"\"") + "\""
+    override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
+      case StringType  => Some(JdbcType("VARCHAR(32672)", java.sql.Types.VARCHAR))
+      case BooleanType => Some(JdbcType("BOOLEAN", java.sql.Types.BOOLEAN))
+      case ShortType | ByteType => Some(JdbcType("SMALLINT", java.sql.Types.SMALLINT))
+      case _ => None
+    }
+  }
+
+  private lazy val quiet: Unit = {
+    // embedded Derby writes derby.log into the CWD unless told otherwise
+    if (System.getProperty("derby.stream.error.file") == null)
+      System.setProperty("derby.stream.error.file",
+        System.getProperty("java.io.tmpdir") + "/derby.log")
+    JdbcDialects.registerDialect(DerbyVarcharDialect)
+  }
+  private def quietDerby(): Unit = quiet
+}

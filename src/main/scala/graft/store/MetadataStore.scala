@@ -23,13 +23,13 @@ import org.apache.spark.sql.functions._
   * Empty-string normalization on write matches the reference's "drop empty
   * values before insert" rule (baseadaptor.py:39-44).
   */
-final class MetadataStore(spark: SparkSession, root: String) {
+final class MetadataStore(spark: SparkSession, root: String) extends Store {
   import java.nio.file.{Files, Paths, StandardCopyOption}
 
   private def tableDir(name: String) = Paths.get(root, name)
   private def pointer(name: String) = tableDir(name).resolve("_CURRENT")
 
-  def exists(name: String): Boolean = Files.exists(pointer(name))
+  override def exists(name: String): Boolean = Files.exists(pointer(name))
 
   private def currentVersion(name: String): Int =
     if (exists(name)) new String(Files.readAllBytes(pointer(name))).trim.toInt else 0
@@ -37,7 +37,7 @@ final class MetadataStore(spark: SparkSession, root: String) {
   private def versionPath(name: String, v: Int) =
     tableDir(name).resolve(f"v$v%06d")
 
-  def read(name: String): DataFrame = {
+  override def read(name: String): DataFrame = {
     require(exists(name), s"table $name does not exist under $root")
     spark.read.parquet(versionPath(name, currentVersion(name)).toString)
   }
@@ -54,17 +54,12 @@ final class MetadataStore(spark: SparkSession, root: String) {
     next
   }
 
-  /** Empty strings → null before storage (baseadaptor.py:39-44). */
-  private def normalize(df: DataFrame): DataFrame =
-    df.columns.foldLeft(df) { (d, c) =>
-      if (d.schema(c).dataType == org.apache.spark.sql.types.StringType)
-        d.withColumn(c, when(col(c) === "", lit(null)).otherwise(col(c)))
-      else d
-    }
+  private def normalize(df: DataFrame): DataFrame = Store.normalize(df)
 
-  def create(name: String, df: DataFrame): Unit = commit(name, normalize(df))
+  override def create(name: String, df: DataFrame): Unit =
+    commit(name, normalize(df))
 
-  def append(name: String, df: DataFrame): Unit = {
+  override def append(name: String, df: DataFrame): Unit = {
     val merged = if (exists(name))
       read(name).unionByName(normalize(df), allowMissingColumns = true)
     else normalize(df)
@@ -74,7 +69,7 @@ final class MetadataStore(spark: SparkSession, root: String) {
   /** Insert-if-absent (collect_seqrun_fastq_to_db.py:515-757's anti-probe):
     * ONE anti-join replaces the reference's N+1 per-row existence checks.
     * Returns the number of rows actually inserted. */
-  def insertIfAbsent(name: String, df: DataFrame, keys: Seq[String]): Long = {
+  override def insertIfAbsent(name: String, df: DataFrame, keys: Seq[String]): Long = {
     val fresh = normalize(df)
     if (!exists(name)) { commit(name, fresh); fresh.count() }
     else {
@@ -91,7 +86,7 @@ final class MetadataStore(spark: SparkSession, root: String) {
     * are inserted (pipelineadaptor.py:408-494 create_or_update semantics,
     * collectionadaptor.py:101-260 attribute upsert when keyed on
     * (entity_id, attribute_name)). */
-  def upsert(name: String, df: DataFrame, keys: Seq[String]): Unit = {
+  override def upsert(name: String, df: DataFrame, keys: Seq[String]): Unit = {
     val fresh = normalize(df)
     if (!exists(name)) { commit(name, fresh); () }
     else {
@@ -104,7 +99,7 @@ final class MetadataStore(spark: SparkSession, root: String) {
   }
 
   /** DELETE by key set, as an anti-join rewrite (runadaptor.py:461-483). */
-  def delete(name: String, keysDf: DataFrame, keys: Seq[String]): Unit = {
+  override def delete(name: String, keysDf: DataFrame, keys: Seq[String]): Unit = {
     val remaining = read(name).join(keysDf.select(keys.map(col): _*).distinct(),
       keys, "left_anti")
     commit(name, remaining)
@@ -113,8 +108,8 @@ final class MetadataStore(spark: SparkSession, root: String) {
 
   /** FK-cascade delete (collectionadaptor.py:694-890): delete parents, then
     * anti-join every child table against the surviving parents. */
-  def deleteCascade(parent: String, keysDf: DataFrame, keys: Seq[String],
-                    children: Seq[(String, String)]): Unit = {
+  override def deleteCascade(parent: String, keysDf: DataFrame, keys: Seq[String],
+                             children: Seq[(String, String)]): Unit = {
     delete(parent, keysDf, keys)
     children.foreach { case (child, fk) =>
       val survivors = read(parent).select(col(keys.head).as(fk)).distinct()

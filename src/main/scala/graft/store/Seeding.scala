@@ -20,7 +20,7 @@ object Seeding {
 
   /** Entities not yet seeded for `pipelineId` → new SEEDED rows
     * (seed_new_seqruns / seed_new_experiments shape). */
-  def seedNew(store: MetadataStore, seedTableName: String,
+  def seedNew(store: Store, seedTableName: String,
               entities: DataFrame, entityKey: String,
               pipelineId: Long, seedTable: String): Long = {
     val candidates = entities.select(
@@ -36,7 +36,7 @@ object Seeding {
     * not allow the transition are left untouched (the reference raises
     * per-row; here violations surface as the returned rejected frame —
     * SURVEY §7.4 error-frame convention). Returns (applied, rejected). */
-  def transition(store: MetadataStore, seedTableName: String,
+  def transition(store: Store, seedTableName: String,
                  picks: DataFrame, newStatus: String): (Long, DataFrame) = {
     val keys = Seq("pipeline_id", "seed_id", "seed_table")
     val current = store.read(seedTableName)
@@ -45,7 +45,11 @@ object Seeding {
       case (from, tos) if tos.contains(newStatus) => from
     }.toSeq
     val applicable = joined.filter(col("status").isin(allowedFrom: _*))
+    // materialize BEFORE the upsert: on a live-DBMS store the lazy plan
+    // would re-read post-mutation state (parquet snapshots pin the version,
+    // JDBC doesn't); the error frame is small by contract
     val rejected = joined.filter(!col("status").isin(allowedFrom: _*))
+      .localCheckpoint()
     val updated = applicable.withColumn("status", lit(newStatus))
     val n = updated.count()
     if (n > 0) store.upsert(seedTableName, updated, keys)
@@ -54,7 +58,7 @@ object Seeding {
 
   /** Seeds of a (pipeline, status) joined back to their entity rows —
     * fetch_pipeline_seed_with_table_data (pipelineadaptor.py:213-254). */
-  def fetchWithEntities(store: MetadataStore, seedTableName: String,
+  def fetchWithEntities(store: Store, seedTableName: String,
                         pipelineId: Long, status: String,
                         entities: DataFrame, entityKey: String): DataFrame =
     store.read(seedTableName)

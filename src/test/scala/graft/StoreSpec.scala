@@ -3,18 +3,18 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.store.{MetadataStore, Seeding, SurrogateKeys}
+import graft.store.{JdbcStore, MetadataStore, Seeding, Store, SurrogateKeys}
 
-class StoreSpec extends AnyFunSuite {
+/** Backend-agnostic mutation contract: every [[Store]] implementation must
+  * pass these (the reference's adaptor-layer semantics, SURVEY §2.9). */
+abstract class StoreContract extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
 
-  private def newStore(): MetadataStore = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
-    new MetadataStore(spark, dir)
-  }
+  def backend: String
+  def newStore(): Store
 
-  test("create/read round-trip with empty-string normalization") {
+  test(s"$backend: create/read round-trip with empty-string normalization") {
     val st = newStore()
     st.create("project", Seq(("IGFQ0001", "ACTIVE"), ("IGFQ0002", ""))
       .toDF("project_igf_id", "status"))
@@ -23,7 +23,14 @@ class StoreSpec extends AnyFunSuite {
     assert(got.filter(col("status").isNull).count() == 1)
   }
 
-  test("insertIfAbsent inserts only novel keys and is idempotent") {
+  test(s"$backend: append adds rows to an existing table") {
+    val st = newStore()
+    st.create("t", Seq(Tuple1(1L)).toDF("x"))
+    st.append("t", Seq(Tuple1(2L)).toDF("x"))
+    assert(st.read("t").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test(s"$backend: insertIfAbsent inserts only novel keys and is idempotent") {
     val st = newStore()
     st.create("sample", Seq(("S1", "P1"), ("S2", "P1")).toDF("sample_igf_id", "project"))
     val n1 = st.insertIfAbsent("sample",
@@ -34,7 +41,7 @@ class StoreSpec extends AnyFunSuite {
     assert(n2 == 0 && st.read("sample").count() == 3)
   }
 
-  test("upsert replaces matched rows and inserts unmatched") {
+  test(s"$backend: upsert replaces matched rows and inserts unmatched") {
     val st = newStore()
     st.create("seed", Seq((1L, "SEEDED"), (2L, "RUNNING")).toDF("seed_id", "status"))
     st.upsert("seed", Seq((2L, "FINISHED"), (3L, "SEEDED")).toDF("seed_id", "status"), Seq("seed_id"))
@@ -42,7 +49,7 @@ class StoreSpec extends AnyFunSuite {
     assert(got == Map(1L -> "SEEDED", 2L -> "FINISHED", 3L -> "SEEDED"))
   }
 
-  test("attribute upsert on (entity_id, attribute_name) refreshes values") {
+  test(s"$backend: attribute upsert on (entity_id, attribute_name) refreshes values") {
     // run-attribute refresh semantics (collect_seqrun_fastq_to_db.py:646-674)
     val st = newStore()
     st.create("run_attribute", Seq((1L, "R1_READ_COUNT", "100"), (1L, "R2_READ_COUNT", "90"))
@@ -55,7 +62,7 @@ class StoreSpec extends AnyFunSuite {
       && got((2L, "R1_READ_COUNT")) == "70")
   }
 
-  test("delete with FK cascade removes orphaned children") {
+  test(s"$backend: delete with FK cascade removes orphaned children") {
     val st = newStore()
     st.create("collection", Seq((1L, "c1"), (2L, "c2")).toDF("collection_id", "name"))
     st.create("collection_group", Seq((1L, 10L), (1L, 11L), (2L, 12L))
@@ -66,22 +73,7 @@ class StoreSpec extends AnyFunSuite {
     assert(st.read("collection_group").collect().map(_.getLong(1)).toSeq == Seq(12L))
   }
 
-  test("snapshots are versioned and time-travelable") {
-    val st = newStore()
-    st.create("t", Seq(Tuple1(1)).toDF("x"))
-    st.append("t", Seq(Tuple1(2)).toDF("x"))
-    assert(st.versions("t") == Seq(1, 2))
-    assert(st.readVersion("t", 1).count() == 1 && st.read("t").count() == 2)
-  }
-
-  test("surrogate keys continue from existing max and are dense") {
-    val fresh = Seq("b", "a", "c").toDF("name")
-    val keyed = SurrogateKeys.assign(fresh, existingMax = 10L, Seq("name"), "id")
-    val got = keyed.collect().map(r => r.getAs[String]("name") -> r.getAs[Long]("id")).toMap
-    assert(got == Map("a" -> 11L, "b" -> 12L, "c" -> 13L))
-  }
-
-  test("seeding: anti-join seeds only unseen entities; transitions gate") {
+  test(s"$backend: seeding anti-join seeds only unseen entities; transitions gate") {
     val st = newStore()
     val entities = Seq(Tuple1(101L), Tuple1(102L)).toDF("seqrun_id")
     assert(Seeding.seedNew(st, "pipeline_seed", entities, "seqrun_id", 1L, "seqrun") == 2)
@@ -98,5 +90,72 @@ class StoreSpec extends AnyFunSuite {
     val statuses = st.read("pipeline_seed").collect()
       .map(r => r.getAs[Long]("seed_id") -> r.getAs[String]("status")).toMap
     assert(statuses == Map(101L -> "FINISHED", 102L -> "SEEDED"))
+  }
+}
+
+/** Parquet snapshot backend: the contract plus versioning/time travel. */
+class StoreSpec extends StoreContract {
+  import SparkTestSession._
+  import spark.implicits._
+
+  override def backend = "parquet"
+  override def newStore(): MetadataStore = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    new MetadataStore(spark, dir)
+  }
+
+  test("snapshots are versioned and time-travelable") {
+    val st = newStore()
+    st.create("t", Seq(Tuple1(1)).toDF("x"))
+    st.append("t", Seq(Tuple1(2)).toDF("x"))
+    assert(st.versions("t") == Seq(1, 2))
+    assert(st.readVersion("t", 1).count() == 1 && st.read("t").count() == 2)
+  }
+
+  test("surrogate keys continue from existing max and are dense") {
+    val fresh = Seq("b", "a", "c").toDF("name")
+    val keyed = SurrogateKeys.assign(fresh, existingMax = 10L, Seq("name"), "id")
+    val got = keyed.collect().map(r => r.getAs[String]("name") -> r.getAs[Long]("id")).toMap
+    assert(got == Map("a" -> 11L, "b" -> 12L, "c" -> 13L))
+  }
+}
+
+/** Live-DBMS backend over embedded Derby: the same contract, every mutation
+  * a staged set-based statement in the database (no per-row driver loop). */
+class JdbcStoreSpec extends StoreContract {
+  import SparkTestSession._
+  import spark.implicits._
+
+  override def backend = "jdbc"
+  private var dbN = 0
+  override def newStore(): JdbcStore = synchronized {
+    dbN += 1
+    val dir = java.nio.file.Files.createTempDirectory("graft-jdbc").toString
+    new JdbcStore(spark, s"jdbc:derby:$dir/db$dbN;create=true")
+  }
+
+  test("jdbc: non-string types survive the DDL mapping round-trip") {
+    val st = newStore()
+    val df = Seq((1L, 2, 3.5, true, java.sql.Date.valueOf("2024-03-01")))
+      .toDF("l", "i", "d", "b", "dt")
+    st.create("typed", df)
+    val got = st.read("typed").collect().head
+    assert(got.getLong(0) == 1L && got.getInt(1) == 2 && got.getDouble(2) == 3.5
+      && got.getBoolean(3) && got.getDate(4).toString == "2024-03-01")
+  }
+
+  test("jdbc: upsert on an all-key table inserts without an update arm") {
+    val st = newStore()
+    st.create("tags", Seq(Tuple1("a")).toDF("tag"))
+    st.upsert("tags", Seq(Tuple1("a"), Tuple1("b")).toDF("tag"), Seq("tag"))
+    assert(st.read("tags").as[String].collect().sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("jdbc: partitioned read splits the scan by range predicate") {
+    val st = newStore()
+    st.create("facts", (1L to 100L).map(i => (i, i * 2)).toDF("id", "v"))
+    val got = st.readPartitioned("facts", "id", 1L, 100L, 4)
+    assert(got.rdd.getNumPartitions == 4)
+    assert(got.agg(sum("v")).as[Long].head == 10100L)
   }
 }
