@@ -98,6 +98,13 @@ object TextQ {
     SimHash.nearDuplicatesMd5(Tables(s, dir).documents, "doc_id", "text",
       SimHash.Balanced)
 
+  /** Model-based quality gate (fastText-style hashed-n-gram linear scorer,
+    * codegen'd one-pass scoring; seeded md5-derived demo weights so the
+    * oracle recomputes the identical model in SQL). */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    graft.text.QualityClassifier.scored(Tables(s, dir).documents,
+      "doc_id", "text", graft.text.QualityClassifier.seededModel(), threshold = 0L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_token_stats"   -> (tokenStats _),
     "d02_quality_lang"  -> (qualityLang _),
@@ -106,7 +113,8 @@ object TextQ {
     "d05_source_census" -> (sourceCensus _),
     "d08_repetition"    -> (repetition _),
     "d06_minhash_dedup" -> (minhashDedup _),
-    "d07_simhash_dedup" -> (simhashDedup _))
+    "d07_simhash_dedup" -> (simhashDedup _),
+    "d21_quality_score" -> (qualityScore _))
 
   private val toksSql =
     """SELECT doc_id, lang, text,
@@ -232,9 +240,38 @@ object TextQ {
        |FROM pairs WHERE hamming <= ${preset.maxDist}""".stripMargin
   }
 
+  /** d21's oracle: the identical hashed-n-gram linear model in SQL — the
+    * seeded weight table recomputed from md5, every uni/bigram feature
+    * bucketed by md5-top-60-bits mod dim, integer sum. */
+  private def qualityScoreOracle: String = {
+    val dim = 1024
+    // NB: the weight index must NOT be named `i` — hexToBigint's digit
+    // lambda binds `i`, and DuckDB lambda parameters shadow outer columns
+    s"""WITH toks AS ($toksSql),
+       |w AS MATERIALIZED (
+       |  SELECT wi, ${hexToBigint("md5('w:' || wi)", 8)} % 2001 - 1000 AS wt
+       |  FROM UNNEST(generate_series(0, ${dim - 1})) AS g(wi)),
+       |uni AS (SELECT doc_id, u.tok AS f FROM toks, UNNEST(t) AS u(tok)),
+       |big AS (
+       |  SELECT doc_id, t[i] || ' ' || t[i+1] AS f
+       |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+       |  WHERE len(t) >= 2),
+       |feats AS (
+       |  SELECT doc_id, ${hexToBigint("md5(f)", 15)} % $dim AS b
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+       |s AS (
+       |  SELECT f.doc_id, CAST(sum(w.wt) AS BIGINT) AS score,
+       |         CAST(count(*) AS INT) AS n_feats
+       |  FROM feats f JOIN w ON w.wi = f.b GROUP BY 1)
+       |SELECT doc_id, score, n_feats,
+       |       CASE WHEN score >= 0 THEN 1 ELSE 0 END AS keep
+       |FROM s""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "d06_minhash_dedup" -> minhashOracle,
     "d07_simhash_dedup" -> simhashOracle,
+    "d21_quality_score" -> qualityScoreOracle,
     "d01_token_stats" ->
       s"""WITH toks AS ($toksSql)
          |SELECT doc_id,

@@ -12,6 +12,17 @@ class PlanQualitySpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("quality-score gate is a shuffle-free codegen'd one-pass projection") {
+    val p = plan("d21_quality_score")
+    assert(!p.contains("Exchange"), "model scoring must not shuffle\n" + p)
+    assert(!p.contains("lambdafunction"), "interpreted HOF crept into d21\n" + p)
+    assert(p.contains("*(1)"), "scoring fell out of whole-stage codegen\n" + p)
+    // the scorer must run ONCE per row: a filter on n_feats gets pushed
+    // below the projection and re-evaluates the expression in the Filter
+    assert(p.sliding("hashedngramscore".length).count(_ == "hashedngramscore") == 1,
+      "scoring expression evaluated more than once per row\n" + p)
+  }
+
   test("substring repeat detection is linear: semi-join on fp, no pair join") {
     val p = plan("d20_repeat_regions")
     assert(p.contains("LeftSemi"), "cross-doc fp gate must be a semi-join\n" + p)
