@@ -72,8 +72,11 @@ object CurationQ {
     * in crawl A" question). The MinHash sketch twin is bound to this
     * exact result in CorpusOverlapSpec. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    // one-shot query: skip the index persist — materializing the cache
+    // dominated the benched time (8.1 s vs 2.8 s quiet), while recomputing
+    // the postings for the second consumer is cheaper than caching them
     graft.dedup.CorpusOverlap.exactPairJaccard(
-      Tables(s, dir).documents, "source", "text", n = 3)
+      Tables(s, dir).documents, "source", "text", n = 3, persistIndex = false)
 
   private val MinQuality = 0.6
 

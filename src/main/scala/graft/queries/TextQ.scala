@@ -105,6 +105,29 @@ object TextQ {
     graft.text.QualityClassifier.scored(Tables(s, dir).documents,
       "doc_id", "text", graft.text.QualityClassifier.seededModel(), threshold = 0L)
 
+  /** N-gram novelty: the fraction of each document's DISTINCT word
+    * trigrams first introduced by that document (first = min doc_id — the
+    * ingestion-order contribution score a crawl curator ranks sources by;
+    * the complement of d08's intra-doc repetition and d13's cross-doc
+    * segment dedup). Linear plan: per-doc shingles dedup map-side
+    * (array_distinct before the explode — no distinct exchange), ONE
+    * shingle-partitioned window computes the first claimant, one doc-keyed
+    * aggregation; no joins, nothing pairwise, hot shingles cost window
+    * rows rather than fan-out. */
+  def novelty(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir).documents
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(graft.dedup.Shingles.wordShinglesFromTokens(
+        TextMetrics.tokens(col("text")), 3))).as("shingle"))
+    sh.withColumn("__first", min(col("doc_id")).over(Window.partitionBy(col("shingle"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 9))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_token_stats"   -> (tokenStats _),
     "d02_quality_lang"  -> (qualityLang _),
@@ -114,7 +137,8 @@ object TextQ {
     "d08_repetition"    -> (repetition _),
     "d06_minhash_dedup" -> (minhashDedup _),
     "d07_simhash_dedup" -> (simhashDedup _),
-    "d21_quality_score" -> (qualityScore _))
+    "d21_quality_score" -> (qualityScore _),
+    "d22_novelty"       -> (novelty _))
 
   private val toksSql =
     """SELECT doc_id, lang, text,
@@ -272,6 +296,20 @@ object TextQ {
     "d06_minhash_dedup" -> minhashOracle,
     "d07_simhash_dedup" -> simhashOracle,
     "d21_quality_score" -> qualityScoreOracle,
+    "d22_novelty" ->
+      s"""WITH toks AS ($toksSql),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+         |  WHERE len(t) >= 3),
+         |f AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+         |  FROM sh)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 9) AS novelty
+         |FROM f GROUP BY 1""".stripMargin,
     "d01_token_stats" ->
       s"""WITH toks AS ($toksSql)
          |SELECT doc_id,
