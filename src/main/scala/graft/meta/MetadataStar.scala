@@ -30,9 +30,14 @@ final class MetadataStar(s: SparkSession, dir: String) {
     * deriving them per session is an artifact of the synthetic testdata).
     * Consumers then get column-pruned, filter-pushed parquet scans instead
     * of a persist that every first-toucher repopulates; the temp root is
-    * per-JVM, so a code change can never serve a stale star. */
+    * per-JVM, so a code change can never serve a stale star. The cache is
+    * keyed on the FULL sanitized dir path — a 32-bit hashCode could let
+    * two colliding dirs silently share a star. Within one JVM lifetime the
+    * source data at a dir is assumed immutable (true of the driver's
+    * testdata); regenerating data in place mid-JVM would serve stale. */
   private def materializedTable(name: String)(build: => DataFrame): DataFrame = {
-    val path = s"${MetadataStar.cacheRoot}/${Integer.toHexString(dir.hashCode)}/$name"
+    val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"${MetadataStar.cacheRoot}/$dirKey/$name"
     MetadataStar.written.synchronized {
       if (!MetadataStar.written.contains(path)) {
         build.write.mode("overwrite").parquet(path)

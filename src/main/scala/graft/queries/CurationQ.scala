@@ -50,13 +50,17 @@ object CurationQ {
   def bpePairs(s: SparkSession, dir: String): DataFrame =
     Bpe.pairCounts(Tables(s, dir).documents, "text", k = 50)
 
-  /** Full BPE train + encode (no SQL oracle — the iterative merge loop is
-    * not SQL-expressible; BpeSpec proves the distributed trainer equals
-    * the local reference and that encodings round-trip). Output is
-    * per-document subword statistics under a 24-merge model. */
+  /** BPE encode under the frozen [[Bpe.stableModel]] vocabulary — the
+    * production posture (train once, ship the tokenizer, encode at corpus
+    * scale) and what makes the row fully oracle-able: the SQL replays the
+    * frozen merges in rank order as delimiter-guarded string replaces,
+    * equivalent to the greedy lowest-rank loop [[graft.functions.BpeEncode]]
+    * runs (a merge's components always rank strictly below it). Distributed
+    * TRAINING stays covered by d15's oracled pair counts + BpeSpec's
+    * distributed-equals-local proof. Output is per-document subword stats. */
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
-    val model = Bpe.trainAuto(docs, "text", numMerges = 24)
+    val model = Bpe.stableModel
     val toks = TextMetrics.tokens(col("text"))
     docs.select(col("doc_id"), toks.as("__toks"),
         BpeEncode.bpeEncode(col("text"), model).as("__enc"))
@@ -144,7 +148,36 @@ object CurationQ {
     |         array_to_string(t[(i*$SegTokens+1):(i*$SegTokens+$SegTokens)], ' ') AS seg
     |  FROM toks, UNNEST(generate_series(0, CAST(ceil(len(t) / $SegTokens.0) AS BIGINT) - 1)) AS u(i))""".stripMargin
 
+  /** d16's oracle: replay [[Bpe.stableModel]]'s merges in rank order as
+    * string replaces over a delimiter-guarded symbol encoding — chr(1)/
+    * chr(2) wrap every symbol (both absent from the corpus alphabet), so a
+    * replace can only ever match a whole adjacent symbol pair, and SQL
+    * replace's left-to-right non-overlap scan is exactly
+    * [[Bpe.mergePair]]'s. Rank-order replay equals the greedy lowest-rank
+    * encode loop because a merge's components rank strictly below it.
+    * Verified against an independent greedy-BPE implementation on all 500
+    * sf0.001 docs before wiring. */
+  private def bpeEncodeOracle: String = {
+    def wrap(sym: String) = s"chr(1)||'$sym'||chr(2)"
+    val rep0 = "array_to_string(list_transform(string_split(w, ''), " +
+      s"c -> chr(1)||c||chr(2)), '') || ${wrap(Bpe.Eow)}"
+    val chain = Bpe.stableModel.merges.foldLeft(rep0) { case (acc, (a, b)) =>
+      s"replace($acc, ${wrap(a)}||${wrap(b)}, ${wrap(a + b)})"
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id, t, list_transform(t, w -> $chain) AS e FROM toks)
+       |SELECT doc_id,
+       |       CAST(len(t) AS INT) AS n_words,
+       |       CAST(coalesce(list_sum(list_transform(t, w -> length(w) + 1)), 0) AS INT) AS n_symbols,
+       |       CAST(coalesce(list_sum(list_transform(e, s -> length(s) - length(replace(s, chr(1), '')))), 0) AS INT) AS n_subwords
+       |FROM enc""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "d16_bpe_encode" -> bpeEncodeOracle,
     "d13_segment_dedup" ->
       s"""WITH $segsCte,
          |flagged AS (

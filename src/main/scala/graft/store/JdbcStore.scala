@@ -33,8 +33,11 @@ import org.apache.spark.sql.types._
   * frame to be unique on `keys` (SQL MERGE raises on cardinality violations
   * where the snapshot path would keep both rows).
   *
-  * Tested against embedded Derby (the in-JVM DBMS on the Spark classpath);
-  * the URL is the only thing that changes for MySQL/Postgres.
+  * Tested against embedded Derby (the in-JVM DBMS on the Spark classpath).
+  * The SQL targets MERGE-capable, ANSI-double-quote-identifier DBMSs —
+  * Derby, Postgres 15+, Oracle, SQL Server work by switching the URL;
+  * MySQL (backtick quoting, no MERGE — INSERT .. ON DUPLICATE KEY instead)
+  * would need a dialect layer over `q()` and [[upsert]].
   */
 final class JdbcStore(spark: SparkSession, url: String,
                       props: Properties = new Properties,
@@ -53,7 +56,14 @@ final class JdbcStore(spark: SparkSession, url: String,
   }
 
   override def exists(name: String): Boolean = withConn { c =>
-    val rs = c.getMetaData.getTables(null, null, name, null)
+    // getTables takes a LIKE pattern: '_'/'%' are wildcards, and nearly
+    // every store table name contains underscores (run_attribute, every
+    // __stage table) — escape them or `run_attribute` matches `runXattribute`
+    val md = c.getMetaData
+    val esc = md.getSearchStringEscape
+    val pattern = name.replace(esc, esc + esc)
+      .replace("_", esc + "_").replace("%", esc + "%")
+    val rs = md.getTables(null, null, pattern, null)
     try rs.next() finally rs.close()
   }
 
@@ -164,13 +174,26 @@ final class JdbcStore(spark: SparkSession, url: String,
     ()
   }
 
+  /** Cascade scoped to the PASSED keys: children are deleted by membership
+    * in the staged key set, not by a global orphan sweep — pre-existing
+    * orphans a caller didn't ask about are left alone (they're a data-quality
+    * signal, not this call's business). One staged table serves the parent
+    * delete and every child delete. */
   override def deleteCascade(parent: String, keysDf: DataFrame, keys: Seq[String],
                              children: Seq[(String, String)]): Unit = {
-    delete(parent, keysDf, keys)
-    children.foreach { case (child, fk) =>
-      exec(s"""DELETE FROM ${q(child)} c WHERE NOT EXISTS
-              |(SELECT 1 FROM ${q(parent)} p WHERE p.${q(keys.head)} = c.${q(fk)})""".stripMargin)
-    }
+    val keyFrame = keysDf.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct()
+    val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val stage = parent + "__stage"
+    dropIfExists(stage)
+    createEmpty(stage, keyFrame.schema)
+    appendRows(stage, keyFrame)
+    try {
+      exec(s"DELETE FROM ${q(parent)} t WHERE EXISTS (SELECT 1 FROM ${q(stage)} s WHERE $on)")
+      children.foreach { case (child, fk) =>
+        exec(s"""DELETE FROM ${q(child)} c WHERE EXISTS
+                |(SELECT 1 FROM ${q(stage)} s WHERE s.${q(keys.head)} = c.${q(fk)})""".stripMargin)
+      }
+    } finally dropIfExists(stage)
   }
 }
 

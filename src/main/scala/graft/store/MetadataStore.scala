@@ -107,13 +107,16 @@ final class MetadataStore(spark: SparkSession, root: String) extends Store {
   }
 
   /** FK-cascade delete (collectionadaptor.py:694-890): delete parents, then
-    * anti-join every child table against the surviving parents. */
+    * anti-join each child table against the DELETED key set. Scoped to the
+    * passed keys — pre-existing orphans a caller didn't ask about are left
+    * alone (they're a data-quality signal, not this call's business). */
   override def deleteCascade(parent: String, keysDf: DataFrame, keys: Seq[String],
                              children: Seq[(String, String)]): Unit = {
+    val deleted = keysDf.select(col(keys.head)).distinct()
     delete(parent, keysDf, keys)
     children.foreach { case (child, fk) =>
-      val survivors = read(parent).select(col(keys.head).as(fk)).distinct()
-      val keep = read(child).join(survivors, Seq(fk), "left_semi")
+      val keep = read(child).join(deleted.select(col(keys.head).as(fk)),
+        Seq(fk), "left_anti")
       commit(child, keep)
     }
   }

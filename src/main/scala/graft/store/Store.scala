@@ -38,7 +38,8 @@ trait Store {
   def delete(name: String, keysDf: DataFrame, keys: Seq[String]): Unit
 
   /** FK-cascade delete (collectionadaptor.py:694-890): delete parents, then
-    * drop each child row whose FK no longer has a surviving parent. */
+    * drop each child row whose FK is in the DELETED key set. Scoped to the
+    * passed keys on both backends — NOT a global orphan sweep. */
   def deleteCascade(parent: String, keysDf: DataFrame, keys: Seq[String],
                     children: Seq[(String, String)]): Unit
 }

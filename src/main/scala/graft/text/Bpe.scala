@@ -199,6 +199,25 @@ object Bpe {
     * loop. Both paths produce identical models (BpeSpec proves it), so
     * this is a pure execution-strategy choice, like a broadcast-join
     * threshold. */
+  /** The frozen 24-merge model `trainAuto` derives from the synthetic
+    * documents corpus (printed by `graft.tools.PrintBpeModel`, identical at
+    * sf0.01/sf0.1 — the corpus vocabulary is scale-invariant). A FIXED
+    * vocabulary is the production posture anyway: a tokenizer is trained
+    * once and shipped, then encode runs at corpus scale — and freezing it
+    * makes the encode loop fully oracle-able (the d16 SQL replays these
+    * merges in rank order as delimiter-guarded string replaces, which is
+    * equivalent to the greedy lowest-rank encode loop because a merge's
+    * components always have strictly lower ranks than the merge itself). */
+  val stableModel: Model = Model(
+    merges = Seq(
+      ("e", "r"), ("e", Eow), ("n", Eow), ("er", Eow), ("o", "w"),
+      ("ow", Eow), ("o", "r"), ("s", "t"), ("h", Eow), ("a", "t"),
+      ("l", "u"), ("i", "n"), ("a", Eow), ("g", Eow), ("y", Eow),
+      ("a", "r"), ("p", "ar"), ("t", Eow), ("i", "n" + Eow), ("j", "o"),
+      ("jo", "in" + Eow), ("a", "s"), ("as", "h" + Eow), ("h", "ash" + Eow)),
+    alphabet = Seq(Eow, "a", "b", "c", "d", "e", "f", "g", "h", "i", "j",
+      "k", "l", "m", "n", "o", "p", "q", "r", "s", "t", "u", "v", "w", "y"))
+
   def trainAuto(df: DataFrame, textCol: String, numMerges: Int,
                 minCount: Long = 2, maxLocalVocab: Long = 1L << 20): Model = {
     val spark = df.sparkSession

@@ -193,10 +193,62 @@ class PlanQualitySpec extends AnyFunSuite {
   test("source overlap: posting-list plan, no shingle self-join") {
     val p = plan("d17_source_overlap")
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("InMemoryTableScan"),
-      "posting index should be served from its persisted copy\n" + p)
+    // d17 is a one-shot bench query: persistIndex=false (caching the
+    // postings cost more than recomputing them — 8.1 s vs 1.0 s), so the
+    // plan must NOT contain a persisted copy. Callers that reuse the index
+    // (incremental overlap) pass persistIndex=true and get the cache.
+    assert(!p.contains("InMemoryTableScan"),
+      "one-shot overlap must not pay the persist\n" + p)
     // only the two size lookups on the pair endpoints remain as joins
     assert(p.linesIterator.count(_.contains("Join")) <= 2,
       "exact overlap must not self-join the shingle table\n" + p)
+  }
+
+  test("novelty: materialized tokens, one window, no joins") {
+    val p = plan("d22_novelty")
+    assert(!p.contains("Join"), "novelty must stay join-free\n" + p)
+    // the tokenizer must be materialized before the shingle lambda: an
+    // inline tokenizer re-runs the regex split per lambda element (the
+    // d11/d15/d19/d22 trap — 8.9 s vs 0.5 s at sf0.1)
+    val tokenizerInLambda = p.linesIterator.filter(l =>
+      l.contains("lambdafunction") && l.contains("regexp"))
+    assert(tokenizerInLambda.isEmpty,
+      "tokenizer inlined into a HOF lambda:\n" + tokenizerInLambda.mkString("\n"))
+  }
+
+  // The blanket version of the trap gate: the interpreted-lambda re-eval
+  // bug walked in through FOUR separate queries (d11, d15, d19, d22)
+  // while per-query gates pinned only the fixed ones. This sweeps EVERY
+  // registered query plan for the signature — a Filter or Generate whose
+  // condition/generator re-inlines an expensive expression (regex/split)
+  // inside an interpreted HOF lambda. New queries are covered on arrival.
+  /** The body (balanced-paren span) of each `lambdafunction(...)` on the
+    * line. `filter(split(s), lambdafunction(x != ""))` is FINE — the split
+    * is an argument evaluated once per row; the trap is the expensive
+    * expression INSIDE the lambda body, re-run per array element. */
+  private def lambdaBodies(line: String): Seq[String] = {
+    val marker = "lambdafunction("
+    Iterator.iterate(line.indexOf(marker))(i => line.indexOf(marker, i + 1))
+      .takeWhile(_ >= 0).map { i =>
+        var depth = 1; var j = i + marker.length
+        while (j < line.length && depth > 0) {
+          if (line(j) == '(') depth += 1 else if (line(j) == ')') depth -= 1
+          j += 1
+        }
+        line.substring(i, j)
+      }.toSeq
+  }
+
+  test("no query evaluates a regex/split inside an interpreted lambda body " +
+       "(blanket sweep over every registered query)") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val bad = plan(name).linesIterator.flatMap(lambdaBodies)
+        .filter(b => b.contains("regexp_") || b.contains("split("))
+        .toSeq
+      if (bad.isEmpty) Nil else Seq(name + ":\n  " + bad.mkString("\n  "))
+    }
+    assert(offenders.isEmpty,
+      "regex/split re-evaluated per element inside an interpreted lambda in:\n" +
+        offenders.mkString("\n"))
   }
 }

@@ -62,15 +62,17 @@ abstract class StoreContract extends AnyFunSuite {
       && got((2L, "R1_READ_COUNT")) == "70")
   }
 
-  test(s"$backend: delete with FK cascade removes orphaned children") {
+  test(s"$backend: delete with FK cascade removes the deleted keys' children") {
     val st = newStore()
     st.create("collection", Seq((1L, "c1"), (2L, "c2")).toDF("collection_id", "name"))
-    st.create("collection_group", Seq((1L, 10L), (1L, 11L), (2L, 12L))
+    // 99L is a pre-existing orphan: no parent, and NOT in the delete set —
+    // the cascade is scoped to the passed keys and must leave it alone
+    st.create("collection_group", Seq((1L, 10L), (1L, 11L), (2L, 12L), (99L, 13L))
       .toDF("collection_id", "file_id"))
     st.deleteCascade("collection", Seq(Tuple1(1L)).toDF("collection_id"),
       Seq("collection_id"), Seq(("collection_group", "collection_id")))
     assert(st.read("collection").count() == 1)
-    assert(st.read("collection_group").collect().map(_.getLong(1)).toSeq == Seq(12L))
+    assert(st.read("collection_group").collect().map(_.getLong(1)).toSet == Set(12L, 13L))
   }
 
   test(s"$backend: seeding anti-join seeds only unseen entities; transitions gate") {
