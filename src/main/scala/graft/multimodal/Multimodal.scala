@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   *
   * Decoded FOR REAL, in-JVM with no extra dependency: compressed images
   * (PNG/JPEG/GIF/BMP via `javax.imageio` — [[Multimodal.CompressedImage]],
-  * oracle-backed through the lossless PNG path), PCM WAV
-  * ([[Multimodal.PcmWav]]: RIFF parsing, RMS/peak feature extraction) and
-  * binary PPM ([[Multimodal.Ppm]]: header + mean-RGB). Only compressed
-  * AUDIO/VIDEO codecs (MP3/H.264) remain behind the stub interface
+  * oracle-backed through the lossless PNG path), compressed audio
+  * (G.711 µ-law/A-law WAV via `javax.sound.sampled` —
+  * [[Multimodal.CompressedAudio]], oracle-backed because G.711 expansion
+  * is an exact integer mapping), PCM WAV ([[Multimodal.PcmWav]]: RIFF
+  * parsing, RMS/peak feature extraction) and binary PPM
+  * ([[Multimodal.Ppm]]: header + mean-RGB). Only inherently lossy DSP
+  * codecs (MP3/H.264) remain behind the stub interface
   * ([[Multimodal.DecodeStub]], a deterministic fake) because their
   * libraries are not in this container; swapping the stub for a real
   * JNI/library call changes nothing in the plan.
@@ -224,6 +227,94 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, format, out)
       out.toByteArray
     }
+  }
+
+  /** Decoded compressed audio: stream metadata + EXACT integer PCM stats
+    * (sums/extrema, not float RMS — what a cross-engine check can compare
+    * without a float policy, the [[DecodedImage]] lesson). */
+  final case class DecodedAudio(
+      doc_id: Long,
+      encoding: String,
+      sample_rate: Int,
+      n_samples: Long,
+      sum_pcm: Long,
+      min_pcm: Int,
+      max_pcm: Int)
+
+  /** REAL compressed-audio codec via `javax.sound.sampled` (G.711 µ-law /
+    * A-law WAV — in-JVM, no new dependency): the container is parsed and
+    * each log-companded byte is expanded to linear 16-bit PCM by the JDK's
+    * ULAW/ALAW converters. G.711 decode is EXACT (a fixed 256-entry
+    * integer mapping, no DSP), so the m03 query carries a full DuckDB
+    * oracle: the SQL replays the published G.711 expansion formulas, and
+    * AudioCodecSpec pins the JDK converters to those formulas over all 256
+    * byte values. Hostile/undecodable bytes route to None, never fail the
+    * task. MP3/H.264 (genuinely lossy, libraries absent here) stay behind
+    * [[DecodeStub]]. */
+  object CompressedAudio {
+    import java.io.ByteArrayInputStream
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+    def decode(id: Long, bytes: Array[Byte]): Option[DecodedAudio] =
+      try {
+        val src = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val f = src.getFormat
+          val encName =
+            if (f.getEncoding == AudioFormat.Encoding.ULAW) Some("ulaw")
+            else if (f.getEncoding == AudioFormat.Encoding.ALAW) Some("alaw")
+            else None // PCM goes through PcmWav; lossy codecs through the stub
+          encName.flatMap { enc =>
+            val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+              f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
+              f.getSampleRate, false)
+            val pcm = AudioSystem.getAudioInputStream(pcmFmt, src)
+            val out = pcm.readAllBytes()
+            val n = out.length / 2
+            if (n == 0) None
+            else {
+              var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue; var i = 0
+              while (i < n) {
+                val s = ((out(2 * i) & 0xff) | (out(2 * i + 1) << 8)).toShort.toInt
+                sum += s; if (s < mn) mn = s; if (s > mx) mx = s
+                i += 1
+              }
+              Some(DecodedAudio(id, enc, f.getSampleRate.toInt, n.toLong, sum, mn, mx))
+            }
+          }
+        } finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Hand-built RIFF/WAVE container holding G.711-companded bytes:
+      * format tag 7 (µ-law) or 6 (A-law), 8 bits, mono. Stored byte `i` is
+      * `(5i + seed) mod 256` — the closed form the SQL oracle expands
+      * through the G.711 formulas without any audio library. */
+    def renderG711Wav(seed: Long, nSamples: Int, rate: Int, aLaw: Boolean): Array[Byte] = {
+      val fmtTag = if (aLaw) 6 else 7
+      val out = new java.io.ByteArrayOutputStream(64 + nSamples)
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      val dataLen = nSamples
+      // RIFF size = 4 (WAVE) + (8+18) fmt + (8+4) fact + 8 + data
+      tag("RIFF"); w32(4 + 26 + 12 + 8 + dataLen); tag("WAVE")
+      tag("fmt "); w32(18); w16(fmtTag); w16(1); w32(rate); w32(rate)
+      w16(1); w16(8); w16(0) // block align 1, 8 bits, cbSize 0
+      tag("fact"); w32(4); w32(nSamples) // conventional for non-PCM
+      tag("data"); w32(dataLen)
+      var i = 0
+      while (i < nSamples) { out.write(((5L * i + seed) % 256).toInt); i += 1 }
+      out.toByteArray
+    }
+  }
+
+  /** Compressed-audio decode stage: iterator-to-iterator over G.711 WAV
+    * payloads through the REAL javax.sound codec; undecodable rows drop. */
+  def decodeG711Partitions(payloads: DataFrame, spark: SparkSession): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => CompressedAudio.decode(id, bytes) })
   }
 
   /** Compressed-image decode stage: iterator-to-iterator `mapPartitions`

@@ -47,9 +47,32 @@ object MultimodalQ {
     decoded.toDF().select("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
+  /** Real compressed-audio decode: synth G.711 WAV → `javax.sound`
+    * ULAW/ALAW expansion → exact integer PCM stats. Alternating docs carry
+    * µ-law and A-law payloads; sample counts derive from the document's
+    * byte length so every row exercises a different stream shape. G.711
+    * expansion is an exact 256-entry integer mapping (AudioCodecSpec pins
+    * the JDK converters to the published formulas), so the oracle replays
+    * the same expansion in SQL without any audio library. */
+  def audioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seeded = Tables(s, dir).documents
+      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
+      .as[(Long, Long)]
+    val decoded = seeded.mapPartitions(_.flatMap { case (id, n) =>
+      val ns = (n % 50).toInt + 20
+      val wav = Multimodal.CompressedAudio.renderG711Wav(
+        n, ns, 8000, aLaw = n % 2 == 1)
+      Multimodal.CompressedAudio.decode(id, wav)
+    })
+    decoded.toDF().select("doc_id", "encoding", "sample_rate", "n_samples",
+      "sum_pcm", "min_pcm", "max_pcm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta" -> (binaryMeta _),
-    "m02_image_decode" -> (imageDecode _))
+    "m02_image_decode" -> (imageDecode _),
+    "m03_audio_decode" -> (audioDecode _))
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta" ->
@@ -59,6 +82,38 @@ object MultimodalQ {
         |       (['jpeg', 'png', 'wav'])[octet_length(encode(text)) % 3 + 1] AS fmt,
         |       to_base64(encode(text)) AS b64
         |FROM documents""".stripMargin,
+    // G.711 expansion replayed in SQL: stored byte -> linear PCM16 via the
+    // published µ-law/A-law decode formulas (sign/exponent/mantissa unpack,
+    // exact integer arithmetic — no audio library, no floats)
+    "m03_audio_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |         (octet_length(encode(text)) % 50) + 20 AS ns,
+        |         octet_length(encode(text)) % 2 = 1 AS alaw
+        |  FROM documents),
+        |samples AS (
+        |  SELECT doc_id, n, ns, alaw, (5 * x + n) % 256 AS b
+        |  FROM dims, UNNEST(generate_series(0, ns - 1)) AS ux(x)),
+        |pcm AS (
+        |  SELECT doc_id, ns, alaw,
+        |         CASE WHEN alaw THEN
+        |           CASE WHEN (xor(b, 85) & 128) = 0 THEN -1 ELSE 1 END *
+        |           CASE WHEN ((xor(b, 85) >> 4) & 7) = 0
+        |                THEN ((xor(b, 85) & 15) << 4) + 8
+        |                ELSE (((xor(b, 85) & 15) << 4) + 264) << (((xor(b, 85) >> 4) & 7) - 1) END
+        |         ELSE
+        |           CASE WHEN ((255 - b) & 128) <> 0 THEN -1 ELSE 1 END *
+        |           ((((((255 - b) & 15) << 3) + 132) << (((255 - b) >> 4) & 7)) - 132)
+        |         END AS s
+        |  FROM samples)
+        |SELECT doc_id,
+        |       CASE WHEN alaw THEN 'alaw' ELSE 'ulaw' END AS encoding,
+        |       8000 AS sample_rate,
+        |       CAST(ns AS BIGINT) AS n_samples,
+        |       CAST(SUM(s) AS BIGINT) AS sum_pcm,
+        |       CAST(MIN(s) AS INT) AS min_pcm,
+        |       CAST(MAX(s) AS INT) AS max_pcm
+        |FROM pcm GROUP BY 1, 2, 3, 4""".stripMargin,
     "m02_image_decode" ->
       """WITH dims AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,
