@@ -202,10 +202,62 @@ case class QuantLshBucket(child: Expression, planes: Seq[Seq[Int]])
     copy(child = newChild)
 }
 
+/** EXACT squared Euclidean distance of two integer-quantized vectors
+  * (array<long> × array<long> → long). The k-means hot path: one codegen'd
+  * primitive loop per (point, centroid) pair — no HOF interpretation, no
+  * allocation, and because everything is integer the value is identical in
+  * any engine (the reason [[graft.similarity.KMeansExact]] can carry a
+  * cell-exact cross-engine oracle with no float policy at all). */
+case class IntVecSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column wrapper: codegen'd double dot product of two float vectors. */
   def doubleDot(a: Column, b: Column): Column =
     Bridge.column(DoubleDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column wrapper: codegen'd exact integer squared distance (long). */
+  def intVecSqDist(a: Column, b: Column): Column =
+    Bridge.column(IntVecSqDist(Bridge.expression(a), Bridge.expression(b)))
 
   /** Column wrapper: codegen'd quantized-plane LSH bucket (long). */
   def quantLshBucket(vec: Column, planes: Seq[Seq[Int]]): Column =

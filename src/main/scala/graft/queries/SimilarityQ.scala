@@ -93,12 +93,32 @@ object SimilarityQ {
         (col("vec_id") === col("cluster_id")).as("keep"))
   }
 
+  /** Two full Lloyd k-means rounds ([[graft.similarity.KMeansExact]]) from
+    * the 8 seed vectors — e04's one-shot assignment grown into actual
+    * TRAINING, integer-exact end to end (quantize → codegen'd integer
+    * distances → half-even integer centroid means), so the oracle replays
+    * the identical iterations with no float policy. Output is the final
+    * model: per centroid, the last assignment's member count and the
+    * centroid's exact integer checksums. */
+  def kmeansLloyd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = graft.similarity.KMeansExact.quantize(emb(s, dir))
+    // k seed centroids: a k×dims driver-scale contract point (spark.ml shape)
+    val init = pts.filter(col("id") < 8).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+    graft.similarity.KMeansExact.lloyd(s, pts, init, rounds = 2)
+      .map(c => (c.cid, c.nMembers, c.vec.sum, c.vec.map(v => v * v).sum))
+      .toDF("cid", "n_members", "sum_c", "norm2_c")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_knn_brute"      -> (knnBrute _),
     "e02_cosine_neardup" -> (cosineNearDup _),
     "e03_knn_approx"     -> (knnApprox _),
     "e04_centroid_assign" -> (centroidAssign _),
-    "e05_semantic_clusters" -> (semanticClusters _))
+    "e05_semantic_clusters" -> (semanticClusters _),
+    "e06_kmeans_lloyd"   -> (kmeansLloyd _))
 
   // Shared oracle scaffolding, in lockstep with Knn.dotExact/cosine:
   // each element quantizes to the INTEGER round_even(double(x)·1e9) —
@@ -124,7 +144,54 @@ object SimilarityQ {
        |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
        |GROUP BY 1""".stripMargin
 
+  /** One Lloyd round in SQL, all integer: assign by exact squared distance
+    * (ties to lower cid), per-dim exact sums, half-even integer mean;
+    * empty clusters keep the previous centroid. `cin` -> `c$r`. */
+  private def lloydRoundSql(r: Int, cin: String, dims: Int): String = {
+    val pmod = "((s % n) + n) % n"
+    val base = s"(s - $pmod) // n"
+    s"""d$r AS (
+       |  SELECT q.id, q.q AS q, c.cid,
+       |         CAST(list_sum(list_transform(range(1, ${dims + 1}),
+       |           i -> (q.q[i] - c.cq[i]) * (q.q[i] - c.cq[i]))) AS BIGINT) AS d
+       |  FROM q CROSS JOIN $cin c),
+       |a$r AS MATERIALIZED (
+       |  SELECT id, q, cid FROM (
+       |    SELECT id, q, cid, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rk
+       |    FROM d$r) WHERE rk = 1),
+       |m$r AS (
+       |  SELECT cid, i AS pos, CAST(SUM(q[i]) AS BIGINT) AS s, COUNT(*) AS n
+       |  FROM a$r, UNNEST(range(1, ${dims + 1})) AS u$r(i)
+       |  GROUP BY 1, 2),
+       |u$r AS (
+       |  SELECT cid, list(he ORDER BY pos) AS cq FROM (
+       |    SELECT cid, pos,
+       |           ($base) + CASE WHEN 2 * ($pmod) > n THEN 1
+       |                          WHEN 2 * ($pmod) < n THEN 0
+       |                          ELSE ($base) & 1 END AS he
+       |    FROM m$r)
+       |  GROUP BY cid),
+       |c$r AS (SELECT p.cid, coalesce(u.cq, p.cq) AS cq
+       |        FROM $cin p LEFT JOIN u$r u USING (cid))""".stripMargin
+  }
+
+  private def kmeansOracleSql(dims: Int): String =
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |         list_transform(embedding,
+       |           x -> CAST(round_even(CAST(x AS DOUBLE) * 1024, 0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(id AS INT) AS cid, q AS cq FROM q WHERE id < 8),
+       |${lloydRoundSql(1, "c0", dims)},
+       |${lloydRoundSql(2, "c1", dims)}
+       |SELECT c.cid,
+       |       CAST(coalesce(n2.n, 0) AS BIGINT) AS n_members,
+       |       CAST(list_sum(c.cq) AS BIGINT) AS sum_c,
+       |       CAST(list_sum(list_transform(c.cq, v -> v * v)) AS BIGINT) AS norm2_c
+       |FROM c2 c LEFT JOIN (SELECT cid, COUNT(*) AS n FROM a2 GROUP BY cid) n2 USING (cid)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "e06_kmeans_lloyd" -> kmeansOracleSql(64),
     "e03_knn_approx" ->
       s"""WITH qv AS MATERIALIZED (
          |  SELECT vec_id,

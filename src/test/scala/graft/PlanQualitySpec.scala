@@ -204,6 +204,27 @@ class PlanQualitySpec extends AnyFunSuite {
       "exact overlap must not self-join the shingle table\n" + p)
   }
 
+  test("kmeans assignment: broadcast centroids, codegen'd integer distance, " +
+       "map-side argmin") {
+    import SparkTestSession.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pts = graft.similarity.KMeansExact.quantize(
+      spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("vec")))
+    val cents = org.apache.spark.sql.functions.broadcast(
+      Seq((0, Seq.fill(64)(0L)), (1, Seq.fill(64)(5L))).toDF("cid", "cq"))
+    val p = graft.similarity.KMeansExact.assign(pts, cents)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
+      "centroids must broadcast, never shuffle the points\n" + p)
+    assert(p.contains("intvecsqdist"), "distance must be the codegen'd " +
+      "IntVecSqDist, not an interpreted HOF\n" + p)
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      "argmin must collapse map-side before the shuffle\n" + p)
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 3,
+      "one broadcast + one aggregation exchange expected\n" + p)
+  }
+
   test("novelty: materialized tokens, one window, no joins") {
     val p = plan("d22_novelty")
     assert(!p.contains("Join"), "novelty must stay join-free\n" + p)
