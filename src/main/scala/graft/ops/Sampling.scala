@@ -88,6 +88,34 @@ object Sampling {
       .withColumnRenamed("__n", "n_stratum")
   }
 
+  /** Deterministic global TRAINING ORDER: a seeded md5 permutation of the
+    * corpus, materialized as (shard, position-in-shard) — the "global
+    * shuffle" every pretraining run makes before writing training shards,
+    * WITHOUT a global sort: rows hash-assign to `nShards` shards (one
+    * exchange), and each shard sorts independently by the same seeded key —
+    * exactly the layout a shard writer needs (`write.partitionBy(shard)`
+    * with sortWithinPartitions). Changing `seed` yields a fresh
+    * permutation (a new epoch order); appended rows slot into the existing
+    * order without moving any previous row's (shard, key) — only ranks
+    * after the insertion point shift, and only inside one shard.
+    *
+    * Engine-portable by the same argument as [[md5Split]]: md5 of the
+    * seeded key is identical everywhere; the shard is 8 hex digits mod
+    * nShards, the order is the full hash (key as tiebreaker). */
+  def trainOrder(df: org.apache.spark.sql.DataFrame, key: Column, seed: Long,
+                 nShards: Int): org.apache.spark.sql.DataFrame = {
+    require(nShards > 0)
+    val hex = md5(concat(lit(s"$seed:"), key.cast("string")).cast("binary"))
+    df.withColumn("__h", hex)
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"), lit(nShards))
+          .cast("int"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("__h").asc, key.asc)))
+      .drop("__h")
+  }
+
   /** The same thresholds as DuckDB-portable SQL, for oracle lockstep. */
   def md5SplitSql(keyExpr: String, fractions: Seq[(String, Double)]): String = {
     val total = fractions.map(_._2).sum

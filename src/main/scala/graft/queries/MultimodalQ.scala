@@ -69,10 +69,25 @@ object MultimodalQ {
       "sum_pcm", "min_pcm", "max_pcm")
   }
 
+  /** Video-side plumbing as a gated query: [[Multimodal.sampleFrames]]
+    * slices each "video" payload into fixed-size frames keeping every
+    * 3rd (pure binary-substring column ops, no UDF), then each sampled
+    * frame is checksummed — the decode of the frame contents stays behind
+    * the stub (H.264 libs absent), but the schema, slicing arithmetic and
+    * per-frame fan-out are real and byte-exact against the oracle. */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Multimodal.attachPayload(Tables(s, dir).documents, "doc_id", "text")
+    Multimodal.sampleFrames(payloads, frameBytes = 32, stride = 3)
+      .select(col("doc_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).as("n_bytes"), md5(col("frame")).as("frame_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta" -> (binaryMeta _),
     "m02_image_decode" -> (imageDecode _),
-    "m03_audio_decode" -> (audioDecode _))
+    "m03_audio_decode" -> (audioDecode _),
+    "m04_frame_sample" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta" ->
@@ -82,6 +97,19 @@ object MultimodalQ {
         |       (['jpeg', 'png', 'wav'])[octet_length(encode(text)) % 3 + 1] AS fmt,
         |       to_base64(encode(text)) AS b64
         |FROM documents""".stripMargin,
+    // frame slicing replayed as blob-substring arithmetic: frame i is
+    // bytes [i*96+1, i*96+32] (stride 3 of 32-byte frames), last frame
+    // clamps — identical to Spark's binary substr semantics
+    // DuckDB has no blob substring; the corpus is pure ASCII (verified in
+    // the char inventory), so char slicing == byte slicing here
+    "m04_frame_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS len
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |       CAST(length(substr(text, CAST(i * 96 + 1 AS INT), 32)) AS INT) AS n_bytes,
+        |       md5(substr(text, CAST(i * 96 + 1 AS INT), 32)) AS frame_md5
+        |FROM p, UNNEST(generate_series(0, greatest((len - 1) // 96, 0))) AS u(i)""".stripMargin,
     // G.711 expansion replayed in SQL: stored byte -> linear PCM16 via the
     // published µ-law/A-law decode formulas (sign/exponent/mantissa unpack,
     // exact integer arithmetic — no audio library, no floats)

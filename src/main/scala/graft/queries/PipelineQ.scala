@@ -163,7 +163,17 @@ object PipelineQ {
       "pur_id", "p_s", "p_e", bucketWidth = win)
   }
 
+  /** Deterministic global training order ([[Sampling.trainOrder]]): the
+    * seeded md5 permutation a pretraining run shards the corpus by — one
+    * exchange on the shard key, per-shard independent sort, no global
+    * sort. Seed 42, 8 shards. */
+  def trainOrder(s: SparkSession, dir: String): DataFrame =
+    Sampling.trainOrder(Tables(s, dir).documents.select("doc_id"),
+      col("doc_id"), seed = 42L, nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d23_train_order"      -> (trainOrder _),
     "q55_overlap_join"     -> (overlapJoin _),
     "q53_stratified_sample" -> (stratifiedSample _),
     "q44_asof_attribution" -> (asofAttribution _),
@@ -223,6 +233,21 @@ object PipelineQ {
         |SELECT e.event_id, e.s_us, count(p.p_us) AS n_purchases
         |FROM e LEFT JOIN p ON p.p_us >= e.s_us AND p.p_us <= e.e_us
         |GROUP BY 1, 2""".stripMargin,
+    // the seeded-permutation arithmetic in DuckDB: same md5 of "42:<id>",
+    // same 8-hex-digit shard assignment, same (hash, id) shard order
+    "d23_train_order" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM documents),
+        |sharded AS (
+        |  SELECT doc_id, hx,
+        |         CAST(list_sum(list_transform(generate_series(1, 8),
+        |           i -> CAST(strpos('0123456789abcdef', substr(hx, i, 1)) - 1 AS BIGINT)
+        |                * (CAST(1 AS BIGINT) << (4 * (8 - i))))) % 8 AS INT) AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS INT) AS pos
+        |FROM sharded""".stripMargin,
     "q46_hash_split" ->
       s"""SELECT ${Sampling.md5SplitSql("doc_id", splitFractions)} AS split,
          |       lang, count(*) AS n_docs,

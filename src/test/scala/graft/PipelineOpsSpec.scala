@@ -188,4 +188,35 @@ class PipelineOpsSpec extends AnyFunSuite {
       .groupBy("s").count().as[(String, Long)].collect().toMap
     assert(again == counts)
   }
+
+  test("trainOrder: a permutation — dense per-shard ranks, stable under " +
+       "row order and appends, fresh under a new seed") {
+    import spark.implicits._
+    val df = (1L to 500L).toDF("id")
+    val o1 = Sampling.trainOrder(df, col("id"), seed = 42L, nShards = 8)
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    // every row lands exactly once; ranks are dense 1..n per shard
+    assert(o1.length == 500 && o1.map(_._1).distinct.length == 500)
+    o1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length)) }
+    // input order must not matter
+    val o2 = Sampling.trainOrder(df.orderBy(rand(3)), col("id"), 42L, 8)
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(o2.toSeq == o1.toSeq)
+    // appending rows never moves an existing row across shards or swaps
+    // the relative order of two old rows in a shard
+    val o3 = Sampling.trainOrder((1L to 600L).toDF("id"), col("id"), 42L, 8)
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    val shard3 = o3.map(r => r._1 -> r._2).toMap
+    assert(o1.forall { case (id, sh, _) => shard3(id) == sh })
+    val rank3 = o3.map(r => r._1 -> r._3).toMap
+    o1.groupBy(_._2).foreach { case (_, rows) =>
+      val oldOrder = rows.sortBy(_._3).map(_._1).toSeq
+      assert(oldOrder.map(rank3).sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+    }
+    // a different seed is a genuinely different permutation
+    val o4 = Sampling.trainOrder(df, col("id"), seed = 43L, nShards = 8)
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(o4.toSeq != o1.toSeq)
+  }
 }
