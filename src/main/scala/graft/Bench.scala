@@ -79,6 +79,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir","value":${f(total)}}""")
+    // the harness keeps only the tail of stdout (r6's line truncated before
+    // d01-d10); persist the complete per-query map in-repo so round-over-
+    // round diffs never depend on the capture window
+    try {
+      val dump = s"""{"sf":"$sfDir","total":${f(total)},"queries":$qs}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs/bench_full.json"),
+        (dump + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    } catch { case _: java.io.IOException => () }
     spark.stop()
   }
 }

@@ -133,12 +133,13 @@ object MinHashLsh {
     * candidate set restricted to pairs touching a new doc. */
   def incrementalCandidates(newSig: DataFrame, existingSig: DataFrame,
                             idCol: String, p: Params = Params(),
-                            maxBucketSize: Option[Int] = None): DataFrame = {
-    val bn = bandTable(newSig, idCol, p)
+                            maxBucketSize: Option[Int] = None,
+                            literalKeys: Boolean = false): DataFrame = {
+    val bn = bandTable(newSig, idCol, p, literalKeys)
       .select(col("band"), col("band_sig"), col(idCol).as("id_n"))
     // reuse the new side's band table for the probe target instead of
     // re-banding it inside the union
-    val ball = bandTable(existingSig, idCol, p)
+    val ball = bandTable(existingSig, idCol, p, literalKeys)
       .select(col("band"), col("band_sig"), col(idCol).as("id_o"))
       .unionByName(bn.withColumnRenamed("id_n", "id_o"))
     // the hot-bucket cap is MORE important here than in the batch path:
@@ -174,12 +175,47 @@ object MinHashLsh {
     * fast path: one signature shuffle + one band-bucket self-join. */
   def nearDuplicatesMd5(df: DataFrame, idCol: String, textCol: String,
                         minEstJaccard: Double,
-                        p: Params = Params()): DataFrame = {
-    val sig = Shingles.explodeShingles(df, idCol, textCol, p.shingleN)
+                        p: Params = Params()): DataFrame =
+    nearDupFromSig(signaturesMd5(df, idCol, textCol, p), idCol,
+      minEstJaccard, p, literalKeys = true)
+
+  /** (id, sig) on the md5 base hash — the oracle-reproducible signature
+    * table (and what the incremental flow stores between crawls). */
+  def signaturesMd5(df: DataFrame, idCol: String, textCol: String,
+                    p: Params = Params()): DataFrame =
+    Shingles.explodeShingles(df, idCol, textCol, p.shingleN)
       .groupBy(col(idCol))
       .agg(graft.functions.MinHashSig
         .minHashSig(md5BaseHash(col("shingle")), p.numHashes, p.seed).as("sig"))
-    nearDupFromSig(sig, idCol, minEstJaccard, p, literalKeys = true)
+
+  /** Incremental near-dup with the agreement estimate — the full daily-
+    * crawl MinHash flow: a new batch's signatures probe the STORED
+    * signature table ([[incrementalCandidates]] — one band join, the
+    * existing corpus is never re-paired), then candidate pairs close with
+    * the exact minhash-agreement estimate. Equals the full-corpus
+    * [[nearDupFromSig]] restricted to pairs touching a new doc
+    * (IncrementalDedupSpec; d26's oracle checks it cell-exact on the md5
+    * hash source). Returns (pairs, signature delta to append) — the delta
+    * IS `newSig`, returned for the append-registry symmetry the other
+    * incremental twins share. */
+  def incrementalNearDupFromSig(newSig: DataFrame, storedSig: DataFrame,
+                                idCol: String, minEstJaccard: Double,
+                                p: Params = Params(),
+                                maxBucketSize: Option[Int] = None,
+                                literalKeys: Boolean = false): (DataFrame, DataFrame) = {
+    val nSig = newSig.cache()
+    val cand = incrementalCandidates(nSig, storedSig, idCol, p,
+      maxBucketSize, literalKeys)
+    val allSig = storedSig.unionByName(nSig)
+    val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      (m: Column) => m)).cast("double") / lit(p.numHashes.toDouble)
+    val pairs = cand
+      .join(allSig.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(allSig.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("id_a", "id_b", "est_jaccard")
+    (pairs, nSig)
   }
 
   private def nearDupFromSig(sigDf: DataFrame, idCol: String,

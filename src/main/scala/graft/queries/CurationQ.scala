@@ -96,11 +96,34 @@ object CurationQ {
   def curationFunnel(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
     val toks = TextMetrics.tokens(col("text"))
-    val flagged = docs
+    funnelCensus(docs
       .withColumn("__toks", toks)
       .withColumn("__q",
         TextMetrics.qualityScoreFromTokens(col("__toks"), col("text")))
-      .withColumn("qual_ok", col("__q") >= MinQuality)
+      .withColumn("qual_ok", col("__q") >= MinQuality))
+  }
+
+  /** d18's funnel with the TRAINED-model gate ([[graft.text.QualityClassifier]],
+    * d21's broadcast hashed-n-gram scorer) as stage 1 in place of the
+    * heuristic score — the production posture: the heuristic bootstraps
+    * labels, the model takes over the gate. Same one-plan shape; the gate
+    * is a codegen'd shuffle-free projection, so the swap costs nothing at
+    * scan time. The composed oracle rebuilds the identical model in SQL
+    * (d21's weight CTEs) feeding d18's funnel CTEs — the two stages are
+    * verified *composed*, not just individually. */
+  def modelFunnel(s: SparkSession, dir: String): DataFrame = {
+    val model = graft.text.QualityClassifier.seededModel()
+    funnelCensus(Tables(s, dir).documents
+      .withColumn("qual_ok",
+        graft.text.QualityClassifier.scoreCol(col("text"), model)
+          .getField("score") >= 0L))
+  }
+
+  /** The funnel tail shared by d18 and d25: exact dedup among gate
+    * survivors (min-id per fingerprint) → segment dedup → per-source
+    * census. Input needs (doc_id, source, text, qual_ok). */
+  private def funnelCensus(gated: DataFrame): DataFrame = {
+    val flagged = gated
       .withColumn("__fp", TextMetrics.fingerprint(col("text")))
       .withColumn("__canon",
         min(when(col("qual_ok"), col("doc_id")))
@@ -130,6 +153,7 @@ object CurationQ {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d18_curation_funnel" -> (curationFunnel _),
+    "d25_model_funnel"  -> (modelFunnel _),
     "d19_bigram_fluency" -> (bigramFluency _),
     "d13_segment_dedup" -> (segmentDedup _),
     "d14_boilerplate"   -> (boilerplate _),
@@ -176,6 +200,50 @@ object CurationQ {
        |FROM enc""".stripMargin
   }
 
+  /** The funnel oracles' shared head: documents with the token array. */
+  private val funnelToksCte =
+    """toks AS (
+      |  SELECT doc_id, source, text,
+      |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents)""".stripMargin
+
+  /** The funnel oracles' shared tail (mirrors [[funnelCensus]]): consumes a
+    * `q(doc_id, source, text, qual_ok)` CTE — d18 and d25 differ only in
+    * how `q` is produced, so the two funnels cannot drift. */
+  private val funnelTailSql =
+    s"""ex AS (
+       |  SELECT *, qual_ok AND doc_id = min(CASE WHEN qual_ok THEN doc_id END)
+       |           OVER (PARTITION BY md5(text)) AS exact_keep
+       |  FROM q),
+       |surv AS (SELECT doc_id, source, text FROM ex WHERE exact_keep),
+       |stoks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+       |  FROM surv),
+       |segs AS (
+       |  SELECT doc_id, CAST(i AS INT) AS seg_idx,
+       |         array_to_string(t[(i*$SegTokens+1):(i*$SegTokens+$SegTokens)], ' ') AS seg
+       |  FROM stoks, UNNEST(generate_series(0, CAST(ceil(len(t) / $SegTokens.0) AS BIGINT) - 1)) AS u(i)),
+       |sflag AS (
+       |  SELECT doc_id, seg_idx,
+       |         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1 AS keep
+       |  FROM segs),
+       |sdoc AS (
+       |  SELECT doc_id, count(*) AS n_segs,
+       |         sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept
+       |  FROM sflag GROUP BY 1),
+       |fin AS (
+       |  SELECT s.source,
+       |         count(CASE WHEN 2 * coalesce(d.n_kept, 0) >= coalesce(d.n_segs, 0) THEN 1 END) AS n_final
+       |  FROM surv s LEFT JOIN sdoc d USING (doc_id) GROUP BY 1),
+       |base AS (
+       |  SELECT source, count(*) AS n_total,
+       |         count(CASE WHEN qual_ok THEN 1 END) AS n_quality,
+       |         count(CASE WHEN exact_keep THEN 1 END) AS n_exact
+       |  FROM ex GROUP BY 1)
+       |SELECT base.source, n_total, n_quality, n_exact,
+       |       coalesce(fin.n_final, 0) AS n_final
+       |FROM base LEFT JOIN fin USING (source)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d16_bpe_encode" -> bpeEncodeOracle,
     "d13_segment_dedup" ->
@@ -200,10 +268,7 @@ object CurationQ {
          |SELECT seg, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
          |FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= $MinDocs""".stripMargin,
     "d18_curation_funnel" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, source, text,
-         |         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
-         |  FROM documents),
+      s"""WITH $funnelToksCte,
          |sc AS (
          |  SELECT doc_id, source, text, t,
          |         len(list_filter(t, x -> list_contains(
@@ -217,38 +282,18 @@ object CurationQ {
          |           + least(CAST(s_all AS DOUBLE) / greatest(CAST(len(t) AS DOUBLE), 1.0) * 8.0, 1.0) * 0.3, 9)
          |           >= $MinQuality AS qual_ok
          |  FROM sc),
-         |ex AS (
-         |  SELECT *, qual_ok AND doc_id = min(CASE WHEN qual_ok THEN doc_id END)
-         |           OVER (PARTITION BY md5(text)) AS exact_keep
-         |  FROM q),
-         |surv AS (SELECT doc_id, source, text FROM ex WHERE exact_keep),
-         |stoks AS (
-         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
-         |  FROM surv),
-         |segs AS (
-         |  SELECT doc_id, CAST(i AS INT) AS seg_idx,
-         |         array_to_string(t[(i*$SegTokens+1):(i*$SegTokens+$SegTokens)], ' ') AS seg
-         |  FROM stoks, UNNEST(generate_series(0, CAST(ceil(len(t) / $SegTokens.0) AS BIGINT) - 1)) AS u(i)),
-         |sflag AS (
-         |  SELECT doc_id, seg_idx,
-         |         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1 AS keep
-         |  FROM segs),
-         |sdoc AS (
-         |  SELECT doc_id, count(*) AS n_segs,
-         |         sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept
-         |  FROM sflag GROUP BY 1),
-         |fin AS (
-         |  SELECT s.source,
-         |         count(CASE WHEN 2 * coalesce(d.n_kept, 0) >= coalesce(d.n_segs, 0) THEN 1 END) AS n_final
-         |  FROM surv s LEFT JOIN sdoc d USING (doc_id) GROUP BY 1),
-         |base AS (
-         |  SELECT source, count(*) AS n_total,
-         |         count(CASE WHEN qual_ok THEN 1 END) AS n_quality,
-         |         count(CASE WHEN exact_keep THEN 1 END) AS n_exact
-         |  FROM ex GROUP BY 1)
-         |SELECT base.source, n_total, n_quality, n_exact,
-         |       coalesce(fin.n_final, 0) AS n_final
-         |FROM base LEFT JOIN fin USING (source)""".stripMargin,
+         |$funnelTailSql""".stripMargin,
+    // the composed model-gated funnel: d21's weight/feature CTEs compute
+    // the gate, d18's funnel CTEs consume it — docs the model never scores
+    // (no features) carry the bias score 0, matching HashedNgramScore
+    "d25_model_funnel" ->
+      s"""WITH $funnelToksCte,
+         |${TextQ.modelScoreCtes},
+         |q AS (
+         |  SELECT t0.doc_id, t0.source, t0.text,
+         |         coalesce(m.score, 0) >= 0 AS qual_ok
+         |  FROM toks t0 LEFT JOIN msc m USING (doc_id)),
+         |$funnelTailSql""".stripMargin,
     "d19_bigram_fluency" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t

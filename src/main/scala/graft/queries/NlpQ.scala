@@ -43,12 +43,31 @@ object NlpQ {
     Winnowing.repeatedRegions(Tables(s, dir).documents, "doc_id", "text",
       k = 7, w = 4, gapMax = 10, minFps = 2)
 
+  /** Incremental repeated-region detection — the daily-crawl twin of d20:
+    * even doc_ids play the accumulated history (their fingerprint registry
+    * is all the flow keeps), odd doc_ids are today's batch, probed against
+    * the registry without rescanning history. The oracle is d20's full
+    * corpus rerun restricted to the new ids — the equality
+    * [[Winnowing.incrementalRepeatedRegions]] guarantees, here checked
+    * cell-exact by an engine that recomputes it the monolithic way. */
+  def incrementalRepeats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val registry = Winnowing
+      .fingerprintRows(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        k = 7, w = 4)
+      .select("fp")
+    Winnowing.incrementalRepeatedRegions(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", registry,
+      k = 7, w = 4, gapMax = 10, minFps = 2)._1
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d09_tfidf_terms"    -> (tfidf _),
     "d10_vocab_topk"     -> (vocab _),
     "d11_winnow_fps"     -> (winnow _),
     "d12_langid_trigram" -> (langid _),
-    "d20_repeat_regions" -> (repeats _))
+    "d20_repeat_regions" -> (repeats _),
+    "d24_incr_regions"   -> (incrementalRepeats _))
 
   /** The winnowing fingerprint derivation (k=7, w=4) as a CTE chain ending
     * in `fps(doc_id, pos int, fp)` — shared by d11 (which selects it
@@ -88,6 +107,32 @@ object NlpQ {
 
   private val langs = LangId.profiles.map(_._1).distinct.sorted
 
+  /** d20's island-building SQL over the winnowing fingerprints; the final
+    * WHERE takes an extra conjunct so d24's restricted variant cannot
+    * drift from the full rerun it must equal. */
+  private def repeatRegionsOracle(extraWhere: String): String =
+    s"""WITH $winnowCtes,
+       |xdoc AS (
+       |  SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) > 1),
+       |sh AS (
+       |  SELECT f.doc_id, f.pos FROM fps f WHERE f.fp IN (SELECT fp FROM xdoc)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 10
+       |              THEN 0 ELSE 1 END AS brk
+       |  FROM sh),
+       |grp AS (
+       |  SELECT doc_id, pos,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+       |  FROM isl),
+       |r AS (
+       |  SELECT doc_id, min(pos) AS start_pos, max(pos) + 6 AS end_pos,
+       |         CAST(count(*) AS INT) AS n_fps
+       |  FROM grp GROUP BY doc_id, isl_id)
+       |SELECT doc_id, start_pos, end_pos,
+       |       end_pos - start_pos + 1 AS span, n_fps
+       |FROM r WHERE n_fps >= 2$extraWhere""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d09_tfidf_terms" ->
       s"""WITH $toksCte,
@@ -114,28 +159,10 @@ object NlpQ {
     "d11_winnow_fps" ->
       s"""WITH $winnowCtes
          |SELECT doc_id, pos, fp FROM fps""".stripMargin,
-    "d20_repeat_regions" ->
-      s"""WITH $winnowCtes,
-         |xdoc AS (
-         |  SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) > 1),
-         |sh AS (
-         |  SELECT f.doc_id, f.pos FROM fps f WHERE f.fp IN (SELECT fp FROM xdoc)),
-         |isl AS (
-         |  SELECT doc_id, pos,
-         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 10
-         |              THEN 0 ELSE 1 END AS brk
-         |  FROM sh),
-         |grp AS (
-         |  SELECT doc_id, pos,
-         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
-         |  FROM isl),
-         |r AS (
-         |  SELECT doc_id, min(pos) AS start_pos, max(pos) + 6 AS end_pos,
-         |         CAST(count(*) AS INT) AS n_fps
-         |  FROM grp GROUP BY doc_id, isl_id)
-         |SELECT doc_id, start_pos, end_pos,
-         |       end_pos - start_pos + 1 AS span, n_fps
-         |FROM r WHERE n_fps >= 2""".stripMargin,
+    "d20_repeat_regions" -> repeatRegionsOracle(""),
+    // the incremental run's contract: identical to the full rerun,
+    // restricted to the new batch's ids
+    "d24_incr_regions" -> repeatRegionsOracle(" AND doc_id % 2 = 1"),
     "d12_langid_trigram" -> {
       val sums = langs.map(l =>
         s"CAST(sum(CASE WHEN plang = '$l' THEN weight ELSE 0 END) AS BIGINT) AS s_$l")

@@ -112,13 +112,27 @@ object SimilarityQ {
       .toDF("cid", "n_members", "sum_c", "norm2_c")
   }
 
+  /** Incremental embedding near-dup — the daily-crawl twin of e02: even
+    * vec_ids play the accumulated history, odd vec_ids are today's batch;
+    * only pairs touching a new vector are computed (n_new × n_total, not
+    * n_total²). The oracle is e02's monolithic SQL restricted to
+    * new-touching pairs — the equality [[Knn.incrementalNearDupPairs]]
+    * guarantees. */
+  def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    Knn.incrementalNearDupPairs(
+      all.filter(col("id") % 2 === 1), all.filter(col("id") % 2 === 0),
+      minCos = 0.4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_knn_brute"      -> (knnBrute _),
     "e02_cosine_neardup" -> (cosineNearDup _),
     "e03_knn_approx"     -> (knnApprox _),
     "e04_centroid_assign" -> (centroidAssign _),
     "e05_semantic_clusters" -> (semanticClusters _),
-    "e06_kmeans_lloyd"   -> (kmeansLloyd _))
+    "e06_kmeans_lloyd"   -> (kmeansLloyd _),
+    "e07_incr_neardup"   -> (incrementalNearDup _))
 
   // Shared oracle scaffolding, in lockstep with Knn.dotExact/cosine:
   // each element quantizes to the INTEGER round_even(double(x)·1e9) —
@@ -143,6 +157,23 @@ object SimilarityQ {
        |       CAST(CAST(SUM(${q9("embedding[i]")} * ${q9("embedding[i]")}) AS VARCHAR) AS DOUBLE) AS nrm2
        |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
        |GROUP BY 1""".stripMargin
+
+  /** e02's all-pairs exact-cosine SQL; the final WHERE takes an extra
+    * conjunct so e07's new-touching restriction cannot drift from the
+    * full rerun it must equal. */
+  private def nearDupOracle(extraWhere: String): String =
+    s"""WITH norms AS ($normsSql),
+       |dots AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         CAST(CAST(SUM(${q9("a.embedding[i]")} * ${q9("b.embedding[i]")}) AS VARCHAR) AS DOUBLE) AS d
+       |  FROM embeddings a, embeddings b, UNNEST(generate_series(1, len(a.embedding))) AS u(i)
+       |  WHERE a.vec_id < b.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, d / (na.nrm2_sqrt * nb.nrm2_sqrt) AS cos
+       |FROM (SELECT id_a, id_b, d FROM dots) dots2
+       |JOIN (SELECT vec_id, sqrt(nrm2) AS nrm2_sqrt FROM norms) na ON na.vec_id = id_a
+       |JOIN (SELECT vec_id, sqrt(nrm2) AS nrm2_sqrt FROM norms) nb ON nb.vec_id = id_b
+       |WHERE d / (na.nrm2_sqrt * nb.nrm2_sqrt) >= 0.4$extraWhere""".stripMargin
 
   /** One Lloyd round in SQL, all integer: assign by exact squared distance
     * (ties to lower cid), per-dim exact sums, half-even integer mean;
@@ -270,19 +301,10 @@ object SimilarityQ {
          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
          |  FROM scored)
          |SELECT qid, vec_id, cos, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 10""".stripMargin,
-    "e02_cosine_neardup" ->
-      s"""WITH norms AS ($normsSql),
-         |dots AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |         CAST(CAST(SUM(${q9("a.embedding[i]")} * ${q9("b.embedding[i]")}) AS VARCHAR) AS DOUBLE) AS d
-         |  FROM embeddings a, embeddings b, UNNEST(generate_series(1, len(a.embedding))) AS u(i)
-         |  WHERE a.vec_id < b.vec_id
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b, d / (na.nrm2_sqrt * nb.nrm2_sqrt) AS cos
-         |FROM (SELECT id_a, id_b, d FROM dots) dots2
-         |JOIN (SELECT vec_id, sqrt(nrm2) AS nrm2_sqrt FROM norms) na ON na.vec_id = id_a
-         |JOIN (SELECT vec_id, sqrt(nrm2) AS nrm2_sqrt FROM norms) nb ON nb.vec_id = id_b
-         |WHERE d / (na.nrm2_sqrt * nb.nrm2_sqrt) >= 0.4""".stripMargin,
+    "e02_cosine_neardup" -> nearDupOracle(""),
+    // the incremental run's contract: the monolithic rerun restricted to
+    // pairs touching a new (odd-id) vector
+    "e07_incr_neardup" -> nearDupOracle(" AND (id_a % 2 = 1 OR id_b % 2 = 1)"),
     "e05_semantic_clusters" ->
       s"""WITH RECURSIVE norms AS ($normsSql),
          |dots AS (

@@ -131,6 +131,23 @@ object TextQ {
         round(col("n_novel").cast("double") / col("n_grams").cast("double"), 9))
   }
 
+  /** Incremental MinHash near-dup — the daily-crawl twin of d06: even
+    * doc_ids play the accumulated history (their signature table is what
+    * the flow stores), odd doc_ids are today's batch; the batch's bands
+    * probe the stored signatures, and only new-touching pairs are scored.
+    * Closes the incremental-dedup trilogy (d24 substring, e07 embedding,
+    * d26 sketch) — each oracle is its monolithic twin restricted to the
+    * new ids. */
+  def incrementalMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val newSig = MinHashLsh.signaturesMd5(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    val storedSig = MinHashLsh.signaturesMd5(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    MinHashLsh.incrementalNearDupFromSig(newSig, storedSig, "doc_id",
+      minEstJaccard = 0.5, literalKeys = true)._1
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_token_stats"   -> (tokenStats _),
     "d02_quality_lang"  -> (qualityLang _),
@@ -141,7 +158,8 @@ object TextQ {
     "d06_minhash_dedup" -> (minhashDedup _),
     "d07_simhash_dedup" -> (simhashDedup _),
     "d21_quality_score" -> (qualityScore _),
-    "d22_novelty"       -> (novelty _))
+    "d22_novelty"       -> (novelty _),
+    "d26_incr_minhash"  -> (incrementalMinhash _))
 
   private val toksSql =
     """SELECT doc_id, lang, text,
@@ -182,8 +200,10 @@ object TextQ {
        |       * (CAST(1 AS BIGINT) << (4 * ($nDigits - i)))))""".stripMargin
 
   /** d06's oracle: the full MinHash pipeline in SQL, on the SAME seeded
-    * affine family the Spark aggregate uses (rendered as literals). */
-  private def minhashOracle: String = {
+    * affine family the Spark aggregate uses (rendered as literals). The
+    * final WHERE takes an extra conjunct so d26's new-touching restriction
+    * cannot drift from the full rerun it must equal. */
+  private def minhashOracle(extraWhere: String = ""): String = {
     val p = MinHashLsh.Params()
     val fam = MinHashLsh.hashFamily(p).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
@@ -217,7 +237,7 @@ object TextQ {
        |JOIN sigl sa ON sa.doc_id = id_a
        |JOIN sigl sb ON sb.doc_id = id_b
        |WHERE CAST(len(list_filter(generate_series(1, ${p.numHashes}),
-       |        i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / ${p.numHashes}.0 >= 0.5""".stripMargin
+       |        i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / ${p.numHashes}.0 >= 0.5$extraWhere""".stripMargin
   }
 
   /** d07's oracle: the full SimHash pipeline in SQL — per-token md5 hash
@@ -267,15 +287,18 @@ object TextQ {
        |FROM pairs WHERE hamming <= ${preset.maxDist}""".stripMargin
   }
 
-  /** d21's oracle: the identical hashed-n-gram linear model in SQL — the
-    * seeded weight table recomputed from md5, every uni/bigram feature
-    * bucketed by md5-top-60-bits mod dim, integer sum. */
-  private def qualityScoreOracle: String = {
+  /** The d21 hashed-n-gram linear model as a CTE chain ending in
+    * `msc(doc_id, score, n_feats)` — assumes a `toks(doc_id, …, t)` CTE is
+    * already in scope. Shared by d21's oracle and d25's composed funnel
+    * oracle ([[CurationQ]]), so the model the funnel gates on cannot drift
+    * from the one d21 verifies cell-exact. The seeded weight table is
+    * recomputed from md5, every uni/bigram feature bucketed by
+    * md5-top-60-bits mod dim, integer sum. */
+  private[queries] val modelScoreCtes: String = {
     val dim = 1024
     // NB: the weight index must NOT be named `i` — hexToBigint's digit
     // lambda binds `i`, and DuckDB lambda parameters shadow outer columns
-    s"""WITH toks AS ($toksSql),
-       |w AS MATERIALIZED (
+    s"""w AS MATERIALIZED (
        |  SELECT wi, ${hexToBigint("md5('w:' || wi)", 8)} % 2001 - 1000 AS wt
        |  FROM UNNEST(generate_series(0, ${dim - 1})) AS g(wi)),
        |uni AS (SELECT doc_id, u.tok AS f FROM toks, UNNEST(t) AS u(tok)),
@@ -286,17 +309,25 @@ object TextQ {
        |feats AS (
        |  SELECT doc_id, ${hexToBigint("md5(f)", 15)} % $dim AS b
        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
-       |s AS (
+       |msc AS (
        |  SELECT f.doc_id, CAST(sum(w.wt) AS BIGINT) AS score,
        |         CAST(count(*) AS INT) AS n_feats
-       |  FROM feats f JOIN w ON w.wi = f.b GROUP BY 1)
-       |SELECT doc_id, score, n_feats,
-       |       CASE WHEN score >= 0 THEN 1 ELSE 0 END AS keep
-       |FROM s""".stripMargin
+       |  FROM feats f JOIN w ON w.wi = f.b GROUP BY 1)""".stripMargin
   }
 
+  /** d21's oracle: the identical hashed-n-gram linear model in SQL. */
+  private def qualityScoreOracle: String =
+    s"""WITH toks AS ($toksSql),
+       |$modelScoreCtes
+       |SELECT doc_id, score, n_feats,
+       |       CASE WHEN score >= 0 THEN 1 ELSE 0 END AS keep
+       |FROM msc""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "d06_minhash_dedup" -> minhashOracle,
+    "d06_minhash_dedup" -> minhashOracle(),
+    // the incremental run's contract: the monolithic rerun restricted to
+    // pairs touching a new (odd-id) doc
+    "d26_incr_minhash" -> minhashOracle(" AND (id_a % 2 = 1 OR id_b % 2 = 1)"),
     "d07_simhash_dedup" -> simhashOracle,
     "d21_quality_score" -> qualityScoreOracle,
     "d22_novelty" ->

@@ -220,4 +220,82 @@ object Knn {
           .as("cos_fast"))
     exactTopK(scored, k)
   }
+
+  /** Incremental [[nearDupPairs]] — the daily-crawl flow in embedding
+    * space (the [[graft.text.Winnowing.incrementalRepeatedRegions]] /
+    * [[graft.dedup.MinHashLsh.incrementalCandidates]] pattern): all
+    * near-dup pairs TOUCHING at least one new vector. Old-old pairs were
+    * yesterday's output and are never recomputed — per increment the pair
+    * space is n_new × n_total, not n_total², and the result equals the
+    * full rerun restricted to pairs with a new member (KnnSpec proves it;
+    * e07's oracle checks it cell-exact against the monolithic SQL).
+    *
+    * Same two-phase numeric contract as [[nearDupPairs]] (codegen'd double
+    * prefilter with 1e-6 margin, exact decimal rescore), same quadratic
+    * opt-in guard. Pairs are emitted id-ordered (id_a < id_b) regardless
+    * of which side is new, so outputs union cleanly across increments.
+    * This is the exact baseline; the bucketed scale path is
+    * [[incrementalBucketCandidates]]. */
+  def incrementalNearDupPairs(newEmb: DataFrame, oldEmb: DataFrame,
+                              minCos: Double, maxRows: Long = 200000,
+                              allowQuadratic: Boolean = false): DataFrame = {
+    if (!allowQuadratic) {
+      val nNew = newEmb.count()
+      val nAll = nNew + oldEmb.count()
+      require(nNew * nAll <= maxRows * maxRows,
+        s"incrementalNearDupPairs: $nNew x $nAll candidate pairs exceed " +
+          s"maxRows^2 — use incrementalBucketCandidates for the candidate " +
+          "step, or pass allowQuadratic=true to opt in")
+    }
+    val tagged = oldEmb.select(col("id"), col("vec"), lit(false).as("__new"))
+      .unionByName(newEmb.select(col("id"), col("vec"), lit(true).as("__new")))
+    val b = tagged.select(col("id").as("id_b"), col("vec").as("vb"),
+      col("__new").as("bnew"),
+      sqrt(dotExact(col("vec"), col("vec"))).as("nb"),
+      sqrt(dotFast(col("vec"), col("vec"))).as("nfb"))
+    val a = newEmb.select(col("id").as("id_a"), col("vec").as("va"),
+      sqrt(dotExact(col("vec"), col("vec"))).as("na"),
+      sqrt(dotFast(col("vec"), col("vec"))).as("nfa"))
+    // new-old pairs appear once (a is always the new side); new-new pairs
+    // are kept only in id order so each is emitted once
+    a.crossJoin(b)
+      .filter(!col("bnew") || col("id_a") < col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(dotFast(col("va"), col("vb")) / (col("nfa") * col("nfb")) >= minCos - 1e-6)
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        (dotExact(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** The bucketed scale path for incremental near-dup: new vectors'
+    * LSH signatures probe the STORED bucket registry (the `(id, bucket)`
+    * table each increment appends — history's vectors are never re-read,
+    * never re-hashed). Returns (candidate pairs touching a new vector,
+    * registry delta to append). Candidates equal the full corpus-wide
+    * bucket self-join restricted to new-touching pairs (KnnSpec), so
+    * downstream exact rescoring (join vectors back by id, then the
+    * [[nearDupPairs]] phase-2 arithmetic) inherits e03's determinism.
+    * One equi-join on the signature — at 100 TB the registry is bucketed
+    * on `bucket`, making each day's probe a co-located join. */
+  def incrementalBucketCandidates(newEmb: DataFrame, storedBuckets: DataFrame,
+                                  dim: Int, nPlanes: Int = 8,
+                                  seed: Long = 42L): (DataFrame, DataFrame) = {
+    val newBuckets = lshBuckets(newEmb, dim, nPlanes, seed)
+      .select(col("id"), col("bucket"))
+    val old = storedBuckets.select(col("id").as("id_b"), col("bucket"))
+    val newOld = newBuckets.select(col("id").as("id_a"), col("bucket"))
+      .join(old, Seq("bucket"))
+    val nn = newBuckets.select(col("id").as("id_a"), col("bucket"))
+      .join(newBuckets.select(col("id").as("id_b"), col("bucket")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+    val candidates = newOld.unionByName(nn)
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+    (candidates, newBuckets)
+  }
 }

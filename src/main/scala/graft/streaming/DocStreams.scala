@@ -109,6 +109,48 @@ object DocStreams {
       } finally { flagged.unpersist(); () }
     }
 
+  /** Streaming substring-level repeat detection — the daily-crawl twin of
+    * [[graft.text.Winnowing.repeatedRegions]] built on
+    * [[graft.text.Winnowing.incrementalRepeatedRegions]]: each micro-batch's
+    * docs are fingerprinted once, probed against the fingerprint registry
+    * accumulated from every previous batch (one join on `fp`, no rescan of
+    * history), their repeated regions appended to `regionsDir` and the
+    * registry delta appended to `registryDir`.
+    *
+    * Same external-state shape as [[segmentDedupStream]]: fingerprint
+    * identity never expires, so the registry is an append-only parquet
+    * table (Delta/Iceberg in production), not watermark-capped operator
+    * state. Same write order too — regions FIRST, delta LAST: the delta
+    * append triggers CacheManager.recacheByPath(registryDir), and writing
+    * regions after it would re-plan their registry scan against the
+    * post-append listing, making every batch-internal repeat also count as
+    * "known" (harmless here but no longer the incremental operator's
+    * output; the measured segment-twin failure mode). */
+  def repeatedRegionsStream(docStream: DataFrame, idCol: String, textCol: String,
+                            registryDir: String, regionsDir: String,
+                            k: Int = 7, w: Int = 4, gapMax: Int = 10,
+                            minFps: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val registryPath = new org.apache.hadoop.fs.Path(registryDir)
+      val fs = registryPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val registry =
+        if (fs.exists(registryPath)) spark.read.parquet(registryDir)
+        else spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("fp", StringType))))
+      // persist the batch's fingerprint rows: regions and delta both
+      // consume them, and the native winnowing scan is the expensive part
+      val fps = graft.text.Winnowing.fingerprintRows(
+        batch, idCol, textCol, k, w).persist()
+      try {
+        val (regions, delta) = graft.text.Winnowing.incrementalFromFps(
+          fps, registry, idCol, k, gapMax, minFps)
+        regions.write.mode("append").parquet(regionsDir)
+        delta.write.mode("append").parquet(registryDir)
+      } finally { fps.unpersist(); () }
+    }
+
   /** The batch-side closing rollup over [[contaminationStream]]'s output
     * (threshold + per-doc census) — shared by the spec and any sink-side
     * consumer, and textually identical to q50's tail. */

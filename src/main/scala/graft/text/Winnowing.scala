@@ -131,13 +131,22 @@ object Winnowing {
   def repeatedRegions(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 7, w: Int = 4, gapMax: Int = 10,
                       minFps: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val fps = fingerprintRows(df, idCol, textCol, k, w)
     val crossDoc = fps.groupBy("fp")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") > 1).select("fp")
+    regionsFromFps(fps, crossDoc, idCol, k, gapMax, minFps)
+  }
+
+  /** The gaps-and-islands tail shared by [[repeatedRegions]] and
+    * [[incrementalRepeatedRegions]]: restrict `fps` to the shared
+    * fingerprint set, form islands per document, report spans. */
+  private def regionsFromFps(fps: DataFrame, sharedFps: DataFrame,
+                             idCol: String, k: Int, gapMax: Int,
+                             minFps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    fps.join(crossDoc, Seq("fp"), "left_semi")
+    fps.join(sharedFps, Seq("fp"), "left_semi")
       // lag is null on the first row → the `otherwise` arm opens island 1
       .withColumn("__brk",
         when(col("pos") - lag(col("pos"), 1).over(byDoc) <= gapMax, 0)
@@ -151,6 +160,60 @@ object Winnowing {
       .filter(col("n_fps") >= minFps)
       .select(col(idCol), col("start_pos"), col("end_pos"),
         (col("end_pos") - col("start_pos") + 1).as("span"), col("n_fps"))
+  }
+
+  /** Incremental [[repeatedRegions]] — the daily-crawl flow: report the
+    * repeated regions of a NEW batch of documents against everything seen
+    * so far WITHOUT rescanning history (the [[graft.text.Segments.incrementalSegmentDedup]]
+    * pattern at the substring level).
+    *
+    * `knownFps` is the stored `(fp)` registry: the distinct winnowing
+    * fingerprints of every previous batch (what [[fingerprintRows]] emits,
+    * projected and deduped — a production pipeline materializes it as the
+    * append-only side table). A new doc's fingerprint is cross-document iff
+    * it is in the registry (some earlier doc contains the content — batch
+    * ids are disjoint from history by contract) OR at least two distinct
+    * docs of this batch share it. That is exactly the full-rerun
+    * cross-document predicate restricted to the new ids, so
+    * `incrementalRepeatedRegions(new, fps(old))._1 == repeatedRegions(old ∪ new)`
+    * filtered to the new batch (RepeatedRegionsSpec proves it; unlike the
+    * segment twin there is NO id-ordering requirement — the cross-doc flag
+    * is order-free). Regions history would newly gain in OLD docs are out
+    * of scope by design: yesterday's data is immutable, today's repeats of
+    * it are today's problem.
+    *
+    * Returns (regions of the new batch, registry delta to append). Cost per
+    * increment: fingerprint the batch, one hash-agg + one join against the
+    * registry on `fp` — linear in the batch, never a rescan of the corpus.
+    * A caller consuming both outputs should persist the batch's
+    * fingerprint rows (both derive from them; the streaming twin
+    * [[graft.streaming.DocStreams.repeatedRegionsStream]] does per
+    * micro-batch). */
+  def incrementalRepeatedRegions(newDocs: DataFrame, idCol: String,
+                                 textCol: String, knownFps: DataFrame,
+                                 k: Int = 7, w: Int = 4, gapMax: Int = 10,
+                                 minFps: Int = 2): (DataFrame, DataFrame) = {
+    val fps = fingerprintRows(newDocs, idCol, textCol, k, w)
+    incrementalFromFps(fps, knownFps, idCol, k, gapMax, minFps)
+  }
+
+  /** [[incrementalRepeatedRegions]] split at the fingerprint rows, so a
+    * caller (the streaming twin) can persist them across both consumers. */
+  private[graft] def incrementalFromFps(fps: DataFrame, knownFps: DataFrame,
+                                        idCol: String, k: Int, gapMax: Int,
+                                        minFps: Int): (DataFrame, DataFrame) = {
+    val known = knownFps.select(col("fp")).distinct()
+    // one aggregation pass over the batch's fingerprints decides BOTH
+    // cross-doc conditions (>1 distinct batch docs, or known to history) —
+    // a union of separate probes would scan the fingerprint plan twice more
+    val shared = fps.groupBy("fp")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .join(known.withColumn("__known", lit(true)), Seq("fp"), "left")
+      .filter(col("__nd") > 1 || col("__known").isNotNull)
+      .select("fp")
+    val regions = regionsFromFps(fps, shared, idCol, k, gapMax, minFps)
+    val delta = fps.select("fp").distinct().join(known, Seq("fp"), "left_anti")
+    (regions, delta)
   }
 
   /** Documents sharing ≥ `minShared` fingerprints — the winnowing twin of

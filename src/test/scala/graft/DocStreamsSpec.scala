@@ -78,4 +78,45 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(spark.read.parquet(registryDir).count() ==
       batch.agg(sum(col("n_kept"))).head.getLong(0))
   }
+
+  test("streaming repeated-regions converges to per-prefix full reruns") {
+    import graft.text.Winnowing
+    val docs = Tables(spark, sf).documents.select("doc_id", "text")
+    val ranges = Seq((0L, 150L), (150L, 320L), (320L, 10000L))
+    val stageDir = java.nio.file.Files.createTempDirectory("rr-stream").toString
+    for ((lo, hi) <- ranges) {
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .repartition(1).write.mode("append").parquet(stageDir)
+      Thread.sleep(1100) // distinct second-granularity mtimes
+    }
+    val registryDir = java.nio.file.Files.createTempDirectory("rr-reg").toString + "/r"
+    val regionsDir = java.nio.file.Files.createTempDirectory("rr-out").toString + "/o"
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt3").toString
+    val q = DocStreams.repeatedRegionsStream(
+        DocStreams.readDocumentStream(spark, stageDir, maxFilesPerTrigger = Some(1)),
+        "doc_id", "text", registryDir, regionsDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 3, "expected a multi-batch incremental run")
+
+    // batch i's streamed regions must equal the FULL rerun over everything
+    // seen up to batch i, restricted to batch i's ids (the incremental
+    // operator's contract, replayed through the stream's registry state)
+    val streamed = spark.read.parquet(regionsDir)
+    val expected = ranges.map { case (lo, hi) =>
+      Winnowing.repeatedRegions(
+          docs.filter(col("doc_id") < hi), "doc_id", "text",
+          k = 7, w = 4, gapMax = 10, minFps = 2)
+        .filter(col("doc_id") >= lo)
+    }.reduce(_ unionByName _)
+    assert(expected.count() > 0, "vacuous: fixture produced no regions")
+    assert(streamed.except(expected).isEmpty && expected.except(streamed).isEmpty,
+      "streaming repeated-regions diverged from the per-prefix full reruns")
+    // the registry is the corpus's full distinct-fingerprint set
+    assert(spark.read.parquet(registryDir).count() ==
+      Winnowing.fingerprintRows(docs, "doc_id", "text", 7, 4)
+        .select("fp").distinct().count())
+  }
 }

@@ -34,6 +34,22 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(inc.forall { case (a, b) => a % 5 == 0 || b % 5 == 0 })
   }
 
+  test("incremental near-dup with estimate == full md5 run restricted to new docs") {
+    val docs = Tables(spark, sf).documents
+    val newSig = MinHashLsh.signaturesMd5(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", p)
+    val oldSig = MinHashLsh.signaturesMd5(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", p)
+    val inc = MinHashLsh.incrementalNearDupFromSig(newSig, oldSig, "doc_id",
+        minEstJaccard = 0.5, p, literalKeys = true)._1
+    val full = MinHashLsh.nearDuplicatesMd5(docs, "doc_id", "text",
+        minEstJaccard = 0.5, p)
+      .filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1)
+    assert(inc.count() > 0, "vacuous: no near-dup pair touches the new batch")
+    assert(inc.except(full).isEmpty && full.except(inc).isEmpty,
+      "incremental near-dup diverged from the restricted full rerun")
+  }
+
   test("signatures recomputed from stored params are bit-identical (reusability)") {
     val docs = Tables(spark, sf).documents.limit(100)
     val s1 = MinHashLsh.signatures(docs, "doc_id", "text", p)

@@ -69,6 +69,39 @@ class KnnSpec extends AnyFunSuite {
     assert(got.forall(r => math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12))
   }
 
+  test("incremental near-dup equals the full rerun restricted to new-touching pairs") {
+    val newE = emb.filter(col("id") % 2 === 1)
+    val oldE = emb.filter(col("id") % 2 === 0)
+    val inc = Knn.incrementalNearDupPairs(newE, oldE, minCos = 0.4)
+    val full = Knn.nearDupPairs(emb, minCos = 0.4)
+      .filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1)
+    assert(inc.count() > 0, "vacuous: no near-dup pairs touch the new batch")
+    assert(inc.except(full).isEmpty && full.except(inc).isEmpty,
+      "incremental near-dup diverged from the restricted full rerun")
+    // no old-old pair leaks in
+    assert(inc.filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0).count() == 0)
+  }
+
+  test("incremental bucket candidates equal the full bucket self-join on new-touching pairs") {
+    val newE = emb.filter(col("id") % 2 === 1)
+    val oldE = emb.filter(col("id") % 2 === 0)
+    val registry = Knn.lshBuckets(oldE, dim = 64, nPlanes = 6)
+      .select(col("id"), col("bucket"))
+    val (cands, delta) = Knn.incrementalBucketCandidates(
+      newE, registry, dim = 64, nPlanes = 6)
+    val allBk = Knn.lshBuckets(emb, dim = 64, nPlanes = 6)
+    val fullCands = allBk.select(col("id").as("id_a"), col("bucket"))
+      .join(allBk.select(col("id").as("id_b"), col("bucket")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1)
+      .select("id_a", "id_b").distinct()
+    assert(cands.count() > 0, "vacuous: no bucket collisions touch the new batch")
+    assert(cands.except(fullCands).isEmpty && fullCands.except(cands).isEmpty,
+      "incremental bucket candidates diverged from the full self-join")
+    // the registry delta is exactly the new batch's bucket rows
+    assert(delta.count() == newE.count())
+  }
+
   test("quadratic guards refuse oversized inputs and are overridable") {
     import spark.implicits._
     val emb = (1 to 50).map(i => (i.toLong, Seq.fill(4)(i.toFloat))).toDF("id", "vec")

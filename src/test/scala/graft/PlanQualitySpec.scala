@@ -31,6 +31,44 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("incremental repeat detection keeps d20's linear shape (no pair join)") {
+    val p = plan("d24_incr_regions")
+    assert(p.contains("LeftSemi"), "shared-fp gate must be a semi-join\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only inner join allowed is the registry probe on `fp` — never a
+    // pairwise doc-doc join
+    assert(p.linesIterator.filter(_.contains("Inner")).forall(_.contains("fp")),
+      "pairwise join crept into the incremental path\n" + p)
+  }
+
+  test("model-gated funnel evaluates the scorer once") {
+    // (the funnel tail's segment HOFs keep cheap lambdas — the blanket
+    // sweep below polices their bodies; the gate here is the model cost)
+    val p = plan("d25_model_funnel")
+    // the funnel fans out into one documents-scan per consumer branch
+    // (census, dedup window, survivors — same recompute-per-branch shape
+    // as d18; a deployment persists the gated batch). The invariant is
+    // per-branch: ONE scorer evaluation per scan — a filter pushed below
+    // the scoring projection would re-evaluate the model and double the
+    // scan-side work.
+    val scans = p.sliding("documents.parquet".length)
+      .count(_ == "documents.parquet")
+    val evals = p.sliding("hashedngramscore".length)
+      .count(_ == "hashedngramscore")
+    assert(evals <= scans,
+      s"$evals scorer evaluations for $scans scans — a branch pays the model twice\n" + p)
+  }
+
+  test("incremental embedding near-dup broadcasts the new side") {
+    val p = plan("e07_incr_neardup")
+    // the pair space is new × total by construction; the join must be a
+    // broadcast nested loop (new side small per increment), never a
+    // repartition-everything cartesian
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "expected the new batch to broadcast\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("semi-join pushes the price filter into the orders scan") {
     val p = plan("q03_semi_join")
     assert(p.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,200000.0)"), p)

@@ -81,6 +81,44 @@ class RepeatedRegionsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental: registry probe finds content only history contains") {
+    val shared = "a block of prose that yesterday's crawl already contained verbatim"
+    val oldDocs = Seq((1L, noise('a', 60) + shared + noise('b', 40)),
+                      (2L, noise('c', 200)))
+    val newDocs = Seq((10L, noise('d', 30) + shared + noise('e', 70)),
+                      (11L, noise('f', 180)))
+    val registry = Winnowing.fingerprintRows(
+      oldDocs.toDF("doc_id", "text"), "doc_id", "text", K, W).select("fp")
+    val (regions, _) = Winnowing.incrementalRepeatedRegions(
+      newDocs.toDF("doc_id", "text"), "doc_id", "text", registry,
+      K, W, Gap, minFps = 2)
+    val got = regions.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // the repeat is OLD-vs-NEW only — no batch-internal pair exists, so a
+    // hit proves the registry probe, not the within-batch path
+    assert(got.exists(_._1 == 10L), s"cross-batch repeat missed: ${got.toSeq}")
+    assert(got.forall(_._1 != 11L), s"false positive: ${got.toSeq}")
+  }
+
+  test("incremental equals the full rerun restricted to the new batch (sf0.001)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val oldD = docs.filter(col("doc_id") % 2 === 0)
+    val newD = docs.filter(col("doc_id") % 2 === 1)
+    val registry = Winnowing.fingerprintRows(oldD, "doc_id", "text", K, W).select("fp")
+    val (regions, delta) = Winnowing.incrementalRepeatedRegions(
+      newD, "doc_id", "text", registry, K, W, Gap, minFps = 2)
+    val full = Winnowing.repeatedRegions(docs, "doc_id", "text", K, W, Gap, minFps = 2)
+      .filter(col("doc_id") % 2 === 1)
+    assert(regions.count() > 0, "vacuous: no regions in the new batch")
+    assert(regions.except(full).isEmpty && full.except(regions).isEmpty,
+      "incremental diverged from the full rerun on the new ids")
+    // the registry plus its delta is exactly the corpus's fingerprint set
+    val allFps = Winnowing.fingerprintRows(docs, "doc_id", "text", K, W)
+      .select("fp").distinct().count()
+    assert(registry.distinct().count() + delta.count() == allFps,
+      "registry delta is not the set of genuinely novel fingerprints")
+  }
+
   test("corpus smoke: sf0.001 documents produce internally consistent regions") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
     val got = Winnowing.repeatedRegions(docs, "doc_id", "text",
