@@ -116,6 +116,63 @@ object PipelineQ {
       .select("doc_id", "cluster_id", "n_members")
   }
 
+  /** Relative target weights per source (ppm-style integers) for the
+    * mixture planner — stands in for offline-chosen mixing proportions. */
+  private val mixtureWeights: Seq[(String, Long)] =
+    (0 until 20).map(i => (s"src$i", Seq(100000L, 75000L, 50000L, 25000L)(i % 4)))
+
+  /** Token-budget mixture planning — the data-mixing decision before
+    * pretraining: given relative target weights per source and a global
+    * char budget (half the corpus here), compute each source's allocation,
+    * sampling rate, and epoch count. rate_ppm < 1e6 → downsample (q49's
+    * md5Keep executes it); epochs_ppm > 1e6 → the source must repeat to
+    * fill its allocation. ALL integer arithmetic (decimal-widened before
+    * multiply — bigint × ppm overflows long at corpus scale), floor
+    * division in both engines, so the plan is bit-identical and
+    * oracle-checkable. One groupBy + broadcast joins of three one-row/
+    * tiny frames; nothing scales with the corpus but the census. */
+  def mixturePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+    val weights = mixtureWeights.toDF("source", "w")
+    val perSource = docs.groupBy("source")
+      .agg(sum(col("n_chars")).as("n_chars_src"))
+    val totals = docs.agg(expr("sum(n_chars) div 2").as("budget"))
+    val sumW = weights.agg(sum(col("w")).as("w_sum"))
+    perSource.join(broadcast(weights), Seq("source"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(sumW))
+      .withColumn("planned_chars",
+        expr("(cast(budget as decimal(38,0)) * w) div w_sum"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          expr("(cast(planned_chars as decimal(38,0)) * 1000000) div n_chars_src")))
+      .withColumn("epochs_ppm",
+        expr("(cast(planned_chars as decimal(38,0)) * 1000000) div n_chars_src"))
+      .select("source", "n_chars_src", "w", "planned_chars", "rate_ppm", "epochs_ppm")
+  }
+
+  /** Leakage-free split — the eval-hygiene upgrade of q46: a document's
+    * split is decided by the md5 of its near-dup CLUSTER representative
+    * (q48's connected components; singletons represent themselves), so a
+    * whole near-dup cluster lands on ONE side and no held-out doc has a
+    * training near-twin. q50 checks contamination against EXTERNAL
+    * benchmarks; this closes the INTERNAL train/test leak. Census output
+    * (the per-doc assignment is the obvious projection). */
+  def leakFreeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val pairs = Shingles.jaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.5, maxShingleDf = Some(64))
+    val cl = ConnectedComponents.clusters(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+    docs.join(cl.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split", Sampling.md5Split(col("rep"), splitFractions))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_groups"),
+        sum(col("n_chars")).as("total_chars"))
+  }
+
   /** Benchmark-contamination scan: which training documents share enough
     * word 5-grams with a held-out benchmark set to be contaminated (the
     * pre-training hygiene check run before every eval). Benchmark side is
@@ -182,7 +239,9 @@ object PipelineQ {
     "q47_seq_packing"      -> (seqPacking _),
     "q48_dup_clusters"     -> (dupClusters _),
     "q49_mixture_sample"   -> (mixtureSample _),
-    "q50_contamination"    -> (contamination _))
+    "q50_contamination"    -> (contamination _),
+    "d27_mixture_plan"     -> (mixturePlan _),
+    "d28_leakfree_split"   -> (leakFreeSplit _))
 
   /** q48's pair CTE = the SHARED d04 oracle chain ([[TextQ.jaccardOracleCte]])
     * plus the threshold filter — one definition, no copy to drift. */
@@ -303,5 +362,42 @@ object PipelineQ {
          |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1)
          |SELECT doc_id, cluster_id,
          |       count(*) OVER (PARTITION BY cluster_id) AS n_members
-         |FROM cl""".stripMargin)
+         |FROM cl""".stripMargin,
+    "d27_mixture_plan" -> {
+      val values = mixtureWeights.map { case (s0, w) => s"('$s0', $w)" }.mkString(", ")
+      s"""WITH w(source, w) AS (VALUES $values),
+         |n AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars_src
+         |      FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_chars) AS HUGEINT) // 2 AS budget FROM documents),
+         |sw AS (SELECT CAST(sum(w) AS HUGEINT) AS w_sum FROM w),
+         |p AS (
+         |  SELECT n.source, n.n_chars_src, CAST(w.w AS BIGINT) AS w,
+         |         (t.budget * w.w) // sw.w_sum AS planned
+         |  FROM n JOIN w USING (source), t, sw)
+         |SELECT source, n_chars_src, w,
+         |       CAST(planned AS BIGINT) AS planned_chars,
+         |       CAST(least(1000000, (planned * 1000000) // n_chars_src) AS BIGINT) AS rate_ppm,
+         |       CAST((planned * 1000000) // n_chars_src AS BIGINT) AS epochs_ppm
+         |FROM p""".stripMargin
+    },
+    // d28: q48's cluster closure decides the split key — a doc outside any
+    // cluster represents itself
+    "d28_leakfree_split" ->
+      s"""WITH RECURSIVE $d04PairsCte,
+         |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM dup_pairs
+         |          UNION ALL SELECT id_b, id_a FROM dup_pairs),
+         |walk(id, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1),
+         |rep AS (
+         |  SELECT d.doc_id, d.n_chars,
+         |         coalesce(cl.cluster_id, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN cl USING (doc_id))
+         |SELECT ${Sampling.md5SplitSql("rep", splitFractions)} AS split,
+         |       count(*) AS n_docs,
+         |       count(DISTINCT rep) AS n_groups,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM rep GROUP BY 1""".stripMargin)
 }

@@ -79,6 +79,32 @@ final class JdbcStore(spark: SparkSession, url: String,
                       lower: Long, upper: Long, numPartitions: Int): DataFrame =
     spark.read.jdbc(url, q(name), q(partitionCol), lower, upper, numPartitions, props)
 
+  /** [[readPartitioned]] with bounds probed from the table itself (one
+    * tiny MIN/MAX aggregate the DBMS answers from the key's index) — what
+    * a deployment actually calls, since hard-coded bounds rot as the table
+    * grows. Empty tables fall back to a plain single-partition read. */
+  def readPartitionedAuto(name: String, partitionCol: String,
+                          numPartitions: Int): DataFrame = {
+    val bounds = withConn { c =>
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"SELECT MIN(${q(partitionCol)}), MAX(${q(partitionCol)}) FROM ${q(name)}")
+        try {
+          rs.next()
+          val lo = rs.getLong(1); val loNull = rs.wasNull()
+          val hi = rs.getLong(2); val hiNull = rs.wasNull()
+          if (loNull || hiNull) None else Some((lo, hi))
+        } finally rs.close()
+      } finally st.close()
+    }
+    bounds match {
+      case Some((lo, hi)) if hi > lo =>
+        readPartitioned(name, partitionCol, lo, hi, numPartitions)
+      case _ => read(name)
+    }
+  }
+
   private def ddlType(dt: DataType): String = dt match {
     case StringType         => s"VARCHAR($varcharLen)"
     case LongType           => "BIGINT"

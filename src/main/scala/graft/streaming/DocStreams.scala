@@ -151,6 +151,77 @@ object DocStreams {
       } finally { fps.unpersist(); () }
     }
 
+  /** The FULL curation funnel as a daily-crawl stream — the streaming twin
+    * of d25 ([[graft.queries.CurationQ.modelFunnel]]): every micro-batch
+    * runs model gate → exact dedup → segment dedup, each stateful stage
+    * probing an append-only parquet registry instead of rescanning the
+    * accumulated corpus.
+    *
+    *  - GATE: the broadcast hashed-n-gram scorer — stateless, scan-speed.
+    *  - EXACT DEDUP: a content-fingerprint registry. The batch semantics
+    *    keep the min-id qualifying doc per fingerprint; with id-ordered
+    *    arrival (the same contract [[segmentDedupStream]] documents) the
+    *    first qualifying arrival IS that min, so registry membership
+    *    reproduces the corpus-wide window exactly. Only GATED docs claim
+    *    a fingerprint (a quality-failing copy must not shadow a later
+    *    qualifying one) — mirroring the batch `min(CASE WHEN qual_ok...)`.
+    *  - SEGMENTS: [[graft.text.Segments.incrementalFlags]] against the
+    *    segment registry; docs keeping at least half their segments
+    *    survive (d18/d25's `final_ok`).
+    *
+    * Writes surviving docs (doc_id, source, n_segs, n_kept, text_clean)
+    * to `cleanDir`; appends both registry deltas LAST (the
+    * recacheByPath ordering [[segmentDedupStream]] documents).
+    * DocStreamsSpec replays three drops and proves the survivors equal
+    * the batch funnel's. */
+  def curationFunnelStream(docStream: DataFrame, idCol: String, textCol: String,
+                           segTokens: Int,
+                           model: graft.functions.NgramScoreFn.Model,
+                           threshold: Long,
+                           fpRegistryDir: String, segRegistryDir: String,
+                           cleanDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      def registry(dir: String, colName: String): DataFrame = {
+        val path = new org.apache.hadoop.fs.Path(dir)
+        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(path)) spark.read.parquet(dir)
+        else spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField(colName, StringType))))
+      }
+      val fpReg = registry(fpRegistryDir, "fp")
+      val segReg = registry(segRegistryDir, "seg")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__fp")).orderBy(col(idCol))
+      val survivors = graft.text.QualityClassifier
+        .gate(batch, textCol, model, threshold)
+        .withColumn("__fp", graft.text.TextMetrics.fingerprint(col(textCol)))
+        .join(fpReg.select(col("fp").as("__fp"))
+          .withColumn("__known", lit(true)), Seq("__fp"), "left")
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__known").isNull && col("__rk") === 1)
+        .persist()
+      try {
+        val flagged = graft.text.Segments.incrementalFlags(
+          survivors, idCol, textCol, segReg, segTokens).persist()
+        try {
+          graft.text.Segments.rebuildFromFlags(flagged, idCol)
+            .filter(col("n_kept") * 2 >= col("n_segs"))
+            .join(survivors.select(col(idCol), col("source")), Seq(idCol))
+            .select(col(idCol), col("source"), col("n_segs"), col("n_kept"),
+              col("text_clean"))
+            .write.mode("append").parquet(cleanDir)
+          // registries last — appending first would re-plan the cached
+          // survivor/flagged reads against the post-append listing
+          graft.text.Segments.registryDelta(flagged)
+            .write.mode("append").parquet(segRegistryDir)
+          survivors.select(col("__fp").as("fp"))
+            .write.mode("append").parquet(fpRegistryDir)
+        } finally { flagged.unpersist(); () }
+      } finally { survivors.unpersist(); () }
+    }
+
   /** The batch-side closing rollup over [[contaminationStream]]'s output
     * (threshold + per-doc census) — shared by the spec and any sink-side
     * consumer, and textually identical to q50's tail. */

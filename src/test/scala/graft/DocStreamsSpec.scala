@@ -79,6 +79,50 @@ class DocStreamsSpec extends AnyFunSuite {
       batch.agg(sum(col("n_kept"))).head.getLong(0))
   }
 
+  test("streaming curation funnel converges to the batch funnel's survivors") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.{QualityClassifier, Segments, TextMetrics}
+    val docs = Tables(spark, sf).documents
+    val model = QualityClassifier.seededModel()
+    val stageDir = java.nio.file.Files.createTempDirectory("cf-stream").toString
+    for ((lo, hi) <- Seq((0L, 150L), (150L, 320L), (320L, 10000L))) {
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .repartition(1).write.mode("append").parquet(stageDir)
+      Thread.sleep(1100) // distinct second-granularity mtimes
+    }
+    val fpReg = java.nio.file.Files.createTempDirectory("cf-fp").toString + "/r"
+    val segReg = java.nio.file.Files.createTempDirectory("cf-seg").toString + "/r"
+    val cleanDir = java.nio.file.Files.createTempDirectory("cf-clean").toString + "/c"
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt4").toString
+    val q = DocStreams.curationFunnelStream(
+        DocStreams.readDocumentStream(spark, stageDir, maxFilesPerTrigger = Some(1)),
+        "doc_id", "text", 3, model, 0L, fpReg, segReg, cleanDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 3, "expected a multi-batch incremental run")
+
+    // the batch twin, composed from the same public stages the d25 census
+    // aggregates: gate -> min-id-per-fingerprint -> corpus-wide segment
+    // dedup -> keep docs retaining at least half their segments
+    val gated = QualityClassifier.gate(docs, "text", model, 0L)
+      .withColumn("__fp", TextMetrics.fingerprint(col("text")))
+    val surv = gated
+      .withColumn("__canon", min(col("doc_id")).over(Window.partitionBy(col("__fp"))))
+      .filter(col("doc_id") === col("__canon"))
+      .select("doc_id", "source", "text")
+    val expected = Segments.segmentDedup(surv, "doc_id", "text", 3)
+      .filter(col("n_kept") * 2 >= col("n_segs"))
+      .join(surv.select("doc_id", "source"), Seq("doc_id"))
+      .select("doc_id", "source", "n_segs", "n_kept", "text_clean")
+    val streamed = spark.read.parquet(cleanDir)
+    assert(expected.count() > 0, "vacuous: batch funnel kept nothing")
+    assert(streamed.count() == expected.count())
+    assert(streamed.except(expected).isEmpty && expected.except(streamed).isEmpty,
+      "streaming curation funnel diverged from the batch composition")
+  }
+
   test("streaming repeated-regions converges to per-prefix full reruns") {
     import graft.text.Winnowing
     val docs = Tables(spark, sf).documents.select("doc_id", "text")

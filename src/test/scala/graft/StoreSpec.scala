@@ -160,4 +160,14 @@ class JdbcStoreSpec extends StoreContract {
     assert(got.rdd.getNumPartitions == 4)
     assert(got.agg(sum("v")).as[Long].head == 10100L)
   }
+
+  test("jdbc: auto-bounded partitioned read probes min/max; empty table falls back") {
+    val st = newStore()
+    st.create("facts", (11L to 110L).map(i => (i, i * 2)).toDF("id", "v"))
+    val got = st.readPartitionedAuto("facts", "id", 4)
+    assert(got.rdd.getNumPartitions == 4)
+    assert(got.count() == 100 && got.agg(sum("v")).as[Long].head == 12100L)
+    st.create("empty_t", spark.emptyDataset[Long].toDF("id"))
+    assert(st.readPartitionedAuto("empty_t", "id", 4).count() == 0)
+  }
 }
