@@ -58,4 +58,31 @@ object Ivf {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
+
+  /** Incremental index maintenance — the daily-crawl flow for IVF: assign
+    * a new batch to the FROZEN centroids (the float-quantized centroids a
+    * deployment ships; exact decimal distance, ties to the lower centroid
+    * id — deterministic, IvfCurationSpec checks against an independent
+    * BigDecimal computation) and append to the inverted lists. No
+    * re-clustering, no touch of the existing lists — at 100 TB this is an
+    * append to the centroid-bucketed table; centroid drift is handled by
+    * periodic rebuilds, the standard IVF posture. */
+  def append(spark: SparkSession, model: Model, newEmb: DataFrame): Model = {
+    import spark.implicits._
+    val cents = model.centroids.toSeq
+      .map { case (i, v) => (i, v.map(_.toFloat).toSeq) }
+      .toDF("centroid", "cvec")
+    val assigned = newEmb.select(col("id"), col("vec"))
+      .crossJoin(broadcast(cents))
+      // ||q − c||² = q·q − 2 q·c + c·c, every dot exact decimal
+      .withColumn("d2",
+        Knn.dotExact(col("vec"), col("vec"))
+          - lit(2) * Knn.dotExact(col("vec"), col("cvec"))
+          + Knn.dotExact(col("cvec"), col("cvec")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("d2"), col("centroid"))))
+      .filter(col("__rk") === 1)
+      .select(col("id"), col("vec"), col("centroid"))
+    Model(model.centroids, model.lists.unionByName(assigned))
+  }
 }

@@ -221,6 +221,49 @@ object Knn {
     exactTopK(scored, k)
   }
 
+  /** Multi-probe LSH top-k: [[approxKnn]] plus probing every bucket at
+    * hamming distance ≤ `nFlip` of the query's signature (the standard
+    * recall dial — a vector near a hyperplane lands on either side with
+    * near-equal probability, so flipping low-margin bits recovers most
+    * misses at (nPlanes choose ≤nFlip)× the candidate cost instead of
+    * halving nPlanes, which would square bucket sizes). nFlip=0 IS
+    * [[approxKnn]]; KnnSpec proves the candidate set is a superset and
+    * recall vs brute force is monotone in nFlip. Only the QUERY side fans
+    * out (one row per probed bucket) — the corpus index is untouched, so
+    * the stored bucket table / registry stays the single-signature one. */
+  def approxKnnMultiProbe(emb: DataFrame, dim: Int, k: Int, nPlanes: Int = 8,
+                          seed: Long = 42L, nFlip: Int = 1): DataFrame = {
+    require(nFlip >= 0 && nFlip <= 2, "nFlip beyond 2 costs more than more planes")
+    val bucketed = lshBuckets(emb, dim, nPlanes, seed)
+      .withColumn("nrm", sqrt(dotExact(col("vec"), col("vec"))))
+      .withColumn("nrm_f", sqrt(dotFast(col("vec"), col("vec"))))
+    // probed buckets = signature with ≤ nFlip bits flipped, as a literal
+    // array expression over the bucket column (no lambdas, codegen'd)
+    val flips1 = (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+    val flips2 =
+      if (nFlip < 2) Seq.empty
+      else for { i <- 0 until nPlanes; j <- (i + 1) until nPlanes }
+        yield col("bucket").bitwiseXOR(lit((1L << i) | (1L << j)))
+    val probeBuckets =
+      if (nFlip == 0) array(col("bucket"))
+      else array(Seq(col("bucket")) ++ flips1 ++ flips2: _*)
+    val a = bucketed.select(explode(probeBuckets).as("bucket"),
+      col("id").as("qid"), col("vec").as("qvec"),
+      col("nrm").as("qnrm"), col("nrm_f").as("qnrm_f"))
+    val b = bucketed.select(col("bucket"), col("id").as("vec_id"),
+      col("vec").as("cvec"), col("nrm").as("cnrm"), col("nrm_f").as("cnrm_f"))
+    val scored = a.join(b, Seq("bucket"))
+      .filter(col("qid") =!= col("vec_id"))
+      // a candidate can surface through several probed buckets — dedup
+      // BEFORE scoring so the window sees each pair once
+      .dropDuplicates("qid", "vec_id")
+      .select(col("qid"), col("vec_id"), col("qvec"), col("cvec"),
+        col("qnrm"), col("cnrm"),
+        (dotFast(col("qvec"), col("cvec")) / (col("qnrm_f") * col("cnrm_f")))
+          .as("cos_fast"))
+    exactTopK(scored, k)
+  }
+
   /** Incremental [[nearDupPairs]] — the daily-crawl flow in embedding
     * space (the [[graft.text.Winnowing.incrementalRepeatedRegions]] /
     * [[graft.dedup.MinHashLsh.incrementalCandidates]] pattern): all

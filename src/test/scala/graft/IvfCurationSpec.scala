@@ -31,6 +31,35 @@ class IvfCurationSpec extends AnyFunSuite {
     assert(r8 > 0.95, s"probing every list must recover brute force, got $r8")
   }
 
+  test("IVF append assigns new vectors to the frozen centroids exactly") {
+    val oldE = emb.filter(col("id") % 2 === 0)
+    val newE = emb.filter(col("id") % 2 === 1 && col("id") < 200)
+    val m = Ivf.build(oldE, k = 4)
+    val m2 = Ivf.append(spark, m, newE)
+    // old lists untouched, every new id present exactly once
+    assert(m2.lists.filter(col("id") % 2 === 0).count() == m.lists.count())
+    val appended = m2.lists.filter(col("id") % 2 === 1).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("centroid")).toMap
+    assert(appended.size == newE.count())
+    // independent assignment check: dotExact quantizes each float to
+    // round_even(double·1e9); replicate the integer arithmetic in BigInt
+    // and demand the identical argmin (ties to the lower centroid id)
+    def q9(x: Float): BigInt = BigInt(math.rint(x.toDouble * 1e9).toLong)
+    val cents = m.centroids.map { case (i, v) => i -> v.map(_.toFloat) }
+    val vecs = newE.collect()
+      .map(r => r.getAs[Long]("id") -> r.getSeq[Float](1).toArray).toMap
+    vecs.foreach { case (id, v) =>
+      val best = cents.map { case (ci, cv) =>
+        val d2 = v.indices.map { j =>
+          val d = q9(v(j)) - q9(cv(j)); d * d
+        }.sum
+        (d2, ci)
+      }.minBy(identity)._2
+      assert(appended(id) == best,
+        s"vector $id assigned to ${appended(id)}, independent argmin says $best")
+    }
+  }
+
   test("curation pipeline: monotone counts, near-dups actually removed") {
     val docs = Tables(spark, sf).documents
     val (survivors, rep) = Curation.curate(docs, "doc_id", "text",

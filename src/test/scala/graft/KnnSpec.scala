@@ -69,6 +69,34 @@ class KnnSpec extends AnyFunSuite {
     assert(got.forall(r => math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12))
   }
 
+  test("multi-probe LSH: nFlip=0 is approxKnn; recall is monotone in nFlip") {
+    def topSets(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("qid") < 50).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val single = topSets(Knn.approxKnn(emb, dim = 64, k = 10, nPlanes = 6))
+    val zero = topSets(Knn.approxKnnMultiProbe(emb, dim = 64, k = 10,
+      nPlanes = 6, nFlip = 0))
+    assert(zero == single, "nFlip=0 must reproduce single-bucket approxKnn")
+    // candidate superset ⇒ the multi-probe top-k DOMINATES per rank: at
+    // every rank its cosine is >= the single-bucket one (airtight, unlike
+    // a recall comparison, which depends on the fixture's bucket geometry)
+    def ranked(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("qid") < 50).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rk"), r.getAs[Double]("cos")))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.sortBy(_._2).map(_._3) }
+    val sR = ranked(Knn.approxKnn(emb, dim = 64, k = 10, nPlanes = 6))
+    val mR = ranked(Knn.approxKnnMultiProbe(emb, dim = 64, k = 10,
+      nPlanes = 6, nFlip = 1))
+    assert(sR.keySet.subsetOf(mR.keySet))
+    sR.foreach { case (q, sc) =>
+      val mc = mR(q)
+      assert(mc.length >= sc.length, s"query $q lost candidates under multi-probe")
+      sc.zip(mc).foreach { case (s0, m0) =>
+        assert(m0 >= s0 - 1e-12, s"query $q: multi-probe rank fell below single-bucket") }
+    }
+  }
+
   test("incremental near-dup equals the full rerun restricted to new-touching pairs") {
     val newE = emb.filter(col("id") % 2 === 1)
     val oldE = emb.filter(col("id") % 2 === 0)
