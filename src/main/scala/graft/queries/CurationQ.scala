@@ -151,9 +151,22 @@ object CurationQ {
   def bigramFluency(s: SparkSession, dir: String): DataFrame =
     graft.text.Fluency.bigramFluency(Tables(s, dir).documents, "doc_id", "text")
 
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+
+  /** Context-window chunking (64-token windows, stride 48 → 16-token
+    * overlap): the prep step that turns curated documents into
+    * training-context pieces without losing boundary-straddling spans.
+    * [[graft.text.Segments.chunkWithOverlap]]; exact integer slicing, so
+    * the oracle replays it verbatim. */
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame =
+    Segments.chunkWithOverlap(Tables(s, dir).documents, "doc_id", "text",
+      ChunkSize, ChunkStride)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d18_curation_funnel" -> (curationFunnel _),
     "d25_model_funnel"  -> (modelFunnel _),
+    "d29_chunk_overlap" -> (chunkOverlap _),
     "d19_bigram_fluency" -> (bigramFluency _),
     "d13_segment_dedup" -> (segmentDedup _),
     "d14_boilerplate"   -> (boilerplate _),
@@ -246,6 +259,19 @@ object CurationQ {
 
   val oracles: Map[String, String] = Map(
     "d16_bpe_encode" -> bpeEncodeOracle,
+    "d29_chunk_overlap" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |chunks AS (
+         |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         |         t[(i*$ChunkStride+1):(i*$ChunkStride+$ChunkSize)] AS c
+         |  FROM toks, UNNEST(generate_series(0, (len(t) - 1) // $ChunkStride)) AS u(i)
+         |  WHERE len(t) > 0)
+         |SELECT doc_id, chunk_idx,
+         |       CAST(len(c) AS INT) AS n_chunk_toks,
+         |       array_to_string(c, ' ') AS chunk_text
+         |FROM chunks""".stripMargin,
     "d13_segment_dedup" ->
       s"""WITH $segsCte,
          |flagged AS (

@@ -55,6 +55,41 @@ object Segments {
       .select(col(idCol), tokenSegments(col("__toks"), segTokens).as("__segs"))
       .select(col(idCol), posexplode_outer(col("__segs")).as(Seq("seg_idx", "seg")))
 
+  /** Sliding-window chunking with stride overlap — the context-window
+    * prep step before pretraining (every chunk but the last is `size`
+    * tokens; consecutive chunks share `size − stride` tokens so no
+    * boundary-straddling span is lost). Chunk starts are 0, stride,
+    * 2·stride, … while start < n_tokens, so the tail is always covered
+    * (the final chunk may be short). One row per chunk:
+    * {{{ id | chunk_idx | n_chunk_toks | chunk_text }}}
+    * Shuffle-free: a projection + one generator over the materialized
+    * token array (the [[explodeSegments]] shape; `slice` on a BOUND column
+    * inside the transform is the established safe pattern — the defining
+    * expression inlined there would re-tokenize per chunk). */
+  def chunkWithOverlap(df: DataFrame, idCol: String, textCol: String,
+                       size: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && stride <= size,
+      s"stride $stride must be in [1, size=$size] — a larger stride skips tokens")
+    val chunks = {
+      val toks = col("__toks")
+      val n = org.apache.spark.sql.functions.size(toks)
+      when(n > 0,
+        transform(
+          // last start index = floor((n−1)/stride) — integer-exact
+          // (= ceil(n/stride) − 1 chunks after it, covering the tail)
+          sequence(lit(0), floor((n - 1).cast("double") / stride).cast("int")),
+          i => array_join(slice(toks, i * stride + 1, lit(size)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+    df.select(col(idCol), TextMetrics.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), posexplode_outer(chunks).as(Seq("chunk_idx", "chunk_text")))
+      .filter(col("chunk_text").isNotNull)
+      .select(col(idCol), col("chunk_idx"),
+        org.apache.spark.sql.functions.size(
+          split(col("chunk_text"), " ")).as("n_chunk_toks"),
+        col("chunk_text"))
+  }
+
   /** C4-style global segment dedup with reconstruction.
     *
     * A segment instance survives iff it is the corpus-wide FIRST

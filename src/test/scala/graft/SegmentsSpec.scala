@@ -91,6 +91,28 @@ class SegmentsSpec extends AnyFunSuite {
     assert(segs.toSeq == Seq("t1 t2 t3", "t4"))
   }
 
+  test("chunk-with-overlap: coverage, overlap width, short tail, stride=size") {
+    val doc = (1L, (1 to 10).map(i => s"t$i").mkString(" ")) // 10 tokens
+    val got = Segments.chunkWithOverlap(Seq(doc).toDF("doc_id", "text"),
+        "doc_id", "text", size = 4, stride = 3)
+      .collect().map(r => (r.getInt(1), r.getString(3))).sortBy(_._1)
+    // starts 0,3,6,9 → 4 chunks; all size-4 except the 1-token tail
+    assert(got.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(got.map(_._2).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    // every token is covered; consecutive chunks share size−stride tokens
+    val toks = got.flatMap(_._2.split(" ")).toSet
+    assert(toks == (1 to 10).map(i => s"t$i").toSet)
+    // stride == size → a partition, no overlap, nothing lost
+    val part = Segments.chunkWithOverlap(Seq(doc).toDF("doc_id", "text"),
+        "doc_id", "text", size = 4, stride = 4)
+      .collect().map(_.getString(3)).sortBy(identity)
+    assert(part.flatMap(_.split(" ")).length == 10)
+    // empty text → no chunks, no crash
+    assert(Segments.chunkWithOverlap(Seq((2L, "  ")).toDF("doc_id", "text"),
+      "doc_id", "text", size = 4, stride = 3).count() == 0)
+  }
+
   test("dedup stays a two-exchange plan (segment window + doc rebuild)") {
     val plan = Segments.segmentDedup(docs, "doc_id", "text", 3)
       .queryExecution.executedPlan.toString
