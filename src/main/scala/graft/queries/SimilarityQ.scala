@@ -125,6 +125,25 @@ object SimilarityQ {
       minCos = 0.4)
   }
 
+  /** PQ encode ([[graft.similarity.Pq]]): 64 dims → 8 subspaces × 16 seed
+    * codewords; per vector the stored code string and the exact integer
+    * reconstruction error. */
+  def pqEncode(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.similarity.Pq.encode(e,
+      graft.similarity.Pq.seedCodebook(e, dims = 64, m = 8, k = 16),
+      dims = 64, m = 8)
+  }
+
+  /** PQ asymmetric-distance top-10 for the first 3 query vectors — search
+    * entirely over the 8-byte codes, never the raw corpus vectors. */
+  def pqAdc(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.similarity.Pq.adcTopK(e,
+      graft.similarity.Pq.seedCodebook(e, dims = 64, m = 8, k = 16),
+      dims = 64, m = 8, nQueries = 3, topK = 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_knn_brute"      -> (knnBrute _),
     "e02_cosine_neardup" -> (cosineNearDup _),
@@ -132,7 +151,9 @@ object SimilarityQ {
     "e04_centroid_assign" -> (centroidAssign _),
     "e05_semantic_clusters" -> (semanticClusters _),
     "e06_kmeans_lloyd"   -> (kmeansLloyd _),
-    "e07_incr_neardup"   -> (incrementalNearDup _))
+    "e07_incr_neardup"   -> (incrementalNearDup _),
+    "e08_pq_encode"      -> (pqEncode _),
+    "e09_pq_adc"         -> (pqAdc _))
 
   // Shared oracle scaffolding, in lockstep with Knn.dotExact/cosine:
   // each element quantizes to the INTEGER round_even(double(x)·1e9) —
@@ -221,8 +242,60 @@ object SimilarityQ {
        |       CAST(list_sum(list_transform(c.cq, v -> v * v)) AS BIGINT) AS norm2_c
        |FROM c2 c LEFT JOIN (SELECT cid, COUNT(*) AS n FROM a2 GROUP BY cid) n2 USING (cid)""".stripMargin
 
+  /** Shared PQ oracle scaffolding (e08/e09), in lockstep with
+    * [[graft.similarity.Pq]]: scale-1024 quantize, 8 subspaces of 8 dims,
+    * codebook = subvectors of vec_id < 16, per-(id,sub) argmin with ties
+    * to the lower code. `enc` is MATERIALIZED — e09 references it once per
+    * distance-table join and DuckDB inlines plain CTEs per reference. */
+  private val pqCte =
+    """q AS MATERIALIZED (
+      |  SELECT vec_id AS id,
+      |         list_transform(embedding,
+      |           x -> CAST(round_even(CAST(x AS DOUBLE) * 1024, 0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |sub AS MATERIALIZED (
+      |  SELECT id, CAST(s AS INT) AS sub, q[(s*8+1):(s*8+8)] AS subq
+      |  FROM q, UNNEST(generate_series(0, 7)) AS u(s)),
+      |cb AS MATERIALIZED (
+      |  SELECT sub, CAST(id AS INT) AS code, subq AS cq FROM sub WHERE id < 16),
+      |sd AS (
+      |  SELECT s.id, s.sub, c.code,
+      |         CAST(list_sum(list_transform(generate_series(1, 8),
+      |           i -> (s.subq[i] - c.cq[i]) * (s.subq[i] - c.cq[i]))) AS BIGINT) AS d
+      |  FROM sub s JOIN cb c ON c.sub = s.sub),
+      |enc AS MATERIALIZED (
+      |  SELECT id, sub, code, d FROM (
+      |    SELECT id, sub, code, d,
+      |           row_number() OVER (PARTITION BY id, sub ORDER BY d, code) AS rk
+      |    FROM sd) WHERE rk = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "e06_kmeans_lloyd" -> kmeansOracleSql(64),
+    "e08_pq_encode" ->
+      s"""WITH $pqCte
+         |SELECT id AS vec_id,
+         |       string_agg(CAST(code AS VARCHAR), '-' ORDER BY sub) AS code_str,
+         |       CAST(SUM(d) AS BIGINT) AS recon_err
+         |FROM enc GROUP BY 1""".stripMargin,
+    "e09_pq_adc" ->
+      s"""WITH $pqCte,
+         |qs AS (SELECT id AS qid, sub, subq FROM sub WHERE id < 3),
+         |dt AS (
+         |  SELECT q.qid, c.sub, c.code,
+         |         CAST(list_sum(list_transform(generate_series(1, 8),
+         |           i -> (q.subq[i] - c.cq[i]) * (q.subq[i] - c.cq[i]))) AS BIGINT) AS d
+         |  FROM qs q JOIN cb c ON c.sub = q.sub),
+         |adc AS (
+         |  SELECT dt.qid, e.id AS vec_id, CAST(SUM(dt.d) AS BIGINT) AS adc
+         |  FROM enc e JOIN dt ON dt.sub = e.sub AND dt.code = e.code
+         |  WHERE e.id <> dt.qid
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT qid, vec_id, adc,
+         |         row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rk
+         |  FROM adc)
+         |SELECT qid, vec_id, adc, CAST(rk AS INT) AS rk
+         |FROM ranked WHERE rk <= 10""".stripMargin,
     "e03_knn_approx" ->
       s"""WITH qv AS MATERIALIZED (
          |  SELECT vec_id,

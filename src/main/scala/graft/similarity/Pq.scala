@@ -1,0 +1,108 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** Product quantization — the memory-bounded ANN storage path.
+  *
+  * At 100 TB a float corpus cannot keep raw vectors hot: PQ splits each
+  * vector into `m` subspaces, snaps every subvector to its nearest entry
+  * in a per-subspace codebook of `k` codewords, and stores only the m
+  * code ids (64 dims × 4 bytes → m bytes, a 32× compression at m=8).
+  * Query time never touches raw vectors: a query precomputes its m·k
+  * subspace distance table once, and every stored vector's approximate
+  * (asymmetric, ADC) distance is m table lookups + a sum.
+  *
+  * Everything is integer arithmetic on [[KMeansExact.quantize]]'s scale-1024
+  * quantization, so encode AND search are cross-engine exact and fully
+  * oracle-backed (the e06 contract): distances are exact integer squared
+  * Euclidean ([[graft.functions.IntVecSqDist]], codegen'd), argmin ties
+  * break to the lower code id, top-k ties to the lower vec id.
+  *
+  * Codebooks here are seed codewords (the first `k` vectors' subvectors —
+  * the e04 seeding convention); a production build trains each subspace
+  * with [[KMeansExact.lloyd]] over the subvector table and feeds the
+  * resulting (sub, code, cq) rows to the same [[encodePerSub]] /
+  * [[adcTopK]] — the operators take the codebook as data.
+  *
+  * Scale shape: the codebook (m·k·(dims/m) longs) and the per-query
+  * distance tables (q·m·k rows) are BROADCAST; the corpus is touched by
+  * exactly one linear scan per operator, the per-(id,sub) argmin collapses
+  * map-side, and the ADC top-k runs through the bounded heap
+  * ([[graft.ops.WindowOps.topKBounded]]) so each scan partition ships at
+  * most k rows per query. No shuffle ever carries a raw vector.
+  */
+object Pq {
+
+  /** (id, sub, subq) — quantized subvectors, `m` rows per vector. The
+    * token-array rule applies: `q` is materialized by [[KMeansExact
+    * .quantize]]'s projection before the slicing lambda references it. */
+  def quantSubvectors(emb: DataFrame, dims: Int, m: Int): DataFrame = {
+    require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val subdim = dims / m
+    KMeansExact.quantize(emb)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("q"), s * subdim + 1, lit(subdim)))).as(Seq("sub", "subq")))
+  }
+
+  /** Seed codebook: (sub, code, cq) from the first `k` vectors. */
+  def seedCodebook(emb: DataFrame, dims: Int, m: Int, k: Int): DataFrame =
+    quantSubvectors(emb.filter(col("id") < k), dims, m)
+      .select(col("sub"), col("id").cast("int").as("code"), col("subq").as("cq"))
+
+  /** Per-subspace assignment: (id, sub, code, d) — each subvector to its
+    * min-squared-distance codeword (ties to the lower code). One corpus
+    * scan against the broadcast codebook; the argmin collapses map-side. */
+  def encodePerSub(emb: DataFrame, cb: DataFrame, dims: Int, m: Int): DataFrame =
+    quantSubvectors(emb, dims, m)
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d", VectorExpressions.intVecSqDist(col("subq"), col("cq")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(struct(col("d"), col("code"))).as("best"))
+      .select(col("id"), col("sub"),
+        col("best.code").as("code"), col("best.d").as("d"))
+
+  /** PQ encode: one row per vector — the stored representation plus its
+    * exact integer reconstruction error (the quantization-quality metric a
+    * curation run monitors when it sizes m and k). */
+  def encode(emb: DataFrame, cb: DataFrame, dims: Int, m: Int): DataFrame =
+    encodePerSub(emb, cb, dims, m)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("sc"),
+        sum(col("d")).as("recon_err"))
+      .select(col("id").as("vec_id"),
+        array_join(transform(col("sc"), x => x.getField("code").cast("string")),
+          "-").as("code_str"),
+        col("recon_err"))
+
+  /** ADC top-k: approximate k nearest stored vectors for each query id
+    * < `nQueries`, by asymmetric distance (query subvector → codeword
+    * table, summed over the stored codes). `adc` is the exact integer
+    * table sum; rank ties break to the lower vec id; self-matches drop.
+    *
+    * The distance tables (nQueries·m·k rows of longs) broadcast; the
+    * stored code table joins them with no shuffle and the per-query
+    * top-k is heap-bounded — at no point does anything scale worse than
+    * the one linear pass over the codes. */
+  def adcTopK(emb: DataFrame, cb: DataFrame, dims: Int, m: Int,
+              nQueries: Int, topK: Int): DataFrame = {
+    val codes = encodePerSub(emb, cb, dims, m).drop("d")
+    val dt = quantSubvectors(emb.filter(col("id") < nQueries), dims, m)
+      .select(col("id").as("qid"), col("sub"), col("subq"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"),
+        VectorExpressions.intVecSqDist(col("subq"), col("cq")).as("d"))
+    val adc = codes.join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("d")).as("adc"))
+    graft.ops.WindowOps.topKBounded(
+        adc.select(col("qid"), col("id").as("vec_id"), col("adc")),
+        part = Seq("qid"), order = Seq("adc" -> false, "vec_id" -> false),
+        k = topK)
+      .select(col("qid"), col("vec_id"), col("adc"), col("rk").cast("int").as("rk"))
+  }
+}
