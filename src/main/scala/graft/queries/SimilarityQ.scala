@@ -144,6 +144,18 @@ object SimilarityQ {
       dims = 64, m = 8, nQueries = 3, topK = 10)
   }
 
+  /** IVF+PQ composed index ([[graft.similarity.IvfPq]]): 8 coarse cells,
+    * residual PQ codebooks from vectors 8..23, nprobe-2 ADC search over
+    * the probed cells' code lists only. */
+  def ivfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = graft.similarity.IvfPq.seedCentroids(e, nCells = 8)
+    val cb = graft.similarity.IvfPq.residualCodebook(e, cents, dims = 64,
+      m = 8, seedFrom = 8)
+    graft.similarity.IvfPq.search(e, cents, cb, dims = 64, m = 8,
+      nQueries = 3, nProbe = 2, topK = 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_knn_brute"      -> (knnBrute _),
     "e02_cosine_neardup" -> (cosineNearDup _),
@@ -153,7 +165,8 @@ object SimilarityQ {
     "e06_kmeans_lloyd"   -> (kmeansLloyd _),
     "e07_incr_neardup"   -> (incrementalNearDup _),
     "e08_pq_encode"      -> (pqEncode _),
-    "e09_pq_adc"         -> (pqAdc _))
+    "e09_pq_adc"         -> (pqAdc _),
+    "e10_ivfpq"          -> (ivfPq _))
 
   // Shared oracle scaffolding, in lockstep with Knn.dotExact/cosine:
   // each element quantizes to the INTEGER round_even(double(x)·1e9) —
@@ -269,8 +282,82 @@ object SimilarityQ {
       |           row_number() OVER (PARTITION BY id, sub ORDER BY d, code) AS rk
       |    FROM sd) WHERE rk = 1)""".stripMargin
 
+  /** e10's oracle — the full IVF+PQ build and search replayed in SQL, in
+    * lockstep with [[graft.similarity.IvfPq]]: integer coarse assignment
+    * (ties to the lower cell), integer residuals, residual codebooks from
+    * ids 8..23, per-(id,sub) argmin, nprobe-2 probes, per-cell ADC. */
+  private val ivfPqOracle: String = {
+    val sq64 = (a: String, b: String) =>
+      s"""CAST(list_sum(list_transform(generate_series(1, 64),
+         |           i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)""".stripMargin
+    val sq8 = (a: String, b: String) =>
+      s"""CAST(list_sum(list_transform(generate_series(1, 8),
+         |           i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)""".stripMargin
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |         list_transform(embedding,
+       |           x -> CAST(round_even(CAST(x AS DOUBLE) * 1024, 0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |cents AS MATERIALIZED (
+       |  SELECT CAST(id AS INT) AS cell, q AS cellq FROM q WHERE id < 8),
+       |dists AS MATERIALIZED (
+       |  SELECT v.id, c.cell, c.cellq,
+       |         ${sq64("v.q", "c.cellq")} AS d
+       |  FROM q v, cents c),
+       |asg AS MATERIALIZED (
+       |  SELECT a.id, a.cell,
+       |         list_transform(generate_series(1, 64), i -> v.q[i] - a.cellq[i]) AS r
+       |  FROM (SELECT id, cell, cellq,
+       |               row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rk
+       |        FROM dists) a
+       |  JOIN q v ON v.id = a.id
+       |  WHERE a.rk = 1),
+       |rsub AS MATERIALIZED (
+       |  SELECT id, cell, CAST(s AS INT) AS sub, r[(s*8+1):(s*8+8)] AS subq
+       |  FROM asg, UNNEST(generate_series(0, 7)) AS u(s)),
+       |cb AS MATERIALIZED (
+       |  SELECT sub, CAST(id - 8 AS INT) AS code, subq AS cq
+       |  FROM rsub WHERE id >= 8 AND id < 24),
+       |enc AS MATERIALIZED (
+       |  SELECT id, cell, sub, code FROM (
+       |    SELECT s.id, s.cell, s.sub, c.code,
+       |           row_number() OVER (PARTITION BY s.id, s.sub
+       |             ORDER BY ${sq8("s.subq", "c.cq")}, c.code) AS rk
+       |    FROM rsub s JOIN cb c ON c.sub = s.sub) WHERE rk = 1),
+       |probes AS (
+       |  SELECT id AS qid, cell, cellq FROM (
+       |    SELECT id, cell, cellq,
+       |           row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rk
+       |    FROM dists WHERE id < 3) WHERE rk <= 2),
+       |qsub AS (
+       |  SELECT p.qid, p.cell, CAST(s AS INT) AS sub,
+       |         qr[(s*8+1):(s*8+8)] AS subq
+       |  FROM (SELECT p0.qid, p0.cell,
+       |               list_transform(generate_series(1, 64),
+       |                 i -> v.q[i] - p0.cellq[i]) AS qr
+       |        FROM probes p0 JOIN q v ON v.id = p0.qid) p,
+       |       UNNEST(generate_series(0, 7)) AS u(s)),
+       |dt AS (
+       |  SELECT s.qid, s.cell, s.sub, c.code,
+       |         ${sq8("s.subq", "c.cq")} AS d
+       |  FROM qsub s JOIN cb c ON c.sub = s.sub),
+       |adc AS (
+       |  SELECT dt.qid, e.id AS vec_id, e.cell, CAST(SUM(dt.d) AS BIGINT) AS adc
+       |  FROM enc e
+       |  JOIN dt ON dt.cell = e.cell AND dt.sub = e.sub AND dt.code = e.code
+       |  WHERE e.id <> dt.qid
+       |  GROUP BY 1, 2, 3),
+       |ranked AS (
+       |  SELECT qid, vec_id, cell, adc,
+       |         row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rk
+       |  FROM adc)
+       |SELECT qid, vec_id, cell, adc, CAST(rk AS INT) AS rk
+       |FROM ranked WHERE rk <= 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "e06_kmeans_lloyd" -> kmeansOracleSql(64),
+    "e10_ivfpq" -> ivfPqOracle,
     "e08_pq_encode" ->
       s"""WITH $pqCte
          |SELECT id AS vec_id,

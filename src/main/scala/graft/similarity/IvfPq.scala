@@ -1,0 +1,110 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** IVF+PQ — the composed production ANN index (the FAISS IVFPQ shape):
+  * a coarse quantizer routes each vector to a cell, PQ compresses the
+  * RESIDUAL against the cell centroid (residuals are small → far less
+  * quantization error than whole-vector PQ at the same code budget), and
+  * a query scans only its `nProbe` nearest cells' code lists with a
+  * per-cell asymmetric distance table.
+  *
+  * At 100 TB: the code lists are written bucketed by cell id, so a probe
+  * is a partition-pruned scan of nProbe/k of the corpus reading m bytes
+  * per vector — the only full-corpus passes are the one-time build. Both
+  * build and search keep every model artifact (centroids, codebooks,
+  * distance tables) broadcast.
+  *
+  * Arithmetic is the [[Pq]] contract: scale-1024 integer quantization,
+  * exact integer squared distances (codegen'd [[graft.functions
+  * .IntVecSqDist]]), argmin ties to the lower id — cross-engine exact,
+  * so build AND search sit behind a full DuckDB oracle (e10).
+  *
+  * Coarse centroids here are the first `nCells` vectors and codebooks the
+  * residuals of the next 16 (the e04 seeding convention); production
+  * swaps both for [[KMeansExact.lloyd]] output — the operators take
+  * centroids and codebooks as data.
+  */
+object IvfPq {
+
+  /** Coarse centroids (cell, cellq) = quantized vectors with id < nCells. */
+  def seedCentroids(emb: DataFrame, nCells: Int): DataFrame =
+    KMeansExact.quantize(emb.filter(col("id") < nCells))
+      .select(col("id").cast("int").as("cell"), col("q").as("cellq"))
+
+  /** Cell assignment + integer residual: (id, cell, r). One corpus scan
+    * against the broadcast centroids; argmin collapses map-side (ties to
+    * the lower cell id; cellq rides in the min-struct unconsulted because
+    * (d, cell) is already unique). */
+  def assignResiduals(emb: DataFrame, cents: DataFrame): DataFrame =
+    KMeansExact.quantize(emb)
+      .crossJoin(broadcast(cents))
+      .withColumn("d", VectorExpressions.intVecSqDist(col("q"), col("cellq")))
+      .groupBy(col("id"))
+      .agg(min(struct(col("d"), col("cell"), col("cellq"))).as("best"),
+        first(col("q")).as("q"))
+      .select(col("id"), col("best.cell").as("cell"),
+        zip_with(col("q"), col("best.cellq"), (a, b) => a - b).as("r"))
+
+  /** Residual PQ codebook: (sub, code, cq) from the residuals of the 16
+    * vectors with seedFrom <= id < seedFrom + 16. seedFrom should skip the
+    * centroid ids — centroid vectors have all-zero residuals. */
+  def residualCodebook(emb: DataFrame, cents: DataFrame, dims: Int, m: Int,
+                       seedFrom: Int): DataFrame =
+    Pq.subspaceSplit(
+        assignResiduals(
+          emb.filter(col("id") >= seedFrom && col("id") < seedFrom + 16), cents),
+        "r", dims, m, keep = Seq("id"))
+      .select(col("sub"), (col("id") - seedFrom).cast("int").as("code"),
+        col("subq").as("cq"))
+
+  /** The stored index: (id, cell, sub, code) — m rows per vector, each
+    * residual subvector snapped to its nearest codeword. */
+  def encode(emb: DataFrame, cents: DataFrame, cb: DataFrame,
+             dims: Int, m: Int): DataFrame =
+    Pq.subspaceSplit(assignResiduals(emb, cents), "r", dims, m,
+        keep = Seq("id", "cell"))
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d", VectorExpressions.intVecSqDist(col("subq"), col("cq")))
+      .groupBy(col("id"), col("cell"), col("sub"))
+      .agg(min(struct(col("d"), col("code"))).as("best"))
+      .select(col("id"), col("cell"), col("sub"), col("best.code").as("code"))
+
+  /** ADC search over the probed cells only: for each query id < nQueries,
+    * rank cells by exact distance, take the nProbe nearest, build the
+    * per-cell residual distance table, and sum table lookups over the
+    * stored codes of vectors IN those cells. Output one row per survivor:
+    * (qid, vec_id, cell, adc, rk), rank ties to the lower vec id, self
+    * excluded. The codes table joins a BROADCAST distance table on
+    * (cell, sub, code) — unprobed cells never leave the scan. */
+  def search(emb: DataFrame, cents: DataFrame, cb: DataFrame, dims: Int,
+             m: Int, nQueries: Int, nProbe: Int, topK: Int): DataFrame = {
+    val codes = encode(emb, cents, cb, dims, m)
+    val probes = KMeansExact.quantize(emb.filter(col("id") < nQueries))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", VectorExpressions.intVecSqDist(col("q"), col("cellq")))
+      .withColumn("prk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("d"), col("cell"))))
+      .filter(col("prk") <= nProbe)
+      .select(col("id").as("qid"), col("cell"),
+        zip_with(col("q"), col("cellq"), (a, b) => a - b).as("qr"))
+    val dt = Pq.subspaceSplit(probes, "qr", dims, m, keep = Seq("qid", "cell"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("qid"), col("cell"), col("sub"), col("code"),
+        VectorExpressions.intVecSqDist(col("subq"), col("cq")).as("d"))
+    val adc = codes.join(broadcast(dt), Seq("cell", "sub", "code"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"), col("cell"))
+      .agg(sum(col("d")).as("adc"))
+    graft.ops.WindowOps.topKBounded(
+        adc.select(col("qid"), col("id").as("vec_id"), col("cell"), col("adc")),
+        part = Seq("qid"), order = Seq("adc" -> false, "vec_id" -> false),
+        k = topK)
+      .select(col("qid"), col("vec_id"), col("cell"), col("adc"),
+        col("rk").cast("int").as("rk"))
+  }
+}

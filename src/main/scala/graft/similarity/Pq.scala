@@ -36,17 +36,23 @@ import graft.functions.VectorExpressions
   */
 object Pq {
 
-  /** (id, sub, subq) — quantized subvectors, `m` rows per vector. The
-    * token-array rule applies: `q` is materialized by [[KMeansExact
-    * .quantize]]'s projection before the slicing lambda references it. */
-  def quantSubvectors(emb: DataFrame, dims: Int, m: Int): DataFrame = {
+  /** Split an ALREADY-MATERIALIZED integer-vector column into `m`
+    * subvector rows: keeps `keep` columns and adds (sub, subq). The
+    * token-array rule applies: `vecCol` must be an attribute of `df`, not
+    * a defining expression — the slicing lambda evaluates it per element. */
+  def subspaceSplit(df: DataFrame, vecCol: String, dims: Int, m: Int,
+                    keep: Seq[String]): DataFrame = {
     require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
     val subdim = dims / m
-    KMeansExact.quantize(emb)
-      .select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(m - 1)),
-          s => slice(col("q"), s * subdim + 1, lit(subdim)))).as(Seq("sub", "subq")))
+    df.select(keep.map(col) :+ posexplode(
+      transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col(vecCol), s * subdim + 1, lit(subdim))))
+      .as(Seq("sub", "subq")): _*)
   }
+
+  /** (id, sub, subq) — quantized subvectors, `m` rows per vector. */
+  def quantSubvectors(emb: DataFrame, dims: Int, m: Int): DataFrame =
+    subspaceSplit(KMeansExact.quantize(emb), "q", dims, m, keep = Seq("id"))
 
   /** Seed codebook: (sub, code, cq) from the first `k` vectors. */
   def seedCodebook(emb: DataFrame, dims: Int, m: Int, k: Int): DataFrame =

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.IvfPq
+
+class IvfPqSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private val dims = 8
+  private val m = 4
+  private val nCells = 4
+  private val seedFrom = 4 // codebook = residuals of ids 4..19
+  private val n = 30L      // ids 0 and 11 collide (period 11): exercises ties
+
+  private def vec(id: Long) =
+    Array.tabulate(dims)(d => ((id * 7 + d * 3) % 11).toFloat / 10f - 0.5f)
+
+  private val emb = (0L until n).map(id => (id, vec(id))).toDF("id", "vec")
+  private def cents = IvfPq.seedCentroids(emb, nCells)
+  private def cb = IvfPq.residualCodebook(emb, cents, dims, m, seedFrom)
+
+  // ---- local integer reference twin ----
+  private val q: Map[Long, Array[Long]] = (0L until n).map { id =>
+    id -> vec(id).map(x => BigDecimal(x.toDouble * 1024)
+      .setScale(0, BigDecimal.RoundingMode.HALF_EVEN).toLong)
+  }.toMap
+  private val subdim = dims / m
+  private def sub(v: Array[Long], s: Int) = v.slice(s * subdim, s * subdim + subdim)
+  private def sq(a: Array[Long], b: Array[Long]) =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+  private def diff(a: Array[Long], b: Array[Long]) =
+    a.zip(b).map { case (x, y) => x - y }
+  private val cellOf: Map[Long, Int] = q.keys.map { id =>
+    id -> (0 until nCells).map(c => (sq(q(id), q(c.toLong)), c)).min._2
+  }.toMap
+  private def resid(id: Long) = diff(q(id), q(cellOf(id).toLong))
+  private val cbRef: Map[(Int, Int), Array[Long]] = // (sub, code) -> cq
+    (for (id <- seedFrom.toLong until seedFrom + 16L; s <- 0 until m)
+      yield (s, (id - seedFrom).toInt) -> sub(resid(id), s)).toMap
+  private val encRef: Map[(Long, Int), Int] = // (id, sub) -> code
+    (for (id <- 0L until n; s <- 0 until m) yield (id, s) ->
+      (0 until 16).map(c => (sq(sub(resid(id), s), cbRef((s, c))), c)).min._2).toMap
+  private def probesOf(qid: Long) =
+    (0 until nCells).map(c => (sq(q(qid), q(c.toLong)), c)).sorted.take(2).map(_._2)
+  private val adcRef: Map[(Long, Long), (Int, Long)] = // (qid, id) -> (cell, adc)
+    (for (qid <- 0L until 3L; id <- 0L until n
+          if id != qid && probesOf(qid).contains(cellOf(id))) yield {
+      val qr = diff(q(qid), q(cellOf(id).toLong))
+      (qid, id) -> (cellOf(id),
+        (0 until m).map(s => sq(sub(qr, s), cbRef((s, encRef((id, s)))))).sum)
+    }).toMap
+
+  test("encode equals the local reference (cells, residual codes)") {
+    val got = IvfPq.encode(emb, cents, cb, dims, m).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getInt(1), r.getInt(3))).toMap
+    assert(got == encRef.map { case ((id, s), c) => (id, s) -> (cellOf(id), c) })
+  }
+
+  test("search equals the local reference and stays inside probed cells") {
+    val got = IvfPq.search(emb, cents, cb, dims, m,
+        nQueries = 3, nProbe = 2, topK = 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(got == adcRef)
+  }
+
+  test("ranks are dense, ordered by (adc, vec_id), self excluded") {
+    val rows = IvfPq.search(emb, cents, cb, dims, m, 3, 2, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(4)))
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to rs.length), s"qid $qid")
+      assert(sorted.map(r => (r._3, r._2)).toSeq ==
+        rs.map(r => (r._3, r._2)).sortBy(identity).toSeq, s"qid $qid")
+    }
+    assert(!rows.exists(r => r._1 == r._2))
+  }
+
+  test("plans: model artifacts broadcast; no sort-merge join, no cartesian") {
+    for (df <- Seq(IvfPq.encode(emb, cents, cb, dims, m),
+                   IvfPq.search(emb, cents, cb, dims, m, 3, 2, 10))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Broadcast"), p)
+      assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join:\n" + p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+}
