@@ -20,13 +20,23 @@ final class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects outright
-    * ([PARQUET_TYPE_ILLEGAL]); read it as raw Long nanoseconds instead.
+  /** events.ts normalizes to raw Long NANOSECONDS whatever the file
+    * layout: early data drops wrote TIMESTAMP(NANOS), which Spark 4
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]) unless read as raw Long
+    * nanos; current drops write timestamp[us] (TIMESTAMP_NTZ to Spark).
     * Downstream code treats time as integer microseconds (`ts div 1000`),
-    * which is also what DuckDB sees after its silent ns→µs truncation. */
+    * which is also what DuckDB sees (epoch_us on µs timestamps; silent
+    * ns→µs truncation on the old layout) — with the session pinned to
+    * UTC the NTZ→epoch cast is wall-clock-exact on both engines. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events")
+    val df = table("events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        org.apache.spark.sql.functions.expr(
+          "unix_micros(cast(ts as timestamp)) * 1000"))
+    }
   }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")

@@ -20,17 +20,20 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.parquet schema with ts as raw nanos (Spark rejects ns parquet;
-    * see graft.Tables.events). */
+  /** events.parquet schema: ts is timestamp[us] without zone (current
+    * data drops; see graft.Tables.events for the layout history). */
   val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream of events with a proper event-time column. */
+  /** File-source stream of events with a proper event-time column; `ts`
+    * is normalized to raw Long nanos, the repo-wide batch convention
+    * (`ts div 1000` = integer µs), so the streaming twins share
+    * expressions with their batch queries verbatim. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
   }
 

@@ -24,6 +24,8 @@ class WatermarkSpec extends AnyFunSuite {
     val scratch = java.nio.file.Files.createTempDirectory("wm-scratch")
     rows.map { case (id, ts) => (id, ts, 1L, "x", 1.0, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      // match the data drops' current layout: ts is timestamp[us] no-zone
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
       .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
     val part = java.nio.file.Files.list(scratch).toArray
       .map(_.asInstanceOf[java.nio.file.Path])
