@@ -140,4 +140,16 @@ object SimHash {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      p: Preset): DataFrame =
     nearDuplicates(df, idCol, textCol, p.maxDist, p.chunks, p.maxChunkBucket)
+
+  /** Banded hamming near-dup over ANY precomputed ≤64-bit hash column —
+    * the chunk-collision join generalized beyond text simhashes
+    * (perceptual image hashes from [[graft.multimodal.Multimodal]], audio
+    * fingerprints, …). Same completeness contract: all pairs with
+    * hamming ≤ maxDist < chunks are found, never an all-pairs join. */
+  def hammingNearDuplicates(hashes: DataFrame, idCol: String, hashCol: String,
+                            maxDist: Int, chunks: Int,
+                            maxChunkBucket: Option[Int] = None): DataFrame =
+    nearDupFromSimhash(
+      hashes.select(col(idCol), col(hashCol).cast("long").as("simhash")),
+      idCol, maxDist, chunks, maxChunkBucket)
 }

@@ -183,6 +183,14 @@ object Multimodal {
   object CompressedImage {
     javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
 
+    /** Shared hostile-bytes seam: anything ImageIO cannot read → None. */
+    private[multimodal] def readImage(
+        bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None else Some(img)
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     def decode(id: Long, bytes: Array[Byte]): Option[DecodedImage] =
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -227,7 +235,99 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, format, out)
       out.toByteArray
     }
+
+    /** Box-average RESIZE to a `grid`×`grid` feature patch: output pixel
+      * (ty, tx) owns source pixels with `y*grid/h == ty && x*grid/w == tx`
+      * and its channel value is the FLOOR mean of theirs — pure integer
+      * arithmetic, so (over lossless inputs) a SQL oracle reproduces every
+      * cell exactly. Images smaller than the grid (a tile would own no
+      * pixels) yield Nil, same contract as undecodable bytes. */
+    def decodeTiles(id: Long, bytes: Array[Byte], grid: Int): Seq[ImageTile] =
+      readImage(bytes) match {
+        case Some(img) if img.getWidth >= grid && img.getHeight >= grid =>
+          val w = img.getWidth; val h = img.getHeight
+          val sums = new Array[Long](grid * grid * 3)
+          val cnt = new Array[Long](grid * grid)
+          var y = 0
+          while (y < h) {
+            val ty = y * grid / h
+            var x = 0
+            while (x < w) {
+              val t = ty * grid + x * grid / w
+              val rgb = img.getRGB(x, y)
+              sums(t * 3) += (rgb >> 16) & 0xff
+              sums(t * 3 + 1) += (rgb >> 8) & 0xff
+              sums(t * 3 + 2) += rgb & 0xff
+              cnt(t) += 1
+              x += 1
+            }
+            y += 1
+          }
+          for (ty <- 0 until grid; tx <- 0 until grid) yield {
+            val t = ty * grid + tx
+            ImageTile(id, ty, tx, cnt(t), (sums(t * 3) / cnt(t)).toInt,
+              (sums(t * 3 + 1) / cnt(t)).toInt, (sums(t * 3 + 2) / cnt(t)).toInt)
+          }
+        case _ => Nil
+      }
+
+    /** Difference hash (dHash) over the `grid`×`grid` box-averaged
+      * SCALED-integer luma plane (299r + 587g + 114b — no float, no /1000:
+      * only comparisons consume it). Horizontal bits first (cell[y][x+1] >
+      * cell[y][x] → bit y·(grid−1)+x), then vertical with the same layout
+      * transposed — 2·grid·(grid−1) bits total (24 at grid=4). Perceptual:
+      * a global brightness shift that wraps nowhere flips no bit. */
+    def dhash(id: Long, bytes: Array[Byte], grid: Int = 4): Option[ImageHash] =
+      readImage(bytes) match {
+        case Some(img) if img.getWidth >= grid && img.getHeight >= grid =>
+          val w = img.getWidth; val h = img.getHeight
+          val lum = new Array[Long](grid * grid)
+          val cnt = new Array[Long](grid * grid)
+          var y = 0
+          while (y < h) {
+            val ty = y * grid / h
+            var x = 0
+            while (x < w) {
+              val t = ty * grid + x * grid / w
+              val rgb = img.getRGB(x, y)
+              lum(t) += 299L * ((rgb >> 16) & 0xff) +
+                587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+              cnt(t) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val cell = Array.tabulate(grid * grid)(t => lum(t) / cnt(t))
+          var hash = 0L
+          for (ty <- 0 until grid; x <- 0 until grid - 1)
+            if (cell(ty * grid + x + 1) > cell(ty * grid + x))
+              hash |= 1L << (ty * (grid - 1) + x)
+          val off = grid * (grid - 1)
+          for (tx <- 0 until grid; y2 <- 0 until grid - 1)
+            if (cell((y2 + 1) * grid + tx) > cell(y2 * grid + tx))
+              hash |= 1L << (off + tx * (grid - 1) + y2)
+          Some(ImageHash(id, w, h, hash))
+        case _ => None
+      }
   }
+
+  /** One cell of a box-average image resize: integer floor means, exact
+    * cross-engine (see [[CompressedImage.decodeTiles]]). */
+  final case class ImageTile(
+      doc_id: Long,
+      tile_y: Int,
+      tile_x: Int,
+      n_px: Long,
+      r: Int,
+      g: Int,
+      b: Int)
+
+  /** Perceptual hash of one image (see [[CompressedImage.dhash]]). */
+  final case class ImageHash(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      dhash: Long)
 
   /** Decoded compressed audio: stream metadata + EXACT integer PCM stats
     * (sums/extrema, not float RMS — what a cross-engine check can compare
@@ -356,6 +456,34 @@ object Multimodal {
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => DecodeStub.decode(id, bytes) })
+  }
+
+  /** Box-average resize of image payloads to `grid`×`grid` integer
+    * feature patches — the resize stage of a multimodal pipeline. One
+    * decode per payload, `grid²` rows out; all downstream ops (tile
+    * filters, per-tile aggregation, patch assembly via groupBy) stay
+    * declarative. */
+  def resizePartitions(payloads: DataFrame, spark: SparkSession,
+                       grid: Int = 4): Dataset[ImageTile] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        CompressedImage.decodeTiles(id, bytes, grid) })
+  }
+
+  /** Perceptual-hash image payloads (dHash) — the feature-extract stage
+    * feeding image near-dup: exact-hash clustering is a groupBy on the
+    * result; hamming-tolerant clustering is
+    * [[graft.dedup.SimHash.hammingNearDuplicates]] over the hash column
+    * (same banded chunk join, never all-pairs). */
+  def dhashPartitions(payloads: DataFrame, spark: SparkSession,
+                      grid: Int = 4): Dataset[ImageHash] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        CompressedImage.dhash(id, bytes, grid) })
   }
 
   /** Frame sampling: slice a "video" payload into fixed-size frames and

@@ -69,6 +69,47 @@ object MultimodalQ {
       "sum_pcm", "min_pcm", "max_pcm")
   }
 
+  /** Real image RESIZE: synth pattern → PNG → `javax.imageio` decode →
+    * 4×4 box-average feature patch, all integer (floor means). The
+    * resize/feature-extract stage of a multimodal pipeline, exact against
+    * a SQL oracle because PNG is lossless and the means are floors. */
+  def imageResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seeded = Tables(s, dir).documents
+      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
+      .as[(Long, Long)]
+    val tiles = seeded.mapPartitions(_.flatMap { case (id, n) =>
+      val w = (n % 13).toInt + 4
+      val h = ((n / 13) % 11).toInt + 4
+      val png = Multimodal.CompressedImage.renderPattern(n, w, h)
+      Multimodal.CompressedImage.decodeTiles(id, png, grid = 4)
+    })
+    tiles.toDF().select("doc_id", "tile_y", "tile_x", "n_px", "r", "g", "b")
+  }
+
+  /** Perceptual image dedup: decode → 24-bit dHash over the 4×4 luma
+    * grid → exact-hash clusters (cluster id = min doc_id sharing the
+    * hash — one window, no pair join; the hamming-tolerant variant is
+    * [[graft.dedup.SimHash.hammingNearDuplicates]] on the same column,
+    * exercised in MultimodalSpec). The image-side twin of d03/d07. */
+  def imagePhash(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val seeded = Tables(s, dir).documents
+      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
+      .as[(Long, Long)]
+    val hashes = seeded.mapPartitions(_.flatMap { case (id, n) =>
+      val w = (n % 13).toInt + 4
+      val h = ((n / 13) % 11).toInt + 4
+      val png = Multimodal.CompressedImage.renderPattern(n, w, h)
+      Multimodal.CompressedImage.dhash(id, png)
+    })
+    hashes.toDF()
+      .withColumn("cluster_id",
+        min(col("doc_id")).over(Window.partitionBy(col("dhash"))))
+      .select("doc_id", "width", "height", "dhash", "cluster_id")
+  }
+
   /** Video-side plumbing as a gated query: [[Multimodal.sampleFrames]]
     * slices each "video" payload into fixed-size frames keeping every
     * 3rd (pure binary-substring column ops, no UDF), then each sampled
@@ -87,7 +128,9 @@ object MultimodalQ {
     "m01_binary_meta" -> (binaryMeta _),
     "m02_image_decode" -> (imageDecode _),
     "m03_audio_decode" -> (audioDecode _),
-    "m04_frame_sample" -> (frameSample _))
+    "m04_frame_sample" -> (frameSample _),
+    "m05_image_resize" -> (imageResize _),
+    "m06_image_phash" -> (imagePhash _))
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta" ->
@@ -142,6 +185,75 @@ object MultimodalQ {
         |       CAST(MIN(s) AS INT) AS min_pcm,
         |       CAST(MAX(s) AS INT) AS max_pcm
         |FROM pcm GROUP BY 1, 2, 3, 4""".stripMargin,
+    // the resize replayed without any image library: closed-form pattern
+    // pixels, tile (x*4)//w, floor-mean per channel — integer-exact
+    "m05_image_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |         (octet_length(encode(text)) % 13) + 4 AS w,
+        |         ((octet_length(encode(text)) // 13) % 11) + 4 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id,
+        |         CAST((y * 4) // h AS INT) AS tile_y,
+        |         CAST((x * 4) // w AS INT) AS tile_x,
+        |         (3 * x + 7 * y + n) % 256 AS r,
+        |         (3 * x + 7 * y + 11 + n) % 256 AS g,
+        |         (3 * x + 7 * y + 22 + n) % 256 AS b
+        |  FROM dims,
+        |       UNNEST(generate_series(0, w - 1)) AS ux(x),
+        |       UNNEST(generate_series(0, h - 1)) AS uy(y))
+        |SELECT doc_id, tile_y, tile_x,
+        |       CAST(count(*) AS BIGINT) AS n_px,
+        |       CAST(SUM(r) // count(*) AS INT) AS r,
+        |       CAST(SUM(g) // count(*) AS INT) AS g,
+        |       CAST(SUM(b) // count(*) AS INT) AS b
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
+    // dHash replayed in SQL: scaled-integer luma (299r+587g+114b, no
+    // division), 4×4 floor-mean cells, horizontal bits y*3+x then
+    // vertical 12+x*3+y (adjacent-cell joins), cluster = min doc_id per
+    // identical hash
+    "m06_image_phash" ->
+      """WITH dims AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |         (octet_length(encode(text)) % 13) + 4 AS w,
+        |         ((octet_length(encode(text)) // 13) % 11) + 4 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, (y * 4) // h AS ty, (x * 4) // w AS tx,
+        |         299 * ((3 * x + 7 * y + n) % 256)
+        |       + 587 * ((3 * x + 7 * y + 11 + n) % 256)
+        |       + 114 * ((3 * x + 7 * y + 22 + n) % 256) AS lum
+        |  FROM dims,
+        |       UNNEST(generate_series(0, w - 1)) AS ux(x),
+        |       UNNEST(generate_series(0, h - 1)) AS uy(y)),
+        |cells AS (
+        |  SELECT doc_id, ty, tx, SUM(lum) // count(*) AS c
+        |  FROM px GROUP BY 1, 2, 3),
+        |hbits AS (
+        |  SELECT a.doc_id,
+        |         SUM(CASE WHEN b.c > a.c
+        |             THEN CAST(1 AS BIGINT) << CAST(a.ty * 3 + a.tx AS INT)
+        |             ELSE 0 END) AS hb
+        |  FROM cells a
+        |  JOIN cells b ON b.doc_id = a.doc_id AND b.ty = a.ty AND b.tx = a.tx + 1
+        |  GROUP BY 1),
+        |vbits AS (
+        |  SELECT a.doc_id,
+        |         SUM(CASE WHEN b.c > a.c
+        |             THEN CAST(1 AS BIGINT) << CAST(12 + a.tx * 3 + a.ty AS INT)
+        |             ELSE 0 END) AS vb
+        |  FROM cells a
+        |  JOIN cells b ON b.doc_id = a.doc_id AND b.tx = a.tx AND b.ty = a.ty + 1
+        |  GROUP BY 1),
+        |hashes AS (
+        |  SELECT d.doc_id, d.w, d.h, CAST(hb + vb AS BIGINT) AS dhash
+        |  FROM dims d
+        |  JOIN hbits USING (doc_id)
+        |  JOIN vbits USING (doc_id))
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       dhash, MIN(doc_id) OVER (PARTITION BY dhash) AS cluster_id
+        |FROM hashes""".stripMargin,
     "m02_image_decode" ->
       """WITH dims AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

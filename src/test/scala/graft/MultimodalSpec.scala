@@ -30,6 +30,90 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(col("n_frames") =!= col("expected"))
     assert(checked.count() == 0)
   }
+
+  test("box-average resize tiles equal the closed-form floor means") {
+    // render a known pattern, resize through the real codec, recompute
+    // the expected tile means directly from the pattern formula
+    val (seed, w, h, grid) = (77L, 11, 9, 4)
+    val png = Multimodal.CompressedImage.renderPattern(seed, w, h)
+    val tiles = Multimodal.CompressedImage.decodeTiles(1L, png, grid)
+    assert(tiles.size == grid * grid)
+    assert(tiles.map(_.n_px).sum == w.toLong * h)
+    for (t <- tiles) {
+      var (sr, sg, sb, n) = (0L, 0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w
+           if y * grid / h == t.tile_y && x * grid / w == t.tile_x) {
+        sr += (3 * x + 7 * y + seed) % 256
+        sg += (3 * x + 7 * y + 11 + seed) % 256
+        sb += (3 * x + 7 * y + 22 + seed) % 256
+        n += 1
+      }
+      assert(t.n_px == n)
+      assert((t.r, t.g, t.b) == ((sr / n).toInt, (sg / n).toInt, (sb / n).toInt),
+        s"tile (${t.tile_y},${t.tile_x})")
+    }
+  }
+
+  test("resize: images smaller than the grid and hostile bytes yield no tiles") {
+    val tiny = Multimodal.CompressedImage.renderPattern(5L, 3, 3)
+    assert(Multimodal.CompressedImage.decodeTiles(1L, tiny, 4).isEmpty)
+    assert(Multimodal.CompressedImage.decodeTiles(1L, Array[Byte](1, 2, 3), 4).isEmpty)
+  }
+
+  test("dhash: identical images hash equal; hostile bytes yield None") {
+    val a = Multimodal.CompressedImage.dhash(1L,
+      Multimodal.CompressedImage.renderPattern(42L, 10, 8))
+    val b = Multimodal.CompressedImage.dhash(2L,
+      Multimodal.CompressedImage.renderPattern(42L, 10, 8))
+    assert(a.isDefined && a.map(_.dhash) == b.map(_.dhash))
+    assert(Multimodal.CompressedImage.dhash(3L, Array[Byte](9, 9)).isEmpty)
+    // 24-bit layout: no bit above 2*4*3
+    assert((a.get.dhash >> 24) == 0L)
+  }
+
+  test("dhash is brightness-shift invariant while distinct shapes differ") {
+    // +1 to every channel (seed+1... careful: seed shifts channels mod 256;
+    // pick seeds where no channel wraps anywhere in the image so the
+    // comparisons — hence the hash — are unchanged)
+    val h1 = Multimodal.CompressedImage.dhash(1L,
+      Multimodal.CompressedImage.renderPattern(10L, 8, 8)).get
+    val h2 = Multimodal.CompressedImage.dhash(2L,
+      Multimodal.CompressedImage.renderPattern(11L, 8, 8)).get
+    assert(h1.dhash == h2.dhash, "small brightness shift must not flip bits")
+    // a seed/size pushing channels past 255 wraps mid-image: the cliff
+    // makes some adjacent-cell comparison non-increasing — a different
+    // hash than the pure monotone gradient's
+    val h3 = Multimodal.CompressedImage.dhash(3L,
+      Multimodal.CompressedImage.renderPattern(200L, 16, 14)).get
+    assert(java.lang.Long.bitCount(h1.dhash ^ h3.dhash) > 0)
+  }
+
+  test("hamming near-dup over dhashes finds exact and near pairs, banded") {
+    import spark.implicits._
+    val hashes = Seq(
+      (1L, 0x000fffL), (2L, 0x000fffL),          // identical → hamming 0
+      (3L, 0x000ffeL),                           // 1 bit off 1/2
+      (4L, 0xf0f0f0L))                           // far from all
+      .toDF("doc_id", "dhash")
+    val pairs = graft.dedup.SimHash
+      .hammingNearDuplicates(hashes, "doc_id", "dhash", maxDist = 3, chunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
+  }
+
+  test("resize + dhash stages run distributed over payload partitions") {
+    import spark.implicits._
+    val media = Tables(spark, sf).documents.limit(64)
+      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
+      .as[(Long, Long)]
+      .map { case (id, n) =>
+        (id, Multimodal.CompressedImage.renderPattern(n, (n % 13).toInt + 4,
+          ((n / 13) % 11).toInt + 4)) }
+      .toDF("doc_id", "payload").repartition(8)
+    val nDocs = media.count()
+    assert(Multimodal.resizePartitions(media, spark).count() == nDocs * 16)
+    assert(Multimodal.dhashPartitions(media, spark).count() == nDocs)
+  }
 }
 
 /** Real decoders: synthesized PCM WAV and binary PPM payloads must decode
