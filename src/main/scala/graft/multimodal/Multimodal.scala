@@ -329,6 +329,14 @@ object Multimodal {
       height: Int,
       dhash: Long)
 
+  /** Energy-profile fingerprint of one audio stream
+    * (see [[CompressedAudio.fingerprint]]). */
+  final case class AudioFingerprint(
+      doc_id: Long,
+      encoding: String,
+      n_samples: Long,
+      fingerprint: Long)
+
   /** Decoded compressed audio: stream metadata + EXACT integer PCM stats
     * (sums/extrema, not float RMS — what a cross-engine check can compare
     * without a float policy, the [[DecodedImage]] lesson). */
@@ -380,6 +388,53 @@ object Multimodal {
                 i += 1
               }
               Some(DecodedAudio(id, enc, f.getSampleRate.toInt, n.toLong, sum, mn, mx))
+            }
+          }
+        } finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Energy-profile audio fingerprint — the audio twin of the image
+      * dHash: the exactly-expanded PCM stream is cut into `frames` equal
+      * slices (sample i → frame i·frames/n, the same floor bucketing as
+      * image tiles), each frame's energy is the INTEGER sum of absolute
+      * amplitudes, and bit f says energy rose from frame f to f+1 —
+      * frames−1 bits. Amplitude-scale invariant (G.711 expansion is
+      * monotone) and exactly replayable in SQL because G.711 decode is a
+      * fixed integer mapping. Streams shorter than `frames` samples (an
+      * empty slice) yield None, same contract as undecodable bytes. */
+    def fingerprint(id: Long, bytes: Array[Byte],
+                    frames: Int = 16): Option[AudioFingerprint] =
+      try {
+        val src = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val f = src.getFormat
+          val encName =
+            if (f.getEncoding == AudioFormat.Encoding.ULAW) Some("ulaw")
+            else if (f.getEncoding == AudioFormat.Encoding.ALAW) Some("alaw")
+            else None
+          encName.flatMap { enc =>
+            val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+              f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
+              f.getSampleRate, false)
+            val pcm = AudioSystem.getAudioInputStream(pcmFmt, src)
+            val out = pcm.readAllBytes()
+            val n = out.length / 2
+            if (n < frames) None
+            else {
+              val energy = new Array[Long](frames)
+              var i = 0
+              while (i < n) {
+                val s = ((out(2 * i) & 0xff) | (out(2 * i + 1) << 8)).toShort.toInt
+                energy((i.toLong * frames / n).toInt) += math.abs(s)
+                i += 1
+              }
+              var fp = 0L
+              var b = 0
+              while (b < frames - 1) {
+                if (energy(b + 1) > energy(b)) fp |= 1L << b
+                b += 1
+              }
+              Some(AudioFingerprint(id, enc, n.toLong, fp))
             }
           }
         } finally src.close()
@@ -484,6 +539,19 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         CompressedImage.dhash(id, bytes, grid) })
+  }
+
+  /** Fingerprint audio payloads — the feature-extract stage feeding
+    * audio near-dup: exact-fingerprint clustering is a groupBy; the
+    * hamming-tolerant variant is
+    * [[graft.dedup.SimHash.hammingNearDuplicates]] on the result. */
+  def audioFingerprintPartitions(payloads: DataFrame, spark: SparkSession,
+                                 frames: Int = 16): Dataset[AudioFingerprint] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        CompressedAudio.fingerprint(id, bytes, frames) })
   }
 
   /** Frame sampling: slice a "video" payload into fixed-size frames and

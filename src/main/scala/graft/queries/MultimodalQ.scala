@@ -110,6 +110,29 @@ object MultimodalQ {
       .select("doc_id", "width", "height", "dhash", "cluster_id")
   }
 
+  /** Audio fingerprint dedup: G.711 decode → 15-bit energy-profile
+    * fingerprint (frame-to-frame energy rises over 16 equal slices of
+    * the exactly-expanded PCM) → exact-fingerprint clusters. The audio
+    * twin of m06; oracle-exact because G.711 expansion is a fixed
+    * integer mapping the SQL replays formula-for-formula. */
+  def audioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val seeded = Tables(s, dir).documents
+      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
+      .as[(Long, Long)]
+    val fps = seeded.mapPartitions(_.flatMap { case (id, n) =>
+      val ns = (n % 50).toInt + 20
+      val wav = Multimodal.CompressedAudio.renderG711Wav(
+        n, ns, 8000, aLaw = n % 2 == 1)
+      Multimodal.CompressedAudio.fingerprint(id, wav)
+    })
+    fps.toDF()
+      .withColumn("cluster_id",
+        min(col("doc_id")).over(Window.partitionBy(col("fingerprint"))))
+      .select("doc_id", "encoding", "n_samples", "fingerprint", "cluster_id")
+  }
+
   /** Video-side plumbing as a gated query: [[Multimodal.sampleFrames]]
     * slices each "video" payload into fixed-size frames keeping every
     * 3rd (pure binary-substring column ops, no UDF), then each sampled
@@ -130,7 +153,8 @@ object MultimodalQ {
     "m03_audio_decode" -> (audioDecode _),
     "m04_frame_sample" -> (frameSample _),
     "m05_image_resize" -> (imageResize _),
-    "m06_image_phash" -> (imagePhash _))
+    "m06_image_phash" -> (imagePhash _),
+    "m07_audio_fingerprint" -> (audioFingerprint _))
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta" ->
@@ -185,6 +209,47 @@ object MultimodalQ {
         |       CAST(MIN(s) AS INT) AS min_pcm,
         |       CAST(MAX(s) AS INT) AS max_pcm
         |FROM pcm GROUP BY 1, 2, 3, 4""".stripMargin,
+    // the audio fingerprint replayed in SQL: m03's G.711 expansion CTE,
+    // frame (x*16)//ns, per-frame abs-energy sums, adjacent-frame
+    // comparison bits, cluster = min doc_id per identical fingerprint
+    "m07_audio_fingerprint" ->
+      """WITH dims AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |         (octet_length(encode(text)) % 50) + 20 AS ns,
+        |         octet_length(encode(text)) % 2 = 1 AS alaw
+        |  FROM documents),
+        |samples AS (
+        |  SELECT doc_id, ns, alaw, x, (5 * x + n) % 256 AS b
+        |  FROM dims, UNNEST(generate_series(0, ns - 1)) AS ux(x)),
+        |pcm AS (
+        |  SELECT doc_id, ns, alaw, (x * 16) // ns AS frame,
+        |         CASE WHEN alaw THEN
+        |           CASE WHEN (xor(b, 85) & 128) = 0 THEN -1 ELSE 1 END *
+        |           CASE WHEN ((xor(b, 85) >> 4) & 7) = 0
+        |                THEN ((xor(b, 85) & 15) << 4) + 8
+        |                ELSE (((xor(b, 85) & 15) << 4) + 264) << (((xor(b, 85) >> 4) & 7) - 1) END
+        |         ELSE
+        |           CASE WHEN ((255 - b) & 128) <> 0 THEN -1 ELSE 1 END *
+        |           ((((((255 - b) & 15) << 3) + 132) << (((255 - b) >> 4) & 7)) - 132)
+        |         END AS s
+        |  FROM samples),
+        |energies AS (
+        |  SELECT doc_id, frame, SUM(ABS(s)) AS e
+        |  FROM pcm GROUP BY 1, 2),
+        |fps AS (
+        |  SELECT a.doc_id,
+        |         SUM(CASE WHEN b.e > a.e
+        |             THEN CAST(1 AS BIGINT) << CAST(a.frame AS INT)
+        |             ELSE 0 END) AS fp
+        |  FROM energies a
+        |  JOIN energies b ON b.doc_id = a.doc_id AND b.frame = a.frame + 1
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CASE WHEN d.alaw THEN 'alaw' ELSE 'ulaw' END AS encoding,
+        |       CAST(d.ns AS BIGINT) AS n_samples,
+        |       CAST(fp AS BIGINT) AS fingerprint,
+        |       MIN(d.doc_id) OVER (PARTITION BY fp) AS cluster_id
+        |FROM dims d JOIN fps USING (doc_id)""".stripMargin,
     // the resize replayed without any image library: closed-form pattern
     // pixels, tile (x*4)//w, floor-mean per channel — integer-exact
     "m05_image_resize" ->

@@ -101,6 +101,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
   }
 
+  test("audio fingerprint: deterministic, 15-bit, None on short/hostile input") {
+    val wav = Multimodal.CompressedAudio.renderG711Wav(99L, 40, 8000, aLaw = false)
+    val a = Multimodal.CompressedAudio.fingerprint(1L, wav)
+    val b = Multimodal.CompressedAudio.fingerprint(2L, wav)
+    assert(a.isDefined && a.map(_.fingerprint) == b.map(_.fingerprint))
+    assert(a.get.n_samples == 40L && a.get.encoding == "ulaw")
+    assert((a.get.fingerprint >> 15) == 0L, "16 frames → at most 15 bits")
+    // fewer samples than frames: a slice would be empty → None
+    val short = Multimodal.CompressedAudio.renderG711Wav(99L, 10, 8000, aLaw = true)
+    assert(Multimodal.CompressedAudio.fingerprint(3L, short).isEmpty)
+    assert(Multimodal.CompressedAudio.fingerprint(4L, Array[Byte](1, 2)).isEmpty)
+  }
+
+  test("audio fingerprint equals the formula-expanded energy profile") {
+    // expand the stored bytes through the published µ-law formula (the
+    // JDK converter is pinned to it in AudioCodecSpec) and recompute the
+    // expected fingerprint independently of the decode path
+    val (seed, ns, frames) = (123L, 53, 16)
+    val wav = Multimodal.CompressedAudio.renderG711Wav(seed, ns, 8000, aLaw = false)
+    def ulawExpand(bv: Int): Int = {
+      val c = 255 - bv
+      val sign = if ((c & 128) != 0) -1 else 1
+      sign * (((((c & 15) << 3) + 132) << ((c >> 4) & 7)) - 132)
+    }
+    val energy = new Array[Long](frames)
+    for (x <- 0 until ns)
+      energy(x * frames / ns) += math.abs(ulawExpand(((5L * x + seed) % 256).toInt))
+    var expected = 0L
+    for (f <- 0 until frames - 1)
+      if (energy(f + 1) > energy(f)) expected |= 1L << f
+    assert(Multimodal.CompressedAudio.fingerprint(1L, wav).get.fingerprint == expected)
+  }
+
   test("resize + dhash stages run distributed over payload partitions") {
     import spark.implicits._
     val media = Tables(spark, sf).documents.limit(64)
