@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -24,16 +26,63 @@ import org.apache.spark.storage.StorageLevel
 object ConnectedComponents {
 
   /** (id, cluster_id) for every node in `edges` (both endpoint columns);
-    * cluster_id = min node id in the component. Long node ids. */
+    * cluster_id = min node id in the component. Long node ids.
+    *
+    * Strategy is RUNTIME-ADAPTIVE, the way AQE picks joins: the edge plan
+    * is materialized once anyway (the iteration needs that), so its exact
+    * cardinality is free — at or below `maxDriverEdges` the component
+    * closure runs as driver-side union-find over one collect (a dedup
+    * graph's edge list after LSH banding is tiny relative to the corpus;
+    * paying 4–6 distributed rounds of scheduling floor to relabel a few
+    * thousand pairs is pure overhead), above it the distributed
+    * pointer-jumping loop below. Both paths are deterministic and agree
+    * exactly (PipelineOpsSpec proves it on the same graphs). The default
+    * cap (4M edges ≈ 64 MB of longs) stays far under driver heap while
+    * covering every sane single-table dedup output; a 100 TB all-corpus
+    * pair set blows past it and takes the distributed path. */
   def clusters(edges: DataFrame, aCol: String, bCol: String,
-               maxRounds: Int = 50): DataFrame = {
-    // materialize the (possibly expensive) edge plan ONCE before the
-    // symmetric union references it twice — a lazy persist would race both
-    // branches into recomputing it. localCheckpoint trades fault-tolerance
-    // for speed; a production run on preemptible executors would use a
-    // reliable checkpoint dir instead.
+               maxRounds: Int = 50, maxDriverEdges: Long = 4L << 20): DataFrame = {
+    // materialize the (possibly expensive) edge plan ONCE before anything
+    // references it twice — a lazy persist would race both branches into
+    // recomputing it. localCheckpoint trades fault-tolerance for speed; a
+    // production run on preemptible executors would use a reliable
+    // checkpoint dir instead.
     val e0 = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .localCheckpoint(true)
+    if (e0.count() <= maxDriverEdges) clustersLocal(e0)
+    else clustersDistributed(e0, maxRounds)
+  }
+
+  /** Small-graph fast path: union-find with path compression, roots keyed
+    * by MINIMUM id (union always attaches the larger root under the
+    * smaller), so a root IS its component's cluster id. One Spark job in
+    * (the collect), one distributed dataset out. */
+  private def clustersLocal(e0: DataFrame): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def find(x0: Long): Long = {
+      var r = x0
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x0 // path compression: point the walked chain at the root
+      while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    for (row <- e0.as[(Long, Long)].toLocalIterator().asScala) {
+      val (a, b) = row
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val out = new Array[(Long, Long)](parent.size())
+    var i = 0
+    val it = parent.keySet().iterator()
+    while (it.hasNext) { val id = it.next(); out(i) = (id, find(id)); i += 1 }
+    spark.createDataset(out.toSeq).toDF("id", "cluster_id")
+  }
+
+  private def clustersDistributed(e0: DataFrame, maxRounds: Int): DataFrame = {
     val sym = e0
       .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -167,9 +167,26 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("connected components: long path needs multiple rounds and converges") {
     val n = 33
     val edges = (1 until n).map(i => (i.toLong + 1, i.toLong)).toDF("a", "b")
-    val got = ConnectedComponents.clusters(edges, "a", "b")
+    // maxDriverEdges = 0 forces the distributed pointer-jumping path
+    val got = ConnectedComponents.clusters(edges, "a", "b", maxDriverEdges = 0)
       .as[(Long, Long)].collect()
     assert(got.length == n && got.forall(_._2 == 1L))
+  }
+
+  test("connected components: driver and distributed strategies agree exactly") {
+    // a seeded mix of paths, cliques, stars and singles-by-edge
+    val rnd = new scala.util.Random(7)
+    val edges = (Seq.tabulate(200)(i => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+        ++ (0 until 10).map(i => (200L + i, 200L + (i + 1) % 10)))
+      .filter { case (a, b) => a != b }
+      .toDF("a", "b")
+    val local = ConnectedComponents.clusters(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val dist = ConnectedComponents.clusters(edges, "a", "b", maxDriverEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    // labels are component minima under both strategies
+    assert(local.forall { case (id, c) => c <= id && local(c) == c })
   }
 
   // ---- Sampling ----
