@@ -192,6 +192,32 @@ object PipelineQ {
         docs.filter(col("doc_id") % 50 === 0)))
   }
 
+  /** N-gram-level benchmark contamination — the shingle-resolution
+    * refinement of q50's segment scan (the "13-gram overlap" audit of
+    * published contamination analyses, n=5 word-grams here to fit the
+    * corpus's document sizes): for every eval doc (doc_id % 50 == 0,
+    * q50's benchmark split) the fraction of its DISTINCT 5-grams that
+    * occur ANYWHERE in the training corpus. Shape is one shingle-keyed
+    * left join of eval shingles against the train corpus's distinct
+    * shingle set plus one doc-keyed aggregation — never doc × doc pairs,
+    * so the shuffle is bounded by corpus n-gram volume (the irreducible
+    * cost of the scan) rather than any quadratic blowup. Docs under 5
+    * tokens carry no 5-gram and drop out, both engines alike. */
+  def ngramContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val evalSh = Shingles.explodeShingles(
+      docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", 5)
+    val trainSh = Shingles.explodeShingles(
+        docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", 5)
+      .select("shingle").distinct()
+    evalSh.join(trainSh.withColumn("__hit", lit(1)), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") / col("n_grams").cast("double"), 9))
+  }
+
   /** Exact stratified sample: first ceil(|stratum|/10) docs of every
     * (source, lang) stratum in md5 order ([[Sampling.stratifiedExact]]) —
     * the exact-quota counterpart of q49's binomial mixture sampling. */
@@ -240,6 +266,7 @@ object PipelineQ {
     "q48_dup_clusters"     -> (dupClusters _),
     "q49_mixture_sample"   -> (mixtureSample _),
     "q50_contamination"    -> (contamination _),
+    "q57_ngram_contamination" -> (ngramContamination _),
     "d27_mixture_plan"     -> (mixturePlan _),
     "d28_leakfree_split"   -> (leakFreeSplit _))
 
@@ -333,6 +360,27 @@ object PipelineQ {
          |FROM documents d JOIN weights w ON w.source = d.source
          |WHERE ${Sampling.md5KeepSql("doc_id", "w.rate")}
          |GROUP BY 1, 2""".stripMargin,
+    // q57: same 5-gram shingle chain as q50, but rolled to PER-EVAL-DOC
+    // n-gram hit fractions against the train corpus's distinct shingles
+    "q57_ngram_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh5 AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS shingle
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+        |  WHERE len(t) >= 5),
+        |train AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 50 <> 0),
+        |ev AS (SELECT doc_id, shingle FROM sh5 WHERE doc_id % 50 = 0)
+        |SELECT ev.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(SUM(CASE WHEN train.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_contaminated,
+        |       round(CAST(SUM(CASE WHEN train.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 9) AS contamination
+        |FROM ev LEFT JOIN train ON ev.shingle = train.shingle
+        |GROUP BY 1""".stripMargin,
     "q50_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t

@@ -161,7 +161,7 @@ object TextQ {
     "d22_novelty"       -> (novelty _),
     "d26_incr_minhash"  -> (incrementalMinhash _))
 
-  private val toksSql =
+  private[queries] val toksSql =
     """SELECT doc_id, lang, text,
       |       list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
       |FROM documents""".stripMargin
