@@ -263,6 +263,27 @@ class PlanQualitySpec extends AnyFunSuite {
       "one broadcast + one aggregation exchange expected\n" + p)
   }
 
+  test("ngram contamination: one shingle-keyed outer join, no pair blowup") {
+    val p = plan("q57_ngram_contamination")
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one join (eval shingles ⟕ distinct train shingles) — a
+    // doc-doc pair join would show as a second one
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) +
+      p.linesIterator.count(_.contains("HashJoin")) == 1, p)
+    assert(p.contains("LeftOuter"), "train-set probe must stay an outer join\n" + p)
+  }
+
+  test("perceptual hash clustering windows partition by the hash") {
+    // an unpartitioned window would serialize the whole corpus through
+    // one task — the cluster-id must come from a hash-partitioned window
+    for ((q, key) <- Seq("m06_image_phash" -> "dhash",
+                         "m07_audio_fingerprint" -> "fingerprint")) {
+      val p = plan(q)
+      assert(p.contains(s"windowspecdefinition($key"),
+        s"$q cluster window must partition by $key\n" + p)
+    }
+  }
+
   test("novelty: materialized tokens, one window, no joins") {
     val p = plan("d22_novelty")
     assert(!p.contains("Join"), "novelty must stay join-free\n" + p)
