@@ -331,4 +331,36 @@ class PlanQualitySpec extends AnyFunSuite {
       "regex/split re-evaluated per element inside an interpreted lambda in:\n" +
         offenders.mkString("\n"))
   }
+
+  test("no query plans a cartesian or nested-loop join " +
+       "(blanket sweep over every registered query)") {
+    // the two quadratic join shapes that silently appear when an equi-key
+    // gets lost (type mismatch, renamed column, non-deterministic expr).
+    // Whitelist: queries whose cross-products are intentionally
+    // broadcast-tiny and require-guarded at the call site.
+    val whitelist = Set(
+      "q28_pivot_matrix",     // explicit 3x4 grid fill: range crossJoin, broadcast
+      "e09_pq_adc",           // ADC table: codebook x query, both require-capped
+      "e10_ivfpq",            // same ADC shape per probed cell
+      "d27_mixture_plan",     // per-source weights x ONE global-budget row
+      "e01_knn_brute",        // brute-force baseline IS all-pairs by contract
+      "e02_cosine_neardup",   // exact verification path (sketch path is e03)
+      "e04_centroid_assign",  // vectors x broadcast k-row centroid table
+      "e07_incr_neardup",     // new-batch side broadcasts (plan-gated elsewhere)
+      // q38: the synthetic star derivation constant-folds the 1-row
+      // name-filtered pipeline dim, so Catalyst proves the pipeline_id
+      // equi-condition true and plans a 1-row-broadcast BNLJ; on a real
+      // (non-derived) pipeline table the key survives and this is a BHJ
+      "q38_lineage7_fastq")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(whitelist)
+      .flatMap { name =>
+        val p = plan(name)
+        val bad = p.linesIterator.filter(l =>
+          l.contains("CartesianProduct") || l.contains("BroadcastNestedLoopJoin")).toSeq
+        if (bad.isEmpty) Nil else Seq(s"$name: ${bad.head.trim}")
+      }
+    assert(offenders.isEmpty,
+      "quadratic join shape (lost equi-key?) in:\n" + offenders.mkString("\n"))
+  }
 }
