@@ -229,4 +229,39 @@ object DocStreams {
     pairs.filter(col("n_shared") >= minShared)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bench_docs"), max(col("n_shared")).as("max_shared"))
+
+  /** One-shot build of the train corpus's distinct n-gram registry — the
+    * stored state [[ngramContaminationStream]] probes. Rebuilt only when
+    * the training corpus changes (a frozen artifact otherwise, like the
+    * d24 fingerprint registry). */
+  def buildNgramRegistry(train: DataFrame, idCol: String, textCol: String,
+                         n: Int, registryDir: String): Unit =
+    Shingles.explodeShingles(train, idCol, textCol, n)
+      .select("shingle").distinct()
+      .write.mode("overwrite").parquet(registryDir)
+
+  /** Streaming n-gram contamination — q57's daily-drop twin: candidate
+    * eval documents arrive as a stream and probe the STORED train-corpus
+    * distinct-shingle registry. Per micro-batch: one shingle-keyed left
+    * join + one doc-keyed aggregation, per-doc contamination fractions
+    * appended to `outDir`. The registry is static reference state (the
+    * train corpus is frozen when eval sets are screened), so unlike the
+    * dedup streams there is no delta append — each batch's cost is the
+    * batch's shingle volume, never history. */
+  def ngramContaminationStream(docStream: DataFrame, idCol: String,
+                               textCol: String, n: Int, registryDir: String,
+                               outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val registry = spark.read.parquet(registryDir)
+      Shingles.explodeShingles(batch, idCol, textCol, n)
+        .join(registry.withColumn("__hit", lit(1)), Seq("shingle"), "left")
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+        .withColumn("contamination",
+          round(col("n_contaminated").cast("double") / col("n_grams").cast("double"), 9))
+        .write.mode("append").parquet(outDir)
+      ()
+    }
 }

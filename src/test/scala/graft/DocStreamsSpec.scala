@@ -123,6 +123,38 @@ class DocStreamsSpec extends AnyFunSuite {
       "streaming curation funnel diverged from the batch composition")
   }
 
+  test("streaming ngram contamination converges to the batch q57 result") {
+    val docs = Tables(spark, sf).documents.select("doc_id", "text", "lang",
+      "source", "n_chars")
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val evalDocs = docs.filter(col("doc_id") % 50 === 0)
+    val registryDir = java.nio.file.Files.createTempDirectory("ng-reg").toString + "/r"
+    DocStreams.buildNgramRegistry(train, "doc_id", "text", 5, registryDir)
+
+    // eval docs arrive in two drops
+    val stageDir = java.nio.file.Files.createTempDirectory("ng-stream").toString
+    for ((lo, hi) <- Seq((0L, 250L), (250L, 100000L))) {
+      evalDocs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .repartition(1).write.mode("append").parquet(stageDir)
+      Thread.sleep(1100)
+    }
+    val outDir = java.nio.file.Files.createTempDirectory("ng-out").toString + "/o"
+    val ckpt = java.nio.file.Files.createTempDirectory("ng-ckpt").toString
+    val q = DocStreams.ngramContaminationStream(
+        DocStreams.readDocumentStream(spark, stageDir, maxFilesPerTrigger = Some(1)),
+        "doc_id", "text", 5, registryDir, outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(outDir)
+    val batch = graft.queries.PipelineQ.ngramContamination(spark, sf)
+    assert(streamed.count() > 0, "vacuous: no eval doc carried a 5-gram")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed contamination fractions diverged from the batch q57 query")
+  }
+
   test("streaming repeated-regions converges to per-prefix full reruns") {
     import graft.text.Winnowing
     val docs = Tables(spark, sf).documents.select("doc_id", "text")
