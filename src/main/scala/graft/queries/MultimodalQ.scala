@@ -133,6 +133,24 @@ object MultimodalQ {
       .select("doc_id", "encoding", "n_samples", "fingerprint", "cluster_id")
   }
 
+  /** Second real compressed-audio codec: IMA ADPCM (4 bits/sample, 4:1) —
+    * our own decoder (no JDK service provider exists), an integer
+    * step-table state machine the oracle replays exactly with a
+    * RECURSIVE CTE carrying (predictor, step index) per document. */
+  def adpcmDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seeded = Tables(s, dir).documents
+      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
+      .as[(Long, Long)]
+    val decoded = seeded.mapPartitions(_.flatMap { case (id, n) =>
+      val ns = (n % 50).toInt + 20
+      val wav = Multimodal.ImaAdpcm.renderWav(n, ns, 8000)
+      Multimodal.ImaAdpcm.decode(id, wav)
+    })
+    decoded.toDF().select("doc_id", "encoding", "sample_rate", "n_samples",
+      "sum_pcm", "min_pcm", "max_pcm")
+  }
+
   /** Video-side plumbing as a gated query: [[Multimodal.sampleFrames]]
     * slices each "video" payload into fixed-size frames keeping every
     * 3rd (pure binary-substring column ops, no UDF), then each sampled
@@ -154,9 +172,61 @@ object MultimodalQ {
     "m04_frame_sample" -> (frameSample _),
     "m05_image_resize" -> (imageResize _),
     "m06_image_phash" -> (imagePhash _),
-    "m07_audio_fingerprint" -> (audioFingerprint _))
+    "m07_audio_fingerprint" -> (audioFingerprint _),
+    "m08_adpcm_decode" -> (adpcmDecode _))
+
+  /** m08's oracle: the IMA ADPCM state machine as a RECURSIVE CTE. Row i
+    * of `dec` holds the state AFTER producing sample i (sample 0 = the
+    * block header's predictor, 0); the recursive member consumes nibble i
+    * (low nibble of data byte i/2, byte k = (5k+n) mod 256) and produces
+    * sample i+1. The step-size table is interpolated from
+    * [[Multimodal.ImaAdpcm.stepTable]] so both engines walk one array. */
+  private def adpcmOracle: String = {
+    val stepValues = Multimodal.ImaAdpcm.stepTable.zipWithIndex
+      .map { case (st, i) => s"($i,$st)" }.mkString(", ")
+    s"""WITH RECURSIVE dims AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS n,
+       |         (octet_length(encode(text)) % 50) + 20 AS ns
+       |  FROM documents),
+       |steps(sidx, st) AS (VALUES $stepValues),
+       |dec AS (
+       |  SELECT doc_id, ns, n, 0 AS i, 0 AS pred, 0 AS sidx,
+       |         CAST(0 AS BIGINT) AS sum_pcm, 0 AS mn, 0 AS mx
+       |  FROM dims
+       |  UNION ALL
+       |  SELECT doc_id, ns, n, i + 1, np AS pred, nsi AS sidx,
+       |         sum_pcm + np, LEAST(mn, np), GREATEST(mx, np)
+       |  FROM (
+       |    SELECT q0.*,
+       |           GREATEST(-32768, LEAST(32767,
+       |             CASE WHEN (code & 8) <> 0 THEN pred - diff
+       |                  ELSE pred + diff END)) AS np,
+       |           GREATEST(0, LEAST(88, sidx +
+       |             CASE code & 7 WHEN 4 THEN 2 WHEN 5 THEN 4
+       |                  WHEN 6 THEN 6 WHEN 7 THEN 8 ELSE -1 END)) AS nsi
+       |    FROM (
+       |      SELECT q.*,
+       |             (st >> 3)
+       |           + CASE WHEN (code & 4) <> 0 THEN st ELSE 0 END
+       |           + CASE WHEN (code & 2) <> 0 THEN st >> 1 ELSE 0 END
+       |           + CASE WHEN (code & 1) <> 0 THEN st >> 2 ELSE 0 END AS diff
+       |      FROM (
+       |        SELECT dec.doc_id, dec.ns, dec.n, dec.i, dec.pred, dec.sidx,
+       |               dec.sum_pcm, dec.mn, dec.mx, steps.st,
+       |               CASE WHEN dec.i % 2 = 0
+       |                    THEN ((5 * (dec.i // 2) + dec.n) % 256) & 15
+       |                    ELSE (((5 * (dec.i // 2) + dec.n) % 256) >> 4) & 15
+       |               END AS code
+       |        FROM dec JOIN steps ON steps.sidx = dec.sidx
+       |        WHERE dec.i < dec.ns - 1) AS q) AS q0) AS q1)
+       |SELECT doc_id, 'ima_adpcm' AS encoding, 8000 AS sample_rate,
+       |       CAST(ns AS BIGINT) AS n_samples, sum_pcm,
+       |       CAST(mn AS INT) AS min_pcm, CAST(mx AS INT) AS max_pcm
+       |FROM dec WHERE i = ns - 1""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
+    "m08_adpcm_decode" -> adpcmOracle,
     "m01_binary_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,

@@ -134,6 +134,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.CompressedAudio.fingerprint(1L, wav).get.fingerprint == expected)
   }
 
+  test("IMA ADPCM decodes a hand-computed golden stream exactly") {
+    // seed 0x77 → first data byte 0x77: nibble0 = 7, nibble1 = 7.
+    // sample0 = header predictor = 0 (step index 0).
+    // nibble 7 at (pred 0, idx 0): step 7, diff = 0+7+3+1 = 11 → 11, idx 8
+    // nibble 7 at (pred 11, idx 8): step 16, diff = 2+16+8+4 = 30 → 41, idx 16
+    val wav = Multimodal.ImaAdpcm.renderWav(0x77L, 3, 8000)
+    val d = Multimodal.ImaAdpcm.decode(1L, wav).get
+    assert(d.encoding == "ima_adpcm" && d.n_samples == 3L)
+    assert((d.sum_pcm, d.min_pcm, d.max_pcm) == (52L, 0, 41))
+  }
+
+  test("IMA ADPCM: deterministic; clamps hold; hostile input returns None") {
+    val wav = Multimodal.ImaAdpcm.renderWav(999L, 60, 8000)
+    val a = Multimodal.ImaAdpcm.decode(1L, wav)
+    val b = Multimodal.ImaAdpcm.decode(2L, wav)
+    assert(a.isDefined && a.map(x => (x.sum_pcm, x.min_pcm, x.max_pcm)) ==
+      b.map(x => (x.sum_pcm, x.min_pcm, x.max_pcm)))
+    assert(a.get.min_pcm >= -32768 && a.get.max_pcm <= 32767)
+    assert(Multimodal.ImaAdpcm.decode(3L, Array[Byte](1, 2, 3)).isEmpty)
+    // truncated: chop the data area
+    assert(Multimodal.ImaAdpcm.decode(4L, wav.take(wav.length - 8)).isEmpty)
+    // a G.711 wav is NOT IMA ADPCM (format tag mismatch routes to None)
+    val g711 = Multimodal.CompressedAudio.renderG711Wav(5L, 30, 8000, aLaw = false)
+    assert(Multimodal.ImaAdpcm.decode(5L, g711).isEmpty)
+  }
+
   test("resize + dhash stages run distributed over payload partitions") {
     import spark.implicits._
     val media = Tables(spark, sf).documents.limit(64)
