@@ -173,7 +173,34 @@ object MultimodalQ {
     "m05_image_resize" -> (imageResize _),
     "m06_image_phash" -> (imagePhash _),
     "m07_audio_fingerprint" -> (audioFingerprint _),
-    "m08_adpcm_decode" -> (adpcmDecode _))
+    "m08_adpcm_decode" -> (adpcmDecode _),
+    "m09_frame_dedup" -> (frameDedup _))
+
+  /** Video frame-level dedup — the frame-granularity analog of d13's
+    * segment dedup, over m04's sampled-frame table: a frame is SHARED
+    * when its checksum appears in more than one document (the repeated
+    * intro/outro/card detector of a video-corpus pipeline). Per doc:
+    * frame count, shared-frame count, shared fraction. One frame-keyed
+    * window (count of distinct docs per checksum) + one doc aggregation
+    * — no pair join, linear in total frames. */
+  def frameDedup(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Multimodal.attachPayload(Tables(s, dir).documents, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(payloads, frameBytes = 32, stride = 3)
+      .select(col("doc_id"), explode(col("frames")).as("frame"))
+      .select(col("doc_id"), md5(col("frame")).as("frame_md5"))
+    // distinct-doc count per frame via aggregation, NOT a window
+    // collect_set — a hot frame (black card, standard intro) would hold
+    // an O(docs) set in window state; the agg's partial combine keeps it
+    // a counter
+    val docsPerFrame = frames.select("frame_md5", "doc_id").distinct()
+      .groupBy("frame_md5").agg(count(lit(1)).as("__docs"))
+    frames.join(docsPerFrame, Seq("frame_md5"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("__docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        round(col("n_shared").cast("double") / col("n_frames").cast("double"), 9))
+  }
 
   /** m08's oracle: the IMA ADPCM state machine as a RECURSIVE CTE. Row i
     * of `dec` holds the state AFTER producing sample i (sample 0 = the
@@ -227,6 +254,25 @@ object MultimodalQ {
 
   val oracles: Map[String, String] = Map(
     "m08_adpcm_decode" -> adpcmOracle,
+    // m09 replays m04's frame slicing (ASCII corpus: char slice == byte
+    // slice), then distinct-doc counts per checksum and per-doc rollup
+    "m09_frame_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS len
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, md5(substr(text, CAST(i * 96 + 1 AS INT), 32)) AS frame_md5
+        |  FROM p, UNNEST(generate_series(0, greatest((len - 1) // 96, 0))) AS u(i)),
+        |dc AS (
+        |  SELECT frame_md5, count(DISTINCT doc_id) AS docs
+        |  FROM fr GROUP BY 1)
+        |SELECT fr.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_frames,
+        |       CAST(SUM(CASE WHEN dc.docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |       round(CAST(SUM(CASE WHEN dc.docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 9) AS shared_frac
+        |FROM fr JOIN dc USING (frame_md5)
+        |GROUP BY 1""".stripMargin,
     "m01_binary_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
