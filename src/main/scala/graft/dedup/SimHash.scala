@@ -152,4 +152,51 @@ object SimHash {
     nearDupFromSimhash(
       hashes.select(col(idCol), col(hashCol).cast("long").as("simhash")),
       idCol, maxDist, chunks, maxChunkBucket)
+
+  /** Incremental hamming near-dup — the daily-crawl twin of
+    * [[hammingNearDuplicates]], serving every hash modality (text
+    * simhash, image dHash, audio fingerprint) with the incremental-dedup
+    * contract shared by the d24/d26/e07 family:
+    * `incremental(new, stored) == full(stored ∪ new)` restricted to
+    * pairs touching a new id. Only the NEW side's chunks probe the
+    * (stored ∪ new) chunk table, so each day's cost is the batch's chunk
+    * volume against a bucketed index — never a full-history re-pairing.
+    * Output pairs are id_a < id_b like the batch op. */
+  def incrementalHammingNearDuplicates(newHashes: DataFrame, storedHashes: DataFrame,
+                                       idCol: String, hashCol: String,
+                                       maxDist: Int, chunks: Int,
+                                       maxChunkBucket: Option[Int] = None): DataFrame = {
+    require(maxDist < chunks, "pigeonhole completeness needs maxDist < chunks")
+    val width = 64 / chunks
+    def chunked(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast("long").as("id"),
+          col(hashCol).cast("long").as("simhash"))
+        .select(col("id"), col("simhash"),
+          posexplode(array((0 until chunks).map(cId =>
+            expr(s"(simhash >> ${cId * width}) & ${(1L << width) - 1}")): _*))
+            .as(Seq("chunk", "chunk_val")))
+    val cn = chunked(newHashes)
+    val call = chunked(storedHashes).unionByName(cn)
+    // the hot-chunk cap guards the PROBED side: a stored chunk value
+    // shared by n ids would otherwise fan every matching new id out n ways
+    val pruned = maxChunkBucket match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("chunk", "chunk_val")
+        call.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= cap).drop("__bn")
+      case None => call
+    }
+    cn.select(col("chunk"), col("chunk_val"),
+        col("id").as("id_n"), col("simhash").as("sh_n"))
+      .join(pruned.select(col("chunk"), col("chunk_val"),
+        col("id").as("id_o"), col("simhash").as("sh_o")), Seq("chunk", "chunk_val"))
+      .filter(col("id_n") =!= col("id_o"))
+      // new-new pairs arrive in both orders; canonicalize before distinct
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"),
+        bit_count(col("sh_n").bitwiseXOR(col("sh_o"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
 }

@@ -160,6 +160,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.ImaAdpcm.decode(5L, g711).isEmpty)
   }
 
+  test("incremental hamming near-dup == full rerun restricted to new ids " +
+       "(the incremental-dedup contract, image-hash modality)") {
+    import spark.implicits._
+    // real dHashes from rendered patterns; odd ids are today's batch
+    val hashes = (1L to 120L).flatMap { id =>
+      Multimodal.CompressedImage.dhash(id,
+        Multimodal.CompressedImage.renderPattern(id % 37, (id % 13).toInt + 4,
+          ((id / 13) % 11).toInt + 4))
+    }.map(h => (h.doc_id, h.dhash)).toDF("doc_id", "dhash")
+    val stored = hashes.filter($"doc_id" % 2 === 0)
+    val fresh = hashes.filter($"doc_id" % 2 === 1)
+    val incr = graft.dedup.SimHash
+      .incrementalHammingNearDuplicates(fresh, stored, "doc_id", "dhash",
+        maxDist = 3, chunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = graft.dedup.SimHash
+      .hammingNearDuplicates(hashes, "doc_id", "dhash", maxDist = 3, chunks = 4)
+      .filter($"id_a" % 2 === 1 || $"id_b" % 2 === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(incr.nonEmpty, "vacuous: fixture produced no near pairs")
+    assert(incr == full)
+  }
+
   test("resize + dhash stages run distributed over payload partitions") {
     import spark.implicits._
     val media = Tables(spark, sf).documents.limit(64)

@@ -173,6 +173,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.length == n && got.forall(_._2 == 1L))
   }
 
+  test("connected components: empty edge list yields empty labels, both paths") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ConnectedComponents.clusters(empty, "a", "b").isEmpty)
+    assert(ConnectedComponents.clusters(empty, "a", "b", maxDriverEdges = 0).isEmpty)
+  }
+
   test("connected components: driver and distributed strategies agree exactly") {
     // a seeded mix of paths, cliques, stars and singles-by-edge
     val rnd = new scala.util.Random(7)
