@@ -71,6 +71,26 @@ object CurationQ {
         size(col("__enc")).as("n_subwords"))
   }
 
+  /** Token fertility per source under the frozen BPE vocabulary — the
+    * tokenizer-budget signal a mixture planner reads next to d27: how
+    * many subword tokens a source costs per character (terse code-like
+    * sources tokenize denser than prose; a source with poor
+    * chars-per-token eats budget). One codegen'd encode pass + one
+    * source-keyed aggregation. */
+  def tokenFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val model = Bpe.stableModel
+    docs.select(col("source"),
+        length(col("text")).cast("long").as("__chars"),
+        size(BpeEncode.bpeEncode(col("text"), model)).cast("long").as("__subwords"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__subwords")).as("n_tokens"),
+        sum(col("__chars")).as("n_chars"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 9))
+  }
+
   /** Dataset-level overlap: exact pairwise Jaccard between the 20
     * sources' trigram-shingle sets (the "how much of crawl B is already
     * in crawl A" question). The MinHash sketch twin is bound to this
@@ -172,6 +192,7 @@ object CurationQ {
     "d14_boilerplate"   -> (boilerplate _),
     "d15_bpe_pairs"     -> (bpePairs _),
     "d16_bpe_encode"    -> (bpeEncode _),
+    "q58_token_fertility" -> (tokenFertility _),
     "d17_source_overlap" -> (sourceOverlap _),
     "q56_nfc_normalize" -> (nfcNormalize _))
 
@@ -194,13 +215,20 @@ object CurationQ {
     * encode loop because a merge's components rank strictly below it.
     * Verified against an independent greedy-BPE implementation on all 500
     * sf0.001 docs before wiring. */
-  private def bpeEncodeOracle: String = {
+  /** The frozen-vocabulary BPE encode of one word `w` as a SQL rewrite
+    * chain (delimiter-guarded replaces in merge-rank order) — shared by
+    * the d16 and q58 oracles so the two replay ONE tokenizer. */
+  private def bpeChainSql: String = {
     def wrap(sym: String) = s"chr(1)||'$sym'||chr(2)"
     val rep0 = "array_to_string(list_transform(string_split(w, ''), " +
       s"c -> chr(1)||c||chr(2)), '') || ${wrap(Bpe.Eow)}"
-    val chain = Bpe.stableModel.merges.foldLeft(rep0) { case (acc, (a, b)) =>
+    Bpe.stableModel.merges.foldLeft(rep0) { case (acc, (a, b)) =>
       s"replace($acc, ${wrap(a)}||${wrap(b)}, ${wrap(a + b)})"
     }
+  }
+
+  private def bpeEncodeOracle: String = {
+    val chain = bpeChainSql
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
        |  FROM documents),
@@ -259,6 +287,28 @@ object CurationQ {
 
   val oracles: Map[String, String] = Map(
     "d16_bpe_encode" -> bpeEncodeOracle,
+    // q58: d16's tokenizer chain rolled up per source (ASCII corpus:
+    // DuckDB length == Spark length)
+    "q58_token_fertility" -> {
+      val chain = bpeChainSql
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, text,
+         |         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |enc AS (
+         |  SELECT doc_id, source, length(text) AS chars,
+         |         coalesce(list_sum(list_transform(
+         |           list_transform(t, w -> $chain),
+         |           s -> length(s) - length(replace(s, chr(1), '')))), 0) AS subwords
+         |  FROM toks)
+         |SELECT source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(subwords) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(chars) AS BIGINT) AS n_chars,
+         |       round(CAST(SUM(chars) AS DOUBLE) / CAST(SUM(subwords) AS DOUBLE), 9)
+         |         AS chars_per_token
+         |FROM enc GROUP BY 1""".stripMargin
+    },
     "d29_chunk_overlap" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
