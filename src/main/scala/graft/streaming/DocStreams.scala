@@ -230,6 +230,46 @@ object DocStreams {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bench_docs"), max(col("n_shared")).as("max_shared"))
 
+  /** Streaming perceptual media dedup — the daily-drop twin of the m06
+    * image-dedup flow: each batch's payloads are dHashed (the
+    * [[graft.multimodal.Multimodal.dhashPartitions]] feature-extract
+    * stage), hashes already in the `(dhash)` registry mark the image a
+    * perceptual duplicate of history, first-in-batch keeps one copy per
+    * new hash (min id, the corpus convention), survivors append to
+    * `keptDir` and their hashes to the registry. Same append-only
+    * registry state and keep-first/delta-last write order as
+    * [[segmentDedupStream]] (the recacheByPath hazard documented there).
+    * Expects a stream with (doc_id, payload binary). */
+  def mediaDedupStream(mediaStream: DataFrame, registryDir: String,
+                       keptDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    mediaStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val registryPath = new org.apache.hadoop.fs.Path(registryDir)
+      val fs = registryPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val registry =
+        if (fs.exists(registryPath)) spark.read.parquet(registryDir)
+        else spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("dhash", LongType))))
+      val hashes = graft.multimodal.Multimodal.dhashPartitions(batch, spark)
+        .toDF().persist()
+      try {
+        val fresh = hashes
+          .join(registry.select(col("dhash")), Seq("dhash"), "left_anti")
+        val kept = fresh
+          .withColumn("__min",
+            min(col("doc_id")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("dhash"))))
+          .filter(col("doc_id") === col("__min")).drop("__min")
+          .persist()
+        try {
+          kept.write.mode("append").parquet(keptDir)
+          kept.select("dhash").distinct()
+            .write.mode("append").parquet(registryDir)
+        } finally { kept.unpersist(); () }
+      } finally { hashes.unpersist(); () }
+    }
+
   /** One-shot build of the train corpus's distinct n-gram registry — the
     * stored state [[ngramContaminationStream]] probes. Rebuilt only when
     * the training corpus changes (a frozen artifact otherwise, like the

@@ -123,6 +123,48 @@ class DocStreamsSpec extends AnyFunSuite {
       "streaming curation funnel diverged from the batch composition")
   }
 
+  test("streaming media dedup keeps exactly m06's cluster representatives") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    // the m06 corpus as binary payloads (pattern PNGs seeded by text length)
+    val media = Tables(spark, sf).documents
+      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
+      .as[(Long, Long)]
+      .map { case (id, n) =>
+        (id, Multimodal.CompressedImage.renderPattern(n, (n % 13).toInt + 4,
+          ((n / 13) % 11).toInt + 4)) }
+      .toDF("doc_id", "payload")
+    // two drops in ascending id ranges: stream-kept (first hash arrival,
+    // min id within a drop) == global min id per hash == m06's cluster
+    // representative set
+    val stageDir = java.nio.file.Files.createTempDirectory("md-stream").toString
+    for ((lo, hi) <- Seq((0L, 250L), (250L, 100000L))) {
+      media.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .repartition(1).write.mode("append").parquet(stageDir)
+      Thread.sleep(1100)
+    }
+    val registryDir = java.nio.file.Files.createTempDirectory("md-reg").toString + "/r"
+    val keptDir = java.nio.file.Files.createTempDirectory("md-kept").toString + "/k"
+    val ckpt = java.nio.file.Files.createTempDirectory("md-ckpt").toString
+    val q = DocStreams.mediaDedupStream(
+        spark.readStream.schema("doc_id LONG, payload BINARY").parquet(stageDir),
+        registryDir, keptDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamedKept = spark.read.parquet(keptDir)
+      .select("doc_id").as[Long].collect().toSet
+    val batchReps = graft.queries.MultimodalQ.imagePhash(spark, sf)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamedKept == batchReps)
+    assert(streamedKept.size < media.count(), "vacuous: no perceptual dups")
+    // the registry is exactly the corpus's distinct hash set
+    assert(spark.read.parquet(registryDir).distinct().count() ==
+      batchReps.size.toLong)
+  }
+
   test("streaming ngram contamination converges to the batch q57 result") {
     val docs = Tables(spark, sf).documents.select("doc_id", "text", "lang",
       "source", "n_chars")
