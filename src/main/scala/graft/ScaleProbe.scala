@@ -208,6 +208,29 @@ object ScaleProbe {
         Seq(("l_extendedprice", true), ("l_orderkey", false), ("l_linenumber", false)),
         k = 3).count()
     }
+    // perceptual-hash dedup path at scale: dHash the replicated corpus's
+    // payloads (decode-bound) then the banded hamming join (index-bound)
+    val hashes = {
+      import spark.implicits._
+      docs.select(col("doc_id"), length(col("text").cast("binary")).as("nn"))
+        .as[(Long, Long)]
+        .mapPartitions(_.flatMap { case (id, nn) =>
+          graft.multimodal.Multimodal.CompressedImage.dhash(id,
+            graft.multimodal.Multimodal.CompressedImage.renderPattern(
+              nn, (nn % 13).toInt + 4, ((nn / 13) % 11).toInt + 4))
+        }).toDF().cache()
+    }
+    time("image_dhash_decode") { hashes.count() }
+    time("hamming_neardup_banded") {
+      graft.dedup.SimHash.hammingNearDuplicates(hashes, "doc_id", "dhash",
+        maxDist = 2, chunks = 4, maxChunkBucket = Some(256)).count()
+    }
+    time("hamming_incremental") {
+      graft.dedup.SimHash.incrementalHammingNearDuplicates(
+        hashes.filter(col("doc_id") % 8 === 0), hashes.filter(col("doc_id") % 8 =!= 0),
+        "doc_id", "dhash", maxDist = 2, chunks = 4,
+        maxChunkBucket = Some(256)).count()
+    }
     spark.stop()
   }
 }

@@ -23,6 +23,40 @@ class ScalarPropertiesSpec extends AnyFunSuite {
   private val messyGen: Gen[String] =
     Gen.listOf(messyChar).map(_.mkString.take(60))
 
+  test("media decoders never throw on arbitrary bytes (fuzz property)") {
+    import graft.multimodal.Multimodal
+    val bytesGen: Gen[Array[Byte]] =
+      Gen.chooseNum(0, 200).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    // bias half the samples toward plausible container magics so header
+    // parsing code paths get past the first guard
+    val riffGen: Gen[Array[Byte]] = bytesGen.map { b =>
+      ("RIFF".getBytes("US-ASCII") ++ b).take(math.max(b.length, 4))
+    }
+    for (b <- sample(bytesGen, 200) ++ sample(riffGen, 200)) {
+      Multimodal.ImaAdpcm.decode(1L, b)        // Option, never a throw
+      Multimodal.CompressedAudio.decode(1L, b)
+      Multimodal.CompressedAudio.fingerprint(1L, b)
+      Multimodal.CompressedImage.decode(1L, b)
+      Multimodal.CompressedImage.decodeTiles(1L, b, 4)
+      Multimodal.CompressedImage.dhash(1L, b)
+    }
+  }
+
+  test("IMA ADPCM round-trip invariants over generated streams") {
+    import graft.multimodal.Multimodal.ImaAdpcm
+    val cases = sample(Gen.zip(Gen.chooseNum(0L, 1000000L), Gen.chooseNum(1, 120)), 60)
+    for ((seed, ns) <- cases) {
+      val d = ImaAdpcm.decode(1L, ImaAdpcm.renderWav(seed, ns, 8000))
+      assert(d.isDefined, s"seed=$seed ns=$ns failed to decode")
+      assert(d.get.n_samples == ns.toLong)
+      assert(d.get.min_pcm >= -32768 && d.get.max_pcm <= 32767)
+      assert(d.get.min_pcm <= d.get.max_pcm)
+      // sample 0 is the header predictor (0), so extrema bracket 0
+      assert(d.get.min_pcm <= 0 && d.get.max_pcm >= 0)
+    }
+  }
+
   test("revComp is an involution on DNA strings") {
     val df = sample(dnaGen).toDF("s")
     val bad = df.filter(Genomics.revComp(Genomics.revComp(col("s"))) =!= col("s"))
