@@ -18,6 +18,9 @@ object ScaleProbe {
       // 128-key sort-based fallback only costs (measured 2-5x on the
       // posting-list dedup paths) without protecting anything
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 21)
+      // Tables.events casts TIMESTAMP_NTZ via the session timezone; pin it
+      // like every other entry point so timings/counts are TZ-independent
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val t = Tables(spark, "/root/testdata/sf0.1")
@@ -223,13 +226,13 @@ object ScaleProbe {
     time("image_dhash_decode") { hashes.count() }
     time("hamming_neardup_banded") {
       graft.dedup.SimHash.hammingNearDuplicates(hashes, "doc_id", "dhash",
-        maxDist = 2, chunks = 4, maxChunkBucket = Some(256)).count()
+        maxDist = 2, chunks = 4, maxChunkBucket = Some(256), bits = 24).count()
     }
     time("hamming_incremental") {
       graft.dedup.SimHash.incrementalHammingNearDuplicates(
         hashes.filter(col("doc_id") % 8 === 0), hashes.filter(col("doc_id") % 8 =!= 0),
         "doc_id", "dhash", maxDist = 2, chunks = 4,
-        maxChunkBucket = Some(256)).count()
+        maxChunkBucket = Some(256), bits = 24).count()
     }
     spark.stop()
   }

@@ -107,14 +107,33 @@ object SimHash {
     nearDupFromSimhash(simhashesMd5(df, idCol, textCol), idCol,
       p.maxDist, p.chunks, p.maxChunkBucket)
 
+  /** Per-chunk (shift, mask) pairs banding the LOW `bits` bits of a hash
+    * into `chunks` contiguous chunks. Banding only the populated bits is
+    * what keeps the pigeonhole guarantee for hashes narrower than 64 bits
+    * (a 24-bit dHash banded as 4×16 would put every row in the same three
+    * all-zero upper chunks: hot-bucket caps then DROP those chunks and
+    * silently lose pairs; with no cap they degenerate toward all-pairs). */
+  private def chunkExprs(bits: Int, chunks: Int): Seq[(Int, Long)] = {
+    require(bits >= chunks && bits <= 64,
+      s"need chunks <= bits <= 64 (got bits=$bits, chunks=$chunks)")
+    // even distribution (floor split) so EVERY chunk is non-empty — a
+    // ceil-width split can leave the last chunk zero-width, recreating
+    // the universal all-zero bucket this function exists to avoid
+    (0 until chunks).map { cId =>
+      val lo = cId * bits / chunks
+      val hi = (cId + 1) * bits / chunks
+      (lo, if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1)
+    }
+  }
+
   private def nearDupFromSimhash(sh: DataFrame, idCol: String,
                                  maxDist: Int, chunks: Int,
-                                 maxChunkBucket: Option[Int]): DataFrame = {
+                                 maxChunkBucket: Option[Int],
+                                 bits: Int = 64): DataFrame = {
     require(maxDist < chunks, "pigeonhole completeness needs maxDist < chunks")
-    val width = 64 / chunks
     val chunked = sh.select(col(idCol), col("simhash"),
-      posexplode(array((0 until chunks).map(cId =>
-        expr(s"(simhash >> ${cId * width}) & ${(1L << width) - 1}")): _*))
+      posexplode(array(chunkExprs(bits, chunks).map { case (lo, mask) =>
+        expr(s"(simhash >> $lo) & $mask") }: _*))
         .as(Seq("chunk", "chunk_val")))
     val pruned = maxChunkBucket match {
       case Some(cap) =>
@@ -145,13 +164,18 @@ object SimHash {
     * the chunk-collision join generalized beyond text simhashes
     * (perceptual image hashes from [[graft.multimodal.Multimodal]], audio
     * fingerprints, …). Same completeness contract: all pairs with
-    * hamming ≤ maxDist < chunks are found, never an all-pairs join. */
+    * hamming ≤ maxDist < chunks are found, never an all-pairs join.
+    *
+    * `bits` is the hash's effective width: pass 24 for the image dHash,
+    * 15 for the audio fingerprint. Banding covers only those bits, so the
+    * pigeonhole guarantee holds for short hashes (see [[chunkExprs]]). */
   def hammingNearDuplicates(hashes: DataFrame, idCol: String, hashCol: String,
                             maxDist: Int, chunks: Int,
-                            maxChunkBucket: Option[Int] = None): DataFrame =
+                            maxChunkBucket: Option[Int] = None,
+                            bits: Int = 64): DataFrame =
     nearDupFromSimhash(
       hashes.select(col(idCol), col(hashCol).cast("long").as("simhash")),
-      idCol, maxDist, chunks, maxChunkBucket)
+      idCol, maxDist, chunks, maxChunkBucket, bits)
 
   /** Incremental hamming near-dup — the daily-crawl twin of
     * [[hammingNearDuplicates]], serving every hash modality (text
@@ -165,15 +189,16 @@ object SimHash {
   def incrementalHammingNearDuplicates(newHashes: DataFrame, storedHashes: DataFrame,
                                        idCol: String, hashCol: String,
                                        maxDist: Int, chunks: Int,
-                                       maxChunkBucket: Option[Int] = None): DataFrame = {
+                                       maxChunkBucket: Option[Int] = None,
+                                       bits: Int = 64): DataFrame = {
     require(maxDist < chunks, "pigeonhole completeness needs maxDist < chunks")
-    val width = 64 / chunks
+    val exprs = chunkExprs(bits, chunks)
     def chunked(df: DataFrame): DataFrame =
       df.select(col(idCol).cast("long").as("id"),
           col(hashCol).cast("long").as("simhash"))
         .select(col("id"), col("simhash"),
-          posexplode(array((0 until chunks).map(cId =>
-            expr(s"(simhash >> ${cId * width}) & ${(1L << width) - 1}")): _*))
+          posexplode(array(exprs.map { case (lo, mask) =>
+            expr(s"(simhash >> $lo) & $mask") }: _*))
             .as(Seq("chunk", "chunk_val")))
     val cn = chunked(newHashes)
     val call = chunked(storedHashes).unionByName(cn)

@@ -626,6 +626,10 @@ object Multimodal {
         var rate = -1; var fact = -1L; var dataOff = -1; var dataLen = -1L
         while (off + 8 <= b.length) {
           val t = tagAt(off); val len = u32(off + 4)
+          // Hostile 32-bit lengths (>= 0x80000000, or past end-of-buffer) must
+          // not wrap to a negative/zero advance — that would loop forever.
+          // Validate in Long before advancing; a chunk that can't fit ends the walk.
+          if (len > b.length.toLong - off - 8) return None
           t match {
             case "fmt " =>
               if (len < 16 || u16(off + 8) != 0x11 || u16(off + 10) != 1) return None
@@ -634,7 +638,9 @@ object Multimodal {
             case "data" => dataOff = off + 8; dataLen = len
             case _ => ()
           }
-          off += 8 + len.toInt + (len.toInt & 1)
+          val advance = 8L + len + (len & 1L)
+          if (advance + off > Int.MaxValue) return None
+          off += advance.toInt
         }
         if (rate <= 0 || fact < 1 || dataOff < 0 || dataLen < 4) return None
         if (dataOff + dataLen > b.length) return None

@@ -36,12 +36,14 @@ object ConnectedComponents {
     * paying 4–6 distributed rounds of scheduling floor to relabel a few
     * thousand pairs is pure overhead), above it the distributed
     * pointer-jumping loop below. Both paths are deterministic and agree
-    * exactly (PipelineOpsSpec proves it on the same graphs). The default
-    * cap (4M edges ≈ 64 MB of longs) stays far under driver heap while
-    * covering every sane single-table dedup output; a 100 TB all-corpus
-    * pair set blows past it and takes the distributed path. */
+    * exactly (PipelineOpsSpec proves it on the same graphs). Driver memory
+    * at the default 1M-edge cap, worst case 2M distinct nodes: the stream
+    * itself is ~16 MB, the primitive open-addressed union-find map peaks
+    * at 4M slots × 17 B ≈ 68 MB, and the boxed output tuples ~100 MB —
+    * comfortably inside a default 1 GiB driver heap. A 100 TB all-corpus
+    * pair set blows past the cap and takes the distributed path. */
   def clusters(edges: DataFrame, aCol: String, bCol: String,
-               maxRounds: Int = 50, maxDriverEdges: Long = 4L << 20): DataFrame = {
+               maxRounds: Int = 50, maxDriverEdges: Long = 1L << 20): DataFrame = {
     // materialize the (possibly expensive) edge plan ONCE before anything
     // references it twice — a lazy persist would race both branches into
     // recomputing it. localCheckpoint trades fault-tolerance for speed; a
@@ -53,33 +55,77 @@ object ConnectedComponents {
     else clustersDistributed(e0, maxRounds)
   }
 
+  /** Primitive open-addressed long→long map (linear probing, ≤0.5 load,
+    * power-of-two growth) — the union-find parent table. A boxed
+    * java.util.HashMap costs ~48 B per entry in Long boxes + nodes; at the
+    * edge cap that is hundreds of MB of driver heap for what two long
+    * arrays hold in ~17 B/slot. */
+  private final class LongLongMap(initialCapacity: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, initialCapacity * 2 - 1)) << 1
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var used = new Array[Boolean](cap)
+    private var n = 0
+    def size: Int = n
+    private def slot(k: Long): Int = {
+      var h = k * -7046029254386353131L // 64-bit Murmur3 finalizer constant
+      h ^= h >>> 32
+      var i = (h & (cap - 1)).toInt
+      while (used(i) && keys(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    def apply(k: Long): Long = { val i = slot(k); if (used(i)) vals(i) else k }
+    def put(k: Long, v: Long): Unit = {
+      if ((n + 1) * 2 > cap) grow()
+      val i = slot(k)
+      if (!used(i)) { used(i) = true; keys(i) = k; n += 1 }
+      vals(i) = v
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals; val ou = used
+      cap <<= 1
+      keys = new Array[Long](cap); vals = new Array[Long](cap)
+      used = new Array[Boolean](cap)
+      var j = 0
+      while (j < ok.length) {
+        if (ou(j)) { val i = slot(ok(j)); used(i) = true; keys(i) = ok(j); vals(i) = ov(j) }
+        j += 1
+      }
+    }
+    def foreachKey(f: Long => Unit): Unit = {
+      var j = 0
+      while (j < keys.length) { if (used(j)) f(keys(j)); j += 1 }
+    }
+  }
+
   /** Small-graph fast path: union-find with path compression, roots keyed
     * by MINIMUM id (union always attaches the larger root under the
     * smaller), so a root IS its component's cluster id. One Spark job in
-    * (the collect), one distributed dataset out. */
+    * (the collect), one distributed dataset out. Absent keys read as
+    * self-parented, so only non-root links are ever stored. */
   private def clustersLocal(e0: DataFrame): DataFrame = {
     val spark = e0.sparkSession
     import spark.implicits._
-    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    val parent = new LongLongMap(1 << 16)
     def find(x0: Long): Long = {
       var r = x0
-      while (parent.get(r) != r) r = parent.get(r)
+      while (parent(r) != r) r = parent(r)
       var c = x0 // path compression: point the walked chain at the root
-      while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      while (parent(c) != r) { val nx = parent(c); parent.put(c, r); c = nx }
       r
     }
+    // track every seen node (roots never appear as map keys)
+    val seen = new LongLongMap(1 << 16)
     for (row <- e0.as[(Long, Long)].toLocalIterator().asScala) {
       val (a, b) = row
-      parent.putIfAbsent(a, a)
-      parent.putIfAbsent(b, b)
+      seen.put(a, 0L); seen.put(b, 0L)
       val ra = find(a); val rb = find(b)
       if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
     }
-    val out = new Array[(Long, Long)](parent.size())
-    var i = 0
-    val it = parent.keySet().iterator()
-    while (it.hasNext) { val id = it.next(); out(i) = (id, find(id)); i += 1 }
-    spark.createDataset(out.toSeq).toDF("id", "cluster_id")
+    val out = Array.newBuilder[(Long, Long)]
+    out.sizeHint(seen.size)
+    seen.foreachKey(id => out += ((id, find(id))))
+    spark.createDataset(out.result().toSeq).toDF("id", "cluster_id")
   }
 
   private def clustersDistributed(e0: DataFrame, maxRounds: Int): DataFrame = {

@@ -96,9 +96,31 @@ class MultimodalSpec extends AnyFunSuite {
       (4L, 0xf0f0f0L))                           // far from all
       .toDF("doc_id", "dhash")
     val pairs = graft.dedup.SimHash
-      .hammingNearDuplicates(hashes, "doc_id", "dhash", maxDist = 3, chunks = 4)
+      .hammingNearDuplicates(hashes, "doc_id", "dhash", maxDist = 3, chunks = 4,
+        bits = 24)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(pairs == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
+  }
+
+  test("short-hash banding: capped buckets keep pairs whose differing bits " +
+       "straddle the low chunks (24-bit hashes, maxChunkBucket set)") {
+    import spark.implicits._
+    // 40 distractors + one near pair differing in bits 2 and 8. Banded
+    // over bits=24 (4 chunks of 6), the pair agrees on populated chunks 2
+    // and 3, each a small bucket, so it survives a tight hot-chunk cap.
+    // (Banded as 4x16 over 64 bits, every 24-bit hash shares the all-zero
+    // upper chunks — corpus-wide buckets a cap would drop, risking any
+    // pair whose agreeing populated bits don't line up with chunk 0.)
+    val base = 0x5a5a5aL
+    val rows = Seq((1L, base), (2L, base ^ (1L << 2) ^ (1L << 8))) ++
+      (10L until 50L).map(i => (i, (i * 0x9e37L) & 0xffffffL))
+    val hashes = rows.toDF("doc_id", "dhash")
+    val pairs = graft.dedup.SimHash
+      .hammingNearDuplicates(hashes, "doc_id", "dhash", maxDist = 3, chunks = 4,
+        maxChunkBucket = Some(8), bits = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)),
+      "pair with straddling bits must survive the hot-chunk cap under bits=24")
   }
 
   test("audio fingerprint: deterministic, 15-bit, None on short/hostile input") {
@@ -158,6 +180,17 @@ class MultimodalSpec extends AnyFunSuite {
     // a G.711 wav is NOT IMA ADPCM (format tag mismatch routes to None)
     val g711 = Multimodal.CompressedAudio.renderG711Wav(5L, 30, 8000, aLaw = false)
     assert(Multimodal.ImaAdpcm.decode(5L, g711).isEmpty)
+    // hostile 32-bit chunk length (>= 0x80000000): a naive Int advance
+    // wraps negative and revisits the same offset forever — must be None,
+    // and must TERMINATE (the fuzz corpus never reaches this path because
+    // random bytes essentially never spell RIFF/WAVE)
+    val evil = Multimodal.ImaAdpcm.renderWav(7L, 8, 8000).clone()
+    evil(16) = 0xff.toByte; evil(17) = 0xff.toByte  // fmt chunk len = 0xFFFFFFFF
+    evil(18) = 0xff.toByte; evil(19) = 0xff.toByte
+    assert(Multimodal.ImaAdpcm.decode(7L, evil).isEmpty)
+    val evil2 = Multimodal.ImaAdpcm.renderWav(7L, 8, 8000).clone()
+    evil2(19) = 0x80.toByte                         // fmt chunk len = 0x80000000
+    assert(Multimodal.ImaAdpcm.decode(8L, evil2).isEmpty)
   }
 
   test("incremental hamming near-dup == full rerun restricted to new ids " +
@@ -173,10 +206,11 @@ class MultimodalSpec extends AnyFunSuite {
     val fresh = hashes.filter($"doc_id" % 2 === 1)
     val incr = graft.dedup.SimHash
       .incrementalHammingNearDuplicates(fresh, stored, "doc_id", "dhash",
-        maxDist = 3, chunks = 4)
+        maxDist = 3, chunks = 4, bits = 24)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val full = graft.dedup.SimHash
-      .hammingNearDuplicates(hashes, "doc_id", "dhash", maxDist = 3, chunks = 4)
+      .hammingNearDuplicates(hashes, "doc_id", "dhash", maxDist = 3, chunks = 4,
+        bits = 24)
       .filter($"id_a" % 2 === 1 || $"id_b" % 2 === 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(incr.nonEmpty, "vacuous: fixture produced no near pairs")
