@@ -218,6 +218,26 @@ object PipelineQ {
         round(col("n_contaminated").cast("double") / col("n_grams").cast("double"), 9))
   }
 
+  /** q57's steady-state twin: eval shingles probe the STORED train
+    * distinct-shingle registry ([[graft.store.Registries.trainShingles]]
+    * — parquet on disk, the table the streaming twin maintains
+    * incrementally), so the benched cost is shingling the 2% eval slice
+    * plus one registry join; q57 itself re-shingles the 98% train corpus
+    * every run (the audit-from-scratch worst case). Same oracle as q57 —
+    * the registry holds exactly the train corpus's distinct 5-grams. */
+  def ngramContaminationStored(s: SparkSession, dir: String): DataFrame = {
+    val evalSh = Shingles.explodeShingles(
+      Tables(s, dir).documents.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", 5)
+    evalSh.join(graft.store.Registries.trainShingles(s, dir)
+        .withColumn("__hit", lit(1)), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") / col("n_grams").cast("double"), 9))
+  }
+
   /** Exact stratified sample: first ceil(|stratum|/10) docs of every
     * (source, lang) stratum in md5 order ([[Sampling.stratifiedExact]]) —
     * the exact-quota counterpart of q49's binomial mixture sampling. */
@@ -267,6 +287,7 @@ object PipelineQ {
     "q49_mixture_sample"   -> (mixtureSample _),
     "q50_contamination"    -> (contamination _),
     "q57_ngram_contamination" -> (ngramContamination _),
+    "q57b_contamination_stored" -> (ngramContaminationStored _),
     "d27_mixture_plan"     -> (mixturePlan _),
     "d28_leakfree_split"   -> (leakFreeSplit _))
 
@@ -363,6 +384,25 @@ object PipelineQ {
     // q57: same 5-gram shingle chain as q50, but rolled to PER-EVAL-DOC
     // n-gram hit fractions against the train corpus's distinct shingles
     "q57_ngram_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh5 AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS shingle
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+        |  WHERE len(t) >= 5),
+        |train AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 50 <> 0),
+        |ev AS (SELECT doc_id, shingle FROM sh5 WHERE doc_id % 50 = 0)
+        |SELECT ev.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(SUM(CASE WHEN train.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_contaminated,
+        |       round(CAST(SUM(CASE WHEN train.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 9) AS contamination
+        |FROM ev LEFT JOIN train ON ev.shingle = train.shingle
+        |GROUP BY 1""".stripMargin,
+    "q57b_contamination_stored" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
         |  FROM documents),

@@ -125,6 +125,29 @@ object SimilarityQ {
       minCos = 0.4)
   }
 
+  /** e07's steady-state twin — the bucketed registry probe at production
+    * shape: today's (odd-id) vectors hash to LSH buckets and probe the
+    * STORED `(id, bucket)` registry ([[graft.store.Registries.embBuckets]],
+    * parquet on disk); candidates rescore with the decimal-exact cosine.
+    * History's vectors are never re-hashed — the benched cost is the
+    * per-increment probe, where e07 measures the exact-rescan worst case.
+    * Semantics are the BUCKETED contract (pairs sharing a bucket), so the
+    * oracle replays the e03 plane family: same-bucket new-touching pairs
+    * at exact cos >= 0.4. */
+  def incrementalNearDupStored(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val (cand, _) = Knn.incrementalBucketCandidates(
+      all.filter(col("id") % 2 === 1),
+      graft.store.Registries.embBuckets(s, dir),
+      dim = 64, nPlanes = graft.store.Registries.EmbBucketPlanes)
+    cand
+      .join(all.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(all.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Knn.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.4)
+  }
+
   /** PQ encode ([[graft.similarity.Pq]]): 64 dims → 8 subspaces × 16 seed
     * codewords; per vector the stored code string and the exact integer
     * reconstruction error. */
@@ -164,6 +187,7 @@ object SimilarityQ {
     "e05_semantic_clusters" -> (semanticClusters _),
     "e06_kmeans_lloyd"   -> (kmeansLloyd _),
     "e07_incr_neardup"   -> (incrementalNearDup _),
+    "e07b_incr_neardup_stored" -> (incrementalNearDupStored _),
     "e08_pq_encode"      -> (pqEncode _),
     "e09_pq_adc"         -> (pqAdc _),
     "e10_ivfpq"          -> (ivfPq _))
@@ -465,6 +489,44 @@ object SimilarityQ {
     // the incremental run's contract: the monolithic rerun restricted to
     // pairs touching a new (odd-id) vector
     "e07_incr_neardup" -> nearDupOracle(" AND (id_a % 2 = 1 OR id_b % 2 = 1)"),
+    // e07b: the BUCKETED incremental contract — same-bucket (e03's quantized
+    // plane family, 6 planes) new-touching pairs, exact cosine >= 0.4; the
+    // candidate CTE mirrors Knn.incrementalBucketCandidates' union of
+    // new-old and new-new same-bucket pairs exactly
+    "e07b_incr_neardup_stored" ->
+      s"""WITH qv AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(round_even(CAST(x AS DOUBLE) * 1e9, 0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |planes AS (SELECT * FROM (VALUES
+         |${planesSql(64, 6)}) p(j, w)),
+         |pdots AS (
+         |  SELECT v.vec_id, p.j, SUM(v.q[i] * p.w[i]) AS d
+         |  FROM qv v, planes p, UNNEST(generate_series(1, len(v.q))) AS u(i)
+         |  GROUP BY 1, 2),
+         |buckets AS MATERIALIZED (
+         |  SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM pdots GROUP BY 1),
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE a.vec_id % 2 = 1 OR b.vec_id % 2 = 1),
+         |norms AS ($normsSql),
+         |dots AS (
+         |  SELECT c.id_a, c.id_b,
+         |         CAST(CAST(SUM(${q9("ea.embedding[i]")} * ${q9("eb.embedding[i]")}) AS VARCHAR) AS DOUBLE) AS d
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.id_a
+         |  JOIN embeddings eb ON eb.vec_id = c.id_b,
+         |       UNNEST(generate_series(1, len(ea.embedding))) AS u(i)
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, d / (na.nrm2_sqrt * nb.nrm2_sqrt) AS cos
+         |FROM dots
+         |JOIN (SELECT vec_id, sqrt(nrm2) AS nrm2_sqrt FROM norms) na ON na.vec_id = id_a
+         |JOIN (SELECT vec_id, sqrt(nrm2) AS nrm2_sqrt FROM norms) nb ON nb.vec_id = id_b
+         |WHERE d / (na.nrm2_sqrt * nb.nrm2_sqrt) >= 0.4""".stripMargin,
     "e05_semantic_clusters" ->
       s"""WITH RECURSIVE norms AS ($normsSql),
          |dots AS (

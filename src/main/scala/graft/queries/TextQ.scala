@@ -148,6 +148,22 @@ object TextQ {
       minEstJaccard = 0.5, literalKeys = true)._1
   }
 
+  /** d26's steady-state twin: today's batch probes the STORED signature
+    * registry ([[graft.store.Registries.minhashSignatures]] — parquet on
+    * disk, built once like any durable table), so the benched cost is the
+    * per-increment probe: one signature pass over the NEW docs + the band
+    * join. d26 itself recomputes both sides inline (the worst-case rebuild
+    * — ~3× the steady-state cost); production runs look like THIS query.
+    * Same oracle as d26: the full-rerun SQL restricted to new-touching
+    * pairs — the incremental contract is registry-independent. */
+  def incrementalMinhashStored(s: SparkSession, dir: String): DataFrame = {
+    val newSig = MinHashLsh.signaturesMd5(
+      Tables(s, dir).documents.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    MinHashLsh.incrementalNearDupFromSig(newSig,
+      graft.store.Registries.minhashSignatures(s, dir), "doc_id",
+      minEstJaccard = 0.5, literalKeys = true)._1
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_token_stats"   -> (tokenStats _),
     "d02_quality_lang"  -> (qualityLang _),
@@ -159,7 +175,8 @@ object TextQ {
     "d07_simhash_dedup" -> (simhashDedup _),
     "d21_quality_score" -> (qualityScore _),
     "d22_novelty"       -> (novelty _),
-    "d26_incr_minhash"  -> (incrementalMinhash _))
+    "d26_incr_minhash"  -> (incrementalMinhash _),
+    "d26b_incr_minhash_stored" -> (incrementalMinhashStored _))
 
   private[queries] val toksSql =
     """SELECT doc_id, lang, text,
@@ -328,6 +345,7 @@ object TextQ {
     // the incremental run's contract: the monolithic rerun restricted to
     // pairs touching a new (odd-id) doc
     "d26_incr_minhash" -> minhashOracle(" AND (id_a % 2 = 1 OR id_b % 2 = 1)"),
+    "d26b_incr_minhash_stored" -> minhashOracle(" AND (id_a % 2 = 1 OR id_b % 2 = 1)"),
     "d07_simhash_dedup" -> simhashOracle,
     "d21_quality_score" -> qualityScoreOracle,
     "d22_novelty" ->

@@ -1,0 +1,95 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Durable dedup/similarity registries — the stored state an incremental
+  * curation deployment keeps between crawls (the reference's stance for
+  * its pipeline queue: durable DB state, not per-query derivation —
+  * pipelineadaptor.py:523–683).
+  *
+  * Each registry is materialized as parquet once per (JVM, source dir)
+  * and re-read, exactly like [[graft.meta.MetadataStar]]'s hot star
+  * tables: consumers get column-pruned parquet scans of the STORED
+  * artifact, so the steady-state queries (d26b/e07b/q57b) bench the
+  * probe cost — what a daily increment actually pays — not the one-off
+  * registry build. At 100 TB each registry is an append-only bucketed
+  * table (banding/bucket key for the sketch registries, shingle hash for
+  * the n-gram registry); here the build step stands in for history.
+  *
+  * The split convention matches the incremental queries: even doc/vec ids
+  * are "history" (in the registry), odd ids are "today's batch".
+  */
+object Registries {
+
+  private lazy val cacheRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_registry").toString
+  private val written = scala.collection.mutable.Set.empty[String]
+
+  /** Materialize `build` as parquet once per (JVM, dir, name); always
+    * returns a fresh parquet read of the stored artifact. Keyed on the
+    * FULL sanitized dir path (same rationale as MetadataStar: a 32-bit
+    * hash could let colliding dirs share state). */
+  private def materialized(s: SparkSession, dir: String, name: String)
+                          (build: => DataFrame): DataFrame = {
+    val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"$cacheRoot/$dirKey/$name"
+    written.synchronized {
+      if (!written.contains(path)) {
+        build.write.mode("overwrite").parquet(path)
+        written += path
+      }
+    }
+    s.read.parquet(path)
+  }
+
+  /** Stored MinHash signature table (even-id docs): what
+    * [[graft.dedup.MinHashLsh.incrementalNearDupFromSig]] probes. The md5
+    * hash source, so the d26b oracle replays it bit-for-bit. */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "minhash_sig") {
+      graft.dedup.MinHashLsh.signaturesMd5(
+        Tables(s, dir).documents.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+    }
+
+  /** Stored `(id, bucket)` LSH registry (even-id vectors, the e03 plane
+    * family): what [[graft.similarity.Knn.incrementalBucketCandidates]]
+    * probes. nPlanes must match the planes the new batch hashes with. */
+  val EmbBucketPlanes = 6
+  def embBuckets(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "emb_buckets") {
+      graft.similarity.Knn.lshBuckets(
+        Tables(s, dir).embeddings
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+          .filter(col("id") % 2 === 0),
+        dim = 64, nPlanes = EmbBucketPlanes)
+        .select(col("id"), col("bucket"))
+    }
+
+  /** Stored distinct 5-gram registry of the training corpus (q50/q57's
+    * doc_id % 50 != 0 split): what the contamination audit probes per
+    * eval drop, instead of re-shingling 98% of the corpus every run. The
+    * streaming twin ([[graft.streaming.DocStreams]]) maintains exactly
+    * this table incrementally. */
+  def trainShingles(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "train_shingles5") {
+      graft.dedup.Shingles.explodeShingles(
+        Tables(s, dir).documents.filter(col("doc_id") % 50 =!= 0),
+        "doc_id", "text", 5)
+        .select("shingle").distinct()
+    }
+
+  /** Force every bench-relevant registry for `dir` onto disk — benches
+    * call this in their (untimed) setup, mirroring
+    * [[graft.meta.MetadataStar.materialize]]: per-query timings then
+    * reflect the stored-registry steady state a deployment runs in. */
+  def materialize(s: SparkSession, dir: String): Unit = {
+    minhashSignatures(s, dir).head(1)
+    embBuckets(s, dir).head(1)
+    trainShingles(s, dir).head(1)
+    ()
+  }
+}

@@ -273,6 +273,37 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("LeftOuter"), "train-set probe must stay an outer join\n" + p)
   }
 
+  test("stored-registry twins probe parquet registries, never rebuild " +
+       "the stored side") {
+    val BNL = "\n"
+    def scans(pl: String, tbl: String) =
+      pl.sliding(tbl.length).count(_ == tbl)
+    // d26b: stored signatures come from the registry scan; the only
+    // documents scan left is the NEW batch's signature pass
+    val d26  = plan("d26_incr_minhash")
+    val d26b = plan("d26b_incr_minhash_stored")
+    assert(d26b.contains("graft_registry"),
+      "d26b must scan the stored signature registry" + BNL + d26b)
+    assert(scans(d26b, "documents.parquet") < scans(d26, "documents.parquet"),
+"d26b still rebuilds the stored-side signatures" + BNL + d26b)
+    // q57b: the train corpus is never re-shingled — one documents scan
+    // (the 2% eval slice), the train side is the registry parquet
+    val q57  = plan("q57_ngram_contamination")
+    val q57b = plan("q57b_contamination_stored")
+    assert(q57b.contains("graft_registry"), q57b)
+    assert(scans(q57b, "documents.parquet") < scans(q57, "documents.parquet"),
+"q57b still re-shingles the train corpus" + BNL + q57b)
+    // e07b: history's buckets come from the registry scan, and only the
+    // new batch is hashed — at most 5 embeddings scans (the new-side
+    // bucket table referenced by both candidate arms + the id_a/id_b
+    // rescore joins); rebuilding the stored side would add scans
+    val e07b = plan("e07b_incr_neardup_stored")
+    assert(e07b.contains("graft_registry"), e07b)
+    assert(scans(e07b, "embeddings.parquet") <= 5,
+      "e07b re-reads embeddings beyond the new-side hash + rescore joins" +
+        BNL + e07b)
+  }
+
   test("perceptual hash clustering windows partition by the hash") {
     // an unpartitioned window would serialize the whole corpus through
     // one task — the cluster-id must come from a hash-partitioned window
