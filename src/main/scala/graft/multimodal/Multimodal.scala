@@ -19,12 +19,14 @@ import org.apache.spark.sql.functions._
   * (G.711 µ-law/A-law WAV via `javax.sound.sampled` —
   * [[Multimodal.CompressedAudio]], oracle-backed because G.711 expansion
   * is an exact integer mapping), PCM WAV ([[Multimodal.PcmWav]]: RIFF
-  * parsing, RMS/peak feature extraction) and binary PPM
-  * ([[Multimodal.Ppm]]: header + mean-RGB). Only inherently lossy DSP
-  * codecs (MP3/H.264) remain behind the stub interface
-  * ([[Multimodal.DecodeStub]], a deterministic fake) because their
-  * libraries are not in this container; swapping the stub for a real
-  * JNI/library call changes nothing in the plan.
+  * parsing, RMS/peak feature extraction), binary PPM
+  * ([[Multimodal.Ppm]]: header + mean-RGB), and VIDEO via Motion-JPEG /
+  * Motion-PNG in AVI ([[Multimodal.MjpegAvi]]: RIFF container walk +
+  * per-frame `javax.imageio` decode — oracle-backed through lossless PNG
+  * frames). Only inter-frame/lossy-DSP codecs (MP3/H.264) remain behind
+  * the stub interface ([[Multimodal.DecodeStub]], a deterministic fake)
+  * because their libraries are not in this container; swapping the stub
+  * for a real JNI/library call changes nothing in the plan.
   */
 object Multimodal {
 
@@ -660,6 +662,138 @@ object Multimodal {
         }
         Some(DecodedAudio(id, "ima_adpcm", rate, fact, sum, mn, mx))
       } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decoded video frame — per-frame exact channel sums, the video
+    * analog of [[DecodedImage]]. */
+  final case class VideoFrame(
+      doc_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** REAL pure-JVM video decode: Motion-JPEG/Motion-PNG in AVI.
+    *
+    * The AVI container is plain RIFF (the same walk [[PcmWav]] and
+    * [[ImaAdpcm]] do for WAVE): `RIFF('AVI ') { LIST('hdrl'){ avih,
+    * LIST('strl'){ strh, strf } }, LIST('movi'){ '00dc' <frame> ... } }`,
+    * with each '00dc'/'00db' chunk holding one INDEPENDENTLY-compressed
+    * still image — the property that makes MJPEG the one video family
+    * decodable with `javax.imageio` alone, no codec library. Frames here
+    * are PNG ('MPNG' handler), so the per-pixel decode is lossless and
+    * the m10 oracle reproduces every channel sum from the closed-form
+    * pattern; JPEG frames route through the same ImageIO seam. Only
+    * inter-frame codecs (H.264 etc.) remain stubbed.
+    *
+    * Hostile-bytes contract matches the audio decoders: chunk lengths are
+    * validated in Long before every advance (a 32-bit length >= 2^31 must
+    * not wrap the walk), anything malformed yields Nil, and a frame chunk
+    * ImageIO cannot read is skipped rather than failing the task. */
+  object MjpegAvi {
+
+    /** Render a deterministic AVI: `nFrames` frames of the m02 pixel
+      * pattern, frame f seeded with `seed + 131*f` (so frames diverge but
+      * the oracle's closed form stays one expression), each PNG-encoded
+      * into a '00dc' chunk. 10 fps metadata. */
+    def renderAvi(seed: Long, nFrames: Int, w: Int, h: Int,
+                  format: String = "png"): Array[Byte] = {
+      require(nFrames >= 1 && w > 0 && h > 0)
+      val frames = (0 until nFrames).map(f =>
+        CompressedImage.renderPattern(seed + 131L * f, w, h, format))
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      def tag(t: String): Unit = out.write(t.getBytes("US-ASCII"))
+      val moviBody = frames.map(f => 8 + f.length + (f.length & 1)).sum
+      val hdrlBody = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val riffBody = 4 + (8 + hdrlBody) + (8 + 4 + moviBody)
+      tag("RIFF"); w32(riffBody); tag("AVI ")
+      tag("LIST"); w32(hdrlBody); tag("hdrl")
+      tag("avih"); w32(56)
+      w32(100000); w32(0); w32(0); w32(0)      // usPerFrame (10fps), maxBps, padding, flags
+      w32(nFrames); w32(0); w32(1); w32(0)     // totalFrames, initial, nStreams, bufSize
+      w32(w); w32(h); w32(0); w32(0); w32(0); w32(0) // width, height, reserved[4]
+      tag("LIST"); w32(4 + (8 + 56) + (8 + 40)); tag("strl")
+      tag("strh"); w32(56)
+      tag("vids"); tag("MPNG")                 // fccType, fccHandler
+      w32(0); w16(0); w16(0); w32(0)           // flags, priority, language, initialFrames
+      w32(1); w32(10); w32(0); w32(nFrames)    // scale, rate (10 fps), start, length
+      w32(0); w32(-1); w32(0)                  // bufSize, quality, sampleSize
+      w16(0); w16(0); w16(w); w16(h)           // rcFrame
+      tag("strf"); w32(40)
+      w32(40); w32(w); w32(h); w16(1); w16(24) // biSize..biBitCount
+      tag("MPNG"); w32(w * h * 3)              // biCompression, biSizeImage
+      w32(0); w32(0); w32(0); w32(0)           // resolution, clrUsed, clrImportant
+      tag("LIST"); w32(4 + moviBody); tag("movi")
+      frames.foreach { f =>
+        tag("00dc"); w32(f.length); out.write(f)
+        if ((f.length & 1) == 1) out.write(0)  // chunks are word-aligned
+      }
+      out.toByteArray
+    }
+
+    private def frameSums(idx: Int, id: Long,
+                          img: java.awt.image.BufferedImage): VideoFrame = {
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      VideoFrame(id, idx, img.getWidth, img.getHeight, sr, sg, sb)
+    }
+
+    /** Walk one RIFF chunk list in `[start, end)`, invoking `f` per chunk
+      * (tag, bodyOffset, bodyLen). Lengths validated in Long; a chunk that
+      * cannot fit ends the walk (malformed tail, not a wedge). */
+    private def walkChunks(b: Array[Byte], start: Int, end: Int)
+                          (f: (String, Int, Int) => Unit): Unit = {
+      def u32(o: Int) = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end) {
+        val len = u32(off + 4)
+        if (len > end.toLong - off - 8) ok = false
+        else {
+          f(new String(b, off, 4, "US-ASCII"), off + 8, len.toInt)
+          val advance = 8L + len + (len & 1L)
+          if (off + advance > Int.MaxValue) ok = false else off += advance.toInt
+        }
+      }
+    }
+
+    /** Parse + decode every video frame ('00dc'/'00db' chunks, any stream
+      * 0x00) through the shared ImageIO seam. Nil for anything that is not
+      * an AVI; per-frame index is the chunk position among decodable
+      * frames. */
+    def decode(id: Long, b: Array[Byte]): Seq[VideoFrame] = {
+      try {
+        if (b.length < 12 || new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+            new String(b, 8, 4, "US-ASCII") != "AVI ") return Nil
+        val frames = scala.collection.mutable.ArrayBuffer.empty[VideoFrame]
+        walkChunks(b, 12, b.length) { (t, o, l) =>
+          if (t == "LIST" && l >= 4 &&
+              new String(b, o, 4, "US-ASCII") == "movi") {
+            walkChunks(b, o + 4, o + l) { (ct, co, cl) =>
+              if (ct == "00dc" || ct == "00db") {
+                CompressedImage.readImage(java.util.Arrays.copyOfRange(b, co, co + cl))
+                  .foreach(img => frames += frameSums(frames.length, id, img))
+              }
+            }
+          }
+        }
+        frames.toSeq
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    }
   }
 
   /** Fingerprint audio payloads — the feature-extract stage feeding

@@ -151,6 +151,28 @@ object MultimodalQ {
       "sum_pcm", "min_pcm", "max_pcm")
   }
 
+  /** REAL video decode: deterministic Motion-PNG AVI per document
+    * (frame count / dimensions derived from the byte length, frame f's
+    * pixels from the m02 closed form at seed `n + 131*f`) → RIFF container
+    * walk → per-frame `javax.imageio` decode → exact per-frame channel
+    * sums. The genuine video path (container + frame codec both real);
+    * only inter-frame codecs (H.264/MP3) remain behind [[Multimodal.DecodeStub]]. */
+  def videoDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seeded = Tables(s, dir).documents
+      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
+      .as[(Long, Long)]
+    val frames = seeded.mapPartitions(_.flatMap { case (id, n) =>
+      val w = (n % 13).toInt + 4
+      val h = ((n / 13) % 11).toInt + 4
+      val nf = (n % 5).toInt + 2
+      val avi = Multimodal.MjpegAvi.renderAvi(n, nf, w, h)
+      Multimodal.MjpegAvi.decode(id, avi)
+    })
+    frames.toDF().select("doc_id", "frame_idx", "width", "height",
+      "sum_r", "sum_g", "sum_b")
+  }
+
   /** Video-side plumbing as a gated query: [[Multimodal.sampleFrames]]
     * slices each "video" payload into fixed-size frames keeping every
     * 3rd (pure binary-substring column ops, no UDF), then each sampled
@@ -174,7 +196,8 @@ object MultimodalQ {
     "m06_image_phash" -> (imagePhash _),
     "m07_audio_fingerprint" -> (audioFingerprint _),
     "m08_adpcm_decode" -> (adpcmDecode _),
-    "m09_frame_dedup" -> (frameDedup _))
+    "m09_frame_dedup" -> (frameDedup _),
+    "m10_video_decode" -> (videoDecode _))
 
   /** Video frame-level dedup — the frame-granularity analog of d13's
     * segment dedup, over m04's sampled-frame table: a frame is SHARED
@@ -435,6 +458,25 @@ object MultimodalQ {
         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |       dhash, MIN(doc_id) OVER (PARTITION BY dhash) AS cluster_id
         |FROM hashes""".stripMargin,
+    // m10: the m02 closed form lifted one level — per FRAME, with frame
+    // f's seed shifted by 131*f (what renderAvi encodes losslessly)
+    "m10_video_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |         (octet_length(encode(text)) % 13) + 4 AS w,
+        |         ((octet_length(encode(text)) // 13) % 11) + 4 AS h,
+        |         (octet_length(encode(text)) % 5) + 2 AS nf
+        |  FROM documents)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(SUM((3 * x + 7 * y + n + 131 * f) % 256) AS BIGINT) AS sum_r,
+        |       CAST(SUM((3 * x + 7 * y + 11 + n + 131 * f) % 256) AS BIGINT) AS sum_g,
+        |       CAST(SUM((3 * x + 7 * y + 22 + n + 131 * f) % 256) AS BIGINT) AS sum_b
+        |FROM dims,
+        |     UNNEST(generate_series(0, nf - 1)) AS uf(f),
+        |     UNNEST(generate_series(0, w - 1)) AS ux(x),
+        |     UNNEST(generate_series(0, h - 1)) AS uy(y)
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
     "m02_image_decode" ->
       """WITH dims AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

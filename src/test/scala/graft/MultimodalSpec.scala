@@ -193,6 +193,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.ImaAdpcm.decode(8L, evil2).isEmpty)
   }
 
+  test("MJPEG-in-AVI: container walk + per-frame ImageIO decode match the " +
+       "closed-form sums exactly (Motion-PNG frames)") {
+    val (seed, nf, w, h) = (77L, 4, 9, 7)
+    val avi = Multimodal.MjpegAvi.renderAvi(seed, nf, w, h)
+    val frames = Multimodal.MjpegAvi.decode(5L, avi)
+    assert(frames.length == nf)
+    for (fr <- frames) {
+      assert(fr.doc_id == 5L && fr.width == w && fr.height == h)
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        er += (3L * x + 7L * y + seed + 131L * fr.frame_idx) % 256
+        eg += (3L * x + 7L * y + 11 + seed + 131L * fr.frame_idx) % 256
+        eb += (3L * x + 7L * y + 22 + seed + 131L * fr.frame_idx) % 256
+      }
+      assert((fr.sum_r, fr.sum_g, fr.sum_b) == ((er, eg, eb)),
+        s"frame ${fr.frame_idx}")
+    }
+  }
+
+  test("MJPEG-in-AVI: real JPEG frames decode through the same seam " +
+       "(lossy, so only shape is asserted)") {
+    val avi = Multimodal.MjpegAvi.renderAvi(9L, 3, 16, 16, format = "jpeg")
+    val frames = Multimodal.MjpegAvi.decode(1L, avi)
+    assert(frames.length == 3)
+    assert(frames.forall(f => f.width == 16 && f.height == 16))
+  }
+
+  test("MJPEG-in-AVI: hostile bytes — garbage, truncation, wrapped chunk " +
+       "lengths — yield Nil or fewer frames, and always terminate") {
+    val M = Multimodal.MjpegAvi
+    assert(M.decode(1L, Array[Byte](1, 2, 3)).isEmpty)
+    assert(M.decode(2L, "RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    val avi = M.renderAvi(3L, 3, 8, 8)
+    // truncated mid-movi: decodable prefix only, no crash
+    assert(M.decode(3L, avi.take(avi.length / 2)).length < 3)
+    // hostile 32-bit length on the hdrl LIST (offset 12..15 is 'LIST',
+    // 16..19 its length): 0xFFFFFFFF must not wrap the walk
+    val evil = avi.clone()
+    evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xff.toByte
+    assert(M.decode(4L, evil).isEmpty) // walk ends at the unfit chunk
+    // a frame chunk ImageIO cannot read is skipped, not fatal: corrupt
+    // the first movi frame's PNG magic
+    val movi = {
+      // find 'movi' then the first '00dc' payload start
+      val s2 = new String(avi.map(_.toChar))
+      s2.indexOf("00dc") + 8
+    }
+    val oneBad = avi.clone()
+    oneBad(movi) = 'X'.toByte
+    assert(M.decode(5L, oneBad).length == 2)
+  }
+
   test("incremental hamming near-dup == full rerun restricted to new ids " +
        "(the incremental-dedup contract, image-hash modality)") {
     import spark.implicits._

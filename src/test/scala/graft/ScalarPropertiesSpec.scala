@@ -40,6 +40,27 @@ class ScalarPropertiesSpec extends AnyFunSuite {
       Multimodal.CompressedImage.decode(1L, b)
       Multimodal.CompressedImage.decodeTiles(1L, b, 4)
       Multimodal.CompressedImage.dhash(1L, b)
+      Multimodal.MjpegAvi.decode(1L, b)        // Seq, never a throw
+      Multimodal.PcmWav.decode(1L, b)
+      Multimodal.Ppm.decode(1L, b)
+    }
+    // AVI-magic biased corpus: get past the RIFF/'AVI ' guard so the
+    // chunk walk itself is fuzzed (random bytes essentially never spell
+    // both magics — the gap that hid the ADPCM wrapped-length wedge)
+    val aviGen: Gen[Array[Byte]] = bytesGen.map { b =>
+      "RIFF".getBytes("US-ASCII") ++ b.take(4).padTo(4, 0.toByte) ++
+        "AVI ".getBytes("US-ASCII") ++ b
+    }
+    for (b <- sample(aviGen, 200)) Multimodal.MjpegAvi.decode(1L, b)
+    // same for WAVE: fuzz the ADPCM/G.711/PCM chunk walks past the magic
+    val waveGen: Gen[Array[Byte]] = bytesGen.map { b =>
+      "RIFF".getBytes("US-ASCII") ++ b.take(4).padTo(4, 0.toByte) ++
+        "WAVE".getBytes("US-ASCII") ++ b
+    }
+    for (b <- sample(waveGen, 200)) {
+      Multimodal.ImaAdpcm.decode(1L, b)
+      Multimodal.CompressedAudio.decode(1L, b)
+      Multimodal.PcmWav.decode(1L, b)
     }
   }
 
