@@ -77,7 +77,11 @@ object Bench {
     // the per-query numbers should reflect that steady state)
     graft.meta.MetadataStar.materialize(spark, sfDir)
     graft.store.Registries.materialize(spark, sfDir)
-    val results = names.map { n =>
+    // mid-run contention samples: endpoints alone miss a co-scheduled
+    // job that starts after the first spin and ends before the last
+    val midSpins = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val results = names.zipWithIndex.map { case (n, i) =>
+      if (i % 15 == 14) midSpins += calibSpin()
       val c0 = spark.sparkContext.getPersistentRDDs.size
       val r1 = runOnce(sfDir, n)
       val c1 = spark.sparkContext.getPersistentRDDs.size
@@ -101,15 +105,16 @@ object Bench {
     // the quiet floor is the min across both sampling points (either may
     // itself be contended); flag when the OTHER point sits >2x above it,
     // or when the box-wide runqueue clearly exceeds this JVM's own load
-    val calibFloor = math.min(calibQuiet, calibAfter)
-    val contended = math.max(calibQuiet, calibAfter) > calibFloor * 2.0 ||
+    val calibFloor = (Seq(calibQuiet, calibAfter) ++ midSpins).min
+    val calibWorst = (Seq(calibQuiet, calibAfter) ++ midSpins).max
+    val contended = calibWorst > calibFloor * 2.0 ||
       (loadAvg > 0 && loadAvg > nCores * 1.5)
     def f(v: Double) = if (v < 0) "-1" else f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val cal = s""""contended":$contended,"calib_quiet":${f(calibQuiet)},""" +
-      s""""calib_after":${f(calibAfter)},"load_avg":${f(loadAvg)},"cores":$nCores"""
+    val cal = s""""contended":$contended,"calib_floor":${f(calibFloor)},""" +
+      s""""calib_worst":${f(calibWorst)},"load_avg":${f(loadAvg)},"cores":$nCores"""
     println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir",$cal,"value":${f(total)}}""")
     // the harness keeps only the tail of stdout (r6's line truncated before
     // d01-d10); persist the complete per-query map in-repo so round-over-

@@ -179,6 +179,23 @@ object SimilarityQ {
       nQueries = 3, nProbe = 2, topK = 10)
   }
 
+  /** e10's steady-state twin: the ADC probe against the STORED
+    * cell-partitioned code lists ([[graft.store.Registries.ivfPqCodesDir]]
+    * — the physical layout IvfPq's scaladoc promises). The probed cells
+    * become a partition filter, so the scan opens nProbe/nCells of the
+    * files (IvfPqSpec gates the pruned file count); e10 itself re-encodes
+    * the corpus inline (the build worst case). Search output is identical
+    * by construction (spec-proven), so the oracle is e10's. */
+  def ivfPqStored(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = graft.similarity.IvfPq.seedCentroids(e, nCells = 8)
+    val cb = graft.similarity.IvfPq.residualCodebook(e, cents, dims = 64,
+      m = 8, seedFrom = 8)
+    graft.similarity.IvfPq.searchStored(
+      graft.store.Registries.ivfPqCodesDir(s, dir), e, cents, cb,
+      dims = 64, m = 8, nQueries = 3, nProbe = 2, topK = 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_knn_brute"      -> (knnBrute _),
     "e02_cosine_neardup" -> (cosineNearDup _),
@@ -190,7 +207,8 @@ object SimilarityQ {
     "e07b_incr_neardup_stored" -> (incrementalNearDupStored _),
     "e08_pq_encode"      -> (pqEncode _),
     "e09_pq_adc"         -> (pqAdc _),
-    "e10_ivfpq"          -> (ivfPq _))
+    "e10_ivfpq"          -> (ivfPq _),
+    "e10b_ivfpq_stored"  -> (ivfPqStored _))
 
   // Shared oracle scaffolding, in lockstep with Knn.dotExact/cosine:
   // each element quantizes to the INTEGER round_even(double(x)·1e9) —
@@ -382,6 +400,7 @@ object SimilarityQ {
   val oracles: Map[String, String] = Map(
     "e06_kmeans_lloyd" -> kmeansOracleSql(64),
     "e10_ivfpq" -> ivfPqOracle,
+    "e10b_ivfpq_stored" -> ivfPqOracle,
     "e08_pq_encode" ->
       s"""WITH $pqCte
          |SELECT id AS vec_id,

@@ -81,9 +81,40 @@ object IvfPq {
     * excluded. The codes table joins a BROADCAST distance table on
     * (cell, sub, code) — unprobed cells never leave the scan. */
   def search(emb: DataFrame, cents: DataFrame, cb: DataFrame, dims: Int,
-             m: Int, nQueries: Int, nProbe: Int, topK: Int): DataFrame = {
-    val codes = encode(emb, cents, cb, dims, m)
-    val probes = KMeansExact.quantize(emb.filter(col("id") < nQueries))
+             m: Int, nQueries: Int, nProbe: Int, topK: Int): DataFrame =
+    searchCodes(encode(emb, cents, cb, dims, m), emb, cents, cb, dims, m,
+      nQueries, nProbe, topK)
+
+  /** Write the stored index CELL-PARTITIONED — the physical layout the
+    * scaladoc promises: one directory per coarse cell, so a probe list
+    * becomes a partition filter and the scan reads nProbe/nCells of the
+    * files (IvfPqSpec measures the pruned file count). At 100 TB, append
+    * new days' codes into the same cell dirs. */
+  def writeCodes(codes: DataFrame, dir: String): Unit =
+    codes.write.mode("overwrite").partitionBy("cell").parquet(dir)
+
+  /** ADC search probing a STORED cell-partitioned codes table. The probed
+    * cell ids (at most nQueries x nProbe — a bounded driver-scale contract
+    * point, like the model artifacts this index already broadcasts) become
+    * a literal partition filter on the codes read, so unprobed cells'
+    * files are never opened, let alone scanned. */
+  def searchStored(codesDir: String, emb: DataFrame, cents: DataFrame,
+                   cb: DataFrame, dims: Int, m: Int, nQueries: Int,
+                   nProbe: Int, topK: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val probedCells = probeCells(emb, cents, nQueries, nProbe)
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
+    val codes = spark.read.parquet(codesDir)
+      .filter(col("cell").isin(probedCells.map(_.asInstanceOf[Any]): _*))
+      .select(col("id"), col("cell"), col("sub"), col("code"))
+    searchCodes(codes, emb, cents, cb, dims, m, nQueries, nProbe, topK)
+  }
+
+  /** (qid, cell, qr): each query's nProbe nearest cells + its residual
+    * against each probed centroid. */
+  private def probeCells(emb: DataFrame, cents: DataFrame, nQueries: Int,
+                         nProbe: Int): DataFrame =
+    KMeansExact.quantize(emb.filter(col("id") < nQueries))
       .crossJoin(broadcast(cents))
       .withColumn("d", VectorExpressions.intVecSqDist(col("q"), col("cellq")))
       .withColumn("prk", row_number().over(
@@ -92,6 +123,13 @@ object IvfPq {
       .filter(col("prk") <= nProbe)
       .select(col("id").as("qid"), col("cell"),
         zip_with(col("q"), col("cellq"), (a, b) => a - b).as("qr"))
+
+  /** The search tail over an already-available codes table (in-memory or
+    * the stored cell-partitioned read). */
+  def searchCodes(codes: DataFrame, emb: DataFrame, cents: DataFrame,
+                  cb: DataFrame, dims: Int, m: Int, nQueries: Int,
+                  nProbe: Int, topK: Int): DataFrame = {
+    val probes = probeCells(emb, cents, nQueries, nProbe)
     val dt = Pq.subspaceSplit(probes, "qr", dims, m, keep = Seq("qid", "cell"))
       .join(broadcast(cb), Seq("sub"))
       .select(col("qid"), col("cell"), col("sub"), col("code"),

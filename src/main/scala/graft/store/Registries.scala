@@ -32,18 +32,21 @@ object Registries {
     * returns a fresh parquet read of the stored artifact. Keyed on the
     * FULL sanitized dir path (same rationale as MetadataStar: a 32-bit
     * hash could let colliding dirs share state). */
-  private def materialized(s: SparkSession, dir: String, name: String)
-                          (build: => DataFrame): DataFrame = {
+  private def materializedDir(dir: String, name: String)
+                             (write: String => Unit): String = {
     val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = s"$cacheRoot/$dirKey/$name"
     written.synchronized {
-      if (!written.contains(path)) {
-        build.write.mode("overwrite").parquet(path)
-        written += path
-      }
+      if (!written.contains(path)) { write(path); written += path }
     }
-    s.read.parquet(path)
+    path
   }
+
+  private def materialized(s: SparkSession, dir: String, name: String)
+                          (build: => DataFrame): DataFrame =
+    s.read.parquet(materializedDir(dir, name) { path =>
+      build.write.mode("overwrite").parquet(path)
+    })
 
   /** Stored MinHash signature table (even-id docs): what
     * [[graft.dedup.MinHashLsh.incrementalNearDupFromSig]] probes. The md5
@@ -82,6 +85,21 @@ object Registries {
         .select("shingle").distinct()
     }
 
+  /** Stored IVF+PQ code lists, CELL-PARTITIONED parquet
+    * ([[graft.similarity.IvfPq.writeCodes]], the e10 model parameters):
+    * what [[graft.similarity.IvfPq.searchStored]] probes with a
+    * partition-pruned read. Returns the table's directory. */
+  def ivfPqCodesDir(s: SparkSession, dir: String): String =
+    materializedDir(dir, "ivfpq_codes") { path =>
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = graft.similarity.IvfPq.seedCentroids(e, nCells = 8)
+      val cb = graft.similarity.IvfPq.residualCodebook(e, cents, dims = 64,
+        m = 8, seedFrom = 8)
+      graft.similarity.IvfPq.writeCodes(
+        graft.similarity.IvfPq.encode(e, cents, cb, dims = 64, m = 8), path)
+    }
+
   /** Force every bench-relevant registry for `dir` onto disk — benches
     * call this in their (untimed) setup, mirroring
     * [[graft.meta.MetadataStar.materialize]]: per-query timings then
@@ -90,6 +108,7 @@ object Registries {
     minhashSignatures(s, dir).head(1)
     embBuckets(s, dir).head(1)
     trainShingles(s, dir).head(1)
+    ivfPqCodesDir(s, dir)
     ()
   }
 }

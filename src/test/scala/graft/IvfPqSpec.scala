@@ -79,6 +79,54 @@ class IvfPqSpec extends AnyFunSuite {
     assert(!rows.exists(r => r._1 == r._2))
   }
 
+  test("stored cell-partitioned codes: probe reads ONLY the probed cells' " +
+       "files (partition-pruned scan), result equal to the in-memory search") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_codes").toString
+    IvfPq.writeCodes(IvfPq.encode(emb, cents, cb, dims, m), dir)
+    val allCellDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).toSeq
+    assert(allCellDirs.size == nCells, s"expected $nCells cell dirs")
+    def filesUnder(d: java.io.File) =
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    val totalFiles = allCellDirs.map(filesUnder).sum
+
+    val stored = IvfPq.searchStored(dir, emb, cents, cb, dims, m,
+      nQueries = 1, nProbe = 2, topK = 5)
+    val inMem = IvfPq.search(emb, cents, cb, dims, m,
+      nQueries = 1, nProbe = 2, topK = 5)
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    assert(key(stored) == key(inMem))
+
+    // the probe is a PHYSICAL partition-pruned read: the scan's numFiles
+    // metric covers the probed cells only (probesOf(0) = 2 of 4 cells)
+    def scans(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scans(r.child)
+      case other =>
+        (other.children ++ other.subqueries).flatMap(scans)
+    }
+    val codeScans = scans(stored.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("ivfpq_codes")))
+    assert(codeScans.nonEmpty,
+      "codes scan not found in plan: " + stored.queryExecution.executedPlan)
+    val probed = probesOf(0L).toSet
+    val expectedFiles = allCellDirs
+      .filter(d => probed.contains(d.getName.stripPrefix("cell=").toInt))
+      .map(filesUnder).sum
+    val numFiles = codeScans.map(_.metrics("numFiles").value).sum
+    assert(numFiles == expectedFiles && numFiles < totalFiles,
+      s"scan read $numFiles files; expected $expectedFiles of $totalFiles")
+  }
+
   test("plans: model artifacts broadcast; no sort-merge join, no cartesian") {
     for (df <- Seq(IvfPq.encode(emb, cents, cb, dims, m),
                    IvfPq.search(emb, cents, cb, dims, m, 3, 2, 10))) {
