@@ -263,14 +263,18 @@ class PlanQualitySpec extends AnyFunSuite {
       "one broadcast + one aggregation exchange expected\n" + p)
   }
 
-  test("ngram contamination: one shingle-keyed outer join, no pair blowup") {
+  test("ngram contamination: single corpus scan, join-free, shingle-keyed " +
+       "window") {
     val p = plan("q57_ngram_contamination")
     assert(!p.contains("CartesianProduct"), p)
-    // exactly one join (eval shingles ⟕ distinct train shingles) — a
-    // doc-doc pair join would show as a second one
-    assert(p.linesIterator.count(_.contains("SortMergeJoin")) +
-      p.linesIterator.count(_.contains("HashJoin")) == 1, p)
-    assert(p.contains("LeftOuter"), "train-set probe must stay an outer join\n" + p)
+    // the r8 single-scan shape: NO join anywhere — train membership is a
+    // window max over the shingle key on the one exploded shingle table
+    assert(!p.contains("Join"), "q57 must stay join-free\n" + p)
+    assert(p.contains("windowspecdefinition(sh"),
+      "train-hit must come from a shingle-partitioned window\n" + p)
+    assert(p.sliding("documents.parquet".length)
+      .count(_ == "documents.parquet") == 1,
+      "q57 must scan documents exactly once\n" + p)
   }
 
   test("stored-registry twins probe parquet registries, never rebuild " +
@@ -286,13 +290,12 @@ class PlanQualitySpec extends AnyFunSuite {
       "d26b must scan the stored signature registry" + BNL + d26b)
     assert(scans(d26b, "documents.parquet") < scans(d26, "documents.parquet"),
 "d26b still rebuilds the stored-side signatures" + BNL + d26b)
-    // q57b: the train corpus is never re-shingled — one documents scan
-    // (the 2% eval slice), the train side is the registry parquet
-    val q57  = plan("q57_ngram_contamination")
+    // q57b: the train corpus is never re-shingled — exactly one documents
+    // scan (the 2% eval slice); the train side is the registry parquet
     val q57b = plan("q57b_contamination_stored")
     assert(q57b.contains("graft_registry"), q57b)
-    assert(scans(q57b, "documents.parquet") < scans(q57, "documents.parquet"),
-"q57b still re-shingles the train corpus" + BNL + q57b)
+    assert(scans(q57b, "documents.parquet") == 1,
+      "q57b must scan documents exactly once (the eval slice)" + BNL + q57b)
     // e07b: history's buckets come from the registry scan, and only the
     // new batch is hashed — at most 5 embeddings scans (the new-side
     // bucket table referenced by both candidate arms + the id_a/id_b
@@ -373,6 +376,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "q28_pivot_matrix",     // explicit 3x4 grid fill: range crossJoin, broadcast
       "e09_pq_adc",           // ADC table: codebook x query, both require-capped
       "e10_ivfpq",            // same ADC shape per probed cell
+      "e10b_ivfpq_stored",    // same ADC shape, probing the stored cells
       "d27_mixture_plan",     // per-source weights x ONE global-budget row
       "e01_knn_brute",        // brute-force baseline IS all-pairs by contract
       "e02_cosine_neardup",   // exact verification path (sketch path is e03)
