@@ -234,6 +234,59 @@ object ScaleProbe {
         "doc_id", "dhash", maxDist = 2, chunks = 4,
         maxChunkBucket = Some(256), bits = 24).count()
     }
+
+    // --- adversarial d04 at 64x: a heavily-templated corpus, the posting
+    // cap's worst case. Every copy shares a ~35-word boilerplate template
+    // and diverges only in a short tail, so nearly every trigram shingle
+    // is corpus-wide: the stop-shingle preprocessing must absorb ALL of
+    // it (df cap) and the capped posting lists must stay bounded instead
+    // of fanning 64k^2 pairs through the hot shingles. Watch for a cliff:
+    // wall time should stay ~linear in corpus size across the cap values.
+    val template = (1 to 35).map(i => s"boiler$i plate$i").mkString(" ")
+    val tfac = 64
+    val templated = t.documents.limit(1000)
+      .crossJoin(spark.range(tfac).toDF("copy"))
+      .withColumn("doc_id", col("doc_id") * tfac + col("copy"))
+      .withColumn("text", concat(lit(template), lit(" "),
+        substring(col("text"), 1, 60), lit(" tail"), col("copy")))
+      .drop("copy").repartition(32).cache()
+    println(s"templated corpus: ${templated.count()} docs (64x, shared boilerplate)")
+    for (cap <- Seq(64, 256, 1024))
+      time(s"d04_templated_cap$cap") {
+        graft.dedup.Shingles.jaccardPairs(templated, "doc_id", "text", 3, 0.5,
+          Some(cap)).count()
+      }
+
+    // --- registry growth: 50 simulated daily drops. Each drop signs ~2%
+    // of the corpus and probes the signature registry accumulated from
+    // every earlier drop (the d26b shape). The quantity under test is the
+    // probe-cost CURVE as the registry grows 49x: the band join should
+    // grow with registry size only through the banding index, not through
+    // any history re-signing.
+    println("== registry growth: 50 daily drops ==")
+    val regDir = java.nio.file.Files.createTempDirectory("probe_reg").toString
+    val reportAt = Set(1, 2, 10, 25, 50)
+    var drop = 0
+    while (drop < 50) {
+      val batch = t.documents.filter(col("doc_id") % 50 === drop)
+      val newSig = graft.dedup.MinHashLsh.signatures(batch, "doc_id", "text")
+        .cache()
+      newSig.count()
+      if (drop == 0) newSig.write.mode("overwrite").parquet(regDir)
+      else {
+        val stored = spark.read.parquet(regDir)
+        val t0 = System.nanoTime()
+        val pairs = graft.dedup.MinHashLsh.incrementalNearDupFromSig(
+          newSig, stored, "doc_id", minEstJaccard = 0.5)._1.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (reportAt(drop + 1))
+          println(f"drop ${drop + 1}%2d: probe $dt%6.3f s " +
+            f"($pairs pairs, registry ${stored.count()} sigs)")
+        newSig.write.mode("append").parquet(regDir)
+      }
+      newSig.unpersist()
+      drop += 1
+    }
     spark.stop()
   }
 }

@@ -14,11 +14,11 @@ import org.apache.spark.storage.StorageLevel
   *
   * Algorithm: min-label propagation with pointer jumping. Each round every
   * node takes the min of its own and its neighbors' labels (join +
-  * groupBy on the node key), then follows its label one hop through the
-  * label table (`l(id) := l(l(id))`, one more join) — the pointer jump
-  * halves the distance a min label still has to travel, so rounds are
-  * O(log diameter) instead of O(diameter); dedup graphs (near-cliques)
-  * converge in 2–3. Every round is lineage-truncated with
+  * groupBy on the node key), then follows its label TWO hops through the
+  * label table (`l := l(l(l))`, two joins against the same persisted
+  * table) — each jump shrinks the distance a min label still has to
+  * travel, so rounds are O(log diameter) instead of O(diameter); dedup
+  * graphs (near-cliques) converge in 2–3. Every round is lineage-truncated with
   * `localCheckpoint`: iterative plans otherwise grow exponentially (each
   * round references the previous twice) until the driver OOMs building the
   * plan string — the classic Spark iterative-algorithm trap.
@@ -159,13 +159,20 @@ object ConnectedComponents {
         .unionByName(labels)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // pointer jump: l(id) := l(l(id)) — labels are always node ids of the
-      // same component, so the jump stays inside it
-      val next = neigh
-        .join(neigh.select(col("id").as("cluster_id"), col("cluster_id").as("__jump")),
-          Seq("cluster_id"), "left")
+      // pointer jump, TWO hops per round: l := l(l(l)) — labels always
+      // point inside their component and are monotone non-increasing, so
+      // any number of jumps per round is safe; the second hop cuts the
+      // round count from ~log2(diameter) to ~log3 for the price of one
+      // extra join against the SAME persisted label table. Rounds are
+      // where the cost sits at cluster scale (each is a full shuffle
+      // barrier) and in contended local runs (each is a separate job
+      // chain exposed to scheduling noise).
+      val jumpTbl = neigh
+        .select(col("id").as("cluster_id"), col("cluster_id").as("__jump"))
+      def hop(labelTbl: DataFrame): DataFrame = labelTbl
+        .join(jumpTbl, Seq("cluster_id"), "left")
         .select(col("id"), coalesce(col("__jump"), col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(false)
+      val next = hop(hop(neigh)).localCheckpoint(false)
       val s = next.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
       // next's checkpoint blocks now hold the round result — neigh's cache
       // is dead weight (one cached table per round otherwise accumulates)

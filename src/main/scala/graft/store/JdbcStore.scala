@@ -34,17 +34,23 @@ import org.apache.spark.sql.types._
   * where the snapshot path would keep both rows).
   *
   * Tested against embedded Derby (the in-JVM DBMS on the Spark classpath).
-  * The SQL targets MERGE-capable, ANSI-double-quote-identifier DBMSs —
-  * Derby, Postgres 15+, Oracle, SQL Server work by switching the URL;
-  * MySQL (backtick quoting, no MERGE — INSERT .. ON DUPLICATE KEY instead)
-  * would need a dialect layer over `q()` and [[upsert]].
+  * Mutation SQL is emitted per [[StoreDialect]]: the ANSI arm (MERGE +
+  * double-quote identifiers) covers Derby, Postgres 15+, Oracle, SQL
+  * Server; the MySQL arm (the reference's production DBMS — igfTables.py
+  * targets InnoDB) uses backtick quoting and emulates the MERGE contract
+  * with a set-based UPDATE..JOIN + NOT-EXISTS INSERT in one transaction
+  * (ON DUPLICATE KEY would silently require a UNIQUE index on `keys`).
+  * The dialect is picked from the URL; no MySQL server exists in this
+  * container, so the MySQL arm is pinned by StoreDialectSpec at the
+  * emitted-SQL level while Derby exercises the full contract live.
   */
 final class JdbcStore(spark: SparkSession, url: String,
                       props: Properties = new Properties,
                       varcharLen: Int = 1024) extends Store {
   JdbcStore.quietDerby()
 
-  private def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+  private val dialect: StoreDialect = StoreDialect.forUrl(url)
+  private def q(ident: String): String = dialect.quote(ident)
 
   private def withConn[A](f: Connection => A): A = {
     val conn = java.sql.DriverManager.getConnection(url, props)
@@ -53,6 +59,17 @@ final class JdbcStore(spark: SparkSession, url: String,
 
   private def exec(sql: String): Int = withConn { c =>
     val st = c.createStatement(); try st.executeUpdate(sql) finally st.close()
+  }
+
+  /** Run several statements atomically (the MySQL upsert emulation needs
+    * UPDATE + INSERT to land together); returns the summed update count. */
+  private def execAll(sqls: Seq[String]): Int = withConn { c =>
+    c.setAutoCommit(false)
+    try {
+      val st = c.createStatement()
+      val n = try sqls.map(st.executeUpdate).sum finally st.close()
+      c.commit(); n
+    } catch { case e: Throwable => c.rollback(); throw e }
   }
 
   override def exists(name: String): Boolean = withConn { c =>
@@ -149,12 +166,16 @@ final class JdbcStore(spark: SparkSession, url: String,
 
   /** Stage `df` into `<name>__stage` (partition-parallel), run `sql` against
     * it as one statement, drop the stage. Returns the statement's row count. */
-  private def viaStage(name: String, df: DataFrame)(sql: String => String): Int = {
+  private def viaStage(name: String, df: DataFrame)(sql: String => String): Int =
+    viaStageAll(name, df)(stage => Seq(sql(stage)))
+
+  private def viaStageAll(name: String, df: DataFrame)
+                         (sqls: String => Seq[String]): Int = {
     val stage = name + "__stage"
     dropIfExists(stage)
     createEmpty(stage, df.schema)
     appendRows(stage, df)
-    try exec(sql(q(stage))) finally dropIfExists(stage)
+    try execAll(sqls(q(stage))) finally dropIfExists(stage)
   }
 
   override def insertIfAbsent(name: String, df: DataFrame, keys: Seq[String]): Long = {
@@ -175,17 +196,9 @@ final class JdbcStore(spark: SparkSession, url: String,
     val fresh = Store.normalize(df)
     if (!exists(name)) { createEmpty(name, fresh.schema); appendRows(name, fresh) }
     else {
-      val cols = fresh.schema.fieldNames
-      val nonKeys = cols.filterNot(keys.contains)
-      val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
-      val matchedArm =
-        if (nonKeys.isEmpty) ""
-        else "WHEN MATCHED THEN UPDATE SET " +
-          nonKeys.map(c => s"${q(c)} = s.${q(c)}").mkString(", ") + "\n"
-      viaStage(name, fresh) { stage =>
-        s"MERGE INTO ${q(name)} t USING $stage s ON $on\n" + matchedArm +
-          s"WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")}) " +
-          s"VALUES (${cols.map(c => "s." + q(c)).mkString(", ")})"
+      val cols = fresh.schema.fieldNames.toSeq
+      viaStageAll(name, fresh) { stage =>
+        dialect.upsertSql(q(name), stage, cols, keys)
       }
       ()
     }
@@ -193,9 +206,8 @@ final class JdbcStore(spark: SparkSession, url: String,
 
   override def delete(name: String, keysDf: DataFrame, keys: Seq[String]): Unit = {
     val keyFrame = keysDf.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct()
-    val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
     viaStage(name, keyFrame) { stage =>
-      s"DELETE FROM ${q(name)} t WHERE EXISTS (SELECT 1 FROM $stage s WHERE $on)"
+      dialect.deleteWhereExistsSql(q(name), stage, keys)
     }
     ()
   }
@@ -208,16 +220,14 @@ final class JdbcStore(spark: SparkSession, url: String,
   override def deleteCascade(parent: String, keysDf: DataFrame, keys: Seq[String],
                              children: Seq[(String, String)]): Unit = {
     val keyFrame = keysDf.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct()
-    val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
     val stage = parent + "__stage"
     dropIfExists(stage)
     createEmpty(stage, keyFrame.schema)
     appendRows(stage, keyFrame)
     try {
-      exec(s"DELETE FROM ${q(parent)} t WHERE EXISTS (SELECT 1 FROM ${q(stage)} s WHERE $on)")
+      exec(dialect.deleteWhereExistsSql(q(parent), q(stage), keys))
       children.foreach { case (child, fk) =>
-        exec(s"""DELETE FROM ${q(child)} c WHERE EXISTS
-                |(SELECT 1 FROM ${q(stage)} s WHERE s.${q(keys.head)} = c.${q(fk)})""".stripMargin)
+        exec(dialect.deleteChildSql(q(child), q(stage), keys.head, fk))
       }
     } finally dropIfExists(stage)
   }
