@@ -258,31 +258,46 @@ object ScaleProbe {
       }
 
     // --- registry growth: 50 simulated daily drops. Each drop signs ~2%
-    // of the corpus and probes the signature registry accumulated from
-    // every earlier drop (the d26b shape). The quantity under test is the
-    // probe-cost CURVE as the registry grows 49x: the band join should
-    // grow with registry size only through the banding index, not through
-    // any history re-signing.
+    // of the corpus and probes the registry accumulated from every
+    // earlier drop (the d26b shape). The quantity under test is the
+    // probe-cost CURVE as the registry grows 49x. Both probe shapes are
+    // measured: re-banding the stored signature table per drop (the r7
+    // API — cost grows with registry size because the stored side's
+    // banding is recomputed every day), and joining the DURABLE band
+    // index (`incrementalNearDupFromIndex` — the banding is stored state,
+    // so the probe pays only the batch's bands + matched buckets; this
+    // probe's finding, now the d26b production shape).
     println("== registry growth: 50 daily drops ==")
-    val regDir = java.nio.file.Files.createTempDirectory("probe_reg").toString
-    val reportAt = Set(1, 2, 10, 25, 50)
+    val sigDir = java.nio.file.Files.createTempDirectory("probe_sig").toString
+    val bandDir = java.nio.file.Files.createTempDirectory("probe_band").toString
+    val reportAt = Set(2, 10, 25, 50)
     var drop = 0
     while (drop < 50) {
       val batch = t.documents.filter(col("doc_id") % 50 === drop)
       val newSig = graft.dedup.MinHashLsh.signatures(batch, "doc_id", "text")
         .cache()
       newSig.count()
-      if (drop == 0) newSig.write.mode("overwrite").parquet(regDir)
-      else {
-        val stored = spark.read.parquet(regDir)
+      val newBands = graft.dedup.MinHashLsh.bandIndex(newSig, "doc_id")
+      if (drop == 0) {
+        newSig.write.mode("overwrite").parquet(sigDir)
+        newBands.write.mode("overwrite").parquet(bandDir)
+      } else {
+        val storedSig = spark.read.parquet(sigDir)
         val t0 = System.nanoTime()
-        val pairs = graft.dedup.MinHashLsh.incrementalNearDupFromSig(
-          newSig, stored, "doc_id", minEstJaccard = 0.5)._1.count()
-        val dt = (System.nanoTime() - t0) / 1e9
+        val pairsResign = graft.dedup.MinHashLsh.incrementalNearDupFromSig(
+          newSig, storedSig, "doc_id", minEstJaccard = 0.5)._1.count()
+        val t1 = System.nanoTime()
+        val pairsIndex = graft.dedup.MinHashLsh.incrementalNearDupFromIndex(
+          newSig, spark.read.parquet(bandDir), storedSig, "doc_id",
+          minEstJaccard = 0.5)._1.count()
+        val t2 = System.nanoTime()
+        require(pairsResign == pairsIndex, "probe shapes disagree")
         if (reportAt(drop + 1))
-          println(f"drop ${drop + 1}%2d: probe $dt%6.3f s " +
-            f"($pairs pairs, registry ${stored.count()} sigs)")
-        newSig.write.mode("append").parquet(regDir)
+          println(f"drop ${drop + 1}%2d: resign ${(t1 - t0) / 1e9}%6.3f s | " +
+            f"index ${(t2 - t1) / 1e9}%6.3f s " +
+            f"($pairsIndex pairs, registry ${storedSig.count()} sigs)")
+        newSig.write.mode("append").parquet(sigDir)
+        newBands.write.mode("append").parquet(bandDir)
       }
       newSig.unpersist()
       drop += 1

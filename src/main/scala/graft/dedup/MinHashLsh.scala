@@ -82,6 +82,18 @@ object MinHashLsh {
     * equality is all that matters), but engine-computable for the oracle
     * at the cost of wider shuffle keys; the hashed default stays the
     * 100 TB path. */
+  /** Public builder for the DURABLE band index: the registry a daily-crawl
+    * deployment stores alongside the signature table, so each increment
+    * probes it directly instead of re-banding the entire history
+    * ([[incrementalNearDupFromIndex]]). Measured in ScaleProbe's 50-drop
+    * growth curve: re-banding per drop makes the probe cost grow with
+    * registry size; a stored index keeps it bounded by the batch's band
+    * volume and the matched buckets. At scale, bucket this table by
+    * (band, band_sig) so the probe is a co-located join. */
+  def bandIndex(sig: DataFrame, idCol: String, p: Params = Params(),
+                literalKeys: Boolean = false): DataFrame =
+    bandTable(sig, idCol, p, literalKeys)
+
   private def bandTable(sig: DataFrame, idCol: String, p: Params,
                         literalKeys: Boolean = false): DataFrame = {
     val bandSigs =
@@ -216,6 +228,50 @@ object MinHashLsh {
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("id_a", "id_b", "est_jaccard")
     (pairs, nSig)
+  }
+
+  /** [[incrementalNearDupFromSig]] probing a STORED band index instead of
+    * re-banding the stored signature table per increment — the shape the
+    * registry-growth probe demands at scale (the stored side's banding
+    * work is O(registry) and was being paid every drop). `storedBands`
+    * must be [[bandIndex]] of `storedSig` under the same Params/seed;
+    * `storedSig` itself is still needed (id-keyed) for the agreement
+    * estimate on matched pairs only. Returns (pairs, (sig delta, band
+    * delta)) — append both to the registries. */
+  def incrementalNearDupFromIndex(newSig: DataFrame, storedBands: DataFrame,
+                                  storedSig: DataFrame, idCol: String,
+                                  minEstJaccard: Double, p: Params = Params(),
+                                  maxBucketSize: Option[Int] = None,
+                                  literalKeys: Boolean = false)
+      : (DataFrame, (DataFrame, DataFrame)) = {
+    val nSig = newSig.cache()
+    val bn = bandTable(nSig, idCol, p, literalKeys)
+      .select(col("band"), col("band_sig"), col(idCol).as("id_n"))
+    val ball = storedBands
+      .select(col("band"), col("band_sig"), col(idCol).as("id_o"))
+      .unionByName(bn.withColumnRenamed("id_n", "id_o"))
+    val pruned = maxBucketSize match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_sig")
+        ball.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= cap).drop("__bn")
+      case None => ball
+    }
+    val cand = bn.join(pruned, Seq("band", "band_sig"))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+      .distinct()
+    val allSig = storedSig.unionByName(nSig)
+    val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      (m: Column) => m)).cast("double") / lit(p.numHashes.toDouble)
+    val pairs = cand
+      .join(allSig.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(allSig.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("id_a", "id_b", "est_jaccard")
+    (pairs, (nSig, bandTable(nSig, idCol, p, literalKeys)))
   }
 
   private def nearDupFromSig(sigDf: DataFrame, idCol: String,

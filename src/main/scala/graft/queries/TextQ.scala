@@ -148,18 +148,22 @@ object TextQ {
       minEstJaccard = 0.5, literalKeys = true)._1
   }
 
-  /** d26's steady-state twin: today's batch probes the STORED signature
-    * registry ([[graft.store.Registries.minhashSignatures]] — parquet on
-    * disk, built once like any durable table), so the benched cost is the
-    * per-increment probe: one signature pass over the NEW docs + the band
-    * join. d26 itself recomputes both sides inline (the worst-case rebuild
-    * — ~3× the steady-state cost); production runs look like THIS query.
-    * Same oracle as d26: the full-rerun SQL restricted to new-touching
-    * pairs — the incremental contract is registry-independent. */
+  /** d26's steady-state twin: today's batch probes the STORED band index
+    * + signature registry ([[graft.store.Registries.minhashBands]] /
+    * [[graft.store.Registries.minhashSignatures]] — parquet on disk,
+    * built once like any durable table), so the benched cost is the
+    * per-increment probe: one signature pass over the NEW docs, a join
+    * against the stored band index (history never re-banded — the
+    * registry-growth probe's finding), and id-keyed sig lookups for the
+    * estimate. d26 itself recomputes both sides inline (the worst-case
+    * rebuild); production runs look like THIS query. Same oracle as d26:
+    * the full-rerun SQL restricted to new-touching pairs — the
+    * incremental contract is registry-independent. */
   def incrementalMinhashStored(s: SparkSession, dir: String): DataFrame = {
     val newSig = MinHashLsh.signaturesMd5(
       Tables(s, dir).documents.filter(col("doc_id") % 2 === 1), "doc_id", "text")
-    MinHashLsh.incrementalNearDupFromSig(newSig,
+    MinHashLsh.incrementalNearDupFromIndex(newSig,
+      graft.store.Registries.minhashBands(s, dir),
       graft.store.Registries.minhashSignatures(s, dir), "doc_id",
       minEstJaccard = 0.5, literalKeys = true)._1
   }

@@ -58,6 +58,16 @@ object Registries {
         "doc_id", "text")
     }
 
+  /** Stored band INDEX over [[minhashSignatures]] — (doc_id, band,
+    * band_sig), the durable banding the d26b probe joins so history is
+    * never re-banded ([[graft.dedup.MinHashLsh.incrementalNearDupFromIndex]]).
+    * literalKeys matches the oracle-backed md5 signature family. */
+  def minhashBands(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "minhash_bands") {
+      graft.dedup.MinHashLsh.bandIndex(
+        minhashSignatures(s, dir), "doc_id", literalKeys = true)
+    }
+
   /** Stored `(id, bucket)` LSH registry (even-id vectors, the e03 plane
     * family): what [[graft.similarity.Knn.incrementalBucketCandidates]]
     * probes. nPlanes must match the planes the new batch hashes with. */
@@ -106,6 +116,7 @@ object Registries {
     * reflect the stored-registry steady state a deployment runs in. */
   def materialize(s: SparkSession, dir: String): Unit = {
     minhashSignatures(s, dir).head(1)
+    minhashBands(s, dir).head(1)
     embBuckets(s, dir).head(1)
     trainShingles(s, dir).head(1)
     ivfPqCodesDir(s, dir)

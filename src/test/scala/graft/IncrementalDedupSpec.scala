@@ -50,6 +50,29 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "incremental near-dup diverged from the restricted full rerun")
   }
 
+  test("index probe (stored bands) == signature probe == restricted full " +
+       "rerun (the durable-band-registry contract)") {
+    val docs = Tables(spark, sf).documents
+    val newSig = MinHashLsh.signaturesMd5(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", p)
+    val oldSig = MinHashLsh.signaturesMd5(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", p)
+    val storedBands = MinHashLsh.bandIndex(oldSig, "doc_id", p, literalKeys = true)
+    val viaIndex = MinHashLsh.incrementalNearDupFromIndex(newSig, storedBands,
+      oldSig, "doc_id", minEstJaccard = 0.5, p, literalKeys = true)._1
+    val viaSig = MinHashLsh.incrementalNearDupFromSig(newSig, oldSig, "doc_id",
+      minEstJaccard = 0.5, p, literalKeys = true)._1
+    assert(viaIndex.count() > 0, "vacuous: no pair touches the new batch")
+    assert(viaIndex.except(viaSig).isEmpty && viaSig.except(viaIndex).isEmpty,
+      "stored-band-index probe diverged from the re-banding probe")
+    // the returned band delta is exactly the new side's banding — what the
+    // deployment appends to the durable index
+    val (_, (sigDelta, bandDelta)) = MinHashLsh.incrementalNearDupFromIndex(
+      newSig, storedBands, oldSig, "doc_id", 0.5, p, literalKeys = true)
+    assert(bandDelta.except(
+      MinHashLsh.bandIndex(sigDelta, "doc_id", p, literalKeys = true)).isEmpty)
+  }
+
   test("signatures recomputed from stored params are bit-identical (reusability)") {
     val docs = Tables(spark, sf).documents.limit(100)
     val s1 = MinHashLsh.signatures(docs, "doc_id", "text", p)
