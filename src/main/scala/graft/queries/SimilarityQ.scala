@@ -196,6 +196,47 @@ object SimilarityQ {
       dims = 64, m = 8, nQueries = 3, nProbe = 2, topK = 10)
   }
 
+  /** SemDeDup-shape semantic dedup (published k-means-bucketed form):
+    * cluster the corpus with the e06 integer-exact Lloyd k-means (2
+    * rounds, k=8 seed centroids), then find near-duplicate pairs ONLY
+    * within each cluster — the pair space shrinks from n² to Σ|cell|²,
+    * and at 100 TB the cells are the bucketing key (write vectors
+    * cell-partitioned like e10b's codes and the pair join is co-located,
+    * never corpus-wide). Within-cell scoring keeps the e02 numeric
+    * contract: codegen'd fast-cosine prefilter with a 1e-6 sound margin,
+    * decimal-exact rescore at >= 0.4. e05 is the graph-closure
+    * alternative (CC over the exact pair set); THIS is the scalable
+    * candidate-restriction alternative — both are first-class and the
+    * judge can compare their outputs through their oracles. */
+  def semDedupKmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val pts = graft.similarity.KMeansExact.quantize(e)
+    val init = pts.filter(col("id") < 8).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+    // centroids after ONE update round; assigning against them is the
+    // round-2 assignment — the same `a2` table e06's oracle materializes
+    val afterR1 = graft.similarity.KMeansExact.lloyd(s, pts, init, rounds = 1)
+    val centsDf = afterR1.map(c => (c.cid, c.vec.toSeq)).toDF("cid", "cq")
+    val cells = graft.similarity.KMeansExact.assignIds(pts, centsDf)
+      .select(col("id"), col("cid").as("cell"))
+    val withVec = cells.join(e, Seq("id"))
+      .select(col("cell"), col("id"), col("vec"),
+        sqrt(Knn.dotExact(col("vec"), col("vec"))).as("nrm"),
+        sqrt(Knn.dotFast(col("vec"), col("vec"))).as("nrm_f"))
+    val a = withVec.select(col("cell"), col("id").as("id_a"),
+      col("vec").as("va"), col("nrm").as("na"), col("nrm_f").as("nfa"))
+    val b = withVec.select(col("cell"), col("id").as("id_b"),
+      col("vec").as("vb"), col("nrm").as("nb"), col("nrm_f").as("nfb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Knn.dotFast(col("va"), col("vb")) / (col("nfa") * col("nfb")) >= 0.4 - 1e-6)
+      .select(col("id_a"), col("id_b"), col("cell"),
+        (Knn.dotExact(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= 0.4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_knn_brute"      -> (knnBrute _),
     "e02_cosine_neardup" -> (cosineNearDup _),
@@ -208,7 +249,8 @@ object SimilarityQ {
     "e08_pq_encode"      -> (pqEncode _),
     "e09_pq_adc"         -> (pqAdc _),
     "e10_ivfpq"          -> (ivfPq _),
-    "e10b_ivfpq_stored"  -> (ivfPqStored _))
+    "e10b_ivfpq_stored"  -> (ivfPqStored _),
+    "e11_semdedup_kmeans" -> (semDedupKmeans _))
 
   // Shared oracle scaffolding, in lockstep with Knn.dotExact/cosine:
   // each element quantizes to the INTEGER round_even(double(x)·1e9) —
@@ -397,8 +439,42 @@ object SimilarityQ {
        |FROM ranked WHERE rk <= 10""".stripMargin
   }
 
+  /** e11's oracle: e06's Lloyd CTE chain supplies the round-2 assignment
+    * `a2`; same-cell pairs then rescore with the exact-cosine scheme the
+    * e02 oracle uses. The two halves are the EXISTING oracle builders
+    * composed, so e11 cannot drift from either e06's clustering or e02's
+    * cosine. */
+  private def semDedupOracleSql(dims: Int): String =
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |         list_transform(embedding,
+       |           x -> CAST(round_even(CAST(x AS DOUBLE) * 1024, 0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(id AS INT) AS cid, q AS cq FROM q WHERE id < 8),
+       |${lloydRoundSql(1, "c0", dims)},
+       |${lloydRoundSql(2, "c1", dims)},
+       |cells AS MATERIALIZED (SELECT id, CAST(cid AS INT) AS cell FROM a2),
+       |cand AS (
+       |  SELECT x.id AS id_a, y.id AS id_b, x.cell
+       |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.id < y.id),
+       |norms AS ($normsSql),
+       |dots AS (
+       |  SELECT c.id_a, c.id_b, c.cell,
+       |         CAST(CAST(SUM(${q9("ea.embedding[i]")} * ${q9("eb.embedding[i]")}) AS VARCHAR) AS DOUBLE) AS d
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.id_a
+       |  JOIN embeddings eb ON eb.vec_id = c.id_b,
+       |       UNNEST(generate_series(1, len(ea.embedding))) AS u(i)
+       |  GROUP BY 1, 2, 3)
+       |SELECT id_a, id_b, cell, d / (na.nrm2_sqrt * nb.nrm2_sqrt) AS cos
+       |FROM dots
+       |JOIN (SELECT vec_id, sqrt(nrm2) AS nrm2_sqrt FROM norms) na ON na.vec_id = id_a
+       |JOIN (SELECT vec_id, sqrt(nrm2) AS nrm2_sqrt FROM norms) nb ON nb.vec_id = id_b
+       |WHERE d / (na.nrm2_sqrt * nb.nrm2_sqrt) >= 0.4""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "e06_kmeans_lloyd" -> kmeansOracleSql(64),
+    "e11_semdedup_kmeans" -> semDedupOracleSql(64),
     "e10_ivfpq" -> ivfPqOracle,
     "e10b_ivfpq_stored" -> ivfPqOracle,
     "e08_pq_encode" ->

@@ -58,12 +58,19 @@ object KMeansExact {
     * + per-point argmin that collapses map-side (PlanQualitySpec gates the
     * shape). `centsDf` is (cid, cq: array<long>). */
   private[graft] def assign(points: DataFrame, centsDf: DataFrame): DataFrame =
+    assignIds(points, centsDf).select(col("cid"), col("q"))
+
+  /** [[assign]] keeping the point id: (id, cid, q). `centsDf` is
+    * broadcast UNCONDITIONALLY here — it is k rows by contract; without
+    * the hint a caller passing a large distributed frame would silently
+    * plan a nested-loop join over the corpus. */
+  private[graft] def assignIds(points: DataFrame, centsDf: DataFrame): DataFrame =
     points
-      .crossJoin(centsDf)
+      .crossJoin(broadcast(centsDf))
       .withColumn("d", VectorExpressions.intVecSqDist(col("q"), col("cq")))
       .groupBy(col("id"))
       .agg(min(struct(col("d"), col("cid"))).as("best"), first(col("q")).as("q"))
-      .select(col("best.cid").as("cid"), col("q"))
+      .select(col("id"), col("best.cid").as("cid"), col("q"))
 
   /** `rounds` full Lloyd iterations (assign → update) from the k seed
     * centroids `init` (cid, quantized vec). Returns the final integer

@@ -381,6 +381,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "e01_knn_brute",        // brute-force baseline IS all-pairs by contract
       "e02_cosine_neardup",   // exact verification path (sketch path is e03)
       "e04_centroid_assign",  // vectors x broadcast k-row centroid table
+      "e11_semdedup_kmeans",  // same k-row broadcast assignment feeding cells
       "e07_incr_neardup",     // new-batch side broadcasts (plan-gated elsewhere)
       // q38: the synthetic star derivation constant-folds the 1-row
       // name-filtered pipeline dim, so Catalyst proves the pipeline_id
