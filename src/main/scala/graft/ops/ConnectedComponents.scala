@@ -1,7 +1,5 @@
 package graft.ops
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -116,8 +114,11 @@ object ConnectedComponents {
     }
     // track every seen node (roots never appear as map keys)
     val seen = new LongLongMap(1 << 16)
-    for (row <- e0.as[(Long, Long)].toLocalIterator().asScala) {
-      val (a, b) = row
+    // ONE collect, not toLocalIterator: the iterator launches a job PER
+    // PARTITION sequentially (32 jobs of scheduling floor for a few MB of
+    // edges — measured ~0.5 s of pure overhead per call at bench scale);
+    // the maxDriverEdges cap already bounds this array to ~16 MB of longs
+    for ((a, b) <- e0.as[(Long, Long)].collect()) {
       seen.put(a, 0L); seen.put(b, 0L)
       val ra = find(a); val rb = find(b)
       if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))

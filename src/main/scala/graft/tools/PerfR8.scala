@@ -125,6 +125,15 @@ object PerfR8 {
           count(when(col("n_items") > 0 && !(col("actual") >= col("expected") * 0.5), 1)).as("n_fail"),
           count(when(col("n_items") === 0, 1)).as("n_zero"))
     }
+    time("q48_dup_clusters") {
+      graft.SparkEntry.queries("q48_dup_clusters")(spark, dir)
+    }
+    time("e05_semantic_clusters") {
+      graft.SparkEntry.queries("e05_semantic_clusters")(spark, dir)
+    }
+    time("d28_leakfree_split") {
+      graft.SparkEntry.queries("d28_leakfree_split")(spark, dir)
+    }
     // ---- q57 variants ----
     time("q57_current") {
       graft.SparkEntry.queries("q57_ngram_contamination")(spark, dir)
