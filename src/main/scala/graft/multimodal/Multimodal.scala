@@ -282,35 +282,43 @@ object Multimodal {
     def dhash(id: Long, bytes: Array[Byte], grid: Int = 4): Option[ImageHash] =
       readImage(bytes) match {
         case Some(img) if img.getWidth >= grid && img.getHeight >= grid =>
-          val w = img.getWidth; val h = img.getHeight
-          val lum = new Array[Long](grid * grid)
-          val cnt = new Array[Long](grid * grid)
-          var y = 0
-          while (y < h) {
-            val ty = y * grid / h
-            var x = 0
-            while (x < w) {
-              val t = ty * grid + x * grid / w
-              val rgb = img.getRGB(x, y)
-              lum(t) += 299L * ((rgb >> 16) & 0xff) +
-                587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
-              cnt(t) += 1
-              x += 1
-            }
-            y += 1
-          }
-          val cell = Array.tabulate(grid * grid)(t => lum(t) / cnt(t))
-          var hash = 0L
-          for (ty <- 0 until grid; x <- 0 until grid - 1)
-            if (cell(ty * grid + x + 1) > cell(ty * grid + x))
-              hash |= 1L << (ty * (grid - 1) + x)
-          val off = grid * (grid - 1)
-          for (tx <- 0 until grid; y2 <- 0 until grid - 1)
-            if (cell((y2 + 1) * grid + tx) > cell(y2 * grid + tx))
-              hash |= 1L << (off + tx * (grid - 1) + y2)
-          Some(ImageHash(id, w, h, hash))
+          Some(ImageHash(id, img.getWidth, img.getHeight, dhashOf(img, grid)))
         case _ => None
       }
+
+    /** The dHash core over an already-decoded image (width/height >= grid)
+      * — shared by the still path above and [[MjpegAvi]]'s per-frame
+      * hashing. */
+    private[multimodal] def dhashOf(img: java.awt.image.BufferedImage,
+                                    grid: Int): Long = {
+      val w = img.getWidth; val h = img.getHeight
+      val lum = new Array[Long](grid * grid)
+      val cnt = new Array[Long](grid * grid)
+      var y = 0
+      while (y < h) {
+        val ty = y * grid / h
+        var x = 0
+        while (x < w) {
+          val t = ty * grid + x * grid / w
+          val rgb = img.getRGB(x, y)
+          lum(t) += 299L * ((rgb >> 16) & 0xff) +
+            587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+          cnt(t) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val cell = Array.tabulate(grid * grid)(t => lum(t) / cnt(t))
+      var hash = 0L
+      for (ty <- 0 until grid; x <- 0 until grid - 1)
+        if (cell(ty * grid + x + 1) > cell(ty * grid + x))
+          hash |= 1L << (ty * (grid - 1) + x)
+      val off = grid * (grid - 1)
+      for (tx <- 0 until grid; y2 <- 0 until grid - 1)
+        if (cell((y2 + 1) * grid + tx) > cell(y2 * grid + tx))
+          hash |= 1L << (off + tx * (grid - 1) + y2)
+      hash
+    }
   }
 
   /** One cell of a box-average image resize: integer floor means, exact
@@ -664,6 +672,12 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** One decoded frame's perceptual hash (see [[MjpegAvi.frameHashes]]). */
+  final case class FrameHash(
+      doc_id: Long,
+      frame_idx: Int,
+      dhash: Long)
+
   /** Decoded video frame — per-frame exact channel sums, the video
     * analog of [[DecodedImage]]. */
   final case class VideoFrame(
@@ -769,6 +783,33 @@ object Multimodal {
           if (off + advance > Int.MaxValue) ok = false else off += advance.toInt
         }
       }
+    }
+
+    /** Per-frame perceptual hashes: the same RIFF walk, but each decoded
+      * frame yields its 24-bit dHash ([[CompressedImage.dhashOf]]) instead
+      * of channel sums — the feature-extract stage feeding video-level
+      * perceptual dedup (m11). Frames smaller than the grid are skipped
+      * like undecodable ones. */
+    def frameHashes(id: Long, b: Array[Byte], grid: Int = 4): Seq[FrameHash] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[FrameHash]
+      try {
+        if (b.length < 12 || new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+            new String(b, 8, 4, "US-ASCII") != "AVI ") return Nil
+        walkChunks(b, 12, b.length) { (t, o, l) =>
+          if (t == "LIST" && l >= 4 &&
+              new String(b, o, 4, "US-ASCII") == "movi") {
+            walkChunks(b, o + 4, o + l) { (ct, co, cl) =>
+              if (ct == "00dc" || ct == "00db") {
+                CompressedImage.readImage(java.util.Arrays.copyOfRange(b, co, co + cl))
+                  .filter(img => img.getWidth >= grid && img.getHeight >= grid)
+                  .foreach(img => out += FrameHash(id, out.length,
+                    CompressedImage.dhashOf(img, grid)))
+              }
+            }
+          }
+        }
+        out.toSeq
+      } catch { case scala.util.control.NonFatal(_) => out.toSeq }
     }
 
     /** Parse + decode every video frame ('00dc'/'00db' chunks, any stream

@@ -173,6 +173,40 @@ object MultimodalQ {
       "sum_r", "sum_g", "sum_b")
   }
 
+  /** REAL perceptual video dedup — the m09 shape at perceptual
+    * resolution over genuinely decoded frames: each document's AVI is
+    * container-walked, every frame ImageIO-decoded and dHashed
+    * ([[Multimodal.MjpegAvi.frameHashes]]); a frame is SHARED when its
+    * 24-bit dHash appears in more than one video (the re-used intro /
+    * card / template detector, robust to re-encoding where m09's byte
+    * checksums are not). Per video: frame count, shared count, shared
+    * fraction. Distinct-doc counts per hash via aggregation, never an
+    * O(docs) window set; no pair join — linear in total frames. The
+    * hamming-tolerant pair variant is
+    * [[graft.dedup.SimHash.hammingNearDuplicates]] (bits = 24) on the
+    * same hash column, exercised in MultimodalSpec. */
+  def videoPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seeded = Tables(s, dir).documents
+      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
+      .as[(Long, Long)]
+    val frames = seeded.mapPartitions(_.flatMap { case (id, n) =>
+      val w = (n % 13).toInt + 4
+      val h = ((n / 13) % 11).toInt + 4
+      val nf = (n % 5).toInt + 2
+      Multimodal.MjpegAvi.frameHashes(id,
+        Multimodal.MjpegAvi.renderAvi(n, nf, w, h))
+    }).toDF()
+    val docsPerHash = frames.select("dhash", "doc_id").distinct()
+      .groupBy("dhash").agg(count(lit(1)).as("__docs"))
+    frames.join(docsPerHash, Seq("dhash"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("__docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        round(col("n_shared").cast("double") / col("n_frames").cast("double"), 9))
+  }
+
   /** Video-side plumbing as a gated query: [[Multimodal.sampleFrames]]
     * slices each "video" payload into fixed-size frames keeping every
     * 3rd (pure binary-substring column ops, no UDF), then each sampled
@@ -197,7 +231,8 @@ object MultimodalQ {
     "m07_audio_fingerprint" -> (audioFingerprint _),
     "m08_adpcm_decode" -> (adpcmDecode _),
     "m09_frame_dedup" -> (frameDedup _),
-    "m10_video_decode" -> (videoDecode _))
+    "m10_video_decode" -> (videoDecode _),
+    "m11_video_phash" -> (videoPhash _))
 
   /** Video frame-level dedup — the frame-granularity analog of d13's
     * segment dedup, over m04's sampled-frame table: a frame is SHARED
@@ -458,6 +493,57 @@ object MultimodalQ {
         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |       dhash, MIN(doc_id) OVER (PARTITION BY dhash) AS cluster_id
         |FROM hashes""".stripMargin,
+    // m11: m06's per-image dHash replay lifted per FRAME (seed n+131f),
+    // then the m09 shared-frame rollup keyed on the perceptual hash
+    "m11_video_phash" ->
+      """WITH dims AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |         (octet_length(encode(text)) % 13) + 4 AS w,
+        |         ((octet_length(encode(text)) // 13) % 11) + 4 AS h,
+        |         (octet_length(encode(text)) % 5) + 2 AS nf
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, f, (y * 4) // h AS ty, (x * 4) // w AS tx,
+        |         299 * ((3 * x + 7 * y + n + 131 * f) % 256)
+        |       + 587 * ((3 * x + 7 * y + 11 + n + 131 * f) % 256)
+        |       + 114 * ((3 * x + 7 * y + 22 + n + 131 * f) % 256) AS lum
+        |  FROM dims,
+        |       UNNEST(generate_series(0, nf - 1)) AS uf(f),
+        |       UNNEST(generate_series(0, w - 1)) AS ux(x),
+        |       UNNEST(generate_series(0, h - 1)) AS uy(y)),
+        |cells AS (
+        |  SELECT doc_id, f, ty, tx, SUM(lum) // count(*) AS c
+        |  FROM px GROUP BY 1, 2, 3, 4),
+        |hbits AS (
+        |  SELECT a.doc_id, a.f,
+        |         SUM(CASE WHEN b.c > a.c
+        |             THEN CAST(1 AS BIGINT) << CAST(a.ty * 3 + a.tx AS INT)
+        |             ELSE 0 END) AS hb
+        |  FROM cells a
+        |  JOIN cells b ON b.doc_id = a.doc_id AND b.f = a.f
+        |               AND b.ty = a.ty AND b.tx = a.tx + 1
+        |  GROUP BY 1, 2),
+        |vbits AS (
+        |  SELECT a.doc_id, a.f,
+        |         SUM(CASE WHEN b.c > a.c
+        |             THEN CAST(1 AS BIGINT) << CAST(12 + a.tx * 3 + a.ty AS INT)
+        |             ELSE 0 END) AS vb
+        |  FROM cells a
+        |  JOIN cells b ON b.doc_id = a.doc_id AND b.f = a.f
+        |               AND b.tx = a.tx AND b.ty = a.ty + 1
+        |  GROUP BY 1, 2),
+        |hashes AS MATERIALIZED (
+        |  SELECT doc_id, f, CAST(hb + vb AS BIGINT) AS dhash
+        |  FROM hbits JOIN vbits USING (doc_id, f)),
+        |counts AS (
+        |  SELECT dhash, COUNT(DISTINCT doc_id) AS docs FROM hashes GROUP BY 1)
+        |SELECT h.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |       CAST(SUM(CASE WHEN c.docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |       round(CAST(SUM(CASE WHEN c.docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE), 9) AS shared_frac
+        |FROM hashes h JOIN counts c USING (dhash)
+        |GROUP BY 1""".stripMargin,
     // m10: the m02 closed form lifted one level — per FRAME, with frame
     // f's seed shifted by 131*f (what renderAvi encodes losslessly)
     "m10_video_decode" ->

@@ -246,6 +246,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(M.decode(5L, oneBad).length == 2)
   }
 
+  test("per-frame video dHash equals the still-image dHash of the same " +
+       "pattern (shared core), and hostile bytes yield no hashes") {
+    val (seed, w, h) = (21L, 10, 9)
+    val avi = Multimodal.MjpegAvi.renderAvi(seed, 3, w, h)
+    val fh = Multimodal.MjpegAvi.frameHashes(5L, avi)
+    assert(fh.map(_.frame_idx) == Seq(0, 1, 2))
+    for (f <- 0 until 3) {
+      val still = Multimodal.CompressedImage.dhash(1L,
+        Multimodal.CompressedImage.renderPattern(seed + 131L * f, w, h)).get
+      assert(fh(f).dhash == still.dhash, s"frame $f")
+    }
+    assert(Multimodal.MjpegAvi.frameHashes(6L, Array[Byte](9, 9, 9)).isEmpty)
+    // frames smaller than the grid are skipped, not fatal
+    assert(Multimodal.MjpegAvi
+      .frameHashes(7L, Multimodal.MjpegAvi.renderAvi(1L, 2, 3, 3)).isEmpty)
+  }
+
   test("incremental hamming near-dup == full rerun restricted to new ids " +
        "(the incremental-dedup contract, image-hash modality)") {
     import spark.implicits._
