@@ -110,6 +110,29 @@ object Registries {
         graft.similarity.IvfPq.encode(e, cents, cb, dims = 64, m = 8), path)
     }
 
+  /** Compact an append-only parquet registry directory to `numFiles`
+    * files — the maintenance the 50-drop ScaleProbe curve demands: daily
+    * appends accumulate one small file per drop, and at toy scale the
+    * probe's cost growth IS the file-count overhead (listing + footer
+    * reads + one task per file). Content-preserving by construction
+    * (read → repartition → write to a temp dir → swap); the swap is the
+    * same delete+rename every non-transactional parquet table bears — a
+    * table format (Delta/Iceberg) makes it atomic in production. */
+  def compact(s: SparkSession, dir: String, numFiles: Int = 4): Unit = {
+    val conf = s.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path)) return
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
+    if (fs.exists(tmp)) { fs.delete(tmp, true); () }
+    s.read.parquet(dir).repartition(numFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+    ()
+  }
+
   /** Force every bench-relevant registry for `dir` onto disk — benches
     * call this in their (untimed) setup, mirroring
     * [[graft.meta.MetadataStar.materialize]]: per-query timings then
