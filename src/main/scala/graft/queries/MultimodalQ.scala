@@ -207,6 +207,35 @@ object MultimodalQ {
         round(col("n_shared").cast("double") / col("n_frames").cast("double"), 9))
   }
 
+  /** Hamming-tolerant perceptual image near-dup — the banded chunk join
+    * ([[graft.dedup.SimHash.hammingNearDuplicates]], bits = 24 so only
+    * the dHash's populated bits band) as an ORACLE-BACKED query: pairs of
+    * images whose 24-bit dHashes differ in 1..2 bits. m06 clusters
+    * exact-equal hashes linearly (hamming-0 pairs would be quadratic in
+    * cluster size for zero information, so they are excluded here); THIS
+    * catches the re-encoded/brightness-shifted copies a bit apart.
+    * Never all-pairs: candidates come from the
+    * 4-chunk pigeonhole join (complete for hamming <= 2 < 4 chunks);
+    * production adds the hot-chunk cap, documented at the callee. */
+  def imageNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seeded = Tables(s, dir).documents
+      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
+      .as[(Long, Long)]
+    val hashes = seeded.mapPartitions(_.flatMap { case (id, n) =>
+      val w = (n % 13).toInt + 4
+      val h = ((n / 13) % 11).toInt + 4
+      Multimodal.CompressedImage.dhash(id,
+        Multimodal.CompressedImage.renderPattern(n, w, h))
+    }).toDF()
+    graft.dedup.SimHash.hammingNearDuplicates(hashes, "doc_id", "dhash",
+      maxDist = 2, chunks = 4, bits = 24)
+      // exact-equal hashes are m06's clusters (one window, linear);
+      // emitting them as pairs would be quadratic in cluster size for
+      // zero information — this query is the 1..2-bit NEIGHBOR surface
+      .filter(col("hamming") >= 1)
+  }
+
   /** Video-side plumbing as a gated query: [[Multimodal.sampleFrames]]
     * slices each "video" payload into fixed-size frames keeping every
     * 3rd (pure binary-substring column ops, no UDF), then each sampled
@@ -232,7 +261,8 @@ object MultimodalQ {
     "m08_adpcm_decode" -> (adpcmDecode _),
     "m09_frame_dedup" -> (frameDedup _),
     "m10_video_decode" -> (videoDecode _),
-    "m11_video_phash" -> (videoPhash _))
+    "m11_video_phash" -> (videoPhash _),
+    "m12_image_neardup" -> (imageNearDup _))
 
   /** Video frame-level dedup — the frame-granularity analog of d13's
     * segment dedup, over m04's sampled-frame table: a frame is SHARED
@@ -493,6 +523,56 @@ object MultimodalQ {
         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |       dhash, MIN(doc_id) OVER (PARTITION BY dhash) AS cluster_id
         |FROM hashes""".stripMargin,
+    // m12: m06's dHash replay + the pigeonhole chunk join in SQL — 24
+    // bits banded as 4 chunks of 6, candidates from chunk equality,
+    // hamming via bit_count(xor)
+    "m12_image_neardup" ->
+      """WITH dims AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |         (octet_length(encode(text)) % 13) + 4 AS w,
+        |         ((octet_length(encode(text)) // 13) % 11) + 4 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, (y * 4) // h AS ty, (x * 4) // w AS tx,
+        |         299 * ((3 * x + 7 * y + n) % 256)
+        |       + 587 * ((3 * x + 7 * y + 11 + n) % 256)
+        |       + 114 * ((3 * x + 7 * y + 22 + n) % 256) AS lum
+        |  FROM dims,
+        |       UNNEST(generate_series(0, w - 1)) AS ux(x),
+        |       UNNEST(generate_series(0, h - 1)) AS uy(y)),
+        |cells AS (
+        |  SELECT doc_id, ty, tx, SUM(lum) // count(*) AS c
+        |  FROM px GROUP BY 1, 2, 3),
+        |hbits AS (
+        |  SELECT a.doc_id,
+        |         SUM(CASE WHEN b.c > a.c
+        |             THEN CAST(1 AS BIGINT) << CAST(a.ty * 3 + a.tx AS INT)
+        |             ELSE 0 END) AS hb
+        |  FROM cells a
+        |  JOIN cells b ON b.doc_id = a.doc_id AND b.ty = a.ty AND b.tx = a.tx + 1
+        |  GROUP BY 1),
+        |vbits AS (
+        |  SELECT a.doc_id,
+        |         SUM(CASE WHEN b.c > a.c
+        |             THEN CAST(1 AS BIGINT) << CAST(12 + a.tx * 3 + a.ty AS INT)
+        |             ELSE 0 END) AS vb
+        |  FROM cells a
+        |  JOIN cells b ON b.doc_id = a.doc_id AND b.tx = a.tx AND b.ty = a.ty + 1
+        |  GROUP BY 1),
+        |hashes AS MATERIALIZED (
+        |  SELECT h.doc_id, CAST(hb + vb AS BIGINT) AS dhash
+        |  FROM hbits h JOIN vbits USING (doc_id)),
+        |chunks AS MATERIALIZED (
+        |  SELECT doc_id, dhash, c, (dhash >> (c * 6)) & 63 AS cv
+        |  FROM hashes, UNNEST(generate_series(0, 3)) AS uc(c)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.dhash AS ha, b.dhash AS hb
+        |  FROM chunks a
+        |  JOIN chunks b ON b.c = a.c AND b.cv = a.cv AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(ha, hb)) BETWEEN 1 AND 2""".stripMargin,
     // m11: m06's per-image dHash replay lifted per FRAME (seed n+131f),
     // then the m09 shared-frame rollup keyed on the perceptual hash
     "m11_video_phash" ->
