@@ -177,6 +177,43 @@ object SimHash {
       hashes.select(col(idCol), col(hashCol).cast("long").as("simhash")),
       idCol, maxDist, chunks, maxChunkBucket, bits)
 
+  /** [[hammingNearDuplicates]] restricted to hamming ≥ 1, banding over
+    * DISTINCT hash values and expanding hash-pair hits back to id pairs.
+    *
+    * Short perceptual hashes over a near-duplicate-heavy corpus collapse
+    * hard (a 24-bit dHash over sf0.1's 5 000 synthetic images yields 105
+    * distinct values), so the per-row chunk join degenerates: every
+    * chunk bucket holds thousands of ids and the candidate set is
+    * quadratic in bucket size even though the hash-level work is tiny.
+    * Here the chunk join runs over one row per distinct hash — candidate
+    * volume is quadratic only in DISTINCT values per bucket — and two
+    * broadcast-sized joins fan the surviving hash pairs out to id pairs.
+    * Cost: one groupBy for the distinct set, the (tiny) banded join, and
+    * joins proportional to the OUTPUT pair count — the lower bound.
+    *
+    * Hamming-0 pairs (equal hashes) cannot appear — a value never pairs
+    * with itself after `distinct()` — which is the contract callers want:
+    * equal-hash groups are exact clusters, handled linearly by a window
+    * (m06-style), never materialized as quadratic pairs. `maxChunkBucket`
+    * now caps distinct VALUES per chunk bucket, the scale-robust form. */
+  def hammingNearDuplicatesGrouped(hashes: DataFrame, idCol: String, hashCol: String,
+                                   maxDist: Int, chunks: Int,
+                                   maxChunkBucket: Option[Int] = None,
+                                   bits: Int = 64): DataFrame = {
+    val h = hashes.select(col(idCol).cast("long").as("__id"),
+      col(hashCol).cast("long").as("__h"))
+    val hashPairs = hammingNearDuplicates(
+      h.select(col("__h")).distinct().select(col("__h").as("hid"), col("__h")),
+      "hid", "__h", maxDist, chunks, maxChunkBucket, bits)
+      .select(col("id_a").as("__ha"), col("id_b").as("__hb"), col("hamming"))
+    hashPairs
+      .join(h.select(col("__h").as("__ha"), col("__id").as("__da")), Seq("__ha"))
+      .join(h.select(col("__h").as("__hb"), col("__id").as("__db")), Seq("__hb"))
+      .select(least(col("__da"), col("__db")).as("id_a"),
+        greatest(col("__da"), col("__db")).as("id_b"),
+        col("hamming"))
+  }
+
   /** Incremental hamming near-dup — the daily-crawl twin of
     * [[hammingNearDuplicates]], serving every hash modality (text
     * simhash, image dHash, audio fingerprint) with the incremental-dedup

@@ -16,6 +16,28 @@ import graft.multimodal.Multimodal
   * breaks the hash match. */
 object MultimodalQ {
 
+  /** (doc_id, byte-length) seed pairs for the synthetic codec queries,
+    * REPARTITIONED by doc_id before the heavy per-row decode: the
+    * testdata parquet is a single row group, so its scan is ONE task and
+    * codec work chained directly on it runs serially on one core. The
+    * seed rows are 16 bytes each — shuffling them costs nothing — and
+    * the decode then runs at full core parallelism. The partition count
+    * must be EXPLICIT (`repartition(n, col)` → REPARTITION_BY_NUM):
+    * `repartition(col)` leaves AQE free to coalesce the ~80 KB shuffle
+    * back to one partition, serializing the decode again — partition
+    * sizing by BYTES is exactly wrong for CPU-bound stages. The same
+    * move applies at 100 TB whenever CPU-heavy per-row work sits on a
+    * few-file or skewed input: repartition the tiny projection that
+    * FEEDS the decode, never the decoded output. */
+  private def docSeeds(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import s.implicits._
+    Tables(s, dir).documents
+      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .as[(Long, Long)]
+  }
+
   /** Binary payload metadata: byte length, checksum, pseudo format tag. */
   def binaryMeta(s: SparkSession, dir: String): DataFrame = {
     val payloads = Multimodal.attachPayload(Tables(s, dir).documents, "doc_id", "text")
@@ -35,9 +57,7 @@ object MultimodalQ {
     * length so every row exercises a different shape. */
   def imageDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val seeded = Tables(s, dir).documents
-      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
-      .as[(Long, Long)]
+    val seeded = docSeeds(s, dir)
     val decoded = seeded.mapPartitions(_.flatMap { case (id, n) =>
       val w = (n % 13).toInt + 4
       val h = ((n / 13) % 11).toInt + 4
@@ -56,9 +76,7 @@ object MultimodalQ {
     * the same expansion in SQL without any audio library. */
   def audioDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val seeded = Tables(s, dir).documents
-      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
-      .as[(Long, Long)]
+    val seeded = docSeeds(s, dir)
     val decoded = seeded.mapPartitions(_.flatMap { case (id, n) =>
       val ns = (n % 50).toInt + 20
       val wav = Multimodal.CompressedAudio.renderG711Wav(
@@ -75,9 +93,7 @@ object MultimodalQ {
     * a SQL oracle because PNG is lossless and the means are floors. */
   def imageResize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val seeded = Tables(s, dir).documents
-      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
-      .as[(Long, Long)]
+    val seeded = docSeeds(s, dir)
     val tiles = seeded.mapPartitions(_.flatMap { case (id, n) =>
       val w = (n % 13).toInt + 4
       val h = ((n / 13) % 11).toInt + 4
@@ -95,9 +111,7 @@ object MultimodalQ {
   def imagePhash(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val seeded = Tables(s, dir).documents
-      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
-      .as[(Long, Long)]
+    val seeded = docSeeds(s, dir)
     val hashes = seeded.mapPartitions(_.flatMap { case (id, n) =>
       val w = (n % 13).toInt + 4
       val h = ((n / 13) % 11).toInt + 4
@@ -118,9 +132,7 @@ object MultimodalQ {
   def audioFingerprint(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val seeded = Tables(s, dir).documents
-      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
-      .as[(Long, Long)]
+    val seeded = docSeeds(s, dir)
     val fps = seeded.mapPartitions(_.flatMap { case (id, n) =>
       val ns = (n % 50).toInt + 20
       val wav = Multimodal.CompressedAudio.renderG711Wav(
@@ -139,9 +151,7 @@ object MultimodalQ {
     * RECURSIVE CTE carrying (predictor, step index) per document. */
   def adpcmDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val seeded = Tables(s, dir).documents
-      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
-      .as[(Long, Long)]
+    val seeded = docSeeds(s, dir)
     val decoded = seeded.mapPartitions(_.flatMap { case (id, n) =>
       val ns = (n % 50).toInt + 20
       val wav = Multimodal.ImaAdpcm.renderWav(n, ns, 8000)
@@ -159,9 +169,7 @@ object MultimodalQ {
     * only inter-frame codecs (H.264/MP3) remain behind [[Multimodal.DecodeStub]]. */
   def videoDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val seeded = Tables(s, dir).documents
-      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
-      .as[(Long, Long)]
+    val seeded = docSeeds(s, dir)
     val frames = seeded.mapPartitions(_.flatMap { case (id, n) =>
       val w = (n % 13).toInt + 4
       val h = ((n / 13) % 11).toInt + 4
@@ -187,9 +195,7 @@ object MultimodalQ {
     * same hash column, exercised in MultimodalSpec. */
   def videoPhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val seeded = Tables(s, dir).documents
-      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
-      .as[(Long, Long)]
+    val seeded = docSeeds(s, dir)
     val frames = seeded.mapPartitions(_.flatMap { case (id, n) =>
       val w = (n % 13).toInt + 4
       val h = ((n / 13) % 11).toInt + 4
@@ -219,21 +225,19 @@ object MultimodalQ {
     * production adds the hot-chunk cap, documented at the callee. */
   def imageNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val seeded = Tables(s, dir).documents
-      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
-      .as[(Long, Long)]
+    val seeded = docSeeds(s, dir)
     val hashes = seeded.mapPartitions(_.flatMap { case (id, n) =>
       val w = (n % 13).toInt + 4
       val h = ((n / 13) % 11).toInt + 4
       Multimodal.CompressedImage.dhash(id,
         Multimodal.CompressedImage.renderPattern(n, w, h))
     }).toDF()
-    graft.dedup.SimHash.hammingNearDuplicates(hashes, "doc_id", "dhash",
+    // exact-equal hashes are m06's clusters (one window, linear); this
+    // query is the 1..2-bit NEIGHBOR surface, so the grouped variant —
+    // banding over distinct hash VALUES, expanding hits to doc pairs —
+    // applies: perceptual hashes collapse hard over near-dup corpora
+    graft.dedup.SimHash.hammingNearDuplicatesGrouped(hashes, "doc_id", "dhash",
       maxDist = 2, chunks = 4, bits = 24)
-      // exact-equal hashes are m06's clusters (one window, linear);
-      // emitting them as pairs would be quadratic in cluster size for
-      // zero information — this query is the 1..2-bit NEIGHBOR surface
-      .filter(col("hamming") >= 1)
   }
 
   /** Video-side plumbing as a gated query: [[Multimodal.sampleFrames]]

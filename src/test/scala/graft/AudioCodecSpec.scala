@@ -87,6 +87,38 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(CompressedAudio.decode(4L, pcmWav).isEmpty)
   }
 
+  test("fast table path agrees with the JDK path on clean, mutated and fuzzed streams") {
+    // clean streams, both laws, even/odd/short lengths
+    for (aLaw <- Seq(false, true); seed <- 0L until 40L; ns <- Seq(1, 2, 15, 16, 17, 50, 75)) {
+      val wav = CompressedAudio.renderG711Wav(seed, ns, 8000, aLaw)
+      assert(CompressedAudio.decode(1L, wav) == CompressedAudio.decodeJdk(1L, wav),
+        s"decode aLaw=$aLaw seed=$seed ns=$ns")
+      assert(CompressedAudio.fingerprint(1L, wav) == CompressedAudio.fingerprintJdk(1L, wav),
+        s"fingerprint aLaw=$aLaw seed=$seed ns=$ns")
+    }
+    // single-byte mutations of a valid stream: every container field gets
+    // hit, so the strict walker's fall-back boundary is exercised — the
+    // JDK path remains the arbiter on every byte
+    val base = CompressedAudio.renderG711Wav(11L, 60, 8000, aLaw = false)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 300) {
+      val m = base.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+      assert(CompressedAudio.decode(1L, m) == CompressedAudio.decodeJdk(1L, m))
+    }
+    // truncations (both chunk-aligned and mid-chunk)
+    for (k <- 0 to base.length)
+      assert(CompressedAudio.decode(1L, base.take(k)) == CompressedAudio.decodeJdk(1L, base.take(k)))
+    // WAVE-magic-biased fuzz so the RIFF walk is fuzzed PAST the guard
+    for (i <- 0 until 200) {
+      val g = Array.fill(80 + rnd.nextInt(100))(rnd.nextInt().toByte)
+      System.arraycopy("RIFF".getBytes, 0, g, 0, 4)
+      System.arraycopy("WAVE".getBytes, 0, g, 8, 4)
+      if (i % 2 == 0) System.arraycopy("fmt ".getBytes, 0, g, 12, 4)
+      assert(CompressedAudio.decode(1L, g) == CompressedAudio.decodeJdk(1L, g))
+    }
+  }
+
   test("m03 decode stage runs distributed over payload partitions") {
     import spark.implicits._
     val payloads = Seq(

@@ -123,6 +123,28 @@ class MultimodalSpec extends AnyFunSuite {
       "pair with straddling bits must survive the hot-chunk cap under bits=24")
   }
 
+  test("grouped banding equals per-row banding minus the hamming-0 pairs " +
+       "(m12's distinct-hash-value rewrite)") {
+    import spark.implicits._
+    // heavy hash collapse (the perceptual-hash regime): 60 ids over 7
+    // distinct values, several value pairs within hamming 1..2
+    val vals = Seq(0x0fff00L, 0x0fff01L, 0x0fff03L, 0x0fff07L,
+      0x00ff00L, 0xf000f0L, 0xf000f1L)
+    val rows = (0L until 60L).map(i => (i, vals((i % 7).toInt)))
+    val hashes = rows.toDF("doc_id", "dhash")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val plain = norm(graft.dedup.SimHash
+      .hammingNearDuplicates(hashes, "doc_id", "dhash", maxDist = 2, chunks = 4,
+        bits = 24)
+      .filter(org.apache.spark.sql.functions.col("hamming") >= 1))
+    val grouped = norm(graft.dedup.SimHash
+      .hammingNearDuplicatesGrouped(hashes, "doc_id", "dhash", maxDist = 2, chunks = 4,
+        bits = 24))
+    assert(grouped == plain)
+    assert(plain.nonEmpty, "fixture must actually produce near pairs")
+  }
+
   test("audio fingerprint: deterministic, 15-bit, None on short/hostile input") {
     val wav = Multimodal.CompressedAudio.renderG711Wav(99L, 40, 8000, aLaw = false)
     val a = Multimodal.CompressedAudio.fingerprint(1L, wav)
