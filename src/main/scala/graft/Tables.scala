@@ -46,4 +46,19 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** Repartition `df` by `key` across the session's full core count
+    * BEFORE chaining CPU-heavy per-row work (tokenize, shingle, winnow,
+    * codec decode): a few-file/single-row-group input scans as one task,
+    * and every projection up to the first shuffle would run serially on
+    * it. The partition count must be explicit — AQE sizes exchanges by
+    * BYTES and would coalesce a small `repartition(col)` back to one
+    * partition, which is exactly wrong when the downstream cost is CPU
+    * per row, not bytes. Use where the work-per-row clearly dominates
+    * the one extra small exchange; plain column-arithmetic queries
+    * should stay un-shuffled. */
+  def spread(df: org.apache.spark.sql.DataFrame, key: String)
+      : org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col(key))
 }

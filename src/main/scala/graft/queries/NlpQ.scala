@@ -40,8 +40,10 @@ object NlpQ {
     * document (gapMax=10 = w+k−1, so any cross-document repeat of length
     * ≥ 17 is guaranteed detected; ≥ 2 fingerprints per region). */
   def repeats(s: SparkSession, dir: String): DataFrame =
-    Winnowing.repeatedRegions(Tables(s, dir).documents, "doc_id", "text",
-      k = 7, w = 4, gapMax = 10, minFps = 2)
+    // spread: the O(len) winnowing rolling hash runs before the first
+    // shuffle and would otherwise be serial on the single-task scan
+    Winnowing.repeatedRegions(Tables.spread(Tables(s, dir).documents, "doc_id"),
+      "doc_id", "text", k = 7, w = 4, gapMax = 10, minFps = 2)
 
   /** Incremental repeated-region detection — the daily-crawl twin of d20:
     * even doc_ids play the accumulated history (their fingerprint registry
@@ -51,7 +53,7 @@ object NlpQ {
     * [[Winnowing.incrementalRepeatedRegions]] guarantees, here checked
     * cell-exact by an engine that recomputes it the monolithic way. */
   def incrementalRepeats(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir).documents
+    val docs = Tables.spread(Tables(s, dir).documents, "doc_id") // see repeats
     val registry = Winnowing
       .fingerprintRows(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
         k = 7, w = 4)

@@ -158,8 +158,14 @@ object Knn {
     val withNorm = emb.select(col("id"), col("vec"),
       sqrt(dotExact(col("vec"), col("vec"))).as("nrm"),
       sqrt(dotFast(col("vec"), col("vec"))).as("nrm_fast"))
-    val a = withNorm.select(col("id").as("id_a"), col("vec").as("va"),
-      col("nrm").as("na"), col("nrm_fast").as("nfa"))
+    // The streamed side of the nested-loop join inherits the scan's
+    // partitioning — a single-file input would run every pair dot product
+    // on ONE core. Explicit count: repartition(col) alone would be
+    // AQE-coalesced right back (the rows are tiny; the PAIR work is not).
+    val a = withNorm
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .select(col("id").as("id_a"), col("vec").as("va"),
+        col("nrm").as("na"), col("nrm_fast").as("nfa"))
     val b = withNorm.select(col("id").as("id_b"), col("vec").as("vb"),
       col("nrm").as("nb"), col("nrm_fast").as("nfb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))

@@ -51,9 +51,20 @@ object Segments {
     * below the projection — the round-5 d12 lesson). */
   def explodeSegments(df: DataFrame, idCol: String, textCol: String,
                       segTokens: Int): DataFrame =
-    df.select(col(idCol), TextMetrics.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), tokenSegments(col("__toks"), segTokens).as("__segs"))
-      .select(col(idCol), posexplode_outer(col("__segs")).as(Seq("seg_idx", "seg")))
+    explodeSegments(df, idCol, textCol, segTokens, Nil)
+
+  /** [[explodeSegments]] carrying extra per-doc columns through the
+    * explode (each segment row repeats them) — lets a caller that needs
+    * doc attributes downstream avoid a second evaluation of its input
+    * subtree just to join them back (the d18 lesson: that join re-ran the
+    * whole gate pipeline). */
+  def explodeSegments(df: DataFrame, idCol: String, textCol: String,
+                      segTokens: Int, carryCols: Seq[String]): DataFrame = {
+    val carry = carryCols.map(col)
+    df.select(col(idCol) +: carry :+ TextMetrics.tokens(col(textCol)).as("__toks"): _*)
+      .select(col(idCol) +: carry :+ tokenSegments(col("__toks"), segTokens).as("__segs"): _*)
+      .select(col(idCol) +: carry :+ posexplode_outer(col("__segs")).as(Seq("seg_idx", "seg")): _*)
+  }
 
   /** Sliding-window chunking with stride overlap — the context-window
     * prep step before pretraining (every chunk but the last is `size`
@@ -122,6 +133,27 @@ object Segments {
               struct(col("seg_idx"), col("seg"))))),
             s => s.getField("seg")),
           " ").as("text_clean"))
+  }
+
+  /** [[segmentDedup]] without the text reconstruction: one row per doc
+    * with segment/keep counts only. The funnel queries (d18/d25) consume
+    * just the counts, and the reconstruction is the expensive half of the
+    * op (collect_list of every surviving segment, array_sort, and string
+    * assembly of the entire cleaned corpus) — never compute columns a
+    * caller provably drops. Flags are the same plan, so counts here are
+    * cell-identical to [[segmentDedup]]'s (SegmentsSpec pins it). */
+  def segmentKeepCounts(df: DataFrame, idCol: String, textCol: String,
+                        segTokens: Int = 8,
+                        carryCols: Seq[String] = Nil): DataFrame = {
+    val segs = explodeSegments(df, idCol, textCol, segTokens, carryCols)
+    val firstWin = Window.partitionBy(col("seg"))
+      .orderBy(col(idCol), col("seg_idx"))
+    segs.withColumn(
+        "keep", col("seg").isNotNull && row_number().over(firstWin) === 1)
+      .groupBy(col(idCol) +: carryCols.map(col): _*)
+      .agg(
+        count(col("seg")).as("n_segs"),
+        count(when(col("keep"), lit(true))).as("n_kept"))
   }
 
   /** Incremental C4 dedup — the daily-crawl flow: dedup a NEW batch of

@@ -113,6 +113,23 @@ class SegmentsSpec extends AnyFunSuite {
       "doc_id", "text", size = 4, stride = 3).count() == 0)
   }
 
+  test("segmentKeepCounts matches segmentDedup's counts (with and without carry)") {
+    val full = Segments.segmentDedup(docs, "doc_id", "text", segTokens = 3)
+      .select("doc_id", "n_segs", "n_kept")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val counts = Segments.segmentKeepCounts(docs, "doc_id", "text", segTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(counts == full)
+    // carried column rides through unchanged and grouping stays per-doc
+    val tagged = docs.withColumn("src", concat(lit("s"), col("doc_id") % 2))
+    val carried = Segments.segmentKeepCounts(tagged, "doc_id", "text",
+        segTokens = 3, carryCols = Seq("src"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(carried.length == 6)
+    assert(carried.forall { case (id, src, _, _) => src == s"s${id % 2}" })
+    assert(carried.map { case (id, _, a, b) => (id, a, b) }.toSet == full)
+  }
+
   test("dedup stays a two-exchange plan (segment window + doc rebuild)") {
     val plan = Segments.segmentDedup(docs, "doc_id", "text", 3)
       .queryExecution.executedPlan.toString
