@@ -212,7 +212,33 @@ object CurationQ {
     Segments.chunkWithOverlap(Tables(s, dir).documents, "doc_id", "text",
       ChunkSize, ChunkStride)
 
+  /** Lexical-vs-semantic near-dup DISAGREEMENT audit (d30): the same
+    * unordered doc pair surface seen by two independent detectors —
+    * d06's MinHash-LSH estimated-Jaccard pairs (lexical) and e02's
+    * embedding-cosine pairs (semantic; doc_id ≡ vec_id in the corpus) —
+    * full-outer-joined and classified `both` / `lexical_only` /
+    * `semantic_only`. The audit a curation owner runs before trusting
+    * either pass alone: `semantic_only` pairs are paraphrase/translation
+    * duplicates the shingle pass is blind to, `lexical_only` pairs are
+    * template/boilerplate twins whose MEANING diverged. Cost: the two
+    * (already bounded, never-all-pairs) pair pipelines + one shuffle
+    * join on the pair key — linear in pair counts at any scale. The
+    * oracle composes d06's and e02's full SQL, so the classification is
+    * cell-exact, not spot-checked. */
+  def lexSemAudit(s: SparkSession, dir: String): DataFrame = {
+    val lex = TextQ.minhashDedup(s, dir)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    val sem = SimilarityQ.cosineNearDup(s, dir)
+      .select(col("id_a"), col("id_b"), col("cos"))
+    lex.join(sem, Seq("id_a", "id_b"), "full_outer")
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("cos"),
+        when(col("est_jaccard").isNotNull && col("cos").isNotNull, lit("both"))
+          .when(col("est_jaccard").isNotNull, lit("lexical_only"))
+          .otherwise(lit("semantic_only")).as("agreement"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d30_lexsem_audit"  -> (lexSemAudit _),
     "d18_curation_funnel" -> (curationFunnel _),
     "d25_model_funnel"  -> (modelFunnel _),
     "d29_chunk_overlap" -> (chunkOverlap _),
@@ -315,6 +341,23 @@ object CurationQ {
        |FROM base LEFT JOIN fin USING (source)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d30: d06's and e02's FULL oracle SQL as nested-WITH CTEs, full
+    // outer join on the unordered pair key (both emit id_a < id_b),
+    // CASE-classified — the Spark query's twin detectors, composed
+    "d30_lexsem_audit" ->
+      s"""WITH lex AS (
+         |${TextQ.minhashOracle()}
+         |), sem AS (
+         |${SimilarityQ.nearDupOracle("")}
+         |)
+         |SELECT coalesce(l.id_a, s.id_a) AS id_a,
+         |       coalesce(l.id_b, s.id_b) AS id_b,
+         |       l.est_jaccard, s.cos,
+         |       CASE WHEN l.id_a IS NOT NULL AND s.id_a IS NOT NULL THEN 'both'
+         |            WHEN l.id_a IS NOT NULL THEN 'lexical_only'
+         |            ELSE 'semantic_only' END AS agreement
+         |FROM lex l FULL OUTER JOIN sem s
+         |  ON l.id_a = s.id_a AND l.id_b = s.id_b""".stripMargin,
     "d16_bpe_encode" -> bpeEncodeOracle,
     // q58: d16's tokenizer chain rolled up per source (ASCII corpus:
     // DuckDB length == Spark length)

@@ -279,7 +279,7 @@ object SimilarityQ {
   /** e02's all-pairs exact-cosine SQL; the final WHERE takes an extra
     * conjunct so e07's new-touching restriction cannot drift from the
     * full rerun it must equal. */
-  private def nearDupOracle(extraWhere: String): String =
+  private[queries] def nearDupOracle(extraWhere: String): String =
     s"""WITH norms AS ($normsSql),
        |dots AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -224,7 +224,7 @@ object TextQ {
     * affine family the Spark aggregate uses (rendered as literals). The
     * final WHERE takes an extra conjunct so d26's new-touching restriction
     * cannot drift from the full rerun it must equal. */
-  private def minhashOracle(extraWhere: String = ""): String = {
+  private[queries] def minhashOracle(extraWhere: String = ""): String = {
     val p = MinHashLsh.Params()
     val fam = MinHashLsh.hashFamily(p).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
