@@ -301,7 +301,55 @@ object PipelineQ {
     "q57_ngram_contamination" -> (ngramContamination _),
     "q57b_contamination_stored" -> (ngramContaminationStored _),
     "d27_mixture_plan"     -> (mixturePlan _),
-    "d28_leakfree_split"   -> (leakFreeSplit _))
+    "d28_leakfree_split"   -> (leakFreeSplit _),
+    "d31_soft_dedup"       -> (softDedupWeights _),
+    "d32_decontaminate"    -> (decontaminate _))
+
+  /** Decontamination ACTION (d32) — q57 mirrored into the fix: q57 audits
+    * how much of each EVAL doc leaked from train; this drops from the
+    * TRAIN side every document carrying benchmark n-grams (the direction
+    * a release pipeline actually acts on — the eval set is fixed, the
+    * training set is what you clean). Same single-scan shape as q57: tag,
+    * hash-shingle once, resolve "does any eval doc carry this gram" with
+    * a shingle-partitioned window max — one documents scan, no join.
+    * Per train doc: gram counts and the drop verdict (≥ 8 shared grams,
+    * q50's audit threshold). Docs with no 5-grams at all are trivially
+    * clean: kept, reported with n_grams = 0. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables(s, dir).documents
+      .select(col("doc_id"), (col("doc_id") % 50 =!= 0).as("__train"),
+        explode_outer(graft.functions.ShingleHashesFn.shingleHashes(
+          col("text"), 5, distinct = true)).as("sh"))
+    sh.withColumn("__hit",
+        max(when(!col("__train") && col("sh").isNotNull, 1).otherwise(0))
+          .over(Window.partitionBy(col("sh"))))
+      .filter(col("__train"))
+      .groupBy("doc_id")
+      .agg(count(col("sh")).as("n_grams"),
+        sum(when(col("sh").isNotNull, col("__hit")).otherwise(0)).cast("long")
+          .as("n_contaminated"))
+      .withColumn("dropped", col("n_contaminated") >= 8)
+  }
+
+  /** Soft dedup / cluster down-weighting (d31): instead of DROPPING
+    * near-duplicates (d03/q48's hard pass), keep every document and
+    * weight it by the inverse of its duplicate-cluster size — the
+    * repetition-controlled sampling posture of the SemDeDup/D4 line of
+    * work: a 40-copy boilerplate cluster contributes ~1 document's worth
+    * of sampling mass instead of 40. Integer ppm weights (1e6 DIV
+    * n_members) so the oracle is division-policy-free. Unclustered docs
+    * (no near-dup pair) weigh a full 1e6. Feeds q49's mixture sampler as
+    * the per-doc rate multiplier. Cost: q48's (bounded, capped-postings)
+    * cluster pipeline + one left join keyed on doc_id — linear. */
+  def softDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val cl = dupClusters(s, dir).select(col("doc_id"), col("n_members"))
+    Tables(s, dir).documents.select(col("doc_id"), col("source"))
+      .join(cl, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_members"), lit(1L)).as("n_members"),
+        expr("1000000 DIV coalesce(n_members, 1)").as("weight_ppm"))
+  }
 
   /** q48's pair CTE = the SHARED d04 oracle chain ([[TextQ.jaccardOracleCte]])
     * plus the threshold filter — one definition, no copy to drift. */
@@ -313,7 +361,32 @@ object PipelineQ {
        |  JOIN sizes sb ON sb.doc_id = id_b
        |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5)""".stripMargin
 
+  /** q48's full oracle: d04's pair chain → recursive min-label walk →
+    * cluster sizes. A named def so d31 can compose it as a nested CTE. */
+  private def q48OracleSql: String =
+    s"""WITH RECURSIVE $d04PairsCte,
+       |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM dup_pairs
+       |          UNION ALL SELECT id_b, id_a FROM dup_pairs),
+       |walk(id, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r),
+       |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1)
+       |SELECT doc_id, cluster_id,
+       |       count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |FROM cl""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // d31: q48's full SQL as a nested CTE, left-joined onto documents —
+    // unclustered docs weigh 1e6 ppm, cluster members 1e6 // n_members
+    "d31_soft_dedup" ->
+      s"""WITH cl AS (
+         |$q48OracleSql
+         |)
+         |SELECT d.doc_id, d.source,
+         |       coalesce(cl.n_members, 1) AS n_members,
+         |       1000000 // coalesce(cl.n_members, 1) AS weight_ppm
+         |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id""".stripMargin,
     "q55_overlap_join" ->
       """WITH e AS (
         |  SELECT event_id AS err_id, epoch_us(ts) AS e_s,
@@ -395,6 +468,33 @@ object PipelineQ {
          |GROUP BY 1, 2""".stripMargin,
     // q57: same 5-gram shingle chain as q50, but rolled to PER-EVAL-DOC
     // n-gram hit fractions against the train corpus's distinct shingles
+    // d32: q57's CTE chain with the roles mirrored (distinct EVAL grams
+    // probe the TRAIN side) + a documents left join so zero-gram train
+    // docs appear as trivially clean
+    "d32_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh5 AS (
+        |  SELECT DISTINCT doc_id,
+        |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS shingle
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+        |  WHERE len(t) >= 5),
+        |ev AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, shingle FROM sh5 WHERE doc_id % 50 <> 0),
+        |agg AS (
+        |  SELECT tr.doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_grams,
+        |         CAST(SUM(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_contaminated
+        |  FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |       coalesce(a.n_grams, 0) AS n_grams,
+        |       coalesce(a.n_contaminated, 0) AS n_contaminated,
+        |       coalesce(a.n_contaminated, 0) >= 8 AS dropped
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |WHERE d.doc_id % 50 <> 0""".stripMargin,
     "q57_ngram_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
@@ -451,18 +551,7 @@ object PipelineQ {
         |SELECT doc_id, count(*) AS n_bench_docs, max(n_shared) AS max_shared
         |FROM overlap WHERE n_shared >= 8
         |GROUP BY 1""".stripMargin,
-    "q48_dup_clusters" ->
-      s"""WITH RECURSIVE $d04PairsCte,
-         |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM dup_pairs
-         |          UNION ALL SELECT id_b, id_a FROM dup_pairs),
-         |walk(id, r) AS (
-         |  SELECT DISTINCT a, a FROM edges
-         |  UNION
-         |  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r),
-         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1)
-         |SELECT doc_id, cluster_id,
-         |       count(*) OVER (PARTITION BY cluster_id) AS n_members
-         |FROM cl""".stripMargin,
+    "q48_dup_clusters" -> q48OracleSql,
     "d27_mixture_plan" -> {
       val values = mixtureWeights.map { case (s0, w) => s"('$s0', $w)" }.mkString(", ")
       s"""WITH w(source, w) AS (VALUES $values),

@@ -380,6 +380,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "d27_mixture_plan",     // per-source weights x ONE global-budget row
       "e01_knn_brute",        // brute-force baseline IS all-pairs by contract
       "e02_cosine_neardup",   // exact verification path (sketch path is e03)
+      "d30_lexsem_audit",     // composes e02's require-capped exact pair side
       "e04_centroid_assign",  // vectors x broadcast k-row centroid table
       "e11_semdedup_kmeans",  // same k-row broadcast assignment feeding cells
       "e07_incr_neardup",     // new-batch side broadcasts (plan-gated elsewhere)
