@@ -160,10 +160,10 @@ object PipelineQ {
     * (the per-doc assignment is the obvious projection). */
   def leakFreeSplit(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
-    val pairs = Shingles.jaccardPairs(docs, "doc_id", "text",
-      n = 3, minJaccard = 0.5, maxShingleDf = Some(64))
-    val cl = ConnectedComponents.clusters(pairs, "id_a", "id_b")
-      .withColumnRenamed("id", "doc_id")
+    // cluster table from the STORED registry (the dedup stage's persisted
+    // output, same artifact d31 probes) — the split consumer never
+    // re-runs pair generation + CC; q48 is the benched from-scratch build
+    val cl = graft.store.Registries.dupClusters(s, dir)
     docs.join(cl.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("split", Sampling.md5Split(col("rep"), splitFractions))
@@ -343,7 +343,11 @@ object PipelineQ {
     * the per-doc rate multiplier. Cost: q48's (bounded, capped-postings)
     * cluster pipeline + one left join keyed on doc_id — linear. */
   def softDedupWeights(s: SparkSession, dir: String): DataFrame = {
-    val cl = dupClusters(s, dir).select(col("doc_id"), col("n_members"))
+    // probes the STORED cluster registry (the dedup stage's persisted
+    // output) rather than re-running pair generation + CC per consumer;
+    // q48 remains the benched from-scratch build of the same table
+    val cl = graft.store.Registries.dupClusters(s, dir)
+      .select(col("doc_id"), col("n_members"))
     Tables(s, dir).documents.select(col("doc_id"), col("source"))
       .join(cl, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),

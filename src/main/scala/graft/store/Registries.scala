@@ -95,6 +95,17 @@ object Registries {
         .select("shingle").distinct()
     }
 
+  /** Stored duplicate-cluster table — q48's (doc_id, cluster_id,
+    * n_members) output materialized once, the artifact the dedup stage
+    * of a production pipeline persists anyway. d31's soft-dedup weights
+    * probe THIS instead of re-running pair generation + connected
+    * components per consumer (q48 itself remains the benched
+    * from-scratch build, the d26/d26b pairing). */
+  def dupClusters(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "dup_clusters") {
+      graft.queries.PipelineQ.dupClusters(s, dir)
+    }
+
   /** Stored IVF+PQ code lists, CELL-PARTITIONED parquet
     * ([[graft.similarity.IvfPq.writeCodes]], the e10 model parameters):
     * what [[graft.similarity.IvfPq.searchStored]] probes with a
@@ -142,6 +153,7 @@ object Registries {
     minhashBands(s, dir).head(1)
     embBuckets(s, dir).head(1)
     trainShingles(s, dir).head(1)
+    dupClusters(s, dir).head(1)
     ivfPqCodesDir(s, dir)
     ()
   }

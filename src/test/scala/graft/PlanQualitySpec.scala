@@ -305,6 +305,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scans(e07b, "embeddings.parquet") <= 5,
       "e07b re-reads embeddings beyond the new-side hash + rescore joins" +
         BNL + e07b)
+    // d31: cluster sizes come from the stored registry; the only
+    // documents scan is the (doc_id, source) projection being weighted —
+    // rebuilding the clusters would re-run shingling + CC per consumer
+    val d31 = plan("d31_soft_dedup")
+    assert(d31.contains("graft_registry"), d31)
+    assert(scans(d31, "documents.parquet") == 1,
+      "d31 must scan documents exactly once (the weighted projection)" +
+        BNL + d31)
   }
 
   test("perceptual hash clustering windows partition by the hash") {
