@@ -22,12 +22,14 @@ object CurationQ {
   /** C4 line-dedup analog: drop every non-first occurrence of a segment
     * corpus-wide, rebuild each document from its survivors. */
   def segmentDedup(s: SparkSession, dir: String): DataFrame =
-    Segments.segmentDedup(Tables(s, dir).documents, "doc_id", "text", SegTokens)
+    // spread: tokenize+segment before the seg shuffle — see Tables.spread
+    Segments.segmentDedup(Tables.spread(Tables(s, dir).documents, "doc_id"),
+      "doc_id", "text", SegTokens)
 
   /** Boilerplate list: segments present in >= 3 distinct documents. */
   def boilerplate(s: SparkSession, dir: String): DataFrame =
-    Segments.boilerplate(Tables(s, dir).documents, "doc_id", "text",
-      SegTokens, MinDocs)
+    Segments.boilerplate(Tables.spread(Tables(s, dir).documents, "doc_id"),
+      "doc_id", "text", SegTokens, MinDocs)
 
   /** Unicode NFC normalization ([[graft.functions.UnicodeNormalize]]).
     * The corpus is ASCII, so the query first derives a decomposed variant
@@ -198,7 +200,8 @@ object CurationQ {
     * integer conditional bigram probability per document
     * ([[graft.text.Fluency]]). */
   def bigramFluency(s: SparkSession, dir: String): DataFrame =
-    graft.text.Fluency.bigramFluency(Tables(s, dir).documents, "doc_id", "text")
+    graft.text.Fluency.bigramFluency(
+      Tables.spread(Tables(s, dir).documents, "doc_id"), "doc_id", "text")
 
   private val ChunkSize = 64
   private val ChunkStride = 48

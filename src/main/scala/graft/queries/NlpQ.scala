@@ -16,17 +16,20 @@ object NlpQ {
 
   /** Top-3 most distinctive terms per document (scaled-integer tf-idf). */
   def tfidf(s: SparkSession, dir: String): DataFrame =
-    Relevance.topTerms(Tables(s, dir).documents, "doc_id", "text", k = 3)
+    // spread: tokenization before the term shuffle — see Tables.spread
+    Relevance.topTerms(Tables.spread(Tables(s, dir).documents, "doc_id"),
+      "doc_id", "text", k = 3)
 
   /** Corpus vocabulary: top 100 tokens by collection frequency. */
   def vocab(s: SparkSession, dir: String): DataFrame =
-    Relevance.vocabulary(Tables(s, dir).documents, "doc_id", "text", k = 100)
+    Relevance.vocabulary(Tables.spread(Tables(s, dir).documents, "doc_id"),
+      "doc_id", "text", k = 100)
 
   /** Winnowing fingerprints (k=7 char-grams, window w=4): every shared
     * substring of length ≥ 10 between two documents shares a fingerprint. */
   def winnow(s: SparkSession, dir: String): DataFrame =
-    Winnowing.fingerprintRows(Tables(s, dir).documents, "doc_id", "text",
-      k = 7, w = 4)
+    Winnowing.fingerprintRows(Tables.spread(Tables(s, dir).documents, "doc_id"),
+      "doc_id", "text", k = 7, w = 4)
 
   /** Trigram-profile language ID (the production upgrade of d02's
     * stopword heuristic) — native one-pass scorer; the join-based

@@ -54,7 +54,13 @@ object Scalars {
       pmod(col("c_custkey"), lit(256)), lit(".1 call 555-123-"),
       lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"),
       lit(" or visit https://ex.com/u/"), col("c_custkey"))
-    Tables(s, dir).customer.select(
+    // spread: a deliberate exception to the pure-projection-never-
+    // shuffles rule — the redaction regex chains are ~10x the cost of
+    // shuffling the two narrow input columns, and the single-task scan
+    // would run them serially (0.90 -> 0.22 s at sf0.1). On a many-file
+    // input whose scan already parallelizes, drop the spread.
+    Tables.spread(Tables(s, dir).customer.select("c_custkey", "c_name"), "c_custkey")
+      .select(
       col("c_custkey"),
       Redaction.redact(txt).as("clean"),
       Redaction.countMatches(txt, "email").as("n_email"),

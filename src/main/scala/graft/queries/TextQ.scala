@@ -89,14 +89,16 @@ object TextQ {
 
   /** MinHash+LSH near-dup candidates — oracle-backed md5 hash source. */
   def minhashDedup(s: SparkSession, dir: String): DataFrame =
-    MinHashLsh.nearDuplicatesMd5(Tables(s, dir).documents, "doc_id", "text",
-      minEstJaccard = 0.5)
+    // spread: the shingle+signature pass runs before the band shuffle
+    MinHashLsh.nearDuplicatesMd5(Tables.spread(Tables(s, dir).documents, "doc_id"),
+      "doc_id", "text", minEstJaccard = 0.5)
 
   /** SimHash near-dup pairs — oracle-backed md5 hash source. Balanced
     * preset: hamming <= 6 over 8 chunks with the hot-chunk cap on. */
   def simhashDedup(s: SparkSession, dir: String): DataFrame =
-    SimHash.nearDuplicatesMd5(Tables(s, dir).documents, "doc_id", "text",
-      SimHash.Balanced)
+    // spread: the per-token hash/vote pass runs before the chunk shuffle
+    SimHash.nearDuplicatesMd5(Tables.spread(Tables(s, dir).documents, "doc_id"),
+      "doc_id", "text", SimHash.Balanced)
 
   /** Model-based quality gate (fastText-style hashed-n-gram linear scorer,
     * codegen'd one-pass scoring; seeded md5-derived demo weights so the
@@ -116,7 +118,7 @@ object TextQ {
     * rows rather than fan-out. */
   def novelty(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables(s, dir).documents
+    val docs = Tables.spread(Tables(s, dir).documents, "doc_id")
     // explodeShingles materializes the token array in a prior projection —
     // inlining TextMetrics.tokens into the transform lambda re-runs the
     // regex split per element (the repo's documented interpreted-lambda
