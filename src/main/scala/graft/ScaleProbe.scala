@@ -110,6 +110,29 @@ object ScaleProbe {
         col("doc_id"), 1, 10).count()
     }
 
+    // perceptual-hash banding at hash-collapse scale: near-dup-heavy
+    // corpora collapse short perceptual hashes onto few distinct values
+    // (sf0.1 images: 5000 docs -> 105 dHashes), so model that regime
+    // directly — 200 base 24-bit patterns, every 7th doc a 1-bit-flipped
+    // neighbor. Per-row banding pays bucket-quadratic candidate volume
+    // (needs the hot-chunk cap, which DROPS pairs); the grouped variant
+    // bands distinct values only — complete AND cheaper, and the gap
+    // widens with corpus size at fixed distinct-hash count.
+    val phashes = docs.select(col("doc_id"),
+      (abs(xxhash64(col("doc_id") % 200)) % 16777216)
+        .bitwiseXOR(when(col("doc_id") % 7 === 0,
+          expr("shiftleft(1L, cast(doc_id % 24 as int))"))
+          .otherwise(0L)).as("dhash"))
+    time("phash_perrow_cap256") {
+      graft.dedup.SimHash.hammingNearDuplicates(phashes, "doc_id", "dhash",
+          maxDist = 2, chunks = 4, maxChunkBucket = Some(256), bits = 24)
+        .filter(col("hamming") >= 1).count()
+    }
+    time("phash_grouped_nocap") {
+      graft.dedup.SimHash.hammingNearDuplicatesGrouped(phashes, "doc_id", "dhash",
+        maxDist = 2, chunks = 4, bits = 24).count()
+    }
+
     // events-side operators: replicate with fresh event ids AND fresh user
     // ids, so the key space grows with the factor (the scale-out shape; the
     // per-key history length stays constant)
