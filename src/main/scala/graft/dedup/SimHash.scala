@@ -195,7 +195,14 @@ object SimHash {
     * with itself after `distinct()` — which is the contract callers want:
     * equal-hash groups are exact clusters, handled linearly by a window
     * (m06-style), never materialized as quadratic pairs. `maxChunkBucket`
-    * now caps distinct VALUES per chunk bucket, the scale-robust form. */
+    * now caps distinct VALUES per chunk bucket, the scale-robust form.
+    *
+    * ScaleProbe (200 distinct values, 1-bit-flip neighbors): at 40k docs
+    * the per-row path under cap 256 returns 85k of 1.04M true pairs; at
+    * 160k docs EVERY bucket exceeds the cap and it returns ZERO — total
+    * recall collapse — while this variant returns the complete 16.6M
+    * pairs in less time. For collapsing hash families the per-row cap is
+    * not a tuning knob, it is the failure mode. */
   def hammingNearDuplicatesGrouped(hashes: DataFrame, idCol: String, hashCol: String,
                                    maxDist: Int, chunks: Int,
                                    maxChunkBucket: Option[Int] = None,

@@ -107,7 +107,8 @@ object PipelineQ {
   /** Near-duplicate clusters from the exact-Jaccard pairs: connected
     * components, cluster id = min doc_id in the component. */
   def dupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Shingles.jaccardPairs(Tables(s, dir).documents,
+    // spread: tokenize+shingle before the postings shuffle — see Tables.spread
+    val pairs = Shingles.jaccardPairs(Tables.spread(Tables(s, dir).documents, "doc_id"),
       "doc_id", "text", n = 3, minJaccard = 0.5, maxShingleDf = Some(64))
     val cl = ConnectedComponents.clusters(pairs, "id_a", "id_b")
       .withColumnRenamed("id", "doc_id")

@@ -55,8 +55,9 @@ object TextQ {
     * filtered shingle space — see [[Shingles.jaccardPairs]] for why sizes
     * must be post-cap too. Exact on this corpus (max DF 25 < 64). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    Shingles.jaccardPairs(Tables(s, dir).documents, "doc_id", "text",
-      n = 3, minJaccard = 0.5, maxShingleDf = Some(64))
+    // spread: tokenize+shingle before the postings shuffle — see Tables.spread
+    Shingles.jaccardPairs(Tables.spread(Tables(s, dir).documents, "doc_id"),
+      "doc_id", "text", n = 3, minJaccard = 0.5, maxShingleDf = Some(64))
 
   /** Per-source length census — the reporting rollup a curation pipeline
     * runs after filtering. */
