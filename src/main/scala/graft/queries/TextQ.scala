@@ -171,7 +171,32 @@ object TextQ {
       minEstJaccard = 0.5, literalKeys = true)._1
   }
 
+  /** Incremental CLUSTER MAINTENANCE (d33) — the step after incremental
+    * pair detection that every registry-probing dedup flow needs: merge a
+    * new day's near-dup pairs into the STORED cluster labels without
+    * re-clustering history. The stored (doc_id, cluster_id) rows are
+    * replayed as doc→representative edges — they connect exactly the
+    * components the old pairs did — unioned with d26b's new-touching
+    * pairs, and one connected-components pass over that graph yields the
+    * updated labels. Cost: |stored labels| + |new pairs| edges, never the
+    * full historical pair set. The oracle IS the full rerun (recursive
+    * min-label walk over the whole corpus's MinHash pairs), so the
+    * incremental-equals-monolithic contract is the correctness gate
+    * itself, not a side spec. */
+  def incrementalClusters(s: SparkSession, dir: String): DataFrame = {
+    val newPairs = incrementalMinhashStored(s, dir).select("id_a", "id_b")
+    val stored = graft.store.Registries.minhashClusters(s, dir)
+    val edges = stored.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("id_a"), col("cluster_id").as("id_b"))
+      .unionByName(newPairs)
+    val cl = graft.ops.ConnectedComponents.clusters(edges, "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+    val sizes = cl.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    cl.join(sizes, Seq("cluster_id")).select("doc_id", "cluster_id", "n_members")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d33_incr_clusters" -> (incrementalClusters _),
     "d01_token_stats"   -> (tokenStats _),
     "d02_quality_lang"  -> (qualityLang _),
     "d03_exact_dedup"   -> (exactDedup _),
@@ -348,6 +373,24 @@ object TextQ {
        |FROM msc""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d33: the MONOLITHIC rerun — d06's full pair SQL → recursive
+    // min-label walk over the whole corpus. The incremental Spark path
+    // (stored labels + new-touching pairs) must reproduce it cell-exactly,
+    // so the incremental contract is enforced by the correctness gate.
+    "d33_incr_clusters" ->
+      s"""WITH RECURSIVE mp AS (
+         |${minhashOracle()}
+         |),
+         |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM mp
+         |          UNION ALL SELECT id_b, id_a FROM mp),
+         |walk(id, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM walk GROUP BY 1)
+         |SELECT doc_id, cluster_id,
+         |       count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |FROM cl""".stripMargin,
     "d06_minhash_dedup" -> minhashOracle(),
     // the incremental run's contract: the monolithic rerun restricted to
     // pairs touching a new (odd-id) doc

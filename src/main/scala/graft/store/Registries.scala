@@ -95,6 +95,22 @@ object Registries {
         .select("shingle").distinct()
     }
 
+  /** Stored MinHash cluster labels over the accumulated (even-id)
+    * corpus — the registry the d33 incremental cluster-maintenance step
+    * updates: (doc_id, cluster_id) for every even doc in ≥ 1 even-even
+    * MinHash pair, labels = min-id per component. A doc's signature (and
+    * so every even-even pair) is corpus-independent, which is what makes
+    * the stored labels composable with a new day's pairs. */
+  def minhashClusters(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "minhash_clusters") {
+      graft.ops.ConnectedComponents.clusters(
+        graft.dedup.MinHashLsh.nearDuplicatesMd5(
+          Tables(s, dir).documents.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", minEstJaccard = 0.5),
+        "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+    }
+
   /** Stored duplicate-cluster table — q48's (doc_id, cluster_id,
     * n_members) output materialized once, the artifact the dedup stage
     * of a production pipeline persists anyway. d31's soft-dedup weights
@@ -154,6 +170,7 @@ object Registries {
     embBuckets(s, dir).head(1)
     trainShingles(s, dir).head(1)
     dupClusters(s, dir).head(1)
+    minhashClusters(s, dir).head(1)
     ivfPqCodesDir(s, dir)
     ()
   }
