@@ -109,6 +109,74 @@ object DocStreams {
       } finally { flagged.unpersist(); () }
     }
 
+  /** Streaming cluster maintenance — d33's daily-crawl twin: each
+    * micro-batch's docs are signed ONCE, probed against the stored band
+    * index for new-touching pairs (history is never re-paired), and the
+    * label table is rewritten as one connected-components pass over
+    * (stored labels replayed as doc→representative edges) ∪ (the batch's
+    * pairs) — |labels| + |new pairs| edges, never the historical pair
+    * set.
+    *
+    * State shape differs from the append-only registries: a cluster
+    * merge RELABELS old docs, so `labelsDir` is rewrite-in-place (write
+    * temp → swap, [[graft.store.Registries.compact]]'s non-transactional
+    * caveat: a table format makes the swap atomic in production; the
+    * sig/band registries stay append-only, deltas written LAST per the
+    * recache ordering rule shared by every twin here). Empty-state
+    * bootstrap derives schemas from the real builders over `limit(0)` so
+    * the probe paths cannot drift from the batch op's. Convergence with
+    * the monolithic rerun is DocStreamsSpec's twin test; d33's oracle
+    * enforces the same contract cell-exactly on the batch path. */
+  def clusterMaintStream(docStream: DataFrame, idCol: String, textCol: String,
+                         sigDir: String, bandDir: String, labelsDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val conf = spark.sessionState.newHadoopConf()
+      def readOr(dir: String, empty: => DataFrame): DataFrame = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        if (p.getFileSystem(conf).exists(p)) spark.read.parquet(dir) else empty
+      }
+      import graft.dedup.MinHashLsh
+      val emptyDocs = batch.limit(0)
+      val storedSig = readOr(sigDir,
+        MinHashLsh.signaturesMd5(emptyDocs, idCol, textCol))
+      val storedBands = readOr(bandDir,
+        MinHashLsh.bandIndex(
+          MinHashLsh.signaturesMd5(emptyDocs, idCol, textCol), idCol,
+          literalKeys = true))
+      val nSig = MinHashLsh.signaturesMd5(batch, idCol, textCol).persist()
+      try {
+        val (pairs, (_, bandDelta)) = MinHashLsh.incrementalNearDupFromIndex(
+          nSig, storedBands, storedSig, idCol,
+          minEstJaccard = 0.5, literalKeys = true)
+        val storedLabels = readOr(labelsDir,
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            StructType(Seq(StructField(idCol, LongType),
+              StructField("cluster_id", LongType)))))
+        val edges = storedLabels.filter(col(idCol) =!= col("cluster_id"))
+          .select(col(idCol).as("id_a"), col("cluster_id").as("id_b"))
+          .unionByName(pairs.select("id_a", "id_b"))
+        val newLabels = graft.ops.ConnectedComponents
+          .clusters(edges, "id_a", "id_b")
+          .select(col("id").as(idCol), col("cluster_id"))
+        // rewrite-in-place: temp + swap (labels must be fully written
+        // before the old table disappears)
+        val lp = new org.apache.hadoop.fs.Path(labelsDir)
+        val fs = lp.getFileSystem(conf)
+        val tmp = new org.apache.hadoop.fs.Path(labelsDir + "__updating")
+        if (fs.exists(tmp)) { fs.delete(tmp, true); () }
+        newLabels.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(lp)) { fs.delete(lp, true); () }
+        if (!fs.rename(tmp, lp))
+          throw new java.io.IOException(s"label swap $tmp -> $lp failed")
+        // append-only registries LAST (recache ordering rule)
+        nSig.write.mode("append").parquet(sigDir)
+        bandDelta.write.mode("append").parquet(bandDir)
+      } finally { nSig.unpersist(); () }
+    }
+
   /** Streaming substring-level repeat detection — the daily-crawl twin of
     * [[graft.text.Winnowing.repeatedRegions]] built on
     * [[graft.text.Winnowing.incrementalRepeatedRegions]]: each micro-batch's

@@ -79,6 +79,37 @@ class DocStreamsSpec extends AnyFunSuite {
       batch.agg(sum(col("n_kept"))).head.getLong(0))
   }
 
+  test("streaming cluster maintenance converges to the monolithic CC rerun") {
+    val docs = Tables(spark, sf).documents
+    val stageDir = java.nio.file.Files.createTempDirectory("cl-stream").toString
+    for ((lo, hi) <- Seq((0L, 150L), (150L, 320L), (320L, 10000L))) {
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .repartition(1).write.mode("append").parquet(stageDir)
+      Thread.sleep(1100)
+    }
+    val base = java.nio.file.Files.createTempDirectory("cl-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cl-ckpt").toString
+    val q = DocStreams.clusterMaintStream(
+        DocStreams.readDocumentStream(spark, stageDir, maxFilesPerTrigger = Some(1)),
+        "doc_id", "text", s"$base/sig", s"$base/bands", s"$base/labels")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 3, "expected a multi-batch incremental run")
+    val streamed = spark.read.parquet(s"$base/labels")
+    val batch = graft.ops.ConnectedComponents.clusters(
+        graft.dedup.MinHashLsh.nearDuplicatesMd5(docs, "doc_id", "text",
+          minEstJaccard = 0.5),
+        "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streaming cluster labels diverged from the monolithic rerun")
+    // sig registry accumulated one signature per doc in >= 0 pairs
+    assert(spark.read.parquet(s"$base/sig").count() == docs.count())
+  }
+
   test("streaming curation funnel converges to the batch funnel's survivors") {
     import org.apache.spark.sql.expressions.Window
     import graft.text.{QualityClassifier, Segments, TextMetrics}
