@@ -268,4 +268,38 @@ object SimHash {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** [[incrementalHammingNearDuplicates]] in the GROUPED form (hamming
+    * ≥ 1, like [[hammingNearDuplicatesGrouped]]): the union's DISTINCT
+    * hash values band (tiny under perceptual-hash collapse, immune to
+    * the per-row cap's recall cliff), and the surviving hash pairs
+    * expand only to id pairs touching a new id. Equal-hash (hamming-0)
+    * incremental pairs are the registry EQUALITY join every media-dedup
+    * flow already does linearly — never quadratic pair output. Contract
+    * (spec-pinned): equals the grouped batch op over stored ∪ new
+    * restricted to pairs with ≥ 1 new endpoint. */
+  def incrementalHammingNearDuplicatesGrouped(newHashes: DataFrame, storedHashes: DataFrame,
+                                              idCol: String, hashCol: String,
+                                              maxDist: Int, chunks: Int,
+                                              maxChunkBucket: Option[Int] = None,
+                                              bits: Int = 64): DataFrame = {
+    def norm(df: DataFrame, isNew: Boolean): DataFrame =
+      df.select(col(idCol).cast("long").as("__id"),
+        col(hashCol).cast("long").as("__h"), lit(isNew).as("__new"))
+    val all = norm(storedHashes, isNew = false)
+      .unionByName(norm(newHashes, isNew = true))
+    val hashPairs = hammingNearDuplicates(
+      all.select(col("__h")).distinct().select(col("__h").as("hid"), col("__h")),
+      "hid", "__h", maxDist, chunks, maxChunkBucket, bits)
+      .select(col("id_a").as("__ha"), col("id_b").as("__hb"), col("hamming"))
+    hashPairs
+      .join(all.select(col("__h").as("__ha"), col("__id").as("__da"),
+        col("__new").as("__na")), Seq("__ha"))
+      .join(all.select(col("__h").as("__hb"), col("__id").as("__db"),
+        col("__new").as("__nb")), Seq("__hb"))
+      .filter(col("__na") || col("__nb"))
+      .select(least(col("__da"), col("__db")).as("id_a"),
+        greatest(col("__da"), col("__db")).as("id_b"),
+        col("hamming"))
+  }
 }

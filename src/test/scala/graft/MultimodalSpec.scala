@@ -307,6 +307,33 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(incr.nonEmpty, "vacuous: fixture produced no near pairs")
     assert(incr == full)
+    // grouped incremental == grouped batch over the union restricted to
+    // new-touching pairs (the hamming >= 1 contract both grouped forms
+    // share; hamming-0 is the registry equality join's linear surface).
+    // The rendered fixture collapses to equal hashes only, so plant
+    // 2-bit-flipped neighbors to make the >= 1 surface non-vacuous.
+    val hashes2 = hashes.unionByName(
+      hashes.filter($"doc_id" <= 6).select(($"doc_id" + 1000).as("doc_id"),
+        $"dhash".bitwiseXOR(lit(3L)).as("dhash")))
+    val stored2 = hashes2.filter($"doc_id" % 2 === 0)
+    val fresh2 = hashes2.filter($"doc_id" % 2 === 1)
+    val incrG = graft.dedup.SimHash
+      .incrementalHammingNearDuplicatesGrouped(fresh2, stored2, "doc_id", "dhash",
+        maxDist = 3, chunks = 4, bits = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fullG = graft.dedup.SimHash
+      .hammingNearDuplicatesGrouped(hashes2, "doc_id", "dhash", maxDist = 3,
+        chunks = 4, bits = 24)
+      .filter($"id_a" % 2 === 1 || $"id_b" % 2 === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(incrG.nonEmpty, "vacuous: planted neighbors produced no >=1 pairs")
+    assert(incrG == fullG)
+    val perRow2 = graft.dedup.SimHash
+      .incrementalHammingNearDuplicates(fresh2, stored2, "doc_id", "dhash",
+        maxDist = 3, chunks = 4, bits = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(incrG == perRow2.filter(_._3 >= 1),
+      "grouped incremental must equal the per-row incremental minus hamming-0")
   }
 
   test("resize + dhash stages run distributed over payload partitions") {
