@@ -216,6 +216,9 @@ object SimHash {
     hashPairs
       .join(h.select(col("__h").as("__ha"), col("__id").as("__da")), Seq("__ha"))
       .join(h.select(col("__h").as("__hb"), col("__id").as("__db")), Seq("__hb"))
+      // an id listed under BOTH hashes (duplicate-id input) would emit a
+      // self-pair the per-row op's id_a < id_b filter suppresses
+      .filter(col("__da") =!= col("__db"))
       .select(least(col("__da"), col("__db")).as("id_a"),
         greatest(col("__da"), col("__db")).as("id_b"),
         col("hamming"))
@@ -298,6 +301,9 @@ object SimHash {
       .join(all.select(col("__h").as("__hb"), col("__id").as("__db"),
         col("__new").as("__nb")), Seq("__hb"))
       .filter(col("__na") || col("__nb"))
+      // a re-crawled id present in BOTH sides (stored h, new h^1) would
+      // otherwise emit (id, id) — the per-row twin filters id_n =!= id_o
+      .filter(col("__da") =!= col("__db"))
       .select(least(col("__da"), col("__db")).as("id_a"),
         greatest(col("__da"), col("__db")).as("id_b"),
         col("hamming"))

@@ -403,7 +403,7 @@ object Multimodal {
       * chunks, multi-channel, inconsistent RIFF length, hostile chunk
       * lengths) routes to [[decodeJdk]], so accept/reject behavior on
       * arbitrary bytes is decided by the JDK exactly as before. */
-    private def expandFast(b: Array[Byte]): Option[(String, Int, Array[Int])] = {
+    private def expandFast(b: Array[Byte]): Option[(String, Int, Array[Int])] = try {
       def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
       def u32(o: Int) = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
         ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
@@ -423,7 +423,10 @@ object Multimodal {
               u16(off + 22) != 8) return None // mono, 8 bits/sample only
             rate = u32(off + 12).toInt
           case "data" =>
-            if (dataOff >= 0) return None
+            // fmt must precede data: the JDK's reader searches for data
+            // only AFTER fmt, so a [data][fmt] layout is JDK-rejected —
+            // fall back rather than accept what the codec of record won't
+            if (dataOff >= 0 || fmtTag < 0) return None
             dataOff = off + 8; dataLen = len
           case _ => ()
         }
@@ -437,7 +440,10 @@ object Multimodal {
       var i = 0
       while (i < samples.length) { samples(i) = table(b(dataOff + i) & 0xff); i += 1 }
       Some((if (fmtTag == 7) "ulaw" else "alaw", rate, samples))
-    }
+      // NonFatal (incl. a failed lazy jdkTable init on a JVM without the
+      // G.711 converters) → fall back to the JDK path, which degrades to
+      // None itself — the hostile-bytes contract must never throw
+    } catch { case scala.util.control.NonFatal(_) => None }
 
     def decode(id: Long, bytes: Array[Byte]): Option[DecodedAudio] =
       expandFast(bytes) match {

@@ -119,13 +119,9 @@ object CurationQ {
     * [[graft.pipelines.Curation]] — this query is its deterministic twin,
     * so the whole funnel sits behind the cell-exact gate. */
   def curationFunnel(s: SparkSession, dir: String): DataFrame = {
-    // repartition BEFORE the lazy projections so tokenize/score/fingerprint
-    // run after the exchange at full parallelism — the single-file scan is
-    // one task, and everything up to the fingerprint window's shuffle
-    // would otherwise execute serially on it (explicit count: AQE would
-    // coalesce a repartition(col) of ~10 MB of text back to one partition)
-    val docs = Tables(s, dir).documents
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    // spread BEFORE the lazy projections so tokenize/score/fingerprint
+    // run after the exchange at full parallelism (see Tables.spread)
+    val docs = Tables.spread(Tables(s, dir).documents, "doc_id")
     val toks = TextMetrics.tokens(col("text"))
     funnelCensus(docs
       .withColumn("__toks", toks)
@@ -144,8 +140,7 @@ object CurationQ {
     * verified *composed*, not just individually. */
   def modelFunnel(s: SparkSession, dir: String): DataFrame = {
     val model = graft.text.QualityClassifier.seededModel()
-    funnelCensus(Tables(s, dir).documents
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id")) // see curationFunnel
+    funnelCensus(Tables.spread(Tables(s, dir).documents, "doc_id")
       .withColumn("qual_ok",
         graft.text.QualityClassifier.scoreCol(col("text"), model)
           .getField("score") >= 0L))

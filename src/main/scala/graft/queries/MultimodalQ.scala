@@ -32,9 +32,10 @@ object MultimodalQ {
   private def docSeeds(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[(Long, Long)] = {
     import s.implicits._
-    Tables(s, dir).documents
-      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    Tables.spread(
+      Tables(s, dir).documents
+        .select(col("doc_id"), length(col("text").cast("binary")).as("n")),
+      "doc_id")
       .as[(Long, Long)]
   }
 

@@ -160,10 +160,8 @@ object Knn {
       sqrt(dotFast(col("vec"), col("vec"))).as("nrm_fast"))
     // The streamed side of the nested-loop join inherits the scan's
     // partitioning — a single-file input would run every pair dot product
-    // on ONE core. Explicit count: repartition(col) alone would be
-    // AQE-coalesced right back (the rows are tiny; the PAIR work is not).
-    val a = withNorm
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism, col("id"))
+    // on ONE core; spread it (see graft.Tables.spread).
+    val a = graft.Tables.spread(withNorm, "id")
       .select(col("id").as("id_a"), col("vec").as("va"),
         col("nrm").as("na"), col("nrm_fast").as("nfa"))
     val b = withNorm.select(col("id").as("id_b"), col("vec").as("vb"),

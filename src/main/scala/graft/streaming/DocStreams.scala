@@ -150,7 +150,15 @@ object DocStreams {
         val (pairs, (_, bandDelta)) = MinHashLsh.incrementalNearDupFromIndex(
           nSig, storedBands, storedSig, idCol,
           minEstJaccard = 0.5, literalKeys = true)
-        val storedLabels = readOr(labelsDir,
+        // crash recovery: if the live table is missing but the previous
+        // swap's aside copy exists, the crash hit the rename window —
+        // resume from the aside rather than silently resetting to empty
+        val asideDir = labelsDir + "__old"
+        val labelsSrc =
+          if (new org.apache.hadoop.fs.Path(labelsDir).getFileSystem(conf)
+            .exists(new org.apache.hadoop.fs.Path(labelsDir))) labelsDir
+          else asideDir
+        val storedLabels = readOr(labelsSrc,
           spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](),
             StructType(Seq(StructField(idCol, LongType),
@@ -161,16 +169,24 @@ object DocStreams {
         val newLabels = graft.ops.ConnectedComponents
           .clusters(edges, "id_a", "id_b")
           .select(col("id").as(idCol), col("cluster_id"))
-        // rewrite-in-place: temp + swap (labels must be fully written
-        // before the old table disappears)
+        // rewrite-in-place: temp + aside-swap. The old table is RENAMED
+        // aside (not deleted) before the new one renames in, so a crash
+        // anywhere in the window leaves either the live dir or the aside
+        // readable — the bootstrap above resumes from the aside instead
+        // of silently resetting cluster state to empty. (A table format
+        // makes the whole swap atomic in production.)
         val lp = new org.apache.hadoop.fs.Path(labelsDir)
         val fs = lp.getFileSystem(conf)
         val tmp = new org.apache.hadoop.fs.Path(labelsDir + "__updating")
+        val aside = new org.apache.hadoop.fs.Path(asideDir)
         if (fs.exists(tmp)) { fs.delete(tmp, true); () }
         newLabels.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(lp)) { fs.delete(lp, true); () }
+        if (fs.exists(aside)) { fs.delete(aside, true); () }
+        if (fs.exists(lp) && !fs.rename(lp, aside))
+          throw new java.io.IOException(s"label aside $lp -> $aside failed")
         if (!fs.rename(tmp, lp))
           throw new java.io.IOException(s"label swap $tmp -> $lp failed")
+        fs.delete(aside, true)
         // append-only registries LAST (recache ordering rule)
         nSig.write.mode("append").parquet(sigDir)
         bandDelta.write.mode("append").parquet(bandDir)

@@ -109,6 +109,22 @@ class AudioCodecSpec extends AnyFunSuite {
     // truncations (both chunk-aligned and mid-chunk)
     for (k <- 0 to base.length)
       assert(CompressedAudio.decode(1L, base.take(k)) == CompressedAudio.decodeJdk(1L, base.take(k)))
+    // chunk-ORDER adversary: a [data][fmt] layout is JDK-rejected (the
+    // reader searches for data only after fmt) — the fast walker must
+    // fall back, not accept what the codec of record won't
+    val reordered = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+      out.write("RIFF".getBytes); w32(4 + 12 + 26); out.write("WAVE".getBytes)
+      out.write("data".getBytes); w32(4); out.write(Array[Byte](1, 2, 3, 4))
+      out.write("fmt ".getBytes); w32(18); w16(7); w16(1); w32(8000); w32(8000)
+      w16(1); w16(8); w16(0)
+      out.toByteArray
+    }
+    assert(CompressedAudio.decode(1L, reordered) == CompressedAudio.decodeJdk(1L, reordered))
+    assert(CompressedAudio.decode(1L, reordered).isEmpty,
+      "JDK rejects data-before-fmt; the fast path must not accept it")
     // WAVE-magic-biased fuzz so the RIFF walk is fuzzed PAST the guard
     for (i <- 0 until 200) {
       val g = Array.fill(80 + rnd.nextInt(100))(rnd.nextInt().toByte)
