@@ -237,7 +237,35 @@ object SimilarityQ {
       .filter(col("cos") >= 0.4)
   }
 
+  /** Incremental SEMANTIC cluster maintenance (e12) — d33's embedding
+    * twin, closing the SemDeDup loop incrementally: the stored label
+    * registry ([[graft.store.Registries.embClusters]], the even-corpus
+    * e05 output) is replayed as vec→representative edges, unioned with
+    * e07's exact new-touching cosine pairs, and one connected-components
+    * pass yields the updated labels. Cost: |labels| + |new pairs| edges,
+    * never the historical pair set. The oracle IS e05's monolithic
+    * recursive rerun over the whole corpus, so incremental == full is
+    * the correctness gate itself. Output shape mirrors e05
+    * (vec_id, cluster_id, n_members, keep). */
+  def incrementalSemClusters(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val newPairs = Knn.incrementalNearDupPairs(
+      all.filter(col("id") % 2 === 1), all.filter(col("id") % 2 === 0),
+      minCos = 0.4).select("id_a", "id_b")
+    val stored = graft.store.Registries.embClusters(s, dir)
+    val edges = stored.filter(col("vec_id") =!= col("cluster_id"))
+      .select(col("vec_id").as("id_a"), col("cluster_id").as("id_b"))
+      .unionByName(newPairs)
+    val cl = graft.ops.ConnectedComponents.clusters(edges, "id_a", "id_b")
+      .withColumnRenamed("id", "vec_id")
+    val sizes = cl.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    cl.join(sizes, Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"), col("n_members"),
+        (col("vec_id") === col("cluster_id")).as("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e12_incr_semclusters" -> (incrementalSemClusters _),
     "e01_knn_brute"      -> (knnBrute _),
     "e02_cosine_neardup" -> (cosineNearDup _),
     "e03_knn_approx"     -> (knnApprox _),
@@ -622,35 +650,43 @@ object SimilarityQ {
          |JOIN (SELECT vec_id, sqrt(nrm2) AS nrm2_sqrt FROM norms) na ON na.vec_id = id_a
          |JOIN (SELECT vec_id, sqrt(nrm2) AS nrm2_sqrt FROM norms) nb ON nb.vec_id = id_b
          |WHERE d / (na.nrm2_sqrt * nb.nrm2_sqrt) >= 0.4""".stripMargin,
-    "e05_semantic_clusters" ->
-      s"""WITH RECURSIVE norms AS ($normsSql),
-         |dots AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |         CAST(CAST(SUM(${q9("a.embedding[i]")} * ${q9("b.embedding[i]")}) AS VARCHAR) AS DOUBLE) AS d
-         |  FROM embeddings a, embeddings b, UNNEST(generate_series(1, len(a.embedding))) AS u(i)
-         |  WHERE a.vec_id < b.vec_id
-         |  GROUP BY 1, 2),
-         |-- MATERIALIZED, twice: DuckDB inlines plain CTEs per reference,
-         |-- so un-materialized `pairs` runs its O(n^2 * dim) dots pipeline
-         |-- once per edge direction, and an un-materialized `edges` re-runs
-         |-- it in EVERY iteration of the recursive walk (measured: minutes
-         |-- instead of seconds at sf0.1)
-         |pairs AS MATERIALIZED (
-         |  SELECT id_a, id_b
-         |  FROM dots
-         |  JOIN (SELECT vec_id, sqrt(nrm2) AS na FROM norms) x ON x.vec_id = id_a
-         |  JOIN (SELECT vec_id, sqrt(nrm2) AS nb FROM norms) y ON y.vec_id = id_b
-         |  WHERE d / (na * nb) >= 0.4),
-         |edges AS MATERIALIZED (
-         |          SELECT id_a AS a, id_b AS b FROM pairs
-         |          UNION ALL SELECT id_b, id_a FROM pairs),
-         |walk(id, r) AS (
-         |  SELECT DISTINCT a, a FROM edges
-         |  UNION
-         |  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r),
-         |cl AS (SELECT id AS vec_id, min(r) AS cluster_id FROM walk GROUP BY 1)
-         |SELECT vec_id, cluster_id,
-         |       count(*) OVER (PARTITION BY cluster_id) AS n_members,
-         |       vec_id = cluster_id AS keep
-         |FROM cl""".stripMargin)
+    "e05_semantic_clusters" -> e05OracleSql,
+    // e12: the SAME monolithic rerun — the Spark path is the incremental
+    // composition (stored labels + new-touching exact pairs), so the
+    // correctness gate itself enforces incremental == full
+    "e12_incr_semclusters" -> e05OracleSql)
+
+  /** e05's full oracle — the monolithic recursive-CC rerun over the
+    * corpus's exact cosine pairs; shared verbatim with e12. */
+  private def e05OracleSql: String =
+    s"""WITH RECURSIVE norms AS ($normsSql),
+       |dots AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         CAST(CAST(SUM(${q9("a.embedding[i]")} * ${q9("b.embedding[i]")}) AS VARCHAR) AS DOUBLE) AS d
+       |  FROM embeddings a, embeddings b, UNNEST(generate_series(1, len(a.embedding))) AS u(i)
+       |  WHERE a.vec_id < b.vec_id
+       |  GROUP BY 1, 2),
+       |-- MATERIALIZED, twice: DuckDB inlines plain CTEs per reference,
+       |-- so un-materialized `pairs` runs its O(n^2 * dim) dots pipeline
+       |-- once per edge direction, and an un-materialized `edges` re-runs
+       |-- it in EVERY iteration of the recursive walk (measured: minutes
+       |-- instead of seconds at sf0.1)
+       |pairs AS MATERIALIZED (
+       |  SELECT id_a, id_b
+       |  FROM dots
+       |  JOIN (SELECT vec_id, sqrt(nrm2) AS na FROM norms) x ON x.vec_id = id_a
+       |  JOIN (SELECT vec_id, sqrt(nrm2) AS nb FROM norms) y ON y.vec_id = id_b
+       |  WHERE d / (na * nb) >= 0.4),
+       |edges AS MATERIALIZED (
+       |          SELECT id_a AS a, id_b AS b FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |walk(id, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r),
+       |cl AS (SELECT id AS vec_id, min(r) AS cluster_id FROM walk GROUP BY 1)
+       |SELECT vec_id, cluster_id,
+       |       count(*) OVER (PARTITION BY cluster_id) AS n_members,
+       |       vec_id = cluster_id AS keep
+       |FROM cl""".stripMargin
 }

@@ -111,6 +111,22 @@ object Registries {
         .withColumnRenamed("id", "doc_id")
     }
 
+  /** Stored SEMANTIC cluster labels over the accumulated (even-id)
+    * embedding corpus — e12's registry: (vec_id, cluster_id) for every
+    * even vector in ≥ 1 even-even exact-cosine pair (e02 semantics,
+    * labels = min-id per component). Cosine between two vectors is
+    * corpus-independent, so the stored labels compose with a new day's
+    * pairs exactly like [[minhashClusters]] does for text. */
+  def embClusters(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "emb_clusters") {
+      val even = Tables(s, dir).embeddings
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .filter(col("id") % 2 === 0)
+      graft.ops.ConnectedComponents.clusters(
+        graft.similarity.Knn.nearDupPairs(even, minCos = 0.4), "id_a", "id_b")
+        .withColumnRenamed("id", "vec_id")
+    }
+
   /** Stored duplicate-cluster table — q48's (doc_id, cluster_id,
     * n_members) output materialized once, the artifact the dedup stage
     * of a production pipeline persists anyway. d31's soft-dedup weights
@@ -171,6 +187,7 @@ object Registries {
     trainShingles(s, dir).head(1)
     dupClusters(s, dir).head(1)
     minhashClusters(s, dir).head(1)
+    embClusters(s, dir).head(1)
     ivfPqCodesDir(s, dir)
     ()
   }
