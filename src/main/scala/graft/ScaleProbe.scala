@@ -325,6 +325,59 @@ object ScaleProbe {
       newSig.unpersist()
       drop += 1
     }
+
+    // --- cluster-maintenance growth: 20 drops through d33's update step
+    // (pairs from the durable band index, labels = CC over stored label
+    // edges ∪ the drop's pairs, labels rewritten). The quantity under
+    // test: per-drop update cost as the LABEL table grows — it should
+    // track |labels| + |drop pairs|, never the accumulated pair count.
+    println("== cluster maintenance: 20 daily drops ==")
+    val sig3 = java.nio.file.Files.createTempDirectory("probe_cm_sig").toString
+    val band3 = java.nio.file.Files.createTempDirectory("probe_cm_band").toString
+    val lab3 = java.nio.file.Files.createTempDirectory("probe_cm_lab").toString + "/l"
+    val reportCm = Set(2, 5, 10, 20)
+    var d2 = 0
+    while (d2 < 20) {
+      val batch = docs.filter(col("doc_id") % 20 === d2) // 8x corpus slices
+      val newSig = graft.dedup.MinHashLsh.signatures(batch, "doc_id", "text").cache()
+      newSig.count()
+      val newBands = graft.dedup.MinHashLsh.bandIndex(newSig, "doc_id")
+      if (d2 == 0) {
+        newSig.write.mode("overwrite").parquet(sig3)
+        newBands.write.mode("overwrite").parquet(band3)
+        graft.ops.ConnectedComponents.clusters(
+            graft.dedup.MinHashLsh.nearDupFromSig(newSig, "doc_id", 0.5, graft.dedup.MinHashLsh.Params()),
+            "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .write.mode("overwrite").parquet(lab3)
+      } else {
+        val t0 = System.nanoTime()
+        val pairs = graft.dedup.MinHashLsh.incrementalNearDupFromIndex(
+          newSig, spark.read.parquet(band3), spark.read.parquet(sig3),
+          "doc_id", minEstJaccard = 0.5)._1
+        val stored = spark.read.parquet(lab3)
+        val edges = stored.filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id").as("id_a"), col("cluster_id").as("id_b"))
+          .unionByName(pairs.select("id_a", "id_b"))
+        val labels = graft.ops.ConnectedComponents.clusters(edges, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("cluster_id"))
+        labels.write.mode("overwrite").parquet(lab3 + "__tmp")
+        val nLabels = spark.read.parquet(lab3 + "__tmp").count()
+        val t1 = System.nanoTime()
+        if (reportCm(d2 + 1))
+          println(f"drop ${d2 + 1}%2d: update ${(t1 - t0) / 1e9}%6.3f s " +
+            f"($nLabels labels)")
+        // swap tmp in (probe-local; the stream does the aside dance)
+        val fsP = new org.apache.hadoop.fs.Path(lab3)
+        val fs = fsP.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(fsP, true)
+        fs.rename(new org.apache.hadoop.fs.Path(lab3 + "__tmp"), fsP)
+        newSig.write.mode("append").parquet(sig3)
+        newBands.write.mode("append").parquet(band3)
+      }
+      newSig.unpersist()
+      d2 += 1
+    }
     spark.stop()
   }
 }

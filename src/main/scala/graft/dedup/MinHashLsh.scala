@@ -274,7 +274,7 @@ object MinHashLsh {
     (pairs, (nSig, bandTable(nSig, idCol, p, literalKeys)))
   }
 
-  private def nearDupFromSig(sigDf: DataFrame, idCol: String,
+  private[graft] def nearDupFromSig(sigDf: DataFrame, idCol: String,
                              minEstJaccard: Double, p: Params,
                              literalKeys: Boolean = false): DataFrame = {
     val sig = sigDf.cache()
