@@ -108,6 +108,36 @@ class DocStreamsSpec extends AnyFunSuite {
       "streaming cluster labels diverged from the monolithic rerun")
     // sig registry accumulated one signature per doc in >= 0 pairs
     assert(spark.read.parquet(s"$base/sig").count() == docs.count())
+
+    // crash-window recovery: simulate a death between the aside-rename
+    // and the swap-in (live labels dir missing, aside holding the
+    // previous state) and replay a new drop — the bootstrap must resume
+    // from the aside instead of silently resetting cluster state
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$base/labels"),
+      new org.apache.hadoop.fs.Path(s"$base/labels__old")))
+    val stage2 = java.nio.file.Files.createTempDirectory("cl-stream2").toString
+    // an empty-pair drop: brand-new docs that near-dup nothing
+    docs.filter(col("doc_id") < 0).repartition(1)
+      .write.mode("append").parquet(stage2)
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(900001L, "recovery probe solitary text",
+          "xx", "srcx", 28L))), DocStreams.documentSchema)
+      .repartition(1).write.mode("append").parquet(stage2)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("cl-ckpt2").toString
+    val q2 = DocStreams.clusterMaintStream(
+        DocStreams.readDocumentStream(spark, stage2, maxFilesPerTrigger = Some(1)),
+        "doc_id", "text", s"$base/sig", s"$base/bands", s"$base/labels")
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val recovered = spark.read.parquet(s"$base/labels")
+    assert(recovered.count() == batch.count(),
+      "recovery from the aside lost cluster state")
+    assert(recovered.except(batch).isEmpty && batch.except(recovered).isEmpty,
+      "recovered labels diverged from the pre-crash state")
   }
 
   test("streaming curation funnel converges to the batch funnel's survivors") {
