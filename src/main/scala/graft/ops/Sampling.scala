@@ -103,7 +103,15 @@ object Sampling {
     * seeded key is identical everywhere; the shard is 8 hex digits mod
     * nShards, the order is the full hash (key as tiebreaker). */
   def trainOrder(df: org.apache.spark.sql.DataFrame, key: Column, seed: Long,
-                 nShards: Int): org.apache.spark.sql.DataFrame = {
+                 nShards: Int): org.apache.spark.sql.DataFrame =
+    trainOrder(df, key, seed, nShards, Nil)
+
+  /** [[trainOrder]] with extra partition columns: `pos` restarts per
+    * (phaseCols…, shard), so a curriculum schedule (d34) can keep the
+    * seeded within-shard permutation while sequencing coarser phases —
+    * still no global sort, one exchange on (phase…, shard). */
+  def trainOrder(df: org.apache.spark.sql.DataFrame, key: Column, seed: Long,
+                 nShards: Int, phaseCols: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(nShards > 0)
     val hex = md5(concat(lit(s"$seed:"), key.cast("string")).cast("binary"))
     df.withColumn("__h", hex)
@@ -112,7 +120,8 @@ object Sampling {
           .cast("int"))
       .withColumn("pos", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(col("shard")).orderBy(col("__h").asc, key.asc)))
+          .partitionBy(phaseCols.map(col) :+ col("shard"): _*)
+          .orderBy(col("__h").asc, key.asc)))
       .drop("__h")
   }
 

@@ -288,7 +288,32 @@ object PipelineQ {
       col("doc_id"), seed = 42L, nShards = 8)
       .select(col("doc_id"), col("shard"), col("pos"))
 
+  /** Curriculum training order (d34) — d23's seeded shard permutation
+    * sequenced into quality PHASES: docs scored by d21's trained model,
+    * bucketed by fixed integer thresholds (score ≥ 0 → phase 0, the
+    * highest-quality ~quarter; ≥ −5000 → phase 1; else phase 2 — the
+    * easy-to-hard schedule curriculum training consumes), position
+    * restarting per (phase, shard). Still no global sort: one scoring
+    * projection + one exchange on (phase, shard). The oracle rebuilds
+    * the identical model (d21's weight CTEs) feeding d23's md5-shard
+    * derivation — the two stages verified COMPOSED, like d25. */
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val model = graft.text.QualityClassifier.seededModel()
+    val scored = Tables.spread(
+        Tables(s, dir).documents.select("doc_id", "text"), "doc_id")
+      .select(col("doc_id"),
+        graft.text.QualityClassifier.scoreCol(col("text"), model)
+          .getField("score").as("__score"))
+    val phased = scored.withColumn("phase",
+      when(col("__score") >= 0, 0).when(col("__score") >= -5000, 1)
+        .otherwise(2))
+    Sampling.trainOrder(phased.select("doc_id", "phase"), col("doc_id"),
+        seed = 42L, nShards = 8, phaseCols = Seq("phase"))
+      .select(col("doc_id"), col("phase"), col("shard"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d34_curriculum"       -> (curriculumOrder _),
     "d23_train_order"      -> (trainOrder _),
     "q55_overlap_join"     -> (overlapJoin _),
     "q53_stratified_sample" -> (stratifiedSample _),
@@ -432,6 +457,29 @@ object PipelineQ {
         |GROUP BY 1, 2""".stripMargin,
     // the seeded-permutation arithmetic in DuckDB: same md5 of "42:<id>",
     // same 8-hex-digit shard assignment, same (hash, id) shard order
+    // d34: d21's model-score CTEs (shared from TextQ so the tokenizer/
+    // weights cannot drift) feeding d23's md5-shard derivation, pos
+    // restarting per (phase, shard)
+    "d34_curriculum" ->
+      s"""WITH toks AS (${TextQ.toksSql}),
+         |${TextQ.modelScoreCtes},
+         |ph AS (
+         |  SELECT doc_id,
+         |         CASE WHEN score >= 0 THEN 0
+         |              WHEN score >= -5000 THEN 1 ELSE 2 END AS phase
+         |  FROM msc),
+         |h AS (
+         |  SELECT doc_id, phase, md5('42:' || CAST(doc_id AS VARCHAR)) AS hx
+         |  FROM ph),
+         |sharded AS (
+         |  SELECT doc_id, phase, hx,
+         |         CAST(list_sum(list_transform(generate_series(1, 8),
+         |           i -> CAST(strpos('0123456789abcdef', substr(hx, i, 1)) - 1 AS BIGINT)
+         |                * (CAST(1 AS BIGINT) << (4 * (8 - i))))) % 8 AS INT) AS shard
+         |  FROM h)
+         |SELECT doc_id, phase, shard,
+         |       CAST(row_number() OVER (PARTITION BY phase, shard ORDER BY hx, doc_id) AS INT) AS pos
+         |FROM sharded""".stripMargin,
     "d23_train_order" ->
       """WITH h AS (
         |  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS hx
