@@ -145,6 +145,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(plain.nonEmpty, "fixture must actually produce near pairs")
   }
 
+  test("grouped == per-row banding on random hash tables (seeded property sweep)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 0 until 6) {
+      // random corpora across the collapse spectrum: few distinct values
+      // (heavy collapse) through mostly-unique; random bit widths
+      val bits = Seq(15, 24, 64)(trial % 3)
+      val chunks = 4
+      val nVals = Seq(5, 40, 300)(trial % 3)
+      val nRows = 150 + rnd.nextInt(150)
+      val mask = if (bits == 64) -1L else (1L << bits) - 1
+      val vals = Array.fill(nVals)(rnd.nextLong() & mask)
+      val rows = (0 until nRows).map { i =>
+        val base = vals(rnd.nextInt(nVals))
+        // half the rows get 0-3 random bit flips
+        val h = if (rnd.nextBoolean()) base
+          else (0 until rnd.nextInt(4)).foldLeft(base)((a, _) =>
+            a ^ (1L << rnd.nextInt(bits)))
+        (i.toLong, h & mask)
+      }
+      val df = rows.toDF("doc_id", "dhash")
+      def norm(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val perRow = norm(graft.dedup.SimHash
+        .hammingNearDuplicates(df, "doc_id", "dhash", maxDist = 2,
+          chunks = chunks, bits = bits)
+        .filter(org.apache.spark.sql.functions.col("hamming") >= 1))
+      val grouped = norm(graft.dedup.SimHash
+        .hammingNearDuplicatesGrouped(df, "doc_id", "dhash", maxDist = 2,
+          chunks = chunks, bits = bits))
+      assert(grouped == perRow, s"trial $trial (bits=$bits nVals=$nVals nRows=$nRows)")
+    }
+  }
+
   test("audio fingerprint: deterministic, 15-bit, None on short/hostile input") {
     val wav = Multimodal.CompressedAudio.renderG711Wav(99L, 40, 8000, aLaw = false)
     val a = Multimodal.CompressedAudio.fingerprint(1L, wav)
