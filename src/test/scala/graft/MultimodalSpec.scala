@@ -176,6 +176,24 @@ class MultimodalSpec extends AnyFunSuite {
         .hammingNearDuplicatesGrouped(df, "doc_id", "dhash", maxDist = 2,
           chunks = chunks, bits = bits))
       assert(grouped == perRow, s"trial $trial (bits=$bits nVals=$nVals nRows=$nRows)")
+
+      // incremental twins on a random split — including RE-CRAWLED ids
+      // present on both sides with a perturbed hash (the self-pair
+      // regression surface): grouped incremental must equal the per-row
+      // incremental minus hamming-0, and emit no (id, id) rows
+      val stored = df.filter($"doc_id" % 2 === 0)
+      val fresh = df.filter($"doc_id" % 2 === 1).unionByName(
+        stored.limit(5).select($"doc_id", $"dhash".bitwiseXOR(lit(1L)).as("dhash")))
+      val incrPerRow = norm(graft.dedup.SimHash
+        .incrementalHammingNearDuplicates(fresh, stored, "doc_id", "dhash",
+          maxDist = 2, chunks = chunks, bits = bits)
+        .filter(org.apache.spark.sql.functions.col("hamming") >= 1))
+      val incrGrouped = norm(graft.dedup.SimHash
+        .incrementalHammingNearDuplicatesGrouped(fresh, stored, "doc_id", "dhash",
+          maxDist = 2, chunks = chunks, bits = bits))
+      assert(incrGrouped.forall { case (a, b, _) => a != b },
+        s"trial $trial: grouped incremental emitted a self-pair")
+      assert(incrGrouped == incrPerRow, s"trial $trial incremental (bits=$bits)")
     }
   }
 
