@@ -113,7 +113,7 @@ object SimHash {
     * (a 24-bit dHash banded as 4×16 would put every row in the same three
     * all-zero upper chunks: hot-bucket caps then DROP those chunks and
     * silently lose pairs; with no cap they degenerate toward all-pairs). */
-  private def chunkExprs(bits: Int, chunks: Int): Seq[(Int, Long)] = {
+  private[graft] def chunkExprs(bits: Int, chunks: Int): Seq[(Int, Long)] = {
     require(bits >= chunks && bits <= 64,
       s"need chunks <= bits <= 64 (got bits=$bits, chunks=$chunks)")
     // even distribution (floor split) so EVERY chunk is non-empty — a

@@ -241,6 +241,28 @@ object MultimodalQ {
       maxDist = 2, chunks = 4, bits = 24)
   }
 
+  /** Audio-fingerprint near-dup pairs (m13) — m12's shape on the 15-bit
+    * energy-profile fingerprint, closing the hamming-pair triangle
+    * (text d07, image m12, audio m13) with full oracles: pairs of docs
+    * whose fingerprints differ in 1..2 bits (re-encoded / slightly
+    * re-leveled audio; hamming-0 stays m07's linear cluster surface).
+    * Grouped banding over distinct values (bits = 15 so only populated
+    * bits band); the oracle's chunk table is GENERATED from the same
+    * [[graft.dedup.SimHash.chunkExprs]] values the Spark path bands
+    * with — one source, no drift. */
+  def audioNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seeded = docSeeds(s, dir)
+    val fps = seeded.mapPartitions(_.flatMap { case (id, n) =>
+      val ns = (n % 50).toInt + 20
+      val wav = Multimodal.CompressedAudio.renderG711Wav(
+        n, ns, 8000, aLaw = n % 2 == 1)
+      Multimodal.CompressedAudio.fingerprint(id, wav)
+    }).toDF()
+    graft.dedup.SimHash.hammingNearDuplicatesGrouped(fps, "doc_id", "fingerprint",
+      maxDist = 2, chunks = 4, bits = 15)
+  }
+
   /** Video-side plumbing as a gated query: [[Multimodal.sampleFrames]]
     * slices each "video" payload into fixed-size frames keeping every
     * 3rd (pure binary-substring column ops, no UDF), then each sampled
@@ -267,7 +289,8 @@ object MultimodalQ {
     "m09_frame_dedup" -> (frameDedup _),
     "m10_video_decode" -> (videoDecode _),
     "m11_video_phash" -> (videoPhash _),
-    "m12_image_neardup" -> (imageNearDup _))
+    "m12_image_neardup" -> (imageNearDup _),
+    "m13_audio_neardup" -> (audioNearDup _))
 
   /** Video frame-level dedup — the frame-granularity analog of d13's
     * segment dedup, over m04's sampled-frame table: a frame is SHARED
@@ -421,6 +444,53 @@ object MultimodalQ {
     // the audio fingerprint replayed in SQL: m03's G.711 expansion CTE,
     // frame (x*16)//ns, per-frame abs-energy sums, adjacent-frame
     // comparison bits, cluster = min doc_id per identical fingerprint
+    // m13: m07's fingerprint CTEs + the pigeonhole chunk join whose
+    // (shift, mask) table is GENERATED from SimHash.chunkExprs(15, 4) —
+    // the exact values the Spark path bands with; one source, no drift
+    "m13_audio_neardup" -> {
+      val chunkVals = graft.dedup.SimHash.chunkExprs(15, 4).zipWithIndex
+        .map { case ((lo, mask), c) => s"($c, $lo, $mask)" }.mkString(", ")
+      s"""WITH dims AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |         (octet_length(encode(text)) % 50) + 20 AS ns,
+        |         octet_length(encode(text)) % 2 = 1 AS alaw
+        |  FROM documents),
+        |samples AS (
+        |  SELECT doc_id, ns, alaw, x, (5 * x + n) % 256 AS b
+        |  FROM dims, UNNEST(generate_series(0, ns - 1)) AS ux(x)),
+        |pcm AS (
+        |  SELECT doc_id, ns, alaw, (x * 16) // ns AS frame,
+        |         CASE WHEN alaw THEN
+        |           CASE WHEN (xor(b, 85) & 128) = 0 THEN -1 ELSE 1 END *
+        |           CASE WHEN ((xor(b, 85) >> 4) & 7) = 0
+        |                THEN ((xor(b, 85) & 15) << 4) + 8
+        |                ELSE (((xor(b, 85) & 15) << 4) + 264) << (((xor(b, 85) >> 4) & 7) - 1) END
+        |         ELSE
+        |           CASE WHEN ((255 - b) & 128) <> 0 THEN -1 ELSE 1 END *
+        |           ((((((255 - b) & 15) << 3) + 132) << (((255 - b) >> 4) & 7)) - 132)
+        |         END AS s
+        |  FROM samples),
+        |energies AS (
+        |  SELECT doc_id, frame, SUM(ABS(s)) AS e
+        |  FROM pcm GROUP BY 1, 2),
+        |fps AS MATERIALIZED (
+        |  SELECT a.doc_id, CAST(SUM(CASE WHEN b.e > a.e
+        |             THEN CAST(1 AS BIGINT) << CAST(a.frame AS INT)
+        |             ELSE 0 END) AS BIGINT) AS fp
+        |  FROM energies a
+        |  JOIN energies b ON b.doc_id = a.doc_id AND b.frame = a.frame + 1
+        |  GROUP BY 1),
+        |chunkdef(c, lo, mask) AS (VALUES $chunkVals),
+        |ch AS MATERIALIZED (
+        |  SELECT doc_id, fp, c, (fp >> lo) & mask AS cv FROM fps, chunkdef),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.fp AS fa, b.fp AS fb
+        |  FROM ch a JOIN ch b ON b.c = a.c AND b.cv = a.cv AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(fa, fb)) BETWEEN 1 AND 2""".stripMargin
+    },
     "m07_audio_fingerprint" ->
       """WITH dims AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,
