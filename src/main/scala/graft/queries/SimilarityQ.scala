@@ -264,8 +264,32 @@ object SimilarityQ {
         (col("vec_id") === col("cluster_id")).as("keep"))
   }
 
+  /** e12's recall-bounded production twin (e12b): the same stored-label
+    * composition, but the new-touching pairs come from the BUCKETED
+    * registry probe (e07b's path — same-bucket candidates against the
+    * stored LSH buckets, exact rescore) instead of the exact quadratic
+    * baseline. The contract is the bucketed one: labels equal to the
+    * recursive walk over (exact even-even pairs — the stored labels'
+    * provenance — ∪ bucketed new-touching pairs), which the composed
+    * oracle spells out CTE by CTE. At 100 TB this is the shape that
+    * runs: registry probe cost per drop, never an all-pairs pass. */
+  def incrementalSemClustersBucketed(s: SparkSession, dir: String): DataFrame = {
+    val newPairs = incrementalNearDupStored(s, dir).select("id_a", "id_b")
+    val stored = graft.store.Registries.embClusters(s, dir)
+    val edges = stored.filter(col("vec_id") =!= col("cluster_id"))
+      .select(col("vec_id").as("id_a"), col("cluster_id").as("id_b"))
+      .unionByName(newPairs)
+    val cl = graft.ops.ConnectedComponents.clusters(edges, "id_a", "id_b")
+      .withColumnRenamed("id", "vec_id")
+    val sizes = cl.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    cl.join(sizes, Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"), col("n_members"),
+        (col("vec_id") === col("cluster_id")).as("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e12_incr_semclusters" -> (incrementalSemClusters _),
+    "e12b_incr_semclusters_stored" -> (incrementalSemClustersBucketed _),
     "e01_knn_brute"      -> (knnBrute _),
     "e02_cosine_neardup" -> (cosineNearDup _),
     "e03_knn_approx"     -> (knnApprox _),
@@ -654,7 +678,69 @@ object SimilarityQ {
     // e12: the SAME monolithic rerun — the Spark path is the incremental
     // composition (stored labels + new-touching exact pairs), so the
     // correctness gate itself enforces incremental == full
-    "e12_incr_semclusters" -> e05OracleSql)
+    "e12_incr_semclusters" -> e05OracleSql,
+    // e12b: the BUCKETED maintenance contract — walk over (exact
+    // even-even pairs, the stored labels' provenance) ∪ (same-bucket
+    // new-touching pairs at exact cosine ≥ 0.4, e07b's candidate CTEs)
+    "e12b_incr_semclusters_stored" ->
+      s"""WITH RECURSIVE qv AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(round_even(CAST(x AS DOUBLE) * 1e9, 0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |planes AS (SELECT * FROM (VALUES
+         |${planesSql(64, 6)}) p(j, w)),
+         |pdots AS (
+         |  SELECT v.vec_id, p.j, SUM(v.q[i] * p.w[i]) AS d
+         |  FROM qv v, planes p, UNNEST(generate_series(1, len(v.q))) AS u(i)
+         |  GROUP BY 1, 2),
+         |buckets AS MATERIALIZED (
+         |  SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM pdots GROUP BY 1),
+         |bcand AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE a.vec_id % 2 = 1 OR b.vec_id % 2 = 1),
+         |norms AS ($normsSql),
+         |nrm AS MATERIALIZED (SELECT vec_id, sqrt(nrm2) AS nr FROM norms),
+         |bdots AS (
+         |  SELECT c.id_a, c.id_b,
+         |         CAST(CAST(SUM(${q9("ea.embedding[i]")} * ${q9("eb.embedding[i]")}) AS VARCHAR) AS DOUBLE) AS d
+         |  FROM bcand c
+         |  JOIN embeddings ea ON ea.vec_id = c.id_a
+         |  JOIN embeddings eb ON eb.vec_id = c.id_b,
+         |       UNNEST(generate_series(1, len(ea.embedding))) AS u(i)
+         |  GROUP BY 1, 2),
+         |bp AS (
+         |  SELECT id_a, id_b FROM bdots
+         |  JOIN nrm na ON na.vec_id = id_a
+         |  JOIN nrm nb ON nb.vec_id = id_b
+         |  WHERE d / (na.nr * nb.nr) >= 0.4),
+         |edots AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         CAST(CAST(SUM(${q9("a.embedding[i]")} * ${q9("b.embedding[i]")}) AS VARCHAR) AS DOUBLE) AS d
+         |  FROM embeddings a, embeddings b, UNNEST(generate_series(1, len(a.embedding))) AS u(i)
+         |  WHERE a.vec_id < b.vec_id AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 0
+         |  GROUP BY 1, 2),
+         |ep AS (
+         |  SELECT id_a, id_b FROM edots
+         |  JOIN nrm na ON na.vec_id = id_a
+         |  JOIN nrm nb ON nb.vec_id = id_b
+         |  WHERE d / (na.nr * nb.nr) >= 0.4),
+         |pairs AS MATERIALIZED (SELECT * FROM ep UNION ALL SELECT * FROM bp),
+         |edges AS MATERIALIZED (
+         |          SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |walk(id, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r),
+         |cl AS (SELECT id AS vec_id, min(r) AS cluster_id FROM walk GROUP BY 1)
+         |SELECT vec_id, cluster_id,
+         |       count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         |       vec_id = cluster_id AS keep
+         |FROM cl""".stripMargin)
 
   /** e05's full oracle — the monolithic recursive-CC rerun over the
     * corpus's exact cosine pairs; shared verbatim with e12. */
