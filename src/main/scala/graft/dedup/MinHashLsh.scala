@@ -245,8 +245,11 @@ object MinHashLsh {
                                   literalKeys: Boolean = false)
       : (DataFrame, (DataFrame, DataFrame)) = {
     val nSig = newSig.cache()
-    val bn = bandTable(nSig, idCol, p, literalKeys)
-      .select(col("band"), col("band_sig"), col(idCol).as("id_n"))
+    // band the batch ONCE: the probe projection and the returned band
+    // delta share this table, so appending the delta never re-pays the
+    // banding pass
+    val bnFull = bandTable(nSig, idCol, p, literalKeys)
+    val bn = bnFull.select(col("band"), col("band_sig"), col(idCol).as("id_n"))
     val ball = storedBands
       .select(col("band"), col("band_sig"), col(idCol).as("id_o"))
       .unionByName(bn.withColumnRenamed("id_n", "id_o"))
@@ -271,7 +274,7 @@ object MinHashLsh {
       .withColumn("est_jaccard", est)
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("id_a", "id_b", "est_jaccard")
-    (pairs, (nSig, bandTable(nSig, idCol, p, literalKeys)))
+    (pairs, (nSig, bnFull))
   }
 
   private[graft] def nearDupFromSig(sigDf: DataFrame, idCol: String,

@@ -30,11 +30,19 @@ object Registries {
 
   /** Materialize `build` as parquet once per (JVM, dir, name); always
     * returns a fresh parquet read of the stored artifact. Keyed on the
-    * FULL sanitized dir path (same rationale as MetadataStar: a 32-bit
-    * hash could let colliding dirs share state). */
+    * sanitized dir path PLUS a SHA-256 digest of the raw dir: sanitizing
+    * alone is lossy (/data/x and /data_x both sanitize to _data_x, which
+    * would silently share registry state across datasets), the digest
+    * makes the key collision-resistant while keeping it human-readable. */
   private def materializedDir(dir: String, name: String)
                              (write: String => Unit): String = {
-    val dirKey = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    // keep the component under the 255-byte filename limit: the digest
+    // carries uniqueness, the (truncated) sanitized tail carries legibility
+    val dirKey =
+      dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(120) + "-" + digest
     val path = s"$cacheRoot/$dirKey/$name"
     written.synchronized {
       if (!written.contains(path)) { write(path); written += path }
@@ -158,22 +166,59 @@ object Registries {
     * appends accumulate one small file per drop, and at toy scale the
     * probe's cost growth IS the file-count overhead (listing + footer
     * reads + one task per file). Content-preserving by construction
-    * (read → repartition → write to a temp dir → swap); the swap is the
-    * same delete+rename every non-transactional parquet table bears — a
-    * table format (Delta/Iceberg) makes it atomic in production. */
+    * (read → repartition → write to a temp dir → aside-swap): the live
+    * dir is RENAMED aside, the compacted temp renamed in, the aside
+    * deleted only after the swap succeeds — a crash anywhere in the
+    * window leaves the live dir or the aside readable, and [[recover]]
+    * (called on entry here and by readers that find the dir missing)
+    * restores whichever survives. A table format (Delta/Iceberg) makes
+    * the whole swap atomic in production. */
   def compact(s: SparkSession, dir: String, numFiles: Int = 4): Unit = {
     val conf = s.sessionState.newHadoopConf()
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(conf)
+    recover(fs, dir)
     if (!fs.exists(path)) return
     val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
+    val aside = new org.apache.hadoop.fs.Path(dir + "__precompact")
     if (fs.exists(tmp)) { fs.delete(tmp, true); () }
     s.read.parquet(dir).repartition(numFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
+    if (!fs.rename(path, aside))
+      throw new java.io.IOException(s"compact: aside $path -> $aside failed")
     if (!fs.rename(tmp, path))
       throw new java.io.IOException(s"compact: rename $tmp -> $path failed")
+    fs.delete(aside, true)
     ()
+  }
+
+  /** Crash recovery for [[compact]]'s aside-swap: if the live dir is
+    * missing, restore it from a committed compacted temp (the crash hit
+    * between the two renames) or from the pre-compact aside; stale
+    * leftovers beside an intact live dir are cleared. Idempotent. */
+  def recover(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
+    val aside = new org.apache.hadoop.fs.Path(dir + "__precompact")
+    if (!fs.exists(path)) {
+      // prefer the compacted temp (same content, fewer files) when it is
+      // COMMITTED (_SUCCESS); a partially-written temp is never promoted
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")) &&
+          fs.rename(tmp, path)) ()
+      else if (fs.exists(aside) && !fs.rename(aside, path))
+        throw new java.io.IOException(s"compact recovery $aside -> $dir failed")
+    }
+    if (fs.exists(path)) { // live intact → leftovers are stale
+      if (fs.exists(tmp)) { fs.delete(tmp, true); () }
+      if (fs.exists(aside)) { fs.delete(aside, true); () }
+    }
+  }
+
+  /** [[recover]] with the FileSystem derived from the session — the form
+    * registry readers call before a bootstrap existence check. */
+  def recover(s: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    recover(p.getFileSystem(s.sessionState.newHadoopConf()), dir)
   }
 
   /** Force every bench-relevant registry for `dir` onto disk — benches

@@ -150,14 +150,30 @@ object DocStreams {
         val (pairs, (_, bandDelta)) = MinHashLsh.incrementalNearDupFromIndex(
           nSig, storedBands, storedSig, idCol,
           minEstJaccard = 0.5, literalKeys = true)
-        // crash recovery: if the live table is missing but the previous
-        // swap's aside copy exists, the crash hit the rename window —
-        // resume from the aside rather than silently resetting to empty
+        // crash recovery: if the live table is missing, the crash hit the
+        // rename window — resume from the aside copy, or (if the crash
+        // landed after the new table was fully written to the __updating
+        // temp but before its rename) from the temp itself, gated on the
+        // commit marker so a partially-written temp is never read. Never
+        // silently reset cluster state to empty.
         val asideDir = labelsDir + "__old"
-        val labelsSrc =
-          if (new org.apache.hadoop.fs.Path(labelsDir).getFileSystem(conf)
-            .exists(new org.apache.hadoop.fs.Path(labelsDir))) labelsDir
-          else asideDir
+        val updatingDir = labelsDir + "__updating"
+        val lfs = new org.apache.hadoop.fs.Path(labelsDir).getFileSystem(conf)
+        def readable(d: String): Boolean =
+          lfs.exists(new org.apache.hadoop.fs.Path(d))
+        def committed(d: String): Boolean =
+          lfs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS"))
+        // a committed temp is promoted EAGERLY (rename, not lazy read):
+        // the swap below deletes-and-rewrites the temp dir, which would
+        // pull the rug from under a lazily-planned scan of it
+        if (!readable(labelsDir) && !readable(asideDir) &&
+            committed(updatingDir)) {
+          if (!lfs.rename(new org.apache.hadoop.fs.Path(updatingDir),
+              new org.apache.hadoop.fs.Path(labelsDir)))
+            throw new java.io.IOException(
+              s"label recovery $updatingDir -> $labelsDir failed")
+        }
+        val labelsSrc = if (readable(labelsDir)) labelsDir else asideDir
         val storedLabels = readOr(labelsSrc,
           spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -170,23 +186,26 @@ object DocStreams {
           .clusters(edges, "id_a", "id_b")
           .select(col("id").as(idCol), col("cluster_id"))
         // rewrite-in-place: temp + aside-swap. The old table is RENAMED
-        // aside (not deleted) before the new one renames in, so a crash
-        // anywhere in the window leaves either the live dir or the aside
-        // readable — the bootstrap above resumes from the aside instead
-        // of silently resetting cluster state to empty. (A table format
-        // makes the whole swap atomic in production.)
+        // aside (not deleted) before the new one renames in, and the
+        // aside is deleted only AFTER the new table is live — so a crash
+        // anywhere in the window leaves the live dir, the aside, or a
+        // committed temp readable, and the bootstrap above resumes from
+        // whichever survives instead of silently resetting cluster state
+        // to empty. (A table format makes the whole swap atomic in
+        // production.) The stale aside from the PREVIOUS swap is cleared
+        // up-front, while the live dir still exists to cover it.
         val lp = new org.apache.hadoop.fs.Path(labelsDir)
         val fs = lp.getFileSystem(conf)
-        val tmp = new org.apache.hadoop.fs.Path(labelsDir + "__updating")
+        val tmp = new org.apache.hadoop.fs.Path(updatingDir)
         val aside = new org.apache.hadoop.fs.Path(asideDir)
+        if (fs.exists(lp) && fs.exists(aside)) { fs.delete(aside, true); () }
         if (fs.exists(tmp)) { fs.delete(tmp, true); () }
         newLabels.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(aside)) { fs.delete(aside, true); () }
         if (fs.exists(lp) && !fs.rename(lp, aside))
           throw new java.io.IOException(s"label aside $lp -> $aside failed")
         if (!fs.rename(tmp, lp))
           throw new java.io.IOException(s"label swap $tmp -> $lp failed")
-        fs.delete(aside, true)
+        if (fs.exists(aside)) { fs.delete(aside, true); () }
         // append-only registries LAST (recache ordering rule)
         nSig.write.mode("append").parquet(sigDir)
         bandDelta.write.mode("append").parquet(bandDir)

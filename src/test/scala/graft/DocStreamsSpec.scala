@@ -138,6 +138,34 @@ class DocStreamsSpec extends AnyFunSuite {
       "recovery from the aside lost cluster state")
     assert(recovered.except(batch).isEmpty && batch.except(recovered).isEmpty,
       "recovered labels diverged from the pre-crash state")
+
+    // double-crash window: the first crash hit the rename gap (live
+    // missing) and the SECOND crash hit after the new labels were fully
+    // committed to the __updating temp but before its swap-in — only the
+    // temp survives. The bootstrap must promote the committed temp, not
+    // silently reset cluster history to empty (the r8 ADVICE scenario).
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$base/labels"),
+      new org.apache.hadoop.fs.Path(s"$base/labels__updating")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$base/labels__updating/_SUCCESS")), "fixture temp lacks commit marker")
+    val stage3 = java.nio.file.Files.createTempDirectory("cl-stream3").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(900002L, "second recovery probe lonely text",
+          "xx", "srcx", 30L))), DocStreams.documentSchema)
+      .repartition(1).write.mode("append").parquet(stage3)
+    val ckpt3 = java.nio.file.Files.createTempDirectory("cl-ckpt3").toString
+    val q3 = DocStreams.clusterMaintStream(
+        DocStreams.readDocumentStream(spark, stage3, maxFilesPerTrigger = Some(1)),
+        "doc_id", "text", s"$base/sig", s"$base/bands", s"$base/labels")
+      .option("checkpointLocation", ckpt3)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q3.awaitTermination()
+    val recovered2 = spark.read.parquet(s"$base/labels")
+    assert(recovered2.count() == batch.count(),
+      "recovery from the committed __updating temp lost cluster state")
+    assert(recovered2.except(batch).isEmpty && batch.except(recovered2).isEmpty,
+      "temp-promoted labels diverged from the pre-crash state")
   }
 
   test("streaming curation funnel converges to the batch funnel's survivors") {

@@ -27,4 +27,80 @@ class RegistryCompactSpec extends AnyFunSuite {
     // compacting a missing dir is a no-op, not an error
     Registries.compact(spark, dir + "_missing")
   }
+
+  test("compact crash windows leave the registry recoverable, never empty") {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    def stage(tag: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"reg-crash-$tag")
+        .toString + "/r"
+      (0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .repartition(4).write.mode("append").parquet(dir)
+      dir
+    }
+    def content(dir: String) = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // window A: crash between rename(live, aside) and rename(tmp, live) —
+    // live missing, pre-compact aside intact, compacted temp committed
+    val a = stage("a"); val wantA = content(a)
+    spark.read.parquet(a).repartition(2)
+      .write.mode("overwrite").parquet(a + "__compacting")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(a),
+      new org.apache.hadoop.fs.Path(a + "__precompact")))
+    Registries.recover(spark, a)
+    assert(content(a) == wantA, "window-A recovery lost registry content")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(a + "__compacting")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(a + "__precompact")),
+      "window-A recovery left stale swap dirs")
+
+    // window B: crash between rename(tmp, live) and delete(aside) —
+    // live (compacted) and aside both present
+    val b = stage("b"); val wantB = content(b)
+    Registries.compact(spark, b, numFiles = 2) // full swap…
+    spark.read.parquet(b).write.mode("overwrite").parquet(b + "__precompact")
+    Registries.recover(spark, b) // …then a stale aside reappears
+    assert(content(b) == wantB, "window-B recovery changed content")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(b + "__precompact")))
+
+    // window C: live missing, temp UNCOMMITTED (no _SUCCESS) — must fall
+    // back to the aside, never promote a partial write
+    val c = stage("c"); val wantC = content(c)
+    spark.read.parquet(c).repartition(2)
+      .write.mode("overwrite").parquet(c + "__compacting")
+    fs.delete(new org.apache.hadoop.fs.Path(c + "__compacting", "_SUCCESS"), false)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(c),
+      new org.apache.hadoop.fs.Path(c + "__precompact")))
+    Registries.recover(spark, c)
+    assert(content(c) == wantC, "window-C recovery lost registry content")
+
+    // compact() itself recovers a crashed predecessor before compacting
+    val d = stage("d"); val wantD = content(d)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(d),
+      new org.apache.hadoop.fs.Path(d + "__precompact")))
+    Registries.compact(spark, d, numFiles = 2)
+    assert(content(d) == wantD)
+  }
+
+  test("registry cache keys distinguish dirs that sanitize identically") {
+    import spark.implicits._
+    // /…/x/a_b and /…/x/a/b both sanitize to _…_x_a_b — the digest suffix
+    // must keep their registry state separate
+    val base = java.nio.file.Files.createTempDirectory("reg-key").toString
+    val dir1 = s"$base/a_b"
+    val dir2 = s"$base/a/b"
+    Seq((2L, "alpha beta gamma delta epsilon zeta", "en", "s", 35L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir1/documents.parquet")
+    Seq((2L, "one two three four five six seven", "en", "s", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir2/documents.parquet")
+    val s1 = Registries.trainShingles(spark, dir1)
+      .collect().map(_.getString(0)).toSet
+    val s2 = Registries.trainShingles(spark, dir2)
+      .collect().map(_.getString(0)).toSet
+    assert(s1.nonEmpty && s2.nonEmpty)
+    assert(s1 != s2, "colliding sanitized dir keys shared registry state")
+  }
 }
