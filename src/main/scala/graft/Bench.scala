@@ -94,10 +94,15 @@ object Bench {
       n -> t
     }
 
-    // ONE JSON line, kept short (3-decimal seconds) with the headline
-    // `value` LAST: the harness stores only the final ~2000 chars of
-    // output, and r4's full-precision line outgrew that window, cutting
-    // off the leading total
+    // The harness stores only the final ~2000 chars of stdout, and with
+    // 120+ queries the full per-query map is ~3.4 KB — no ordering of one
+    // line can survive that window (r1–r8 all captured a head-truncated
+    // line, parse failed every round). So emit TWO lines: the complete
+    // map FIRST (intact in any full-stdout capture, and persisted to
+    // docs/bench_full.json regardless), then a SHORT summary line LAST —
+    // headline value, contention fields, and the slowest queries only —
+    // sized well under the tail window so a line-wise parse of the tail
+    // always finds one complete JSON object.
     val calibAfter = (1 to 3).map(_ => calibSpin()).min
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
@@ -116,9 +121,8 @@ object Bench {
     val cal = s""""contended":$contended,"calib_floor":${f(calibFloor)},""" +
       s""""calib_worst":${f(calibWorst)},"load_avg":${f(loadAvg)},"cores":$nCores"""
     println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir",$cal,"value":${f(total)}}""")
-    // the harness keeps only the tail of stdout (r6's line truncated before
-    // d01-d10); persist the complete per-query map in-repo so round-over-
-    // round diffs never depend on the capture window
+    // persist the complete per-query map in-repo so round-over-round
+    // diffs never depend on the capture window
     try {
       val dump = s"""{"sf":"$sfDir","total":${f(total)},$cal,"queries":$qs}"""
       java.nio.file.Files.write(
@@ -126,6 +130,13 @@ object Bench {
         (dump + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       ()
     } catch { case _: java.io.IOException => () }
+    // short summary line LAST (see the capture-window note above): the 20
+    // slowest queries inline, the full map's location pointed at explicitly
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir",$cal,""" +
+      s""""n_queries":${results.size},"queries_slowest":$slowest,""" +
+      s""""queries_full":"docs/bench_full.json","value":${f(total)}}""")
     spark.stop()
   }
 }

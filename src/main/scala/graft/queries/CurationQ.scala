@@ -118,17 +118,15 @@ object CurationQ {
     * variant of stage 3 (MinHash near-dup removal) lives in
     * [[graft.pipelines.Curation]] — this query is its deterministic twin,
     * so the whole funnel sits behind the cell-exact gate. */
-  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
-    // spread BEFORE the lazy projections so tokenize/score/fingerprint
-    // run after the exchange at full parallelism (see Tables.spread)
-    val docs = Tables.spread(Tables(s, dir).documents, "doc_id")
-    val toks = TextMetrics.tokens(col("text"))
-    funnelCensus(docs
-      .withColumn("__toks", toks)
-      .withColumn("__q",
-        TextMetrics.qualityScoreFromTokens(col("__toks"), col("text")))
-      .withColumn("qual_ok", col("__q") >= MinQuality))
-  }
+  def curationFunnel(s: SparkSession, dir: String): DataFrame =
+    funnelCensus(Tables(s, dir).documents, docs => {
+      val toks = TextMetrics.tokens(col("text"))
+      docs
+        .withColumn("__toks", toks)
+        .withColumn("__q",
+          TextMetrics.qualityScoreFromTokens(col("__toks"), col("text")))
+        .withColumn("qual_ok", col("__q") >= MinQuality)
+    })
 
   /** d18's funnel with the TRAINED-model gate ([[graft.text.QualityClassifier]],
     * d21's broadcast hashed-n-gram scorer) as stage 1 in place of the
@@ -140,40 +138,64 @@ object CurationQ {
     * verified *composed*, not just individually. */
   def modelFunnel(s: SparkSession, dir: String): DataFrame = {
     val model = graft.text.QualityClassifier.seededModel()
-    funnelCensus(Tables.spread(Tables(s, dir).documents, "doc_id")
-      .withColumn("qual_ok",
+    funnelCensus(Tables(s, dir).documents, docs =>
+      docs.withColumn("qual_ok",
         graft.text.QualityClassifier.scoreCol(col("text"), model)
           .getField("score") >= 0L))
   }
 
-  /** The funnel tail shared by d18 and d25: exact dedup among gate
-    * survivors (min-id per fingerprint) → segment dedup → per-source
-    * census. Input needs (doc_id, source, text, qual_ok). */
-  private def funnelCensus(gated: DataFrame): DataFrame = {
-    val flagged = gated
-      .withColumn("__fp", TextMetrics.fingerprint(col("text")))
+  /** The funnel shared by d18 and d25: quality gate (`withGate` adds
+    * `qual_ok`) → exact dedup among gate survivors (min-id per
+    * fingerprint) → segment dedup → per-source census. Input needs
+    * (doc_id, source, text).
+    *
+    * ONE exchange serves two purposes: the docs are repartitioned on the
+    * content fingerprint (explicit count — AQE's byte-based coalescing is
+    * exactly wrong for CPU-bound text stages) which BOTH spreads the
+    * single-row-group testdata scan across the cluster AND satisfies the
+    * fingerprint window's clustering, so no second exchange appears
+    * before the window. The gate evaluates POST-exchange (at full
+    * parallelism) exactly once; only the cheap md5 fingerprint runs on
+    * the raw scan. Replaced the previous spread(doc_id) → gate →
+    * window-exchange(__fp) shape: one fewer shuffle stage, same
+    * distribution guarantees at any scale. */
+  private def funnelCensus(docs: DataFrame,
+                           withGate: DataFrame => DataFrame): DataFrame = {
+    val flagged = withGate(
+        docs.withColumn("__fp", TextMetrics.fingerprint(col("text")))
+          .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+            col("__fp")))
       .withColumn("__canon",
         min(when(col("qual_ok"), col("doc_id")))
           .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
       .withColumn("exact_keep", col("qual_ok") && col("doc_id") === col("__canon"))
-    // ONE-PASS census: explode every doc's segments with the gate flags
-    // carried through, rank SURVIVOR segments first inside the seg
-    // window (exact_keep desc, then the canonical (doc_id, seg_idx)
-    // order — non-survivor rows sort after every survivor, so rn == 1
-    // picks exactly the first survivor occurrence segmentDedup would),
-    // then one per-doc agg feeds one census agg. The gate pipeline
-    // (tokenize + quality + fingerprint window) evaluates exactly ONCE;
-    // the previous three-consumer shape re-evaluated it per branch (AQE
-    // exchange reuse does not dedupe it — measured scans=5), and a
-    // join-then-agg restructure measured slower still. Cost shifted:
-    // ~2× rows through the seg window (all docs' segments, not just
-    // survivors') buys back a whole corpus tokenization — the right
-    // trade at any scale (PerfD18: 1.65 → 1.33 s, outputs identical).
-    // text_clean is never computed — the census only needs counts.
-    val segs = Segments.explodeSegments(flagged, "doc_id", "text", SegTokens,
+    // ONE-PASS census: explode SURVIVOR segments only, with the gate
+    // flags carried through, then one per-doc agg feeds one census agg.
+    // The gate pipeline (tokenize + quality + fingerprint window)
+    // evaluates exactly ONCE; the previous three-consumer shape
+    // re-evaluated it per branch (AQE exchange reuse does not dedupe
+    // it — measured scans=5), and a join-then-agg restructure measured
+    // slower still. Non-survivor docs keep per-doc presence through the
+    // explode (text nulled → posexplode_outer emits one null-seg row)
+    // but never pay segmentation: their segments are counted nowhere
+    // and cannot win the first-occurrence window (survivors sort first,
+    // and `keep` requires exact_keep), so dropping them is
+    // result-identical — PerfD18 measured the explode-all variant
+    // paying a full non-survivor segmentation for nothing (d25
+    // 0.87 → 0.60 s; d18 unchanged within noise). The window key is
+    // salted with doc_id on null segs so non-survivor rows form
+    // singleton partitions instead of one corpus-wide null bucket — the
+    // skew that would otherwise appear at real scale. text_clean is
+    // never computed — the census only needs counts.
+    val segs = Segments.explodeSegments(
+      flagged.withColumn("__seg_text", when(col("exact_keep"), col("text"))),
+      "doc_id", "__seg_text", SegTokens,
       Seq("source", "qual_ok", "exact_keep"))
-    val firstWin = org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))
-      .orderBy(col("exact_keep").desc, col("doc_id"), col("seg_idx"))
+    // orderBy needs no exact_keep term: every non-null seg row IS a
+    // survivor (non-survivor text was nulled before the explode)
+    val firstWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg"), when(col("seg").isNull, col("doc_id")))
+      .orderBy(col("doc_id"), col("seg_idx"))
     val perDoc = segs
       .withColumn("keep",
         col("exact_keep") && col("seg").isNotNull &&
