@@ -257,8 +257,35 @@ object CurationQ {
           .otherwise(lit("semantic_only")).as("agreement"))
   }
 
+  /** d30's registry-shaped production twin (d30b) — the audit as a daily
+    * increment actually runs it: the lexical side probes the STORED
+    * MinHash band index ([[graft.store.Registries.minhashBands]], d26b's
+    * path — history is never re-signed or re-banded), the semantic side
+    * probes the STORED LSH bucket registry (e07b's path — same-bucket
+    * candidates, exact-decimal rescore), and the two NEW-TOUCHING pair
+    * sets full-outer-join on the unordered pair key with d30's
+    * classifier verbatim. No broadcast-nested-loop anywhere: both pair
+    * generators are banded/bucketed registry joins, so this is the plan
+    * that survives 100× — d30 stays registered as the from-scratch
+    * worst-case twin (the d26/d26b convention). The oracle composes
+    * d26b's restricted-rerun SQL and e07b's bucketed-contract SQL with
+    * d30's classification tail, CTE-sharing both so the audit cannot
+    * drift from the detectors it audits. */
+  def lexSemAuditStored(s: SparkSession, dir: String): DataFrame = {
+    val lex = TextQ.incrementalMinhashStored(s, dir)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    val sem = SimilarityQ.incrementalNearDupStored(s, dir)
+      .select(col("id_a"), col("id_b"), col("cos"))
+    lex.join(sem, Seq("id_a", "id_b"), "full_outer")
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("cos"),
+        when(col("est_jaccard").isNotNull && col("cos").isNotNull, lit("both"))
+          .when(col("est_jaccard").isNotNull, lit("lexical_only"))
+          .otherwise(lit("semantic_only")).as("agreement"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d30_lexsem_audit"  -> (lexSemAudit _),
+    "d30b_lexsem_audit_stored" -> (lexSemAuditStored _),
     "d18_curation_funnel" -> (curationFunnel _),
     "d25_model_funnel"  -> (modelFunnel _),
     "d29_chunk_overlap" -> (chunkOverlap _),
@@ -369,6 +396,24 @@ object CurationQ {
          |${TextQ.minhashOracle()}
          |), sem AS (
          |${SimilarityQ.nearDupOracle("")}
+         |)
+         |SELECT coalesce(l.id_a, s.id_a) AS id_a,
+         |       coalesce(l.id_b, s.id_b) AS id_b,
+         |       l.est_jaccard, s.cos,
+         |       CASE WHEN l.id_a IS NOT NULL AND s.id_a IS NOT NULL THEN 'both'
+         |            WHEN l.id_a IS NOT NULL THEN 'lexical_only'
+         |            ELSE 'semantic_only' END AS agreement
+         |FROM lex l FULL OUTER JOIN sem s
+         |  ON l.id_a = s.id_a AND l.id_b = s.id_b""".stripMargin,
+    // d30b: the registry-shaped audit — d26b's new-touching restricted
+    // rerun (lex) × e07b's bucketed-contract pairs (sem), d30's
+    // classifier verbatim; both detector SQLs are the single-source
+    // strings their own oracles run, so the composition cannot drift
+    "d30b_lexsem_audit_stored" ->
+      s"""WITH lex AS (
+         |${TextQ.minhashOracle(" AND (id_a % 2 = 1 OR id_b % 2 = 1)")}
+         |), sem AS (
+         |${SimilarityQ.bucketedIncrNearDupOracle}
          |)
          |SELECT coalesce(l.id_a, s.id_a) AS id_a,
          |       coalesce(l.id_b, s.id_b) AS id_b,

@@ -345,6 +345,46 @@ object SimilarityQ {
        |JOIN (SELECT vec_id, sqrt(nrm2) AS nrm2_sqrt FROM norms) nb ON nb.vec_id = id_b
        |WHERE d / (na.nrm2_sqrt * nb.nrm2_sqrt) >= 0.4$extraWhere""".stripMargin
 
+  /** e07b's BUCKETED incremental contract in SQL — same-bucket (e03's
+    * quantized plane family, 6 planes) new-touching pairs at exact cosine
+    * >= 0.4. A full standalone query (its own WITH), shared verbatim by
+    * e07b's oracle and the composed audits that reuse its pair set
+    * (d30b), so the bucketed semantics have exactly one source. */
+  private[queries] val bucketedIncrNearDupOracle: String =
+    s"""WITH qv AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(round_even(CAST(x AS DOUBLE) * 1e9, 0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |planes AS (SELECT * FROM (VALUES
+       |${planesSql(64, 6)}) p(j, w)),
+       |pdots AS (
+       |  SELECT v.vec_id, p.j, SUM(v.q[i] * p.w[i]) AS d
+       |  FROM qv v, planes p, UNNEST(generate_series(1, len(v.q))) AS u(i)
+       |  GROUP BY 1, 2),
+       |buckets AS MATERIALIZED (
+       |  SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM pdots GROUP BY 1),
+       |cand AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE a.vec_id % 2 = 1 OR b.vec_id % 2 = 1),
+       |norms AS ($normsSql),
+       |dots AS (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(CAST(SUM(${q9("ea.embedding[i]")} * ${q9("eb.embedding[i]")}) AS VARCHAR) AS DOUBLE) AS d
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.id_a
+       |  JOIN embeddings eb ON eb.vec_id = c.id_b,
+       |       UNNEST(generate_series(1, len(ea.embedding))) AS u(i)
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, d / (na.nrm2_sqrt * nb.nrm2_sqrt) AS cos
+       |FROM dots
+       |JOIN (SELECT vec_id, sqrt(nrm2) AS nrm2_sqrt FROM norms) na ON na.vec_id = id_a
+       |JOIN (SELECT vec_id, sqrt(nrm2) AS nrm2_sqrt FROM norms) nb ON nb.vec_id = id_b
+       |WHERE d / (na.nrm2_sqrt * nb.nrm2_sqrt) >= 0.4""".stripMargin
+
   /** One Lloyd round in SQL, all integer: assign by exact squared distance
     * (ties to lower cid), per-dim exact sums, half-even integer mean;
     * empty clusters keep the previous centroid. `cin` -> `c$r`. */
@@ -640,40 +680,7 @@ object SimilarityQ {
     // plane family, 6 planes) new-touching pairs, exact cosine >= 0.4; the
     // candidate CTE mirrors Knn.incrementalBucketCandidates' union of
     // new-old and new-new same-bucket pairs exactly
-    "e07b_incr_neardup_stored" ->
-      s"""WITH qv AS MATERIALIZED (
-         |  SELECT vec_id,
-         |         list_transform(embedding,
-         |           x -> CAST(round_even(CAST(x AS DOUBLE) * 1e9, 0) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |planes AS (SELECT * FROM (VALUES
-         |${planesSql(64, 6)}) p(j, w)),
-         |pdots AS (
-         |  SELECT v.vec_id, p.j, SUM(v.q[i] * p.w[i]) AS d
-         |  FROM qv v, planes p, UNNEST(generate_series(1, len(v.q))) AS u(i)
-         |  GROUP BY 1, 2),
-         |buckets AS MATERIALIZED (
-         |  SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM pdots GROUP BY 1),
-         |cand AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM buckets a JOIN buckets b
-         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |  WHERE a.vec_id % 2 = 1 OR b.vec_id % 2 = 1),
-         |norms AS ($normsSql),
-         |dots AS (
-         |  SELECT c.id_a, c.id_b,
-         |         CAST(CAST(SUM(${q9("ea.embedding[i]")} * ${q9("eb.embedding[i]")}) AS VARCHAR) AS DOUBLE) AS d
-         |  FROM cand c
-         |  JOIN embeddings ea ON ea.vec_id = c.id_a
-         |  JOIN embeddings eb ON eb.vec_id = c.id_b,
-         |       UNNEST(generate_series(1, len(ea.embedding))) AS u(i)
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b, d / (na.nrm2_sqrt * nb.nrm2_sqrt) AS cos
-         |FROM dots
-         |JOIN (SELECT vec_id, sqrt(nrm2) AS nrm2_sqrt FROM norms) na ON na.vec_id = id_a
-         |JOIN (SELECT vec_id, sqrt(nrm2) AS nrm2_sqrt FROM norms) nb ON nb.vec_id = id_b
-         |WHERE d / (na.nrm2_sqrt * nb.nrm2_sqrt) >= 0.4""".stripMargin,
+    "e07b_incr_neardup_stored" -> bucketedIncrNearDupOracle,
     "e05_semantic_clusters" -> e05OracleSql,
     // e12: the SAME monolithic rerun — the Spark path is the incremental
     // composition (stored labels + new-touching exact pairs), so the

@@ -313,6 +313,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scans(d31, "documents.parquet") == 1,
       "d31 must scan documents exactly once (the weighted projection)" +
         BNL + d31)
+    // d30b: the registry-shaped audit — BOTH detector sides probe stored
+    // registries (lex: band index + signatures; sem: LSH buckets), no
+    // broadcast-nested-loop pair generation anywhere (d30, the worst-case
+    // twin, keeps the whitelisted BNLJ; this is the plan that scales)
+    val d30b = plan("d30b_lexsem_audit_stored")
+    assert(d30b.contains("graft_registry"),
+      "d30b must probe the stored registries" + BNL + d30b)
+    assert(!d30b.contains("BroadcastNestedLoopJoin") &&
+      !d30b.contains("CartesianProduct"),
+      "d30b must not pair via BNLJ/cartesian" + BNL + d30b)
+    // the audit adds ZERO documents scans beyond its lex detector (d26b
+    // references the cached new-batch signatures in its probe/union/
+    // rescore arms; history itself is never re-signed in either)
+    assert(scans(d30b, "documents.parquet") <= scans(d26b, "documents.parquet"),
+      "d30b re-signs history beyond the d26b probe" + BNL + d30b)
   }
 
   test("perceptual hash clustering windows partition by the hash") {
