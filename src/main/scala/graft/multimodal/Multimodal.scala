@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: opaque `binary` payloads + typed metadata.
@@ -799,6 +799,13 @@ object Multimodal {
       frame_idx: Int,
       dhash: Long)
 
+  /** One sampled frame's raw encoded bytes (see [[MjpegAvi.frameChunks]]
+    * / [[videoFrames]]). */
+  final case class FrameChunk(
+      doc_id: Long,
+      frame_idx: Int,
+      frame: Array[Byte])
+
   /** Decoded video frame — per-frame exact channel sums, the video
     * analog of [[DecodedImage]]. */
   final case class VideoFrame(
@@ -933,6 +940,35 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => out.toSeq }
     }
 
+    /** Raw encoded frame chunks ('00dc'/'00db' payload bytes), keeping
+      * every `stride`-th and re-indexing the kept frames 0..n — the real
+      * container-walk arm of [[Multimodal.videoFrames]]: frame sampling
+      * over an actual AVI samples the container's frame chunks, not byte
+      * slices of the file. Nil for anything that is not an AVI. */
+    def frameChunks(id: Long, b: Array[Byte], stride: Int): Seq[FrameChunk] = {
+      require(stride >= 1, s"stride $stride")
+      val out = scala.collection.mutable.ArrayBuffer.empty[FrameChunk]
+      var seen = 0
+      try {
+        if (b.length < 12 || new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+            new String(b, 8, 4, "US-ASCII") != "AVI ") return Nil
+        walkChunks(b, 12, b.length) { (t, o, l) =>
+          if (t == "LIST" && l >= 4 &&
+              new String(b, o, 4, "US-ASCII") == "movi") {
+            walkChunks(b, o + 4, o + l) { (ct, co, cl) =>
+              if (ct == "00dc" || ct == "00db") {
+                if (seen % stride == 0)
+                  out += FrameChunk(id, out.length,
+                    java.util.Arrays.copyOfRange(b, co, co + cl))
+                seen += 1
+              }
+            }
+          }
+        }
+        out.toSeq
+      } catch { case scala.util.control.NonFatal(_) => out.toSeq }
+    }
+
     /** Parse + decode every video frame ('00dc'/'00db' chunks, any stream
       * 0x00) through the shared ImageIO seam. Nil for anything that is not
       * an AVI; per-frame index is the chunk position among decodable
@@ -981,4 +1017,33 @@ object Multimodal {
           greatest(floor((length(col("payload")) - 1) / (frameBytes * stride)).cast("int"), lit(0))),
         i => col("payload").substr(i * (frameBytes * stride) + 1, lit(frameBytes)))
         .as("frames"))
+
+  /** AVI container magic as a column predicate (RIFF at 0, 'AVI ' at 8) —
+    * the dispatch key of [[videoFrames]]. Pure binary column ops. */
+  def isAvi(payload: Column): Column =
+    length(payload) >= 12 &&
+      payload.substr(lit(1), lit(4)) === lit("RIFF".getBytes("US-ASCII")) &&
+      payload.substr(lit(9), lit(4)) === lit("AVI ".getBytes("US-ASCII"))
+
+  /** ONE frame source for every video query (m04/m09 sampling, the same
+    * seam m10/m11's decode rides): real AVI payloads are container-walked
+    * and yield their actual encoded frame chunks
+    * ([[MjpegAvi.frameChunks]] — every `stride`-th, re-indexed); anything
+    * else falls back to the stub byte-slice sampling ([[sampleFrames]],
+    * pure column ops). The two arms are a filter-split union, so a mixed
+    * corpus pays the JVM walk only on its genuine AVI rows and the stub
+    * arm keeps its UDF-free codegen plan. Output: (doc_id, frame_idx,
+    * frame binary). */
+  def videoFrames(payloads: DataFrame, spark: SparkSession,
+                  frameBytes: Int, stride: Int): DataFrame = {
+    import spark.implicits._
+    val stub = sampleFrames(payloads.filter(!isAvi(col("payload"))), frameBytes, stride)
+      .select(col("doc_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+    val avi = payloads.filter(isAvi(col("payload")))
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        MjpegAvi.frameChunks(id, b, stride) })
+      .toDF()
+    stub.unionByName(avi)
+  }
 }

@@ -263,16 +263,18 @@ object MultimodalQ {
       maxDist = 2, chunks = 4, bits = 15)
   }
 
-  /** Video-side plumbing as a gated query: [[Multimodal.sampleFrames]]
-    * slices each "video" payload into fixed-size frames keeping every
-    * 3rd (pure binary-substring column ops, no UDF), then each sampled
-    * frame is checksummed — the decode of the frame contents stays behind
-    * the stub (H.264 libs absent), but the schema, slicing arithmetic and
-    * per-frame fan-out are real and byte-exact against the oracle. */
+  /** Video frame sampling through the ONE frame source
+    * ([[Multimodal.videoFrames]]): real AVI payloads yield their actual
+    * container-walked frame chunks (the m10/m11 decode seam), anything
+    * else rides the stub byte-slice arm (pure binary-substring column
+    * ops, no UDF — the only remaining stub, for codecs whose libraries
+    * are genuinely absent). The synthetic corpus's payloads are stub
+    * text-bytes, so the oracle replays the slicing arithmetic; the AVI
+    * arm is oracle-free here but spec-pinned against
+    * [[Multimodal.MjpegAvi]] on real AVI fixtures (MultimodalSpec). */
   def frameSample(s: SparkSession, dir: String): DataFrame = {
     val payloads = Multimodal.attachPayload(Tables(s, dir).documents, "doc_id", "text")
-    Multimodal.sampleFrames(payloads, frameBytes = 32, stride = 3)
-      .select(col("doc_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+    Multimodal.videoFrames(payloads, s, frameBytes = 32, stride = 3)
       .select(col("doc_id"), col("frame_idx"),
         length(col("frame")).as("n_bytes"), md5(col("frame")).as("frame_md5"))
   }
@@ -301,8 +303,7 @@ object MultimodalQ {
     * — no pair join, linear in total frames. */
   def frameDedup(s: SparkSession, dir: String): DataFrame = {
     val payloads = Multimodal.attachPayload(Tables(s, dir).documents, "doc_id", "text")
-    val frames = Multimodal.sampleFrames(payloads, frameBytes = 32, stride = 3)
-      .select(col("doc_id"), explode(col("frames")).as("frame"))
+    val frames = Multimodal.videoFrames(payloads, s, frameBytes = 32, stride = 3)
       .select(col("doc_id"), md5(col("frame")).as("frame_md5"))
     // distinct-doc count per frame via aggregation, NOT a window
     // collect_set — a hot frame (black card, standard intro) would hold

@@ -549,4 +549,48 @@ class DecoderRobustnessSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(decoded.length == 20)
     assert(decoded.forall(d => d.width == (d.doc_id % 7) + 3 && d.height == (d.doc_id % 5) + 3))
   }
+
+  test("videoFrames routes AVI payloads through the real container walk " +
+       "and stub payloads through byte slicing — one frame source") {
+    import spark.implicits._
+    import Multimodal.MjpegAvi
+    // a mixed corpus: ids 0-9 genuine Motion-PNG AVIs (5 frames each,
+    // ids 0/1 share a seed so their frames are byte-identical), ids
+    // 100-109 stub text payloads
+    val aviRows = (0L until 10L).map { id =>
+      val seed = if (id <= 1) 7L else 100L + id
+      (id, MjpegAvi.renderAvi(seed, nFrames = 5, w = 6, h = 5))
+    }
+    val stubRows = (100L until 110L).map(id =>
+      (id, s"stub video payload number $id with some trailing bytes".getBytes("UTF-8")))
+    val mixed = (aviRows ++ stubRows).toDF("doc_id", "payload")
+    val frames = Multimodal.videoFrames(mixed, spark, frameBytes = 32, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]](2).toSeq))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+
+    // AVI arm: every 3rd of 5 chunks -> frames 0 and 3, the chunks'
+    // exact encoded bytes (pinned against frameChunks run directly)
+    for ((id, avi) <- aviRows) {
+      val expect = MjpegAvi.frameChunks(id, avi, 3).map(_.frame.toSeq)
+      assert(expect.length == 2, s"doc $id expected 2 sampled chunks")
+      assert(frames(id) == expect, s"doc $id AVI frames diverged from the walk")
+    }
+    // same-seed AVIs share every sampled frame byte-for-byte (the m09
+    // shared-frame contract now holds at REAL frame granularity)
+    assert(frames(0L) == frames(1L))
+    assert(frames(0L) != frames(2L))
+    // the sampled chunks decode as images (genuine frame bytes, not slices)
+    assert(frames(0L).forall(f =>
+      Multimodal.CompressedImage.decode(0L, f.toArray).isDefined))
+
+    // stub arm: identical to the pure column-op slicing
+    val stubOnly = mixed.filter(col("doc_id") >= 100L)
+    val sliced = Multimodal.sampleFrames(stubOnly, frameBytes = 32, stride = 3)
+      .select(col("doc_id"), posexplode(col("frames")).as(Seq("i", "f")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    for (id <- 100L until 110L)
+      assert(frames(id) == sliced(id), s"doc $id stub frames diverged")
+  }
 }
