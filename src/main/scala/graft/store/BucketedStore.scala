@@ -90,6 +90,67 @@ final class BucketedStore(spark: SparkSession, root: String, numBuckets: Int = 6
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Optimistic concurrency control: atomically CLAIM the next version by
+    * creating its directory (`Files.createDirectory` is exclusive — the
+    * filesystem arbitrates). Two writers racing the same commit both
+    * compute `currentVersion + 1`; exactly one creates the directory, the
+    * other gets [[java.util.ConcurrentModificationException]] and must
+    * retry from the new current version. Commits therefore serialize —
+    * the lost-update window (both write v+1, last pointer swap silently
+    * discards the first commit) is closed: a concurrent writer FAILS
+    * LOUDLY, never wins silently. Same shape as Delta's
+    * put-if-absent commit protocol on the _delta_log entry. */
+  private def claimNextVersion(name: String): Int = {
+    Files.createDirectories(tableDir(name))
+    val v = currentVersion(name) + 1
+    try { Files.createDirectory(versionDir(name, v)); v }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"table $name: version $v already claimed by a concurrent writer " +
+            "(or left by a crashed one — see recoverStaleClaims); retry the commit")
+    }
+  }
+
+  /** Run a commit body holding the claim on version `v`; on failure the
+    * claim dir is removed (we own it — the pointer never referenced it)
+    * so a failed write doesn't wedge every later writer into
+    * [[recoverStaleClaims]]. A CRASH still leaves the claim — that is the
+    * unavoidable half of optimistic locking without leases. */
+  private def withClaimCleanup[A](name: String, v: Int)(body: => A): A =
+    try body catch {
+      case e: Throwable =>
+        try {
+          Files.walk(versionDir(name, v))
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        } catch { case _: java.io.IOException => () }
+        throw e
+    }
+
+  /** Remove UNCOMMITTED version directories (claim dirs above the current
+    * pointer — a crashed writer's leftovers, including ones that wrote a
+    * manifest but died before the pointer swap). Only run when no writer
+    * is live: an in-flight commit's claim is indistinguishable from a
+    * stale one without a lease. Returns the removed versions. */
+  def recoverStaleClaims(name: String): Seq[Int] = {
+    val cur = currentVersion(name)
+    if (!Files.exists(tableDir(name))) return Nil
+    val it = Files.list(tableDir(name)).iterator()
+    val doomed = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (it.hasNext) {
+      val fn = it.next().getFileName.toString
+      if (fn.startsWith("v") && fn.length == 7 && fn.drop(1).forall(_.isDigit)
+          && fn.drop(1).toInt > cur)
+        doomed += fn.drop(1).toInt
+    }
+    doomed.sorted.foreach { v =>
+      Files.walk(versionDir(name, v)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+    doomed.toSeq.sorted
+  }
+
   private def bucketOf(keys: Seq[String]) =
     pmod(xxhash64(concat_ws("", keys.map(c => col(c).cast("string")): _*)),
       lit(numBuckets)).cast("int")
@@ -159,13 +220,17 @@ final class BucketedStore(spark: SparkSession, root: String, numBuckets: Int = 6
   }
 
   def create(name: String, df: DataFrame, keys: Seq[String]): Unit = {
-    val v = currentVersion(name) + 1
-    df.withColumn(BucketCol, bucketOf(keys))
-      .write.partitionBy(BucketCol).mode("overwrite")
-      .parquet(versionDir(name, v).toString)
-    writeSchema(name, df)
-    writeManifest(name, v, (0 until numBuckets).map(_ -> v).toMap)
-    swapPointer(name, v)
+    val v = claimNextVersion(name)
+    withClaimCleanup(name, v) {
+      // append into the freshly-claimed (empty) dir: an overwrite would
+      // delete-and-recreate it, reopening the claim's exclusivity window
+      df.withColumn(BucketCol, bucketOf(keys))
+        .write.partitionBy(BucketCol).mode("append")
+        .parquet(versionDir(name, v).toString)
+      writeSchema(name, df)
+      writeManifest(name, v, (0 until numBuckets).map(_ -> v).toMap)
+      swapPointer(name, v)
+    }
   }
 
   /** Buckets physically present in a version dir — read from the
@@ -199,23 +264,30 @@ final class BucketedStore(spark: SparkSession, root: String, numBuckets: Int = 6
       val touched = fresh.select(BucketCol).distinct().collect()
         .map(_.getInt(0)).toSet
       if (touched.isEmpty) return Set.empty
-      val prior = manifest(name)
-      val v = currentVersion(name) + 1
-      // touched buckets may be empty on disk (partitionBy only writes
-      // non-empty buckets): readBuckets then yields the schema-typed empty
-      // frame and the merge below degenerates to the insert
-      val existingTouched = readBuckets(name, Some(touched))
-        .withColumn(BucketCol, bucketOf(keys))
-      val merged = existingTouched.join(
-          fresh.select(keys.map(col): _*).distinct(), keys, "left_anti")
-        .unionByName(fresh, allowMissingColumns = true)
-      merged.write.partitionBy(BucketCol).mode("overwrite")
-        .parquet(versionDir(name, v).toString)
-      writeSchema(name, merged.drop(BucketCol))
-      writeManifest(name, v,
-        prior ++ touched.map(_ -> v).toMap)
-      swapPointer(name, v)
-      touched
+      // claim FIRST, read state after: a successful claim of v freezes
+      // the pointer at v-1 (every competitor's own claim of v fails), so
+      // the prior manifest and the existing-bucket reads below are
+      // guaranteed consistent with the base this commit builds on —
+      // reading them pre-claim would race a competitor's commit
+      val v = claimNextVersion(name)
+      withClaimCleanup(name, v) {
+        val prior = manifest(name)
+        // touched buckets may be empty on disk (partitionBy only writes
+        // non-empty buckets): readBuckets then yields the schema-typed empty
+        // frame and the merge below degenerates to the insert
+        val existingTouched = readBuckets(name, Some(touched))
+          .withColumn(BucketCol, bucketOf(keys))
+        val merged = existingTouched.join(
+            fresh.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          .unionByName(fresh, allowMissingColumns = true)
+        merged.write.partitionBy(BucketCol).mode("append")
+          .parquet(versionDir(name, v).toString)
+        writeSchema(name, merged.drop(BucketCol))
+        writeManifest(name, v,
+          prior ++ touched.map(_ -> v).toMap)
+        swapPointer(name, v)
+        touched
+      }
     }
   }
 
@@ -224,7 +296,8 @@ final class BucketedStore(spark: SparkSession, root: String, numBuckets: Int = 6
     * intact; gives up time travel to vacuumed versions, like Delta VACUUM.
     * Returns the deleted version numbers. */
   def vacuum(name: String): Seq[Int] = {
-    val live = manifest(name).values.toSet + currentVersion(name)
+    val cur = currentVersion(name)
+    val live = manifest(name).values.toSet + cur
     val it = Files.list(tableDir(name)).iterator()
     val doomed = scala.collection.mutable.ArrayBuffer.empty[Int]
     while (it.hasNext) {
@@ -232,7 +305,10 @@ final class BucketedStore(spark: SparkSession, root: String, numBuckets: Int = 6
       val fn = p.getFileName.toString
       if (fn.startsWith("v") && fn.length == 7 && fn.drop(1).forall(_.isDigit)) {
         val v = fn.drop(1).toInt
-        if (!live.contains(v)) doomed += v
+        // never touch versions ABOVE the pointer: that is a concurrent
+        // writer's claimed (in-flight) commit, not garbage —
+        // recoverStaleClaims handles crashed ones explicitly
+        if (!live.contains(v) && v < cur) doomed += v
       }
     }
     doomed.sorted.foreach { v =>
@@ -250,16 +326,18 @@ final class BucketedStore(spark: SparkSession, root: String, numBuckets: Int = 6
     val touched = doomed.select(BucketCol).distinct().collect()
       .map(_.getInt(0)).toSet
     if (touched.isEmpty) return Set.empty
-    val prior = manifest(name)
-    val existingRaw = readBuckets(name, Some(touched))
-    val v = currentVersion(name) + 1
-    val remaining = existingRaw
-      .join(doomed.drop(BucketCol), keys, "left_anti")
-      .withColumn(BucketCol, bucketOf(keys))
-    remaining.write.partitionBy(BucketCol).mode("overwrite")
-      .parquet(versionDir(name, v).toString)
-    writeManifest(name, v, prior ++ touched.map(_ -> v).toMap)
-    swapPointer(name, v)
-    touched
+    val v = claimNextVersion(name) // claim first (see upsert)
+    withClaimCleanup(name, v) {
+      val prior = manifest(name)
+      val existingRaw = readBuckets(name, Some(touched))
+      val remaining = existingRaw
+        .join(doomed.drop(BucketCol), keys, "left_anti")
+        .withColumn(BucketCol, bucketOf(keys))
+      remaining.write.partitionBy(BucketCol).mode("append")
+        .parquet(versionDir(name, v).toString)
+      writeManifest(name, v, prior ++ touched.map(_ -> v).toMap)
+      swapPointer(name, v)
+      touched
+    }
   }
 }

@@ -168,4 +168,65 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(st.read("t").columns.toSeq == Seq("id", "name", "payload"))
     assert(st.read("t").count() == 0)
   }
+
+  test("concurrent writers serialize or fail loudly — no lost update") {
+    val (st, _) = newStore()
+    st.create("t", base, Seq("id"))
+    // two genuinely concurrent upserts on DISJOINT keys; before the
+    // claim protocol both could read v1, both write v2, and the last
+    // pointer swap silently discarded the other commit
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rowsA = Seq((9001L, "writer_a", "vA")).toDF("id", "name", "payload")
+    val rowsB = Seq((9002L, "writer_b", "vB")).toDF("id", "name", "payload")
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def attempt(df: org.apache.spark.sql.DataFrame): Future[Option[Throwable]] =
+      Future { gate.await();
+        try { st.upsert("t", df, Seq("id")); None }
+        catch { case e: java.util.ConcurrentModificationException => Some(e) } }
+    val (fa, fb) = (attempt(rowsA), attempt(rowsB))
+    gate.countDown()
+    val (ra, rb) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    val failures = Seq(ra, rb).flatten
+    assert(failures.size <= 1, "both writers failed — claim deadlocked")
+    // every SUCCESSFUL commit's row is present: the loser (if any) failed
+    // LOUDLY with CME instead of being silently overwritten
+    val ids = st.read("t").filter(col("id") >= 9000L)
+      .select("id").as[Long].collect().toSet
+    val expected = Seq(ra.isEmpty -> 9001L, rb.isEmpty -> 9002L)
+      .collect { case (true, id) => id }.toSet
+    assert(ids == expected,
+      s"committed rows $ids do not match successful writers $expected — lost update")
+    // the loser's claim was cleaned up: the store accepts the retry
+    failures.foreach { _ =>
+      val retry = if (ra.isDefined) rowsA else rowsB
+      st.upsert("t", retry, Seq("id"))
+    }
+    assert(st.read("t").filter(col("id") >= 9000L).count() == 2)
+    // pointer/manifest consistency after the race + retries
+    val m = st.manifest("t")
+    assert(m.keySet == (0 until 16).toSet)
+  }
+
+  test("a crashed claim blocks writers loudly until recoverStaleClaims") {
+    val (st, dir) = newStore()
+    st.create("t", base, Seq("id"))
+    // simulate a writer that claimed the next version then died: the dir
+    // exists, the pointer never moved
+    val stale = Paths.get(dir, "t", "v000002")
+    Files.createDirectory(stale)
+    val row = Seq((1L, "x", "v9")).toDF("id", "name", "payload")
+    intercept[java.util.ConcurrentModificationException] {
+      st.upsert("t", row, Seq("id"))
+    }
+    assert(st.read("t").filter(col("payload") === "v9").count() == 0)
+    assert(st.recoverStaleClaims("t") == Seq(2))
+    st.upsert("t", row, Seq("id")) // now serializes cleanly
+    assert(st.read("t").filter(col("payload") === "v9").count() == 1)
+    // vacuum never reaps an in-flight claim above the pointer
+    Files.createDirectory(Paths.get(dir, "t", "v000099"))
+    assert(!st.vacuum("t").contains(99))
+    assert(Files.exists(Paths.get(dir, "t", "v000099")))
+  }
 }
