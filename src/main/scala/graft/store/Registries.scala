@@ -184,6 +184,17 @@ object Registries {
     if (fs.exists(tmp)) { fs.delete(tmp, true); () }
     s.read.parquet(dir).repartition(numFiles)
       .write.mode("overwrite").parquet(tmp.toString)
+    // carry streaming batch done-markers (_b*.done, [[graft.streaming
+    // .BatchCommit]]) across the swap: compaction renames data files out
+    // of their batch prefixes, so losing the markers would make a replay
+    // of the in-flight batch re-append rows compaction already folded in
+    fs.listStatus(path).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.startsWith("_b") && n.endsWith(".done")) {
+        val out = fs.create(new org.apache.hadoop.fs.Path(tmp, n), true)
+        out.close()
+      }
+    }
     if (!fs.rename(path, aside))
       throw new java.io.IOException(s"compact: aside $path -> $aside failed")
     if (!fs.rename(tmp, path))

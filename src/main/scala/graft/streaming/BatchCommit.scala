@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Exactly-once parquet appends for foreachBatch sinks — the idempotent
+  * commit protocol the streaming twins' durable registries need under
+  * crash/replay.
+  *
+  * Structured Streaming re-runs a failed micro-batch with the SAME
+  * batchId (the offset log commits before execution), so a plain
+  * `mode("append")` is at-least-once: a crash after the write but before
+  * the checkpoint re-appends the batch — and worse, a flow whose LATER
+  * stages read a registry its EARLIER replay already mutated recomputes
+  * against poisoned state (measured: segment-dedup replay after a full
+  * batch marks every segment "known" and appends garbage survivors).
+  *
+  * Protocol, per (sink dir, batchId):
+  *  1. [[rollback]] on batch entry: delete this batch's tagged data files
+  *     when no done-marker exists (a crashed partial append) — the
+  *     registry is then exactly its pre-batch content before ANY reads.
+  *  2. [[append]]: skip when the marker exists (the step already
+  *     committed); otherwise write to a side staging dir, MOVE the part
+  *     files in under a `b<id>-` name tag, then create the `_b<id>.done`
+  *     marker (a single atomic create — the commit point). Underscore
+  *     files are invisible to Spark readers.
+  *
+  * Every window: crash before the marker → rollback undoes the partial
+  * files and the step re-runs on identical pre-batch state; crash after
+  * → the step is skipped on replay. Recomputed-but-skipped stages are
+  * safe because each flow orders its writes so a stage's CONTENT only
+  * depends on registries whose this-batch delta lands in the same or a
+  * later step. This is the same idea as Delta's txn-version dedup for
+  * foreachBatch sinks, over plain parquet dirs.
+  */
+object BatchCommit {
+
+  private def fsFor(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def markerPath(dir: String, batchId: Long) =
+    new Path(dir, f"_b$batchId%06d.done")
+  private[streaming] def filePrefix(batchId: Long) = f"b$batchId%06d-"
+
+  def isDone(spark: SparkSession, dir: String, batchId: Long): Boolean =
+    fsFor(spark, dir).exists(markerPath(dir, batchId))
+
+  /** Delete this batch's tagged data files when its marker is absent —
+    * the entry-time undo of a crashed partial append. Idempotent. */
+  def rollback(spark: SparkSession, dir: String, batchId: Long): Unit = {
+    val fs = fsFor(spark, dir)
+    val d = new Path(dir)
+    if (!fs.exists(d) || fs.exists(markerPath(dir, batchId))) return
+    val pre = filePrefix(batchId)
+    fs.listStatus(d).foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith(pre)) {
+        fs.delete(st.getPath, false); ()
+      }
+    }
+  }
+
+  /** Exactly-once append of `df` into `dir` for `batchId` (see protocol
+    * above). The caller must have [[rollback]]ed this (dir, batchId) at
+    * batch entry, before reading any registry this write feeds. */
+  def append(df: DataFrame, dir: String, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, dir)
+    if (fs.exists(markerPath(dir, batchId))) return
+    val staging = new Path(dir + f"__staging_b$batchId%06d")
+    if (fs.exists(staging)) { fs.delete(staging, true); () }
+    df.write.mode("overwrite").parquet(staging.toString)
+    val d = new Path(dir)
+    if (!fs.exists(d)) { fs.mkdirs(d); () }
+    val pre = filePrefix(batchId)
+    fs.listStatus(staging).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.endsWith(".parquet")) {
+        if (!fs.rename(st.getPath, new Path(d, pre + n)))
+          throw new java.io.IOException(
+            s"batch commit: move ${st.getPath} -> $dir failed")
+      }
+    }
+    fs.delete(staging, true)
+    // the commit point: a single atomic file create
+    fs.create(markerPath(dir, batchId), false).close()
+  }
+
+  /** Read a registry dir that may not exist yet, may hold only markers
+    * (all data rolled back), or may be mid-compaction-recovery: restores
+    * a crashed [[graft.store.Registries.compact]] swap first, then falls
+    * back to `empty` when no visible parquet data exists. */
+  def readOr(spark: SparkSession, dir: String)(empty: => DataFrame): DataFrame = {
+    graft.store.Registries.recover(spark, dir)
+    val fs = fsFor(spark, dir)
+    val d = new Path(dir)
+    val hasData = fs.exists(d) && fs.listStatus(d).exists { st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
+    }
+    if (hasData) spark.read.parquet(dir) else empty
+  }
+
+  /** Opportunistic registry maintenance: compact `dir` when its visible
+    * data-file count exceeds `maxFiles` — the self-compaction the 50-drop
+    * growth probe demanded (per-drop appends accumulate one small file
+    * each; listing + footer + one task per file eventually dominates the
+    * probe). Runs AFTER a batch's own writes; crash-safe because compact
+    * uses the aside-swap + [[graft.store.Registries.recover]] on read.
+    * Batch done-markers survive compaction ([[graft.store.Registries
+    * .compact]] carries `_b*.done` files across the swap) so replay
+    * skip/rollback decisions stay correct for the in-flight batch. */
+  def maybeCompact(spark: SparkSession, dir: String, maxFiles: Int,
+                   targetFiles: Int = 4): Boolean = {
+    val fs = fsFor(spark, dir)
+    val d = new Path(dir)
+    if (!fs.exists(d)) return false
+    val n = fs.listStatus(d).count { st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
+    }
+    if (n <= maxFiles) false
+    else { graft.store.Registries.compact(spark, dir, targetFiles); true }
+  }
+}
+
+/** Test seam: a hook invoked between a streaming twin's write steps so a
+  * crash-recovery spec can kill the batch at every window. No-op in
+  * production (the default). The second argument is a directory unique
+  * to the run (a sink/registry dir), so a spec arming the global hook
+  * kills only ITS OWN streams — suites run in parallel in one JVM. */
+private[graft] object Failpoints {
+  @volatile var hook: (String, String) => Unit = (_, _) => ()
+  def hit(label: String, dir: String): Unit = hook(label, dir)
+}

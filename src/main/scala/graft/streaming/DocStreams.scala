@@ -66,8 +66,9 @@ object DocStreams {
     * stateful operators cap state by watermark, but segment identity
     * never expires, so an external append-only store is the right shape
     * (Delta/Iceberg in production; the directory is the test stand-in,
-    * with at-least-once semantics on retry — a transactional sink makes
-    * it exactly-once).
+    * made EXACTLY-ONCE under crash/replay by the [[BatchCommit]]
+    * protocol — rollback on entry, batch-tagged files, done-marker
+    * commit point; CrashRecoverySpec kills every write window).
     *
     * Equality with the full batch dedup (DocStreamsSpec replays and
     * checks) holds when batch arrival respects id order — true for
@@ -75,38 +76,46 @@ object DocStreams {
     * contract the incremental batch operator documents. */
   def segmentDedupStream(docStream: DataFrame, idCol: String, textCol: String,
                          segTokens: Int, registryDir: String,
-                         cleanDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+                         cleanDir: String,
+                         compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       val spark = batch.sparkSession
+      // exactly-once replay protocol ([[BatchCommit]]): undo any crashed
+      // partial append for THIS batch before any registry read, so the
+      // flags below always see exactly the pre-batch registry — without
+      // this, a replay after the delta landed marks every batch segment
+      // "known" and appends garbage survivors (the measured failure mode)
+      BatchCommit.rollback(spark, cleanDir, bid)
+      BatchCommit.rollback(spark, registryDir, bid)
       // existence via Hadoop's FileSystem, not java.io.File: the registry
       // may live on HDFS/S3/file:-URIs where a local-path check is always
       // false — every micro-batch would then silently read an empty
       // registry and dedup only within itself (wrong results, no error)
-      val registryPath = new org.apache.hadoop.fs.Path(registryDir)
-      val fs = registryPath.getFileSystem(spark.sessionState.newHadoopConf())
-      val registry =
-        if (fs.exists(registryPath))
-          spark.read.parquet(registryDir)
-        else spark.createDataFrame(
+      val registry = BatchCommit.readOr(spark, registryDir)(
+        spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
-          StructType(Seq(StructField("seg", StringType))))
+          StructType(Seq(StructField("seg", StringType)))))
       // persist the flagged plan, not just the raw batch: the registry
       // delta and the cleaned docs both consume it, and re-running it
       // would anti-join the (growing) registry twice per micro-batch.
-      // ORDER MATTERS: the delta append to registryDir triggers
-      // CacheManager.recacheByPath(registryDir), which re-plans every
-      // cached plan reading that path — flagged included — against the
-      // POST-append listing; writing the cleaned docs afterwards would
-      // then see this batch's own segments as already-known and keep
-      // nothing (a measured full-batch wipe). Clean first, delta last.
+      // ORDER MATTERS for replay: a stage's content must only depend on
+      // registries whose this-batch delta lands in the same or a LATER
+      // step — clean first, delta last — so a crashed batch recomputes
+      // identical content for every not-yet-committed step. (The old
+      // recacheByPath hazard is gone: BatchCommit stages writes beside
+      // the registry dir and moves files in, so Spark never re-plans
+      // cached readers mid-batch.)
       val flagged = graft.text.Segments.incrementalFlags(
         batch, idCol, textCol, registry, segTokens).persist()
       try {
-        graft.text.Segments.rebuildFromFlags(flagged, idCol)
-          .write.mode("append").parquet(cleanDir)
-        graft.text.Segments.registryDelta(flagged)
-          .write.mode("append").parquet(registryDir)
+        BatchCommit.append(
+          graft.text.Segments.rebuildFromFlags(flagged, idCol), cleanDir, bid)
+        Failpoints.hit("segdedup:mid", registryDir)
+        BatchCommit.append(
+          graft.text.Segments.registryDelta(flagged), registryDir, bid)
+        Failpoints.hit("segdedup:post", registryDir)
       } finally { flagged.unpersist(); () }
+      BatchCommit.maybeCompact(spark, registryDir, compactAfterFiles); ()
     }
 
   /** Streaming cluster maintenance — d33's daily-crawl twin: each
@@ -128,15 +137,20 @@ object DocStreams {
     * the monolithic rerun is DocStreamsSpec's twin test; d33's oracle
     * enforces the same contract cell-exactly on the batch path. */
   def clusterMaintStream(docStream: DataFrame, idCol: String, textCol: String,
-                         sigDir: String, bandDir: String, labelsDir: String)
+                         sigDir: String, bandDir: String, labelsDir: String,
+                         compactAfterFiles: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    docStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       val spark = batch.sparkSession
       val conf = spark.sessionState.newHadoopConf()
-      def readOr(dir: String, empty: => DataFrame): DataFrame = {
-        val p = new org.apache.hadoop.fs.Path(dir)
-        if (p.getFileSystem(conf).exists(p)) spark.read.parquet(dir) else empty
-      }
+      // undo any crashed partial append BEFORE the registry reads: the
+      // probe must see exactly the pre-batch sig/band registries (the
+      // label swap itself is naturally idempotent — CC over the already-
+      // swapped labels ∪ the same pairs yields the same labels)
+      BatchCommit.rollback(spark, sigDir, bid)
+      BatchCommit.rollback(spark, bandDir, bid)
+      def readOr(dir: String, empty: => DataFrame): DataFrame =
+        BatchCommit.readOr(spark, dir)(empty)
       import graft.dedup.MinHashLsh
       val emptyDocs = batch.limit(0)
       val storedSig = readOr(sigDir,
@@ -206,10 +220,16 @@ object DocStreams {
         if (!fs.rename(tmp, lp))
           throw new java.io.IOException(s"label swap $tmp -> $lp failed")
         if (fs.exists(aside)) { fs.delete(aside, true); () }
-        // append-only registries LAST (recache ordering rule)
-        nSig.write.mode("append").parquet(sigDir)
-        bandDelta.write.mode("append").parquet(bandDir)
+        Failpoints.hit("cluster:mid1", sigDir)
+        // append-only registries LAST (content-dependency ordering: the
+        // probe above reads them, so their this-batch deltas land after)
+        BatchCommit.append(nSig, sigDir, bid)
+        Failpoints.hit("cluster:mid2", sigDir)
+        BatchCommit.append(bandDelta, bandDir, bid)
+        Failpoints.hit("cluster:post", sigDir)
       } finally { nSig.unpersist(); () }
+      BatchCommit.maybeCompact(spark, sigDir, compactAfterFiles)
+      BatchCommit.maybeCompact(spark, bandDir, compactAfterFiles); ()
     }
 
   /** Streaming substring-level repeat detection — the daily-crawl twin of
@@ -232,16 +252,16 @@ object DocStreams {
   def repeatedRegionsStream(docStream: DataFrame, idCol: String, textCol: String,
                             registryDir: String, regionsDir: String,
                             k: Int = 7, w: Int = 4, gapMax: Int = 10,
-                            minFps: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+                            minFps: Int = 2,
+                            compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       val spark = batch.sparkSession
-      val registryPath = new org.apache.hadoop.fs.Path(registryDir)
-      val fs = registryPath.getFileSystem(spark.sessionState.newHadoopConf())
-      val registry =
-        if (fs.exists(registryPath)) spark.read.parquet(registryDir)
-        else spark.createDataFrame(
+      BatchCommit.rollback(spark, regionsDir, bid)
+      BatchCommit.rollback(spark, registryDir, bid)
+      val registry = BatchCommit.readOr(spark, registryDir)(
+        spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
-          StructType(Seq(StructField("fp", StringType))))
+          StructType(Seq(StructField("fp", StringType)))))
       // persist the batch's fingerprint rows: regions and delta both
       // consume them, and the native winnowing scan is the expensive part
       val fps = graft.text.Winnowing.fingerprintRows(
@@ -249,9 +269,12 @@ object DocStreams {
       try {
         val (regions, delta) = graft.text.Winnowing.incrementalFromFps(
           fps, registry, idCol, k, gapMax, minFps)
-        regions.write.mode("append").parquet(regionsDir)
-        delta.write.mode("append").parquet(registryDir)
+        BatchCommit.append(regions, regionsDir, bid)
+        Failpoints.hit("regions:mid", registryDir)
+        BatchCommit.append(delta, registryDir, bid)
+        Failpoints.hit("regions:post", registryDir)
       } finally { fps.unpersist(); () }
+      BatchCommit.maybeCompact(spark, registryDir, compactAfterFiles); ()
     }
 
   /** The FULL curation funnel as a daily-crawl stream — the streaming twin
@@ -282,17 +305,18 @@ object DocStreams {
                            model: graft.functions.NgramScoreFn.Model,
                            threshold: Long,
                            fpRegistryDir: String, segRegistryDir: String,
-                           cleanDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+                           cleanDir: String,
+                           compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       val spark = batch.sparkSession
-      def registry(dir: String, colName: String): DataFrame = {
-        val path = new org.apache.hadoop.fs.Path(dir)
-        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(path)) spark.read.parquet(dir)
-        else spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](),
-          StructType(Seq(StructField(colName, StringType))))
-      }
+      BatchCommit.rollback(spark, cleanDir, bid)
+      BatchCommit.rollback(spark, segRegistryDir, bid)
+      BatchCommit.rollback(spark, fpRegistryDir, bid)
+      def registry(dir: String, colName: String): DataFrame =
+        BatchCommit.readOr(spark, dir)(
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            StructType(Seq(StructField(colName, StringType)))))
       val fpReg = registry(fpRegistryDir, "fp")
       val segReg = registry(segRegistryDir, "seg")
       val w = org.apache.spark.sql.expressions.Window
@@ -309,20 +333,26 @@ object DocStreams {
         val flagged = graft.text.Segments.incrementalFlags(
           survivors, idCol, textCol, segReg, segTokens).persist()
         try {
-          graft.text.Segments.rebuildFromFlags(flagged, idCol)
-            .filter(col("n_kept") * 2 >= col("n_segs"))
-            .join(survivors.select(col(idCol), col("source")), Seq(idCol))
-            .select(col(idCol), col("source"), col("n_segs"), col("n_kept"),
-              col("text_clean"))
-            .write.mode("append").parquet(cleanDir)
-          // registries last — appending first would re-plan the cached
-          // survivor/flagged reads against the post-append listing
-          graft.text.Segments.registryDelta(flagged)
-            .write.mode("append").parquet(segRegistryDir)
-          survivors.select(col("__fp").as("fp"))
-            .write.mode("append").parquet(fpRegistryDir)
+          BatchCommit.append(
+            graft.text.Segments.rebuildFromFlags(flagged, idCol)
+              .filter(col("n_kept") * 2 >= col("n_segs"))
+              .join(survivors.select(col(idCol), col("source")), Seq(idCol))
+              .select(col(idCol), col("source"), col("n_segs"), col("n_kept"),
+                col("text_clean")),
+            cleanDir, bid)
+          Failpoints.hit("funnel:mid1", cleanDir)
+          // registries last (content-dependency ordering: survivors and
+          // flagged read them, so their this-batch deltas land after)
+          BatchCommit.append(
+            graft.text.Segments.registryDelta(flagged), segRegistryDir, bid)
+          Failpoints.hit("funnel:mid2", cleanDir)
+          BatchCommit.append(
+            survivors.select(col("__fp").as("fp")), fpRegistryDir, bid)
+          Failpoints.hit("funnel:post", cleanDir)
         } finally { flagged.unpersist(); () }
       } finally { survivors.unpersist(); () }
+      BatchCommit.maybeCompact(spark, segRegistryDir, compactAfterFiles)
+      BatchCommit.maybeCompact(spark, fpRegistryDir, compactAfterFiles); ()
     }
 
   /** The batch-side closing rollup over [[contaminationStream]]'s output
@@ -344,16 +374,16 @@ object DocStreams {
     * [[segmentDedupStream]] (the recacheByPath hazard documented there).
     * Expects a stream with (doc_id, payload binary). */
   def mediaDedupStream(mediaStream: DataFrame, registryDir: String,
-                       keptDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    mediaStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+                       keptDir: String,
+                       compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    mediaStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       val spark = batch.sparkSession
-      val registryPath = new org.apache.hadoop.fs.Path(registryDir)
-      val fs = registryPath.getFileSystem(spark.sessionState.newHadoopConf())
-      val registry =
-        if (fs.exists(registryPath)) spark.read.parquet(registryDir)
-        else spark.createDataFrame(
+      BatchCommit.rollback(spark, keptDir, bid)
+      BatchCommit.rollback(spark, registryDir, bid)
+      val registry = BatchCommit.readOr(spark, registryDir)(
+        spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
-          StructType(Seq(StructField("dhash", LongType))))
+          StructType(Seq(StructField("dhash", LongType)))))
       val hashes = graft.multimodal.Multimodal.dhashPartitions(batch, spark)
         .toDF().persist()
       try {
@@ -366,11 +396,13 @@ object DocStreams {
           .filter(col("doc_id") === col("__min")).drop("__min")
           .persist()
         try {
-          kept.write.mode("append").parquet(keptDir)
-          kept.select("dhash").distinct()
-            .write.mode("append").parquet(registryDir)
+          BatchCommit.append(kept, keptDir, bid)
+          Failpoints.hit("media:mid", registryDir)
+          BatchCommit.append(kept.select("dhash").distinct(), registryDir, bid)
+          Failpoints.hit("media:post", registryDir)
         } finally { kept.unpersist(); () }
       } finally { hashes.unpersist(); () }
+      BatchCommit.maybeCompact(spark, registryDir, compactAfterFiles); ()
     }
 
   /** One-shot build of the train corpus's distinct n-gram registry — the
@@ -394,17 +426,20 @@ object DocStreams {
   def ngramContaminationStream(docStream: DataFrame, idCol: String,
                                textCol: String, n: Int, registryDir: String,
                                outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    docStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    docStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       val spark = batch.sparkSession
+      BatchCommit.rollback(spark, outDir, bid)
       val registry = spark.read.parquet(registryDir)
-      Shingles.explodeShingles(batch, idCol, textCol, n)
-        .join(registry.withColumn("__hit", lit(1)), Seq("shingle"), "left")
-        .groupBy(idCol)
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
-        .withColumn("contamination",
-          round(col("n_contaminated").cast("double") / col("n_grams").cast("double"), 9))
-        .write.mode("append").parquet(outDir)
+      BatchCommit.append(
+        Shingles.explodeShingles(batch, idCol, textCol, n)
+          .join(registry.withColumn("__hit", lit(1)), Seq("shingle"), "left")
+          .groupBy(idCol)
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+          .withColumn("contamination",
+            round(col("n_contaminated").cast("double") / col("n_grams").cast("double"), 9)),
+        outDir, bid)
+      Failpoints.hit("contam:post", outDir)
       ()
     }
 }

@@ -41,23 +41,29 @@ object EmbStreams {
     * is in the registry, or in the same batch for intra-drop pairs) —
     * EmbStreamsSpec replays drops and proves the union of outputs equals
     * the full bucket-contract batch pair set. Registries are append-only
-    * parquet directories: same durability stance (and same at-least-once
-    * caveat on retry) as [[DocStreams.segmentDedupStream]]. Write order
-    * is pairs first, registries last, so a crash between writes re-emits
-    * rather than silently drops. */
+    * parquet directories: same durability stance and same exactly-once
+    * [[graft.streaming.BatchCommit]] replay protocol as
+    * [[DocStreams.segmentDedupStream]]. Write order is pairs first,
+    * registries last, so every not-yet-committed step recomputes
+    * identical content on replay (CrashRecoverySpec kills each window). */
   def embeddingDedupStream(embStream: DataFrame, bucketRegistryDir: String,
                            vecRegistryDir: String, pairsDir: String,
-                           minCos: Double = 0.4, dim: Int = 64, nPlanes: Int = 6)
+                           minCos: Double = 0.4, dim: Int = 64, nPlanes: Int = 6,
+                           compactAfterFiles: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    embStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    embStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       val spark = batch.sparkSession
-      def readOr(dir: String, schema: StructType): DataFrame = {
-        val p = new org.apache.hadoop.fs.Path(dir)
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(p)) spark.read.parquet(dir)
-        else spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      }
+      import graft.streaming.{BatchCommit, Failpoints}
+      // exactly-once replay protocol (BatchCommit): undo any crashed
+      // partial append before the registry reads, so the probe always
+      // sees the pre-batch registries
+      BatchCommit.rollback(spark, pairsDir, bid)
+      BatchCommit.rollback(spark, bucketRegistryDir, bid)
+      BatchCommit.rollback(spark, vecRegistryDir, bid)
+      def readOr(dir: String, schema: StructType): DataFrame =
+        BatchCommit.readOr(spark, dir)(
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
       val newEmb = batch
         .select(col("vec_id").as("id"), col("embedding").as("vec")).persist()
       try {
@@ -75,9 +81,14 @@ object EmbStreams {
           .select(col("id_a"), col("id_b"),
             Knn.cosine(col("va"), col("vb")).as("cos"))
           .filter(col("cos") >= minCos)
-        pairs.write.mode("append").parquet(pairsDir)
-        newBuckets.write.mode("append").parquet(bucketRegistryDir)
-        newEmb.write.mode("append").parquet(vecRegistryDir)
+        BatchCommit.append(pairs, pairsDir, bid)
+        Failpoints.hit("emb:mid1", pairsDir)
+        BatchCommit.append(newBuckets, bucketRegistryDir, bid)
+        Failpoints.hit("emb:mid2", pairsDir)
+        BatchCommit.append(newEmb.toDF(), vecRegistryDir, bid)
+        Failpoints.hit("emb:post", pairsDir)
       } finally { newEmb.unpersist(); () }
+      BatchCommit.maybeCompact(spark, bucketRegistryDir, compactAfterFiles)
+      BatchCommit.maybeCompact(spark, vecRegistryDir, compactAfterFiles); ()
     }
 }

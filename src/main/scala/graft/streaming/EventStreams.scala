@@ -178,7 +178,10 @@ object EventStreams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        store.insertIfAbsent(table, batch, keys); ()
+        store.insertIfAbsent(table, batch, keys)
+        // replay after a crash here re-runs insertIfAbsent with the same
+        // rows — idempotent by the anti-join, CrashRecoverySpec proves it
+        Failpoints.hit("ingest:post", checkpoint)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -194,7 +197,9 @@ object EventStreams {
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        store.upsert(table, batch, keys); ()
+        store.upsert(table, batch, keys)
+        // replay re-upserts identical rows — idempotent by the keyed MERGE
+        Failpoints.hit("ingestb:post", checkpoint)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

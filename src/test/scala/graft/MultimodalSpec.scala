@@ -567,12 +567,12 @@ class DecoderRobustnessSpec extends org.scalatest.funsuite.AnyFunSuite {
     val frames = Multimodal.videoFrames(mixed, spark, frameBytes = 32, stride = 3)
       .collect().map(r => (r.getLong(0), r.getInt(1),
         r.getAs[Array[Byte]](2).toSeq))
-      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
 
     // AVI arm: every 3rd of 5 chunks -> frames 0 and 3, the chunks'
     // exact encoded bytes (pinned against frameChunks run directly)
     for ((id, avi) <- aviRows) {
-      val expect = MjpegAvi.frameChunks(id, avi, 3).map(_.frame.toSeq)
+      val expect = MjpegAvi.frameChunks(id, avi, 3).map(_.frame.toSeq).toSeq
       assert(expect.length == 2, s"doc $id expected 2 sampled chunks")
       assert(frames(id) == expect, s"doc $id AVI frames diverged from the walk")
     }
@@ -589,7 +589,7 @@ class DecoderRobustnessSpec extends org.scalatest.funsuite.AnyFunSuite {
     val sliced = Multimodal.sampleFrames(stubOnly, frameBytes = 32, stride = 3)
       .select(col("doc_id"), posexplode(col("frames")).as(Seq("i", "f")))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2).toSeq))
-      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
     for (id <- 100L until 110L)
       assert(frames(id) == sliced(id), s"doc $id stub frames diverged")
   }

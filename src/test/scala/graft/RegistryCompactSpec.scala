@@ -83,6 +83,46 @@ class RegistryCompactSpec extends AnyFunSuite {
     assert(content(d) == wantD)
   }
 
+  test("streaming registries self-compact: identical results, bounded files") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    // 8 drops through segmentDedupStream twice over the SAME staged input
+    // (identical batch order): an aggressively self-compacting run vs a
+    // never-compacting run must land identical registry + output content,
+    // with the compacting run's file count bounded instead of one-per-drop
+    val docs = Tables(spark, sf).documents
+    val stage = java.nio.file.Files.createTempDirectory("sc-stage").toString
+    for (k <- 0 until 8) {
+      docs.filter(pmod(col("doc_id"), lit(8)) === k)
+        .repartition(1).write.mode("append").parquet(stage)
+      Thread.sleep(1100) // distinct mtimes → deterministic drop order
+    }
+    def run(compactAfter: Int): (String, String) = {
+      val base = java.nio.file.Files.createTempDirectory("sc-run").toString
+      val q = graft.streaming.DocStreams.segmentDedupStream(
+          graft.streaming.DocStreams.readDocumentStream(spark, stage,
+            maxFilesPerTrigger = Some(1)),
+          "doc_id", "text", 3, s"$base/reg", s"$base/clean",
+          compactAfterFiles = compactAfter)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("sc-ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (s"$base/reg", s"$base/clean")
+    }
+    val (regC, cleanC) = run(compactAfter = 2)
+    val (regN, cleanN) = run(compactAfter = 1 << 30)
+    def rows(dir: String) = spark.read.parquet(dir).toJSON.collect().sorted.toSeq
+    assert(rows(regC) == rows(regN), "compaction changed registry content")
+    assert(rows(cleanC) == rows(cleanN), "compaction changed stream output")
+    def files(dir: String) = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(files(regN) >= 8, s"non-compacting run should hold 1+ file per drop")
+    assert(files(regC) <= 6,
+      s"self-compaction left ${files(regC)} files — threshold not applied")
+  }
+
   test("registry cache keys distinguish dirs that sanitize identically") {
     import spark.implicits._
     // /…/x/a_b and /…/x/a/b both sanitize to _…_x_a_b — the digest suffix
