@@ -65,8 +65,30 @@ object Bench {
       if (x == 42) print("") // keep the loop alive past JIT DCE
       (System.nanoTime() - t0) / 1e9
     }
+    // ALL-CORES spin: every core runs the same loop at once; the wall
+    // time exceeds the single-thread floor exactly when the cores don't
+    // actually deliver in parallel (host-level steal, SMT oversubscription,
+    // memory-bandwidth pressure). r9 measured a round-over-round run where
+    // every query inflated ~15% while the single-thread spin was BYTE-
+    // IDENTICAL to the prior round's — only a multi-core probe can tell
+    // "this box is slower in aggregate" from "this code got slower".
+    def calibSpinMt(): Double = {
+      val n = Runtime.getRuntime.availableProcessors()
+      val t0 = System.nanoTime()
+      val threads = (1 to n).map { _ =>
+        val t = new Thread(() => {
+          var x = 0L; var i = 0
+          while (i < 300000000) { x += i * 2654435761L; i += 1 }
+          if (x == 42) print("")
+        })
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
     // quiet floor: min of 3 pre-run spins (JIT-warmed by the first)
     val calibQuiet = (1 to 3).map(_ => calibSpin()).min
+    val calibMtBefore = calibSpinMt()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warm-up on the smoke scale factor (not timed)
@@ -104,6 +126,7 @@ object Bench {
     // sized well under the tail window so a line-wise parse of the tail
     // always finds one complete JSON object.
     val calibAfter = (1 to 3).map(_ => calibSpin()).min
+    val calibMtAfter = calibSpinMt()
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val nCores = Runtime.getRuntime.availableProcessors()
@@ -112,6 +135,11 @@ object Bench {
     // or when the box-wide runqueue clearly exceeds this JVM's own load
     val calibFloor = (Seq(calibQuiet, calibAfter) ++ midSpins).min
     val calibWorst = (Seq(calibQuiet, calibAfter) ++ midSpins).max
+    // mt/floor ≈ 1 on a quiet dedicated box; compare ACROSS runs — a
+    // higher ratio than the prior round's artifact at equal calib_floor
+    // means the box's aggregate throughput dropped (host steal), and
+    // per-query deltas under ~that factor are machine noise, not code
+    val calibMt = math.min(calibMtBefore, calibMtAfter)
     val contended = calibWorst > calibFloor * 2.0 ||
       (loadAvg > 0 && loadAvg > nCores * 1.5)
     def f(v: Double) = if (v < 0) "-1" else f"$v%.3f"
@@ -119,7 +147,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val cal = s""""contended":$contended,"calib_floor":${f(calibFloor)},""" +
-      s""""calib_worst":${f(calibWorst)},"load_avg":${f(loadAvg)},"cores":$nCores"""
+      s""""calib_worst":${f(calibWorst)},"calib_mt":${f(calibMt)},""" +
+      s""""load_avg":${f(loadAvg)},"cores":$nCores"""
     println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir",$cal,"value":${f(total)}}""")
     // persist the complete per-query map in-repo so round-over-round
     // diffs never depend on the capture window

@@ -293,6 +293,15 @@ object ScaleProbe {
     println("== registry growth: 50 daily drops ==")
     val sigDir = java.nio.file.Files.createTempDirectory("probe_sig").toString
     val bandDir = java.nio.file.Files.createTempDirectory("probe_band").toString
+    // self-compacting twin dirs: same appends, but BatchCommit.maybeCompact
+    // (threshold 8 files) runs after each drop — the r8 probe diagnosed the
+    // toy-scale growth as per-drop FILE-COUNT overhead (listing + footer +
+    // one task per file); this twin shows the auto-compaction policy
+    // flattens the curve while the probe stays result-identical
+    val sigDirC = java.nio.file.Files.createTempDirectory("probe_sigc").toString
+    val bandDirC = java.nio.file.Files.createTempDirectory("probe_bandc").toString
+    def nFiles(dir: String) = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
     val reportAt = Set(2, 10, 25, 50)
     var drop = 0
     while (drop < 50) {
@@ -304,6 +313,8 @@ object ScaleProbe {
       if (drop == 0) {
         newSig.write.mode("overwrite").parquet(sigDir)
         newBands.write.mode("overwrite").parquet(bandDir)
+        newSig.write.mode("overwrite").parquet(sigDirC)
+        newBands.write.mode("overwrite").parquet(bandDirC)
       } else {
         val storedSig = spark.read.parquet(sigDir)
         val t0 = System.nanoTime()
@@ -314,13 +325,24 @@ object ScaleProbe {
           newSig, spark.read.parquet(bandDir), storedSig, "doc_id",
           minEstJaccard = 0.5)._1.count()
         val t2 = System.nanoTime()
+        val pairsCompacted = graft.dedup.MinHashLsh.incrementalNearDupFromIndex(
+          newSig, spark.read.parquet(bandDirC), spark.read.parquet(sigDirC),
+          "doc_id", minEstJaccard = 0.5)._1.count()
+        val t3 = System.nanoTime()
         require(pairsResign == pairsIndex, "probe shapes disagree")
+        require(pairsCompacted == pairsIndex, "compacted registry diverged")
         if (reportAt(drop + 1))
           println(f"drop ${drop + 1}%2d: resign ${(t1 - t0) / 1e9}%6.3f s | " +
-            f"index ${(t2 - t1) / 1e9}%6.3f s " +
+            f"index ${(t2 - t1) / 1e9}%6.3f s (${nFiles(bandDir)}%3d files) | " +
+            f"compacted ${(t3 - t2) / 1e9}%6.3f s (${nFiles(bandDirC)}%3d files) " +
             f"($pairsIndex pairs, registry ${storedSig.count()} sigs)")
         newSig.write.mode("append").parquet(sigDir)
         newBands.write.mode("append").parquet(bandDir)
+        newSig.write.mode("append").parquet(sigDirC)
+        newBands.write.mode("append").parquet(bandDirC)
+        graft.streaming.BatchCommit.maybeCompact(spark, sigDirC, maxFiles = 8)
+        graft.streaming.BatchCommit.maybeCompact(spark, bandDirC, maxFiles = 8)
+        ()
       }
       newSig.unpersist()
       drop += 1
