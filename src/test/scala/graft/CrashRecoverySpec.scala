@@ -178,6 +178,40 @@ class CrashRecoverySpec extends AnyFunSuite {
       runFlowMatrix(f)
     }
 
+  test("curation funnel: DOUBLE crash — two different windows across " +
+       "successive replays of the same batch — still converges") {
+    // the matrix kills each window once; this kills batch 1 at mid1,
+    // then kills its REPLAY at mid2 (the replay now runs with the clean
+    // write already committed and must skip it, roll back nothing, and
+    // crash later), then completes on the third attempt. Exercises the
+    // skip-then-crash interaction no single-crash case reaches.
+    val f = docFlows.find(_.name == "curationFunnelStream").get
+    val refBase = tmp("cr2-ref")
+    f.run(f.mkStage(), refBase, tmp("cr2-refckpt"))
+    val refState = f.stateDirs.map(d => d -> dirState(s"$refBase/$d")).toMap
+
+    val base = tmp("cr2")
+    val ckpt = tmp("cr2-ckpt")
+    val stage = f.mkStage()
+    def crashRun(label: String, nth: Int): Unit = {
+      val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+      Failpoints.hook = (l, d) =>
+        if (l == label && d.startsWith(base) && hits.incrementAndGet() == nth)
+          throw new RuntimeException(s"injected crash at $label")
+      val crashed =
+        try { f.run(stage, base, ckpt); false }
+        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => true }
+        finally { Failpoints.hook = (_, _) => () }
+      assert(crashed, s"double-crash fixture: $label did not fire")
+    }
+    crashRun("funnel:mid1", 2) // batch 1, after the clean write
+    crashRun("funnel:mid2", 1) // batch 1 REPLAY, after the seg delta
+    f.run(stage, base, ckpt)   // third attempt completes
+    for (d <- f.stateDirs)
+      assert(dirState(s"$base/$d") == refState(d),
+        s"double-crash: state '$d' diverged from the uncrashed run")
+  }
+
   test("ingestStream: crash after the store merge replays idempotently") {
     val dropDir = tmp("cr-ing")
     val ckpt = tmp("cr-ing-ckpt")
