@@ -208,10 +208,14 @@ object SimilarityQ {
     * alternative (CC over the exact pair set); THIS is the scalable
     * candidate-restriction alternative — both are first-class and the
     * judge can compare their outputs through their oracles. */
-  def semDedupKmeans(s: SparkSession, dir: String): DataFrame = {
+  /** Round-2 k-means cell assignment over the embedding corpus — e06's
+    * `a2` table as a DataFrame (quantized points assigned against the
+    * after-one-round centroids, ties to the lower cid). The clustering
+    * seam shared by e11's within-cell dedup and e13's topic-balance
+    * audit, in lockstep with the oracle's Lloyd CTE chain. */
+  private def kmeansCells(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = emb(s, dir)
-    val pts = graft.similarity.KMeansExact.quantize(e)
+    val pts = graft.similarity.KMeansExact.quantize(emb(s, dir))
     val init = pts.filter(col("id") < 8).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray))
       .sortBy(_._1).toSeq
@@ -219,8 +223,13 @@ object SimilarityQ {
     // round-2 assignment — the same `a2` table e06's oracle materializes
     val afterR1 = graft.similarity.KMeansExact.lloyd(s, pts, init, rounds = 1)
     val centsDf = afterR1.map(c => (c.cid, c.vec.toSeq)).toDF("cid", "cq")
-    val cells = graft.similarity.KMeansExact.assignIds(pts, centsDf)
+    graft.similarity.KMeansExact.assignIds(pts, centsDf)
       .select(col("id"), col("cid").as("cell"))
+  }
+
+  def semDedupKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cells = kmeansCells(s, dir)
     val withVec = cells.join(e, Seq("id"))
       .select(col("cell"), col("id"), col("vec"),
         sqrt(Knn.dotExact(col("vec"), col("vec"))).as("nrm"),
@@ -287,7 +296,33 @@ object SimilarityQ {
         (col("vec_id") === col("cluster_id")).as("keep"))
   }
 
+  /** Topic-balance audit (e13): per (k-means cell, source) document
+    * counts and within-cell source share — the cross-modal census a
+    * curation owner reads before fixing mixture weights: a topic cell
+    * dominated by one crawl source signals topical capture, a source
+    * absent from a cell signals a coverage hole (doc_id ≡ vec_id in the
+    * corpus, the d30 convention). Plan: the e06 assignment (broadcast
+    * centroids, no pairwise work) → one broadcast-joinable (doc_id,
+    * source) projection → one (cell, source) aggregation + a tiny
+    * cell-partitioned window — linear end to end, shuffle keys (cell,
+    * source) then cell. The oracle replays e06's integer Lloyd CTEs into
+    * the same census, so the audit sits behind the cell-exact gate. */
+  def cellSourceMix(s: SparkSession, dir: String): DataFrame = {
+    val cells = kmeansCells(s, dir)
+    val docs = Tables(s, dir).documents
+      .select(col("doc_id").as("id"), col("source"))
+    cells.join(docs, Seq("id"))
+      .groupBy("cell", "source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("cell")))
+            .cast("double"), 9))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e13_cell_source_mix" -> (cellSourceMix _),
     "e12_incr_semclusters" -> (incrementalSemClusters _),
     "e12b_incr_semclusters_stored" -> (incrementalSemClustersBucketed _),
     "e01_knn_brute"      -> (knnBrute _),
@@ -567,6 +602,27 @@ object SimilarityQ {
   val oracles: Map[String, String] = Map(
     "e06_kmeans_lloyd" -> kmeansOracleSql(64),
     "e11_semdedup_kmeans" -> semDedupOracleSql(64),
+    // e13: e06's Lloyd CTE chain supplies the round-2 assignment `a2`;
+    // the census over (cell, documents.source) is plain SQL on top — the
+    // audit cannot drift from the clustering it audits
+    "e13_cell_source_mix" ->
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding,
+         |           x -> CAST(round_even(CAST(x AS DOUBLE) * 1024, 0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c0 AS (SELECT CAST(id AS INT) AS cid, q AS cq FROM q WHERE id < 8),
+         |${lloydRoundSql(1, "c0", 64)},
+         |${lloydRoundSql(2, "c1", 64)},
+         |cells AS (SELECT id, CAST(cid AS INT) AS cell FROM a2),
+         |n AS (
+         |  SELECT c.cell, d.source, COUNT(*) AS n_docs
+         |  FROM cells c JOIN documents d ON d.doc_id = c.id
+         |  GROUP BY 1, 2)
+         |SELECT cell, source, n_docs,
+         |       round(CAST(n_docs AS DOUBLE) /
+         |             CAST(SUM(n_docs) OVER (PARTITION BY cell) AS DOUBLE), 9) AS share
+         |FROM n""".stripMargin,
     "e10_ivfpq" -> ivfPqOracle,
     "e10b_ivfpq_stored" -> ivfPqOracle,
     "e08_pq_encode" ->

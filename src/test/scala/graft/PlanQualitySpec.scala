@@ -406,6 +406,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "d30_lexsem_audit",     // composes e02's require-capped exact pair side
       "e04_centroid_assign",  // vectors x broadcast k-row centroid table
       "e11_semdedup_kmeans",  // same k-row broadcast assignment feeding cells
+      "e13_cell_source_mix",  // same k-row broadcast assignment feeding census
       "e07_incr_neardup",     // new-batch side broadcasts (plan-gated elsewhere)
       // q38: the synthetic star derivation constant-folds the 1-row
       // name-filtered pipeline dim, so Catalyst proves the pipeline_id
