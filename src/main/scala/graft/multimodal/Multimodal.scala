@@ -843,8 +843,17 @@ object Multimodal {
     def renderAvi(seed: Long, nFrames: Int, w: Int, h: Int,
                   format: String = "png"): Array[Byte] = {
       require(nFrames >= 1 && w > 0 && h > 0)
-      val frames = (0 until nFrames).map(f =>
-        CompressedImage.renderPattern(seed + 131L * f, w, h, format))
+      wrapAvi((0 until nFrames).map(f =>
+        CompressedImage.renderPattern(seed + 131L * f, w, h, format)), w, h)
+    }
+
+    /** Assemble an AVI container around ALREADY-ENCODED still frames —
+      * the renderAvi container logic factored out so tests can build
+      * genuine clip/re-cut fixtures (an AVI whose frames are a
+      * subsequence of another's exact encoded frames). */
+    def wrapAvi(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+      require(frames.nonEmpty && w > 0 && h > 0)
+      val nFrames = frames.length
       val out = new java.io.ByteArrayOutputStream()
       def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
       def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }

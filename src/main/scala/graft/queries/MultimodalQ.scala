@@ -194,16 +194,23 @@ object MultimodalQ {
     * hamming-tolerant pair variant is
     * [[graft.dedup.SimHash.hammingNearDuplicates]] (bits = 24) on the
     * same hash column, exercised in MultimodalSpec. */
-  def videoPhash(s: SparkSession, dir: String): DataFrame = {
+  /** Per-(doc, frame_idx) REAL-decode dHashes over the synthetic AVI
+    * corpus (container walk + ImageIO + dHash per frame) — the
+    * feature-extract stage shared by m11's set-level and m14's
+    * sequence-level video dedup. */
+  private def videoFrameHashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val seeded = docSeeds(s, dir)
-    val frames = seeded.mapPartitions(_.flatMap { case (id, n) =>
+    docSeeds(s, dir).mapPartitions(_.flatMap { case (id, n) =>
       val w = (n % 13).toInt + 4
       val h = ((n / 13) % 11).toInt + 4
       val nf = (n % 5).toInt + 2
       Multimodal.MjpegAvi.frameHashes(id,
         Multimodal.MjpegAvi.renderAvi(n, nf, w, h))
     }).toDF()
+  }
+
+  def videoPhash(s: SparkSession, dir: String): DataFrame = {
+    val frames = videoFrameHashes(s, dir)
     val docsPerHash = frames.select("dhash", "doc_id").distinct()
       .groupBy("dhash").agg(count(lit(1)).as("__docs"))
     frames.join(docsPerHash, Seq("dhash"))
@@ -213,6 +220,45 @@ object MultimodalQ {
       .withColumn("shared_frac",
         round(col("n_shared").cast("double") / col("n_frames").cast("double"), 9))
   }
+
+  /** Sequence-level pair generation from a per-frame hash table: shingle
+    * each video's ORDERED dHash stream into consecutive triples (two
+    * `lead`s over one doc-partitioned window — no self-join to build the
+    * shingles), dedup triples per video, join videos on the triple VALUE,
+    * count distinct shared triples per pair. Never all-pairs: the join
+    * key is the triple, so cost is Σ|triple bucket|² — a re-used
+    * intro/credits sequence costs its bucket, not the corpus (cap hot
+    * triples exactly like [[graft.dedup.MinHashLsh]]'s band buckets at
+    * real scale). Shared by m14 and the clip-fixture spec. */
+  private[graft] def clipPairs(hashes: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val tri = hashes
+      .withColumn("d1", lead(col("dhash"), 1).over(w))
+      .withColumn("d2", lead(col("dhash"), 2).over(w))
+      .filter(col("d2").isNotNull)
+      .select(col("doc_id"), col("dhash").as("d0"), col("d1"), col("d2"))
+      .distinct()
+    val a = tri.select(col("d0"), col("d1"), col("d2"), col("doc_id").as("id_a"))
+    val b = tri.select(col("d0"), col("d1"), col("d2"), col("doc_id").as("id_b"))
+    a.join(b, Seq("d0", "d1", "d2"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** TEMPORAL video near-dup (m14): videos sharing runs of consecutive
+    * identical frames — the clip / re-cut / shared-intro detector. m11
+    * asks "do these videos share frames AT ALL" (set semantics, order
+    * blind); THIS asks "do they share SEQUENCES" (a 3-frame shingle over
+    * the ordered per-frame dHash stream — d04's n-gram idea lifted from
+    * word streams to frame streams). Frame hashes come from the same
+    * genuine decode seam as m10/m11; MultimodalSpec proves the semantics
+    * on real clipped AVIs (a video cut from another's exact frames
+    * matches here, while frame-set overlap alone cannot localize the
+    * run). Output: (id_a, id_b, n_shared) distinct shared triples. */
+  def videoClipDedup(s: SparkSession, dir: String): DataFrame =
+    clipPairs(videoFrameHashes(s, dir))
 
   /** Hamming-tolerant perceptual image near-dup — the banded chunk join
     * ([[graft.dedup.SimHash.hammingNearDuplicates]], bits = 24 so only
@@ -292,7 +338,8 @@ object MultimodalQ {
     "m10_video_decode" -> (videoDecode _),
     "m11_video_phash" -> (videoPhash _),
     "m12_image_neardup" -> (imageNearDup _),
-    "m13_audio_neardup" -> (audioNearDup _))
+    "m13_audio_neardup" -> (audioNearDup _),
+    "m14_video_clip_dedup" -> (videoClipDedup _))
 
   /** Video frame-level dedup — the frame-granularity analog of d13's
     * segment dedup, over m04's sampled-frame table: a frame is SHARED
@@ -368,6 +415,53 @@ object MultimodalQ {
        |       CAST(mn AS INT) AS min_pcm, CAST(mx AS INT) AS max_pcm
        |FROM dec WHERE i = ns - 1""".stripMargin
   }
+
+  /** Shared per-frame dHash derivation for the video oracles (m11/m14):
+    * the m02 closed-form pixels lifted per frame (seed n + 131·f, what
+    * renderAvi encodes losslessly), 4×4 box cells, horizontal+vertical
+    * gradient bits — one source so set-level and sequence-level video
+    * dedup agree on the hash by construction. Yields
+    * `hashes(doc_id, f, dhash)`. */
+  private val videoHashCtes: String =
+    """dims AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n,
+      |         (octet_length(encode(text)) % 13) + 4 AS w,
+      |         ((octet_length(encode(text)) // 13) % 11) + 4 AS h,
+      |         (octet_length(encode(text)) % 5) + 2 AS nf
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, f, (y * 4) // h AS ty, (x * 4) // w AS tx,
+      |         299 * ((3 * x + 7 * y + n + 131 * f) % 256)
+      |       + 587 * ((3 * x + 7 * y + 11 + n + 131 * f) % 256)
+      |       + 114 * ((3 * x + 7 * y + 22 + n + 131 * f) % 256) AS lum
+      |  FROM dims,
+      |       UNNEST(generate_series(0, nf - 1)) AS uf(f),
+      |       UNNEST(generate_series(0, w - 1)) AS ux(x),
+      |       UNNEST(generate_series(0, h - 1)) AS uy(y)),
+      |cells AS (
+      |  SELECT doc_id, f, ty, tx, SUM(lum) // count(*) AS c
+      |  FROM px GROUP BY 1, 2, 3, 4),
+      |hbits AS (
+      |  SELECT a.doc_id, a.f,
+      |         SUM(CASE WHEN b.c > a.c
+      |             THEN CAST(1 AS BIGINT) << CAST(a.ty * 3 + a.tx AS INT)
+      |             ELSE 0 END) AS hb
+      |  FROM cells a
+      |  JOIN cells b ON b.doc_id = a.doc_id AND b.f = a.f
+      |               AND b.ty = a.ty AND b.tx = a.tx + 1
+      |  GROUP BY 1, 2),
+      |vbits AS (
+      |  SELECT a.doc_id, a.f,
+      |         SUM(CASE WHEN b.c > a.c
+      |             THEN CAST(1 AS BIGINT) << CAST(12 + a.tx * 3 + a.ty AS INT)
+      |             ELSE 0 END) AS vb
+      |  FROM cells a
+      |  JOIN cells b ON b.doc_id = a.doc_id AND b.f = a.f
+      |               AND b.tx = a.tx AND b.ty = a.ty + 1
+      |  GROUP BY 1, 2),
+      |hashes AS MATERIALIZED (
+      |  SELECT doc_id, f, CAST(hb + vb AS BIGINT) AS dhash
+      |  FROM hbits JOIN vbits USING (doc_id, f))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "m08_adpcm_decode" -> adpcmOracle,
@@ -652,45 +746,7 @@ object MultimodalQ {
     // m11: m06's per-image dHash replay lifted per FRAME (seed n+131f),
     // then the m09 shared-frame rollup keyed on the perceptual hash
     "m11_video_phash" ->
-      """WITH dims AS (
-        |  SELECT doc_id, octet_length(encode(text)) AS n,
-        |         (octet_length(encode(text)) % 13) + 4 AS w,
-        |         ((octet_length(encode(text)) // 13) % 11) + 4 AS h,
-        |         (octet_length(encode(text)) % 5) + 2 AS nf
-        |  FROM documents),
-        |px AS (
-        |  SELECT doc_id, f, (y * 4) // h AS ty, (x * 4) // w AS tx,
-        |         299 * ((3 * x + 7 * y + n + 131 * f) % 256)
-        |       + 587 * ((3 * x + 7 * y + 11 + n + 131 * f) % 256)
-        |       + 114 * ((3 * x + 7 * y + 22 + n + 131 * f) % 256) AS lum
-        |  FROM dims,
-        |       UNNEST(generate_series(0, nf - 1)) AS uf(f),
-        |       UNNEST(generate_series(0, w - 1)) AS ux(x),
-        |       UNNEST(generate_series(0, h - 1)) AS uy(y)),
-        |cells AS (
-        |  SELECT doc_id, f, ty, tx, SUM(lum) // count(*) AS c
-        |  FROM px GROUP BY 1, 2, 3, 4),
-        |hbits AS (
-        |  SELECT a.doc_id, a.f,
-        |         SUM(CASE WHEN b.c > a.c
-        |             THEN CAST(1 AS BIGINT) << CAST(a.ty * 3 + a.tx AS INT)
-        |             ELSE 0 END) AS hb
-        |  FROM cells a
-        |  JOIN cells b ON b.doc_id = a.doc_id AND b.f = a.f
-        |               AND b.ty = a.ty AND b.tx = a.tx + 1
-        |  GROUP BY 1, 2),
-        |vbits AS (
-        |  SELECT a.doc_id, a.f,
-        |         SUM(CASE WHEN b.c > a.c
-        |             THEN CAST(1 AS BIGINT) << CAST(12 + a.tx * 3 + a.ty AS INT)
-        |             ELSE 0 END) AS vb
-        |  FROM cells a
-        |  JOIN cells b ON b.doc_id = a.doc_id AND b.f = a.f
-        |               AND b.tx = a.tx AND b.ty = a.ty + 1
-        |  GROUP BY 1, 2),
-        |hashes AS MATERIALIZED (
-        |  SELECT doc_id, f, CAST(hb + vb AS BIGINT) AS dhash
-        |  FROM hbits JOIN vbits USING (doc_id, f)),
+      s"""WITH $videoHashCtes,
         |counts AS (
         |  SELECT dhash, COUNT(DISTINCT doc_id) AS docs FROM hashes GROUP BY 1)
         |SELECT h.doc_id,
@@ -700,6 +756,22 @@ object MultimodalQ {
         |             / CAST(COUNT(*) AS DOUBLE), 9) AS shared_frac
         |FROM hashes h JOIN counts c USING (dhash)
         |GROUP BY 1""".stripMargin,
+    // m14: the same per-frame dHash CTEs, shingled into consecutive
+    // triples per video — the sequence-level contract, one source with
+    // m11's hash derivation so the two video-dedup semantics cannot drift
+    "m14_video_clip_dedup" ->
+      s"""WITH $videoHashCtes,
+        |tri AS (
+        |  SELECT DISTINCT a.doc_id, a.dhash AS d0, b.dhash AS d1, c.dhash AS d2
+        |  FROM hashes a
+        |  JOIN hashes b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+        |  JOIN hashes c ON c.doc_id = a.doc_id AND c.f = a.f + 2)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM tri x JOIN tri y
+        |  ON x.d0 = y.d0 AND x.d1 = y.d1 AND x.d2 = y.d2
+        | AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     // m10: the m02 closed form lifted one level — per FRAME, with frame
     // f's seed shifted by 131*f (what renderAvi encodes losslessly)
     "m10_video_decode" ->

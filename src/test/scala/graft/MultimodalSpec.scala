@@ -550,6 +550,50 @@ class DecoderRobustnessSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(decoded.forall(d => d.width == (d.doc_id % 7) + 3 && d.height == (d.doc_id % 5) + 3))
   }
 
+  test("m14 clip semantics: a re-cut video built from another's exact " +
+       "frames matches at sequence level; a shuffled frame SET does not") {
+    import spark.implicits._
+    import Multimodal.MjpegAvi
+    // A: 8 real frames; B: frames 2..5 of A verbatim (a genuine clip);
+    // C: the same four frames as B but shuffled — set-identical to B,
+    // sequence-broken. dHash is deliberately brightness-tolerant and
+    // renderPattern's monotone gradient collapses to a handful of hash
+    // values, so A's frames carry seeded RANDOM pixels (like real
+    // footage, whose consecutive frames hash distinctly) encoded through
+    // the genuine PNG path. Distinctness asserted as the precondition.
+    val (w, h) = (16, 14)
+    def noiseFrame(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(seed)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, rnd.nextInt() & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val framesA = (0 until 8).map(f => noiseFrame(9000 + f))
+    val aviA = MjpegAvi.wrapAvi(framesA, w, h)
+    val hashesA = MjpegAvi.frameHashes(0L, aviA).map(_.dhash)
+    assert(hashesA.length == 8 && hashesA.distinct.length == 8,
+      s"fixture needs 8 distinct frame hashes, got $hashesA")
+    val aviB = MjpegAvi.wrapAvi(framesA.slice(2, 6), w, h)
+    val aviC = MjpegAvi.wrapAvi(
+      Seq(framesA(5), framesA(3), framesA(2), framesA(4)), w, h)
+    val hashes = Seq((0L, aviA), (1L, aviB), (2L, aviC))
+      .flatMap { case (id, avi) =>
+        MjpegAvi.frameHashes(id, avi).map(fh => (id, fh.frame_idx, fh.dhash)) }
+      .toDF("doc_id", "frame_idx", "dhash")
+    val pairs = graft.queries.MultimodalQ.clipPairs(hashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // B = 4-frame clip of A -> exactly the clip's 2 interior triples shared
+    assert(pairs.get((0L, 1L)).contains(2L),
+      s"clip not detected: $pairs")
+    // C shares A's and B's frame SET but no 3-frame run -> no pair at all
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)),
+      s"shuffled set wrongly matched as a sequence: $pairs")
+  }
+
   test("videoFrames routes AVI payloads through the real container walk " +
        "and stub payloads through byte slicing — one frame source") {
     import spark.implicits._
