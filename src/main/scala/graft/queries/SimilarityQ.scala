@@ -321,7 +321,38 @@ object SimilarityQ {
             .cast("double"), 9))
   }
 
+  /** ANN quality audit (e14): recall@10 of the STORED IVF+PQ nprobe-2
+    * ADC search (e10b — cell-pruned, quantization-lossy) against the
+    * exact integer-L2 top-10 over the same quantized vectors, per query.
+    * The "measure, don't guess" harness for an ANN index: a codebook or
+    * cell-layout regression shows up as a recall drop in the nightly
+    * run, cell-exactly — not in an offline notebook. Ground truth is a
+    * 3-row broadcast against the corpus (the brute-force side exists
+    * only because the audit needs the truth; the nprobe side stays the
+    * production path). Output: (qid, n_returned, n_hit, recall). */
+  def ivfRecall(s: SparkSession, dir: String): DataFrame = {
+    val approx = ivfPqStored(s, dir).select(col("qid"), col("vec_id"))
+    val pts = graft.similarity.KMeansExact.quantize(emb(s, dir))
+    val qs = pts.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("q").as("qq"))
+    val gt = graft.ops.WindowOps.topKBounded(
+      pts.crossJoin(broadcast(qs))
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("id").as("vec_id"),
+          graft.functions.VectorExpressions
+            .intVecSqDist(col("q"), col("qq")).as("d")),
+      part = Seq("qid"), order = Seq("d" -> false, "vec_id" -> false), k = 10)
+    approx
+      .join(gt.select(col("qid"), col("vec_id"))
+        .withColumn("__hit", lit(1)), Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_returned"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("recall", round(col("n_hit").cast("double") / 10.0, 9))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e14_ann_recall" -> (ivfRecall _),
     "e13_cell_source_mix" -> (cellSourceMix _),
     "e12_incr_semclusters" -> (incrementalSemClusters _),
     "e12b_incr_semclusters_stored" -> (incrementalSemClustersBucketed _),
@@ -602,6 +633,34 @@ object SimilarityQ {
   val oracles: Map[String, String] = Map(
     "e06_kmeans_lloyd" -> kmeansOracleSql(64),
     "e11_semdedup_kmeans" -> semDedupOracleSql(64),
+    // e14: the full e10 oracle nested as the approx side (its inner `q`
+    // CTE is scoped to the subquery, the outer one below is this
+    // query's), exact integer-L2 top-10 as the truth side, recall per qid
+    "e14_ann_recall" ->
+      s"""WITH approx AS (
+         |$ivfPqOracle
+         |),
+         |qv14 AS MATERIALIZED (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding,
+         |           x -> CAST(round_even(CAST(x AS DOUBLE) * 1024, 0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |gt AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qq.id AS qid, p.id AS vec_id,
+         |           row_number() OVER (PARTITION BY qq.id ORDER BY
+         |             CAST(list_sum(list_transform(generate_series(1, 64),
+         |               i -> (p.q[i] - qq.q[i]) * (p.q[i] - qq.q[i]))) AS BIGINT),
+         |             p.id) AS rk
+         |    FROM qv14 p JOIN qv14 qq ON qq.id < 3 AND p.id <> qq.id)
+         |  WHERE rk <= 10)
+         |SELECT a.qid,
+         |       CAST(COUNT(*) AS BIGINT) AS n_returned,
+         |       CAST(COUNT(g.vec_id) AS BIGINT) AS n_hit,
+         |       round(CAST(COUNT(g.vec_id) AS DOUBLE) / 10.0, 9) AS recall
+         |FROM approx a LEFT JOIN gt g
+         |  ON g.qid = a.qid AND g.vec_id = a.vec_id
+         |GROUP BY 1""".stripMargin,
     // e13: e06's Lloyd CTE chain supplies the round-2 assignment `a2`;
     // the census over (cell, documents.source) is plain SQL on top — the
     // audit cannot drift from the clustering it audits
