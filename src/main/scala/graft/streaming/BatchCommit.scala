@@ -69,6 +69,7 @@ object BatchCommit {
     val staging = new Path(dir + f"__staging_b$batchId%06d")
     if (fs.exists(staging)) { fs.delete(staging, true); () }
     df.write.mode("overwrite").parquet(staging.toString)
+    Failpoints.hit("commit:staged", dir)
     val d = new Path(dir)
     if (!fs.exists(d)) { fs.mkdirs(d); () }
     val pre = filePrefix(batchId)
@@ -78,9 +79,11 @@ object BatchCommit {
         if (!fs.rename(st.getPath, new Path(d, pre + n)))
           throw new java.io.IOException(
             s"batch commit: move ${st.getPath} -> $dir failed")
+        Failpoints.hit("commit:moved-one", dir)
       }
     }
     fs.delete(staging, true)
+    Failpoints.hit("commit:pre-marker", dir)
     // the commit point: a single atomic file create
     fs.create(markerPath(dir, batchId), false).close()
   }

@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{BatchCommit, Failpoints}
+
+/** Protocol-level crash testing of the exactly-once batch-commit
+  * protocol itself — no streaming machinery, just the (rollback, append)
+  * cycle a foreachBatch replay performs, killed at every internal
+  * window of `append` (after staging, after EACH file move, before the
+  * marker) plus randomized multi-crash sequences. Complements
+  * CrashRecoverySpec, which proves the same protocol end-to-end through
+  * Spark's checkpoint replay. */
+class BatchCommitSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("bc").toString + "/r"
+
+  private def batchDf(bid: Long) =
+    (0 until 30).map(i => (bid * 100 + i, s"b$bid-$i")).toDF("id", "v")
+      .repartition(3) // several part files → real mid-move windows
+
+  private def content(dir: String): Set[(Long, String)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p) || !fs.listStatus(p).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith("_"))) Set.empty
+    else spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+  }
+
+  /** One replay cycle: rollback then append — what a crashed micro-batch
+    * does on restart. */
+  private def cycle(dir: String, bid: Long): Unit = {
+    BatchCommit.rollback(spark, dir, bid)
+    BatchCommit.append(batchDf(bid), dir, bid)
+  }
+
+  private def withCrashAt(dir: String, label: String, nth: Int)(f: => Unit): Boolean = {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    Failpoints.hook = (l, d) =>
+      if (l == label && d == dir && hits.incrementAndGet() == nth)
+        throw new RuntimeException(s"crash at $label#$nth")
+    try { f; false }
+    catch { case e: RuntimeException if e.getMessage.startsWith("crash at") => true }
+    finally { Failpoints.hook = (_, _) => () }
+  }
+
+  test("append killed at every internal window replays to exactly one copy") {
+    // expected content after batches 0 and 1 commit cleanly
+    val ref = tmp(); cycle(ref, 0); cycle(ref, 1)
+    val want = content(ref)
+    assert(want.size == 60)
+
+    for (label <- Seq("commit:staged", "commit:moved-one", "commit:pre-marker");
+         nth <- 1 to 3) {
+      val dir = tmp()
+      cycle(dir, 0) // batch 0 committed
+      val crashed = withCrashAt(dir, label, nth) { cycle(dir, 1) }
+      if (crashed) cycle(dir, 1) // the replay
+      assert(content(dir) == want,
+        s"crash at $label#$nth: replay diverged (crashed=$crashed)")
+      assert(BatchCommit.isDone(spark, dir, 1L))
+    }
+  }
+
+  test("randomized multi-crash sequences converge (seeded chaos sweep)") {
+    val rnd = new scala.util.Random(20260814L)
+    val labels = Seq("commit:staged", "commit:moved-one", "commit:pre-marker")
+    val ref = tmp(); (0L to 3L).foreach(cycle(ref, _))
+    val want = content(ref)
+    for (trial <- 0 until 5) {
+      val dir = tmp()
+      for (bid <- 0L to 3L) {
+        // up to 3 crashes per batch at random windows before it commits
+        var attempts = 0
+        var done = false
+        while (!done && attempts < 6) {
+          attempts += 1
+          val crash = rnd.nextInt(3) > 0 && attempts <= 3
+          if (crash) {
+            val l = labels(rnd.nextInt(labels.length))
+            val n = 1 + rnd.nextInt(3)
+            if (!withCrashAt(dir, l, n) { cycle(dir, bid) }) done = true
+          } else { cycle(dir, bid); done = true }
+        }
+        assert(done, s"trial $trial batch $bid never committed")
+      }
+      assert(content(dir) == want, s"trial $trial diverged")
+      val _ = trial
+    }
+  }
+
+  test("a batch whose append crashed before ANY move leaves the dir clean") {
+    val dir = tmp()
+    cycle(dir, 0)
+    val before = content(dir)
+    assert(withCrashAt(dir, "commit:staged", 1) { cycle(dir, 1) })
+    // no marker, no tagged files — rollback has nothing to do but the
+    // registry must read exactly its pre-batch content
+    BatchCommit.rollback(spark, dir, 1)
+    assert(content(dir) == before)
+    assert(!BatchCommit.isDone(spark, dir, 1L))
+  }
+
+  test("empty-batch append commits a marker and keeps readers working") {
+    val dir = tmp()
+    cycle(dir, 0)
+    BatchCommit.append(batchDf(1).limit(0), dir, 1)
+    assert(BatchCommit.isDone(spark, dir, 1L))
+    assert(content(dir).size == 30)
+    // replay of the empty batch skips
+    BatchCommit.rollback(spark, dir, 1)
+    BatchCommit.append(batchDf(1).limit(0), dir, 1)
+    assert(content(dir).size == 30)
+  }
+}
