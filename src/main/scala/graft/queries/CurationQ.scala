@@ -283,9 +283,38 @@ object CurationQ {
           .otherwise(lit("semantic_only")).as("agreement"))
   }
 
+  /** SEGMENT-level decontamination (d35) — the passage-granularity
+    * action d32's whole-doc drop cannot express: remove from each train
+    * document every 3-token segment whose exact text appears anywhere in
+    * the eval corpus (verbatim benchmark-passage removal — the document
+    * survives, the leaked passage does not). Same single-scan window
+    * shape as d32: segments explode once with the split flag carried, a
+    * segment-partitioned window max answers "does any eval doc carry
+    * this segment", one train-side per-doc rollup — one documents scan,
+    * no join; the null-segment key is salted by doc_id (the funnel's
+    * skew guard). Per train doc: n_segs, n_dropped, n_kept. */
+  def segmentDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = Segments.explodeSegments(
+      Tables.spread(Tables(s, dir).documents, "doc_id")
+        .withColumn("__train", col("doc_id") % 50 =!= 0),
+      "doc_id", "text", SegTokens, Seq("__train"))
+    segs.withColumn("__hit",
+        max(when(!col("__train") && col("seg").isNotNull, 1).otherwise(0))
+          .over(Window.partitionBy(col("seg"),
+            when(col("seg").isNull, col("doc_id")))))
+      .filter(col("__train"))
+      .groupBy("doc_id")
+      .agg(count(col("seg")).as("n_segs"),
+        sum(when(col("seg").isNotNull, col("__hit")).otherwise(0)).cast("long")
+          .as("n_dropped"))
+      .withColumn("n_kept", col("n_segs") - col("n_dropped"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d30_lexsem_audit"  -> (lexSemAudit _),
     "d30b_lexsem_audit_stored" -> (lexSemAuditStored _),
+    "d35_segment_decontaminate" -> (segmentDecontaminate _),
     "d18_curation_funnel" -> (curationFunnel _),
     "d25_model_funnel"  -> (modelFunnel _),
     "d29_chunk_overlap" -> (chunkOverlap _),
@@ -423,6 +452,26 @@ object CurationQ {
          |            ELSE 'semantic_only' END AS agreement
          |FROM lex l FULL OUTER JOIN sem s
          |  ON l.id_a = s.id_a AND l.id_b = s.id_b""".stripMargin,
+    // d35: the shared segment CTEs split eval/train; eval's DISTINCT
+    // segment set left-joins each train segment occurrence (counting per
+    // POSITION, matching the positional explode); zero-segment train
+    // docs appear via the documents left join as trivially clean
+    "d35_segment_decontaminate" ->
+      s"""WITH $segsCte,
+         |ev AS (SELECT DISTINCT seg FROM segs WHERE doc_id % 50 = 0),
+         |tr AS (SELECT doc_id, seg FROM segs WHERE doc_id % 50 <> 0),
+         |agg AS (
+         |  SELECT tr.doc_id,
+         |         CAST(COUNT(tr.seg) AS BIGINT) AS n_segs,
+         |         CAST(SUM(CASE WHEN ev.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |  FROM tr LEFT JOIN ev ON ev.seg = tr.seg
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |       coalesce(a.n_segs, 0) AS n_segs,
+         |       coalesce(a.n_dropped, 0) AS n_dropped,
+         |       coalesce(a.n_segs, 0) - coalesce(a.n_dropped, 0) AS n_kept
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+         |LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
     "d16_bpe_encode" -> bpeEncodeOracle,
     // q58: d16's tokenizer chain rolled up per source (ASCII corpus:
     // DuckDB length == Spark length)
