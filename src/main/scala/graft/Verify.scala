@@ -16,6 +16,11 @@ object Verify {
       // 128-key sort-based fallback only costs (measured 2-5x on the
       // posting-list dedup paths) without protecting anything
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 21)
+      // differential-robustness knob (default on, like the driver): the
+      // AQE-off sweep re-runs the whole dump under static planning — any
+      // result difference would expose a plan-dependent nondeterminism
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
