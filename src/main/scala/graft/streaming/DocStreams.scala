@@ -115,7 +115,11 @@ object DocStreams {
           graft.text.Segments.registryDelta(flagged), registryDir, bid)
         Failpoints.hit("segdedup:post", registryDir)
       } finally { flagged.unpersist(); () }
-      BatchCommit.maybeCompact(spark, registryDir, compactAfterFiles); ()
+      BatchCommit.maybeCompact(spark, registryDir, compactAfterFiles)
+      // post-compaction window: this batch's tagged files may already be
+      // folded into compacted files — replay depends on the carried marker
+      Failpoints.hit("segdedup:end", registryDir)
+      ()
     }
 
   /** Streaming cluster maintenance — d33's daily-crawl twin: each

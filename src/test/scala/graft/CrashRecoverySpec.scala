@@ -80,6 +80,19 @@ class CrashRecoverySpec extends AnyFunSuite {
         (stage, base, ckpt) => await(DocStreams.segmentDedupStream(
           docStream(stage), "doc_id", "text", 3, s"$base/reg", s"$base/clean"), ckpt),
         Seq("reg", "clean")),
+      Flow("segmentDedupStream+compactEveryBatch",
+        // the trickiest composite: auto-compaction fires after EVERY
+        // batch (threshold 0), so a replayed batch finds its tagged
+        // files compacted away and must rely on the carried done-marker
+        // to skip — a lost marker would re-append rows compaction
+        // already folded in
+        Seq("segdedup:mid", "segdedup:post", "segdedup:end"),
+        () => stageTwoDrops(docs, "doc_id", 150L),
+        _ => (),
+        (stage, base, ckpt) => await(DocStreams.segmentDedupStream(
+          docStream(stage), "doc_id", "text", 3, s"$base/reg", s"$base/clean",
+          compactAfterFiles = 0), ckpt),
+        Seq("reg", "clean")),
       Flow("repeatedRegionsStream",
         Seq("regions:mid", "regions:post"),
         () => stageTwoDrops(docs.select("doc_id", "text"), "doc_id", 150L),
