@@ -230,15 +230,28 @@ object MultimodalQ {
     * intro/credits sequence costs its bucket, not the corpus (cap hot
     * triples exactly like [[graft.dedup.MinHashLsh]]'s band buckets at
     * real scale). Shared by m14 and the clip-fixture spec. */
-  private[graft] def clipPairs(hashes: DataFrame): DataFrame = {
+  private[graft] def clipPairs(hashes: DataFrame,
+                               maxBucket: Option[Int] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-    val tri = hashes
+    val tri0 = hashes
       .withColumn("d1", lead(col("dhash"), 1).over(w))
       .withColumn("d2", lead(col("dhash"), 2).over(w))
       .filter(col("d2").isNotNull)
       .select(col("doc_id"), col("dhash").as("d0"), col("d1"), col("d2"))
       .distinct()
+    // hot-triple cap (the 100 TB dial, same shape as MinHashLsh's band
+    // buckets): a black-card / station-ident triple carried by n videos
+    // emits n² pairs — at cap, drop the bucket (recall only drops for
+    // pairs whose EVERY shared triple is ubiquitous, i.e. pure boilerplate)
+    val tri = maxBucket match {
+      case Some(cap) =>
+        val bw = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("d0"), col("d1"), col("d2"))
+        tri0.withColumn("__bn", count(lit(1)).over(bw))
+          .filter(col("__bn") <= cap).drop("__bn")
+      case None => tri0
+    }
     val a = tri.select(col("d0"), col("d1"), col("d2"), col("doc_id").as("id_a"))
     val b = tri.select(col("d0"), col("d1"), col("d2"), col("doc_id").as("id_b"))
     a.join(b, Seq("d0", "d1", "d2"))

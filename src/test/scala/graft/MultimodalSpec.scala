@@ -592,6 +592,20 @@ class DecoderRobustnessSpec extends org.scalatest.funsuite.AnyFunSuite {
     // C shares A's and B's frame SET but no 3-frame run -> no pair at all
     assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)),
       s"shuffled set wrongly matched as a sequence: $pairs")
+
+    // hot-triple cap: replicate B's clip into many "videos" so its
+    // triples become ubiquitous — at a tight cap those buckets drop
+    // (boilerplate suppressed) while an uncapped run pairs them all
+    val crowd = (10L until 20L).map(id => (id, aviB))
+    val hashes2 = (Seq((0L, aviA), (1L, aviB)) ++ crowd)
+      .flatMap { case (id, avi) =>
+        MjpegAvi.frameHashes(id, avi).map(fh => (id, fh.frame_idx, fh.dhash)) }
+      .toDF("doc_id", "frame_idx", "dhash")
+    val uncapped = graft.queries.MultimodalQ.clipPairs(hashes2).count()
+    val capped = graft.queries.MultimodalQ
+      .clipPairs(hashes2, maxBucket = Some(4)).count()
+    assert(uncapped > capped && capped == 0,
+      s"cap should suppress the ubiquitous clip ($uncapped vs $capped)")
   }
 
   test("videoFrames routes AVI payloads through the real container walk " +
