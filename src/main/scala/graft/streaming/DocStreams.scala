@@ -409,6 +409,68 @@ object DocStreams {
       BatchCommit.maybeCompact(spark, registryDir, compactAfterFiles); ()
     }
 
+  /** Streaming TEMPORAL video dedup — m14's daily-drop twin: each
+    * batch's videos are container-walked and frame-dHashed
+    * ([[graft.multimodal.Multimodal.MjpegAvi.frameHashes]]), shingled
+    * into consecutive triples, and probed against the durable triple
+    * registry accumulated from every previous drop — new-touching clip
+    * pairs (new×stored and new×new) append to `pairsDir`, the batch's
+    * distinct (doc, triple) rows append to the registry. Same shape as
+    * [[EmbStreams.embeddingDedupStream]] with the triple as the bucket
+    * key; same [[BatchCommit]] exactly-once replay protocol. Expects a
+    * stream of (doc_id, payload binary). */
+  def videoClipStream(mediaStream: DataFrame, registryDir: String,
+                      pairsDir: String,
+                      compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    mediaStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      BatchCommit.rollback(spark, pairsDir, bid)
+      BatchCommit.rollback(spark, registryDir, bid)
+      val registry = BatchCommit.readOr(spark, registryDir)(
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("d0", LongType), StructField("d1", LongType),
+            StructField("d2", LongType)))))
+      val hashes = batch.select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, b) =>
+          graft.multimodal.Multimodal.MjpegAvi.frameHashes(id, b) })
+        .toDF()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      val newTri = hashes
+        .withColumn("d1", lead(col("dhash"), 1).over(w))
+        .withColumn("d2", lead(col("dhash"), 2).over(w))
+        .filter(col("d2").isNotNull)
+        .select(col("doc_id"), col("dhash").as("d0"), col("d1"), col("d2"))
+        .distinct().persist()
+      try {
+        val bn = newTri.select(col("d0"), col("d1"), col("d2"),
+          col("doc_id").as("id_n"))
+        val ball = registry
+          .select(col("d0"), col("d1"), col("d2"), col("doc_id").as("id_o"))
+          .unionByName(bn.withColumnRenamed("id_n", "id_o"))
+        // distinct BEFORE counting: an intra-batch pair appears twice in
+        // the probe join (each endpoint's bn row matches the other's ball
+        // row) — without the (pair, triple) dedup the count doubles
+        val pairs = bn.join(ball, Seq("d0", "d1", "d2"))
+          .filter(col("id_n") =!= col("id_o"))
+          .select(least(col("id_n"), col("id_o")).as("id_a"),
+            greatest(col("id_n"), col("id_o")).as("id_b"),
+            col("d0"), col("d1"), col("d2"))
+          .distinct()
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("n_shared"))
+        BatchCommit.append(pairs, pairsDir, bid)
+        Failpoints.hit("clip:mid", registryDir)
+        BatchCommit.append(newTri, registryDir, bid)
+        Failpoints.hit("clip:post", registryDir)
+      } finally { newTri.unpersist(); () }
+      BatchCommit.maybeCompact(spark, registryDir, compactAfterFiles); ()
+    }
+
   /** One-shot build of the train corpus's distinct n-gram registry — the
     * stored state [[ngramContaminationStream]] probes. Rebuilt only when
     * the training corpus changes (a frozen artifact otherwise, like the

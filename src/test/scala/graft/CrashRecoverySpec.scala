@@ -143,6 +143,26 @@ class CrashRecoverySpec extends AnyFunSuite {
             .option("maxFilesPerTrigger", 1).parquet(stage),
           s"$base/reg", s"$base/kept"), ckpt),
         Seq("reg", "kept")),
+      Flow("videoClipStream",
+        Seq("clip:mid", "clip:post"),
+        () => {
+          import spark.implicits._
+          val media = docs
+            .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
+            .as[(Long, Long)]
+            .map { case (id, n) =>
+              (id, graft.multimodal.Multimodal.MjpegAvi.renderAvi(
+                n, (n % 5).toInt + 2, (n % 13).toInt + 4,
+                ((n / 13) % 11).toInt + 4)) }
+            .toDF("doc_id", "payload")
+          stageTwoDrops(media, "doc_id", 150L)
+        },
+        _ => (),
+        (stage, base, ckpt) => await(DocStreams.videoClipStream(
+          spark.readStream.schema("doc_id LONG, payload BINARY")
+            .option("maxFilesPerTrigger", 1).parquet(stage),
+          s"$base/reg", s"$base/pairs"), ckpt),
+        Seq("reg", "pairs")),
       Flow("embeddingDedupStream",
         Seq("emb:mid1", "emb:mid2", "emb:post"),
         () => stageTwoDrops(Tables(spark, sf).embeddings, "vec_id", 50L),

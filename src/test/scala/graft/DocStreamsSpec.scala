@@ -254,6 +254,46 @@ class DocStreamsSpec extends AnyFunSuite {
       batchReps.size.toLong)
   }
 
+  test("streaming video clip dedup converges to the batch m14 result") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    // the m10/m11/m14 corpus as real AVI payloads (seed = text byte length)
+    val media = Tables(spark, sf).documents
+      .select(col("doc_id"), length(col("text").cast("binary")).as("n"))
+      .as[(Long, Long)]
+      .map { case (id, n) =>
+        (id, Multimodal.MjpegAvi.renderAvi(n, (n % 5).toInt + 2,
+          (n % 13).toInt + 4, ((n / 13) % 11).toInt + 4)) }
+      .toDF("doc_id", "payload")
+    val stageDir = java.nio.file.Files.createTempDirectory("vc-stream").toString
+    for ((lo, hi) <- Seq((0L, 250L), (250L, 100000L))) {
+      media.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .repartition(1).write.mode("append").parquet(stageDir)
+      Thread.sleep(1100)
+    }
+    val registryDir = java.nio.file.Files.createTempDirectory("vc-reg").toString + "/r"
+    val pairsDir = java.nio.file.Files.createTempDirectory("vc-pairs").toString + "/p"
+    val ckpt = java.nio.file.Files.createTempDirectory("vc-ckpt").toString
+    val q = DocStreams.videoClipStream(
+        spark.readStream.schema("doc_id LONG, payload BINARY")
+          .option("maxFilesPerTrigger", 1).parquet(stageDir),
+        registryDir, pairsDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // closing rollup: each (pair, triple) is emitted exactly once by the
+    // drop carrying its later endpoint — the per-pair SUM must equal the
+    // monolithic m14 rerun's distinct-shared-triple count
+    val streamed = spark.read.parquet(pairsDir)
+      .groupBy("id_a", "id_b").agg(sum(col("n_shared")).as("n_shared"))
+    val batch = graft.queries.MultimodalQ.videoClipDedup(spark, sf)
+    assert(batch.count() > 0, "vacuous: no clip pairs in the fixture")
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streaming clip pairs diverged from the batch m14 rerun")
+  }
+
   test("streaming ngram contamination converges to the batch q57 result") {
     val docs = Tables(spark, sf).documents.select("doc_id", "text", "lang",
       "source", "n_chars")
