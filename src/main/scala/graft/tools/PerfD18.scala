@@ -94,23 +94,34 @@ object PerfD18 {
         count(when(col("final_ok"), lit(true))).as("n_final"))
     }
 
+    // CURRENT registered shape (r9): survivor-only explode + fused
+    // fingerprint-repartition exchange — whatever CurationQ ships
+    def vCur(): DataFrame =
+      graft.SparkEntry.queries("d18_curation_funnel")(s, dir)
+    def vCurModel(): DataFrame =
+      graft.SparkEntry.queries("d25_model_funnel")(s, dir)
+
     def run(f: () => DataFrame): Double = {
       val t0 = System.nanoTime()
       f().write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    run(vOld _); run(vNew _); run(vOne _) // warm all
-    val olds = collection.mutable.ArrayBuffer[Double]()
-    val news = collection.mutable.ArrayBuffer[Double]()
-    val ones = collection.mutable.ArrayBuffer[Double]()
-    for (_ <- 1 to 5) { olds += run(vOld _); news += run(vNew _); ones += run(vOne _) }
-    println(f"old: min=${olds.min}%.3f med=${olds.sorted.apply(2)}%.3f")
-    println(f"new: min=${news.min}%.3f med=${news.sorted.apply(2)}%.3f")
-    println(f"one: min=${ones.min}%.3f med=${ones.sorted.apply(2)}%.3f")
+    val variants = Seq("old" -> (vOld _), "new" -> (vNew _),
+      "one_r8" -> (vOne _), "cur_r9" -> (vCur _), "cur_d25" -> (vCurModel _))
+    variants.foreach { case (_, f) => run(f) } // warm all
+    val times = variants.map { case (n, _) =>
+      n -> collection.mutable.ArrayBuffer[Double]() }.toMap
+    for (_ <- 1 to 5)
+      variants.foreach { case (n, f) => times(n) += run(f) }
+    variants.foreach { case (n, _) =>
+      val t = times(n)
+      println(f"$n%-8s min=${t.min}%.3f med=${t.sorted.apply(2)}%.3f")
+    }
     val a = vOld().orderBy("source").collect().toSeq
     val c = vNew().orderBy("source").collect().toSeq
     val d = vOne().orderBy("source").collect().toSeq
-    println(s"equal_new=${a == c} equal_one=${a == d}")
+    val e = vCur().orderBy("source").collect().toSeq
+    println(s"equal_new=${a == c} equal_one=${a == d} equal_cur=${a == e}")
     spark.stop()
   }
 }
