@@ -608,6 +608,37 @@ class DecoderRobustnessSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"cap should suppress the ubiquitous clip ($uncapped vs $capped)")
   }
 
+  test("clipPairs == brute-force sequence reference on random hash " +
+       "streams (seeded property sweep)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 0 until 5) {
+      // random corpora across the collapse spectrum: few distinct hash
+      // values (heavy frame re-use) through mostly-unique streams
+      val nVals = Seq(3, 10, 200)(trial % 3)
+      val vals = Array.fill(nVals)(rnd.nextLong() & 0xffffffL)
+      val nDocs = 20 + rnd.nextInt(20)
+      val streams = (0L until nDocs.toLong).map { id =>
+        id -> Vector.fill(2 + rnd.nextInt(8))(vals(rnd.nextInt(nVals)))
+      }
+      val hashes = streams.flatMap { case (id, hs) =>
+        hs.zipWithIndex.map { case (h, i) => (id, i, h) } }
+        .toDF("doc_id", "frame_idx", "dhash")
+      val got = graft.queries.MultimodalQ.clipPairs(hashes)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // reference: per doc, the SET of consecutive triples; pair count =
+      // |intersection| for every unordered pair sharing >= 1 triple
+      val tris = streams.map { case (id, hs) =>
+        id -> hs.sliding(3).filter(_.size == 3).map(_.toList).toSet }.toMap
+      val want = (for {
+        a <- streams.map(_._1); b <- streams.map(_._1) if a < b
+        n = (tris(a) intersect tris(b)).size if n > 0
+      } yield (a, b) -> n.toLong).toMap
+      assert(got == want, s"trial $trial diverged")
+      assert(want.nonEmpty || nVals > 100, s"trial $trial vacuous")
+    }
+  }
+
   test("videoFrames routes AVI payloads through the real container walk " +
        "and stub payloads through byte slicing — one frame source") {
     import spark.implicits._
