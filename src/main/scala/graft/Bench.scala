@@ -149,7 +149,10 @@ object Bench {
     val cal = s""""contended":$contended,"calib_floor":${f(calibFloor)},""" +
       s""""calib_worst":${f(calibWorst)},"calib_mt":${f(calibMt)},""" +
       s""""load_avg":${f(loadAvg)},"cores":$nCores"""
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"$sfDir",$cal,"value":${f(total)}}""")
+    // "total_full" NOT "total": only the short summary line printed LAST
+    // carries metric=total, so a consumer matching on the metric name can
+    // never pick this head-truncatable full-map variant or double-count
+    println(s"""{"metric":"total_full","unit":"sec","queries":$qs,"sf":"$sfDir",$cal,"value":${f(total)}}""")
     // persist the complete per-query map in-repo so round-over-round
     // diffs never depend on the capture window
     try {

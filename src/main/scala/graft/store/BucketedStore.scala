@@ -44,6 +44,15 @@ final class BucketedStore(spark: SparkSession, root: String, numBuckets: Int = 6
 
   def exists(name: String): Boolean = Files.exists(pointer(name))
 
+  /** Parse a directory name as a version number. `f"v$v%06d"` zero-pads to
+    * SIX digits but widens past v999999, so match `v` + >=6 digits rather
+    * than a fixed length — otherwise claims/garbage above 999999 silently
+    * become invisible to versions/vacuum/recoverStaleClaims. */
+  private def versionOf(fn: String): Option[Int] =
+    if (fn.length >= 7 && fn.startsWith("v") && fn.drop(1).forall(_.isDigit))
+      Some(fn.drop(1).toInt)
+    else None
+
   private def currentVersion(name: String): Int =
     if (exists(name)) new String(Files.readAllBytes(pointer(name))).trim.toInt else 0
 
@@ -70,9 +79,8 @@ final class BucketedStore(spark: SparkSession, root: String, numBuckets: Int = 6
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     while (it.hasNext) {
       val fn = it.next().getFileName.toString
-      if (fn.startsWith("v") && fn.length == 7 && fn.drop(1).forall(_.isDigit)
-          && Files.exists(manifestPath(name, fn.drop(1).toInt)))
-        out += fn.drop(1).toInt
+      versionOf(fn).filter(v => Files.exists(manifestPath(name, v)))
+        .foreach(out += _)
     }
     out.toSeq.sorted
   }
@@ -124,7 +132,13 @@ final class BucketedStore(spark: SparkSession, root: String, numBuckets: Int = 6
           Files.walk(versionDir(name, v))
             .sorted(java.util.Comparator.reverseOrder())
             .forEach(f => Files.delete(f))
-        } catch { case _: java.io.IOException => () }
+        } catch {
+          case cleanup: java.io.IOException =>
+            // a swallowed cleanup failure turns a transient write error into
+            // a permanent writer wedge (every later commit sees the orphan
+            // claim) with no trace of why — surface it on the real error
+            e.addSuppressed(cleanup)
+        }
         throw e
     }
 
@@ -140,9 +154,7 @@ final class BucketedStore(spark: SparkSession, root: String, numBuckets: Int = 6
     val doomed = scala.collection.mutable.ArrayBuffer.empty[Int]
     while (it.hasNext) {
       val fn = it.next().getFileName.toString
-      if (fn.startsWith("v") && fn.length == 7 && fn.drop(1).forall(_.isDigit)
-          && fn.drop(1).toInt > cur)
-        doomed += fn.drop(1).toInt
+      versionOf(fn).filter(_ > cur).foreach(doomed += _)
     }
     doomed.sorted.foreach { v =>
       Files.walk(versionDir(name, v)).sorted(java.util.Comparator.reverseOrder())
@@ -303,8 +315,7 @@ final class BucketedStore(spark: SparkSession, root: String, numBuckets: Int = 6
     while (it.hasNext) {
       val p = it.next()
       val fn = p.getFileName.toString
-      if (fn.startsWith("v") && fn.length == 7 && fn.drop(1).forall(_.isDigit)) {
-        val v = fn.drop(1).toInt
+      versionOf(fn).foreach { v =>
         // never touch versions ABOVE the pointer: that is a concurrent
         // writer's claimed (in-flight) commit, not garbage —
         // recoverStaleClaims handles crashed ones explicitly

@@ -191,10 +191,16 @@ object EventStreams {
     * — the fact-table twin of [[ingestStream]]: each micro-batch rewrites
     * only the hash buckets its keys touch, so ingestion I/O tracks batch
     * size, not table size. Replays of a delivered batch converge (upsert
-    * is idempotent on identical rows). */
+    * is idempotent on identical rows) — including the PRE-commit crash
+    * window: a crash between claimNextVersion and swapPointer leaves an
+    * orphan claim dir that would wedge every replayed upsert with
+    * ConcurrentModificationException, so stale claims are recovered at
+    * each stream (re)start, where the streaming checkpoint guarantees the
+    * single-writer assumption recoverStaleClaims requires. */
   def ingestStreamBucketed(events: DataFrame, store: graft.store.BucketedStore,
                            table: String, keys: Seq[String], checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    store.recoverStaleClaims(table)
     events.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         store.upsert(table, batch, keys)
@@ -204,6 +210,7 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** New-file discovery as a stream (the reference's new-seqrun polling,
     * re-expressed): each micro-batch sees only unseen files; downstream is

@@ -229,4 +229,15 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(!st.vacuum("t").contains(99))
     assert(Files.exists(Paths.get(dir, "t", "v000099")))
   }
+
+  test("version dirs beyond v999999 stay recoverable (7+ digit names)") {
+    val (st, dir) = newStore()
+    st.create("t", Seq((1L, "a", "v")).toDF("id", "name", "payload"), Seq("id"))
+    // f"v$v%06d" WIDENS past 999999 — a fixed length-7 name match would
+    // silently skip this claim, making it unrecoverable and unvacuumable
+    val wide = Paths.get(dir, "t", "v1000000")
+    Files.createDirectory(wide)
+    assert(st.recoverStaleClaims("t") == Seq(1000000))
+    assert(!Files.exists(wide))
+  }
 }

@@ -44,7 +44,10 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--scale", type=float, default=0.01)
     a = ap.parse_args()
-    assert a.seed != 42, "seed 42 is the driver's drop — pick another"
+    # seed 42 at the driver's scales would shadow the official drop; at other
+    # scales (e.g. --scale 1.0 for the sf1 rehearsal) it is the canonical seed.
+    assert not (a.seed == 42 and a.scale in (0.001, 0.01, 0.1)), \
+        "seed 42 at a driver scale is the driver's drop — pick another seed"
     os.makedirs(a.out, exist_ok=True)
     r = np.random.default_rng(a.seed)
     k = a.scale / 0.01  # row counts below are the sf0.01 reference counts
@@ -94,11 +97,19 @@ def main():
     lo = r.integers(0, n_ord, n_li)
     lq = r.integers(1, 51, n_li).astype(float)
     sdate = [day0 + dt.timedelta(days=int(d)) for d in r.integers(1, 2500, n_li)]
+    # Keep (l_orderkey, l_linenumber) UNIQUE: an order holds at most 7 lines
+    # (TPC-H convention; MetadataStar derives run_id = orderkey*8 + linenumber
+    # from it). Overflow lineitems are deterministically reassigned to the
+    # next order with spare capacity instead of clamping the linenumber.
     linenum = np.zeros(n_li, dtype=np.int64)
     seen = {}
-    for i, o in enumerate(lo):
+    for i in range(n_li):
+        o = int(lo[i])
+        while seen.get(o, 0) >= 7:
+            o = (o + 1) % n_ord
+        lo[i] = o
         seen[o] = seen.get(o, 0) + 1
-        linenum[i] = min(seen[o], 7)
+        linenum[i] = seen[o]
     write(a.out, "lineitem",
           {"l_orderkey": pa.array(lo, pa.int64()),
            "l_partkey": pa.array(r.integers(0, n_part, n_li), pa.int64()),
