@@ -40,6 +40,38 @@ object ScaleProbe {
       println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   ($rows rows)")
     }
     println(s"corpus: $n documents")
+
+    // --- m14 hot-triple cap (runnable standalone: `runMain graft.ScaleProbe 8 m14`):
+    // plant one ubiquitous 3-frame shingle (the
+    // black-card / station-ident case) carried by h videos on top of a
+    // base corpus of unique streams. Uncapped pair volume grows h²; the
+    // capped path (HotTripleCap, the registered m14 shape) drops the
+    // bucket once h crosses the cap, so its cost flattens. Watch the
+    // uncapped column bend quadratic while capped stays level.
+    println("== m14 hot-triple cap curve ==")
+    val baseStreams = spark.range(50000).select(
+      col("id").as("doc_id"),
+      // 5 unique frames per video: dhash = f(doc, idx), never shared
+      explode(expr("sequence(0, 4)")).as("frame_idx"))
+      .withColumn("dhash", abs(xxhash64(col("doc_id") * 7 + col("frame_idx"))) % (1L << 24))
+    for (h <- Seq(512, 2048, 8192)) {
+      val hot = spark.range(h).select(
+        (col("id") + 1000000L).as("doc_id"),
+        explode(expr("sequence(0, 2)")).as("frame_idx"))
+        .withColumn("dhash", col("frame_idx") + (1L << 25)) // shared triple
+      val corpus = baseStreams.unionByName(hot).repartition(32).cache()
+      corpus.count()
+      time(f"m14_hot$h%5d_capped") {
+        graft.queries.MultimodalQ.clipPairs(corpus,
+          maxBucket = Some(graft.queries.MultimodalQ.HotTripleCap)).count()
+      }
+      if (h <= 2048) time(f"m14_hot$h%5d_uncapped") {
+        graft.queries.MultimodalQ.clipPairs(corpus).count()
+      }
+      corpus.unpersist()
+    }
+    if (args.lift(1).contains("m14")) { spark.stop(); return }
+
     time("minhash_lsh") {
       graft.dedup.MinHashLsh.nearDuplicates(docs, "doc_id", "text", 0.5).count()
     }
@@ -279,6 +311,7 @@ object ScaleProbe {
         graft.dedup.Shingles.jaccardPairs(templated, "doc_id", "text", 3, 0.5,
           Some(cap)).count()
       }
+
 
     // --- registry growth: 50 simulated daily drops. Each drop signs ~2%
     // of the corpus and probes the registry accumulated from every

@@ -198,7 +198,7 @@ object MultimodalQ {
     * corpus (container walk + ImageIO + dHash per frame) — the
     * feature-extract stage shared by m11's set-level and m14's
     * sequence-level video dedup. */
-  private def videoFrameHashes(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def videoFrameHashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docSeeds(s, dir).mapPartitions(_.flatMap { case (id, n) =>
       val w = (n % 13).toInt + 4
@@ -269,9 +269,18 @@ object MultimodalQ {
     * genuine decode seam as m10/m11; MultimodalSpec proves the semantics
     * on real clipped AVIs (a video cut from another's exact frames
     * matches here, while frame-set overlap alone cannot localize the
-    * run). Output: (id_a, id_b, n_shared) distinct shared triples. */
+    * run). Output: (id_a, id_b, n_shared) distinct shared triples.
+    *
+    * The registered query runs the CAPPED path (d04's convention): the
+    * hot-triple cap is live so the production shape is what's benched,
+    * sized not to bind on the oracle corpus (largest sf0.1 bucket is 708
+    * docs — ProbeM14), so the oracle is unchanged. At real scale the cap
+    * is the dial that bounds a ubiquitous triple (black card, station
+    * ident) to cap² pairs instead of corpus². */
+  val HotTripleCap = 1024
+
   def videoClipDedup(s: SparkSession, dir: String): DataFrame =
-    clipPairs(videoFrameHashes(s, dir))
+    clipPairs(videoFrameHashes(s, dir), maxBucket = Some(HotTripleCap))
 
   /** Hamming-tolerant perceptual image near-dup — the banded chunk join
     * ([[graft.dedup.SimHash.hammingNearDuplicates]], bits = 24 so only

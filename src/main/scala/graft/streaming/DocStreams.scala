@@ -421,7 +421,9 @@ object DocStreams {
     * stream of (doc_id, payload binary). */
   def videoClipStream(mediaStream: DataFrame, registryDir: String,
                       pairsDir: String,
-                      compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                      compactAfterFiles: Int = 64,
+                      maxBucket: Option[Int] =
+                        Some(graft.queries.MultimodalQ.HotTripleCap)): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     mediaStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       val spark = batch.sparkSession
       import spark.implicits._
@@ -449,9 +451,20 @@ object DocStreams {
       try {
         val bn = newTri.select(col("d0"), col("d1"), col("d2"),
           col("doc_id").as("id_n"))
-        val ball = registry
+        val ball0 = registry
           .select(col("d0"), col("d1"), col("d2"), col("doc_id").as("id_o"))
           .unionByName(bn.withColumnRenamed("id_n", "id_o"))
+        // hot-triple cap on the PROBE TARGET, MinHashLsh's incremental
+        // convention: a ubiquitous triple with 10^6 registry members would
+        // emit 10^6 pairs for every new video landing in it
+        val ball = maxBucket match {
+          case Some(cap) =>
+            val bw = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("d0"), col("d1"), col("d2"))
+            ball0.withColumn("__bn", count(lit(1)).over(bw))
+              .filter(col("__bn") <= cap).drop("__bn")
+          case None => ball0
+        }
         // distinct BEFORE counting: an intra-batch pair appears twice in
         // the probe join (each endpoint's bn row matches the other's ball
         // row) — without the (pair, triple) dedup the count doubles
