@@ -103,6 +103,35 @@ object BatchCommit {
     if (hasData) spark.read.parquet(dir) else empty
   }
 
+  private val MarkerName = """_b(\d+)\.done""".r
+
+  /** Prune committed done-markers a replay can no longer consult. A
+    * marker for batch `b` is only read by a replay OF batch `b`, and
+    * Structured Streaming replays at most the newest batch this sink has
+    * seen: the flow appending batch N at all proves batch N-1's
+    * checkpoint commit completed, so every marker below this dir's
+    * newest is already dead. We keep the top `keep` (default 2) marker
+    * ids — one id of margin beyond that argument — and delete the rest.
+    * Without pruning, a minutes-cadence flow gains one marker file per
+    * micro-batch forever: unbounded small-file metadata growth in
+    * exactly the dirs [[maybeCompact]] keeps bounded. Returns the number
+    * of markers removed. */
+  def pruneMarkers(spark: SparkSession, dir: String, keep: Int = 2): Int = {
+    val fs = fsFor(spark, dir)
+    val d = new Path(dir)
+    if (!fs.exists(d)) return 0
+    val ids = fs.listStatus(d).flatMap { st =>
+      st.getPath.getName match {
+        case MarkerName(id) if st.isFile => Some(id.toLong)
+        case _ => None
+      }
+    }.sorted
+    if (ids.length <= keep) return 0
+    val dead = ids.dropRight(keep)
+    dead.foreach { id => fs.delete(markerPath(dir, id), false); () }
+    dead.length
+  }
+
   /** Opportunistic registry maintenance: compact `dir` when its visible
     * data-file count exceeds `maxFiles` — the self-compaction the 50-drop
     * growth probe demanded (per-drop appends accumulate one small file
@@ -111,12 +140,15 @@ object BatchCommit {
     * uses the aside-swap + [[graft.store.Registries.recover]] on read.
     * Batch done-markers survive compaction ([[graft.store.Registries
     * .compact]] carries `_b*.done` files across the swap) so replay
-    * skip/rollback decisions stay correct for the in-flight batch. */
+    * skip/rollback decisions stay correct for the in-flight batch; dead
+    * markers below the newest two batch ids are [[pruneMarkers pruned]]
+    * here so TOTAL file count (data and markers) stays bounded. */
   def maybeCompact(spark: SparkSession, dir: String, maxFiles: Int,
                    targetFiles: Int = 4): Boolean = {
     val fs = fsFor(spark, dir)
     val d = new Path(dir)
     if (!fs.exists(d)) return false
+    pruneMarkers(spark, dir)
     val n = fs.listStatus(d).count { st =>
       st.isFile && st.getPath.getName.endsWith(".parquet") &&
         !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")

@@ -105,6 +105,36 @@ class BatchCommitSpec extends AnyFunSuite {
     assert(!BatchCommit.isDone(spark, dir, 1L))
   }
 
+  test("marker pruning keeps the top two ids and never breaks the in-flight batch") {
+    val dir = tmp()
+    (0L to 9L).foreach(cycle(dir, _))
+    def markers(): Seq[String] = new java.io.File(dir).listFiles().toSeq
+      .map(_.getName).filter(n => n.startsWith("_b") && n.endsWith(".done")).sorted
+    assert(markers().size == 10)
+    val pruned = BatchCommit.pruneMarkers(spark, dir)
+    assert(pruned == 8, s"expected 8 pruned, got $pruned")
+    assert(markers() == Seq("_b000008.done", "_b000009.done"))
+    // the newest batch's skip decision survives pruning: a replay of
+    // batch 9 is a no-op, content unchanged
+    val want = content(dir)
+    cycle(dir, 9)
+    assert(content(dir) == want, "replay of the retained batch re-appended")
+    // an in-flight batch 10 whose append crashed mid-move still rolls
+    // back cleanly after pruning, then commits exactly once on replay
+    assert(withCrashAt(dir, "commit:moved-one", 1) { cycle(dir, 10) })
+    cycle(dir, 10)
+    assert(content(dir).size == want.size + 30)
+    assert(BatchCommit.isDone(spark, dir, 10L))
+    // pruning is idempotent and keeps following the moving watermark
+    BatchCommit.pruneMarkers(spark, dir)
+    assert(markers() == Seq("_b000009.done", "_b000010.done"))
+    assert(BatchCommit.pruneMarkers(spark, dir) == 0)
+    // ids past the %06d format width prune by numeric order, not lexical
+    BatchCommit.append(batchDf(3).limit(0), dir, 1234567L)
+    BatchCommit.pruneMarkers(spark, dir)
+    assert(markers() == Seq("_b000010.done", "_b1234567.done"))
+  }
+
   test("empty-batch append commits a marker and keeps readers working") {
     val dir = tmp()
     cycle(dir, 0)

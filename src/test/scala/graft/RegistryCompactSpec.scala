@@ -121,6 +121,16 @@ class RegistryCompactSpec extends AnyFunSuite {
     assert(files(regN) >= 8, s"non-compacting run should hold 1+ file per drop")
     assert(files(regC) <= 6,
       s"self-compaction left ${files(regC)} files — threshold not applied")
+    // TOTAL file count (data AND batch done-markers) stays bounded: dead
+    // markers below the newest two batch ids are pruned each maintenance
+    // pass, so a long-lived flow never accumulates one marker per batch
+    def markerCount(dir: String) = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("_b") && f.getName.endsWith(".done"))
+    assert(markerCount(regC) <= 2,
+      s"marker pruning left ${markerCount(regC)} done-markers after 8 drops")
+    val total = new java.io.File(regC).listFiles()
+      .count(f => f.getName.endsWith(".parquet") || f.getName.endsWith(".done"))
+    assert(total <= 8, s"total registry file count $total not bounded")
   }
 
   test("registry cache keys distinguish dirs that sanitize identically") {
