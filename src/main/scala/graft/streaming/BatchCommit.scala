@@ -61,7 +61,24 @@ object BatchCommit {
 
   /** Exactly-once append of `df` into `dir` for `batchId` (see protocol
     * above). The caller must have [[rollback]]ed this (dir, batchId) at
-    * batch entry, before reading any registry this write feeds. */
+    * batch entry, before reading any registry this write feeds.
+    *
+    * The marker create doubles as a PUT-IF-ABSENT CLAIM on (dir,
+    * batchId): when two writers (two pipelines mis-pointed at one
+    * registry dir — their independent checkpoints reuse the same batch
+    * ids) race the same append, exactly one creates the marker; the
+    * loser removes precisely the part files it moved in (part names are
+    * write-UUID-unique, so the winner's files are untouched) and throws
+    * [[java.util.ConcurrentModificationException]]. A loser that races
+    * the other way — its [[rollback]] deleting the winner's not-yet-
+    * committed moves — is caught by the post-claim integrity check: a
+    * commit only stands if every file it moved survived to the marker,
+    * otherwise the marker is withdrawn and the batch fails loudly for
+    * replay. Concurrent flows therefore serialize per batch id or fail
+    * loudly; they never commit a merged or holed batch. (A loser that
+    * arrives AFTER the winner's marker skips like a self-replay — id-
+    * based idempotence cannot tell foreign writers apart without a flow
+    * identity, which is why one registry dir still wants one flow.) */
   def append(df: DataFrame, dir: String, batchId: Long): Unit = {
     val spark = df.sparkSession
     val fs = fsFor(spark, dir)
@@ -73,19 +90,40 @@ object BatchCommit {
     val d = new Path(dir)
     if (!fs.exists(d)) { fs.mkdirs(d); () }
     val pre = filePrefix(batchId)
+    val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
     fs.listStatus(staging).foreach { st =>
       val n = st.getPath.getName
       if (st.isFile && n.endsWith(".parquet")) {
-        if (!fs.rename(st.getPath, new Path(d, pre + n)))
+        val target = new Path(d, pre + n)
+        if (!fs.rename(st.getPath, target))
           throw new java.io.IOException(
             s"batch commit: move ${st.getPath} -> $dir failed")
+        moved += target
         Failpoints.hit("commit:moved-one", dir)
       }
     }
     fs.delete(staging, true)
     Failpoints.hit("commit:pre-marker", dir)
-    // the commit point: a single atomic file create
-    fs.create(markerPath(dir, batchId), false).close()
+    val marker = markerPath(dir, batchId)
+    // the commit point: a single atomic create = the put-if-absent claim
+    try fs.create(marker, false).close()
+    catch {
+      case e: java.io.IOException if fs.exists(marker) =>
+        moved.foreach { p => fs.delete(p, false); () }
+        throw new java.util.ConcurrentModificationException(
+          s"batch commit claim lost: $dir batch $batchId was committed by " +
+            "a concurrent writer — one registry dir must have one flow", e)
+    }
+    // post-claim integrity: a concurrent writer's entry rollback may have
+    // deleted this append's moves before the claim landed — withdraw the
+    // marker so the hole is never committed, and fail loudly for replay
+    if (moved.exists(p => !fs.exists(p))) {
+      fs.delete(marker, false)
+      moved.foreach { p => fs.delete(p, false); () }
+      throw new java.util.ConcurrentModificationException(
+        s"batch commit integrity lost: $dir batch $batchId files were " +
+          "rolled back by a concurrent writer before the claim landed")
+    }
   }
 
   /** Read a registry dir that may not exist yet, may hold only markers

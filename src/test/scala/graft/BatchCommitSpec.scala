@@ -135,6 +135,71 @@ class BatchCommitSpec extends AnyFunSuite {
     assert(markers() == Seq("_b000010.done", "_b1234567.done"))
   }
 
+  /** Pause a concurrently-running append at its pre-marker window (the
+    * first hit only, so the test's own appends pass through), returning
+    * (reached, gate): await `reached`, do the racing work, then open
+    * `gate`. */
+  private def pauseFirstPreMarker(dir: String) = {
+    val reached = new java.util.concurrent.CountDownLatch(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val first = new java.util.concurrent.atomic.AtomicBoolean(true)
+    Failpoints.hook = (l, d) =>
+      if (l == "commit:pre-marker" && d == dir && first.getAndSet(false)) {
+        reached.countDown(); gate.await()
+      }
+    (reached, gate)
+  }
+
+  test("two writers racing one (dir, batchId): the marker claim picks one winner") {
+    val dir = tmp()
+    val (reached, gate) = pauseFirstPreMarker(dir)
+    try {
+      val loserErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val loser = new Thread(() =>
+        try BatchCommit.append(batchDf(0), dir, 0)
+        catch { case e: Throwable => loserErr.set(e) })
+      loser.start(); reached.await()
+      // a second pipeline mis-pointed at the same registry commits the
+      // same batch id first — different content, same claim
+      val winnerRows = (100 until 130).map(i => (i.toLong, s"w-$i"))
+      BatchCommit.append(winnerRows.toDF("id", "v").repartition(3), dir, 0)
+      gate.countDown(); loser.join()
+      assert(loserErr.get().isInstanceOf[java.util.ConcurrentModificationException],
+        s"loser got ${loserErr.get()} instead of a loud claim failure")
+      // never corrupt: the dir holds exactly the winner's batch — the
+      // loser's already-moved part files were withdrawn with its claim
+      assert(content(dir) == winnerRows.toSet)
+      assert(BatchCommit.isDone(spark, dir, 0L))
+    } finally { Failpoints.hook = (_, _) => () }
+  }
+
+  test("a concurrent entry-rollback eating in-flight moves fails the commit, never holes it") {
+    val dir = tmp()
+    cycle(dir, 0)
+    val base = content(dir)
+    val (reached, gate) = pauseFirstPreMarker(dir)
+    try {
+      val loserErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val writer = new Thread(() =>
+        try BatchCommit.append(batchDf(1), dir, 1)
+        catch { case e: Throwable => loserErr.set(e) })
+      writer.start(); reached.await()
+      // the other pipeline enters ITS batch 1 and rolls back the writer's
+      // uncommitted moves — without the integrity check the writer would
+      // then commit a marker over a holed batch
+      BatchCommit.rollback(spark, dir, 1)
+      gate.countDown(); writer.join()
+      assert(loserErr.get().isInstanceOf[java.util.ConcurrentModificationException])
+      assert(loserErr.get().getMessage.contains("integrity"))
+      // the marker was withdrawn: nothing of batch 1 is committed…
+      assert(!BatchCommit.isDone(spark, dir, 1L))
+      assert(content(dir) == base)
+    } finally { Failpoints.hook = (_, _) => () }
+    // …and the failed batch replays to exactly one clean copy
+    cycle(dir, 1)
+    assert(content(dir).size == base.size + 30)
+  }
+
   test("empty-batch append commits a marker and keeps readers working") {
     val dir = tmp()
     cycle(dir, 0)
