@@ -326,15 +326,29 @@ object SimilarityQ {
     * exact integer-L2 top-10 over the same quantized vectors, per query.
     * The "measure, don't guess" harness for an ANN index: a codebook or
     * cell-layout regression shows up as a recall drop in the nightly
-    * run, cell-exactly — not in an offline notebook. Ground truth is a
-    * 3-row broadcast against the corpus (the brute-force side exists
-    * only because the audit needs the truth; the nprobe side stays the
-    * production path). Output: (qid, n_returned, n_hit, recall). */
-  def ivfRecall(s: SparkSession, dir: String): DataFrame = {
+    * run, cell-exactly — not in an offline notebook. The truth side is
+    * BOUNDED at any query count: the audited queries are a deterministic
+    * md5-keyed sample of the query set (global bounded-heap top-
+    * `sampleQueries` by md5(qid) — an unbiased pseudo-random subset that
+    * is stable across runs and engines, d04's convention: the default
+    * does not bind at sf0.1's 3 queries, so the oracle pins the capped
+    * production shape), and ground truth is a ≤`sampleQueries`-row
+    * broadcast brute force against the corpus (the brute-force side
+    * exists only because the audit needs the truth; the nprobe side
+    * stays the production path). Output: (qid, n_returned, n_hit,
+    * recall, n_sampled) — recall always reads alongside the sample size
+    * that produced it. */
+  def ivfRecall(s: SparkSession, dir: String, sampleQueries: Int = 64): DataFrame = {
     val approx = ivfPqStored(s, dir).select(col("qid"), col("vec_id"))
+    val sampled = graft.ops.WindowOps.topKBounded(
+      approx.select("qid").distinct()
+        .withColumn("__smp", md5(col("qid").cast("string"))),
+      part = Seq(), order = Seq("__smp" -> false, "qid" -> false),
+      k = sampleQueries)
+      .select("qid")
     val pts = graft.similarity.KMeansExact.quantize(emb(s, dir))
-    val qs = pts.filter(col("id") < 3)
-      .select(col("id").as("qid"), col("q").as("qq"))
+    val qs = pts.join(broadcast(sampled), pts("id") === sampled("qid"))
+      .select(col("qid"), col("q").as("qq"))
     val gt = graft.ops.WindowOps.topKBounded(
       pts.crossJoin(broadcast(qs))
         .filter(col("id") =!= col("qid"))
@@ -342,17 +356,19 @@ object SimilarityQ {
           graft.functions.VectorExpressions
             .intVecSqDist(col("q"), col("qq")).as("d")),
       part = Seq("qid"), order = Seq("d" -> false, "vec_id" -> false), k = 10)
-    approx
+    approx.join(broadcast(sampled), Seq("qid"))
       .join(gt.select(col("qid"), col("vec_id"))
         .withColumn("__hit", lit(1)), Seq("qid", "vec_id"), "left")
       .groupBy("qid")
       .agg(count(lit(1)).as("n_returned"),
         sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
       .withColumn("recall", round(col("n_hit").cast("double") / 10.0, 9))
+      .withColumn("n_sampled",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy()))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e14_ann_recall" -> (ivfRecall _),
+    "e14_ann_recall" -> ((s, d) => ivfRecall(s, d)),
     "e13_cell_source_mix" -> (cellSourceMix _),
     "e12_incr_semclusters" -> (incrementalSemClusters _),
     "e12b_incr_semclusters_stored" -> (incrementalSemClustersBucketed _),
@@ -635,11 +651,17 @@ object SimilarityQ {
     "e11_semdedup_kmeans" -> semDedupOracleSql(64),
     // e14: the full e10 oracle nested as the approx side (its inner `q`
     // CTE is scoped to the subquery, the outer one below is this
-    // query's), exact integer-L2 top-10 as the truth side, recall per qid
+    // query's), exact integer-L2 top-10 as the truth side, recall per
+    // qid — both sides restricted to the same md5-keyed bounded sample
+    // of the query set the Spark path audits (64 does not bind at 3
+    // queries, so the capped production shape sits behind the gate)
     "e14_ann_recall" ->
       s"""WITH approx AS (
          |$ivfPqOracle
          |),
+         |smp AS (
+         |  SELECT qid FROM (SELECT DISTINCT qid FROM approx)
+         |  ORDER BY md5(CAST(qid AS VARCHAR)), qid LIMIT 64),
          |qv14 AS MATERIALIZED (
          |  SELECT vec_id AS id,
          |         list_transform(embedding,
@@ -652,15 +674,21 @@ object SimilarityQ {
          |             CAST(list_sum(list_transform(generate_series(1, 64),
          |               i -> (p.q[i] - qq.q[i]) * (p.q[i] - qq.q[i]))) AS BIGINT),
          |             p.id) AS rk
-         |    FROM qv14 p JOIN qv14 qq ON qq.id < 3 AND p.id <> qq.id)
+         |    FROM qv14 p JOIN qv14 qq ON qq.id IN (SELECT qid FROM smp)
+         |                            AND p.id <> qq.id)
          |  WHERE rk <= 10)
-         |SELECT a.qid,
-         |       CAST(COUNT(*) AS BIGINT) AS n_returned,
-         |       CAST(COUNT(g.vec_id) AS BIGINT) AS n_hit,
-         |       round(CAST(COUNT(g.vec_id) AS DOUBLE) / 10.0, 9) AS recall
-         |FROM approx a LEFT JOIN gt g
-         |  ON g.qid = a.qid AND g.vec_id = a.vec_id
-         |GROUP BY 1""".stripMargin,
+         |SELECT qid, n_returned, n_hit, recall,
+         |       CAST(COUNT(*) OVER () AS BIGINT) AS n_sampled
+         |FROM (
+         |  SELECT a.qid,
+         |         CAST(COUNT(*) AS BIGINT) AS n_returned,
+         |         CAST(COUNT(g.vec_id) AS BIGINT) AS n_hit,
+         |         round(CAST(COUNT(g.vec_id) AS DOUBLE) / 10.0, 9) AS recall
+         |  FROM approx a
+         |  JOIN smp s ON s.qid = a.qid
+         |  LEFT JOIN gt g
+         |    ON g.qid = a.qid AND g.vec_id = a.vec_id
+         |  GROUP BY 1)""".stripMargin,
     // e13: e06's Lloyd CTE chain supplies the round-2 assignment `a2`;
     // the census over (cell, documents.source) is plain SQL on top — the
     // audit cannot drift from the clustering it audits

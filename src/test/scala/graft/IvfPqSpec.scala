@@ -127,6 +127,25 @@ class IvfPqSpec extends AnyFunSuite {
       s"scan read $numFiles files; expected $expectedFiles of $totalFiles")
   }
 
+  test("e14 recall audit: md5-keyed sample bounds the truth side at any query count") {
+    import SparkTestSession.sf
+    // the registered default (64) does not bind at 3 queries — every qid
+    // audited, sample size reported alongside recall
+    val full = graft.queries.SimilarityQ.ivfRecall(spark, sf).collect()
+    assert(full.length == 3)
+    assert(full.forall(_.getAs[Long]("n_sampled") == 3L))
+    // a binding cap keeps exactly the md5-order prefix of the query set:
+    // md5("1") < md5("2") < md5("0") ascending, so top-2 audits {1, 2}
+    val capped = graft.queries.SimilarityQ.ivfRecall(spark, sf, sampleQueries = 2).collect()
+    assert(capped.map(_.getAs[Long]("qid")).toSet == Set(1L, 2L))
+    assert(capped.forall(_.getAs[Long]("n_sampled") == 2L))
+    // the sampled qids' rows are identical to the unsampled audit's —
+    // sampling restricts WHICH queries are audited, never their recall
+    def row(rs: Array[org.apache.spark.sql.Row], q: Long) =
+      rs.find(_.getAs[Long]("qid") == q).get.toSeq.dropRight(1)
+    for (q <- Seq(1L, 2L)) assert(row(capped, q) == row(full, q))
+  }
+
   test("plans: model artifacts broadcast; no sort-merge join, no cartesian") {
     for (df <- Seq(IvfPq.encode(emb, cents, cb, dims, m),
                    IvfPq.search(emb, cents, cb, dims, m, 3, 2, 10))) {

@@ -407,7 +407,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "e04_centroid_assign",  // vectors x broadcast k-row centroid table
       "e11_semdedup_kmeans",  // same k-row broadcast assignment feeding cells
       "e13_cell_source_mix",  // same k-row broadcast assignment feeding census
-      "e14_ann_recall",       // truth side: 3-row broadcast query set x corpus
+      "e14_ann_recall",       // truth side: md5-sampled (<=64-row) broadcast query set x corpus
       "e07_incr_neardup",     // new-batch side broadcasts (plan-gated elsewhere)
       // q38: the synthetic star derivation constant-folds the 1-row
       // name-filtered pipeline dim, so Catalyst proves the pipeline_id
