@@ -347,7 +347,72 @@ object MultimodalQ {
         length(col("frame")).as("n_bytes"), md5(col("frame")).as("frame_md5"))
   }
 
+  /** Interleaved multimodal sequence packing (m15) — q47's pack step for
+    * a corpus whose documents carry sampled frames: each document becomes
+    * the item run [frame_0 … frame_{n-1}, text, pad?], frames charged a
+    * fixed `imgTok` tokens each, text its exact BPE-ish count, and the
+    * per-source token stream is chunked into `capacity`-token packs.
+    *
+    * Text may split across pack boundaries (standard packed-sequence
+    * training); an IMAGE must land whole inside one pack. That constraint
+    * is met closed-form, not with a sequential scan: frames go FIRST in
+    * each document, every document's cost is padded up to a multiple of
+    * `imgTok` (the explicit 'pad' item), and `imgTok` divides `capacity`
+    * — so every document start, hence every image start, is imgTok-
+    * aligned, and an imgTok-wide item at an imgTok-aligned offset can
+    * never straddle a capacity boundary. The whole packing stays two
+    * windows + one join: no greedy stateful fold, no mapPartitions, and
+    * the same plan shape at 100 TB (the per-source running sum is the
+    * one inherently sequential step, shared with q47; sources are the
+    * parallelism unit, as in any per-stream tokenizer shard).
+    *
+    * Frame counts ride the ONE frame source ([[Multimodal.videoFrames]])
+    * — a real AVI row is charged its true container-walked frame count —
+    * but only the (doc_id, count) aggregate leaves that stage; frame
+    * bytes never shuffle. Output: one row per item (image/text/pad) with
+    * its exact token charge, stream offset, and pack id. */
+  def interleavedPacking(s: SparkSession, dir: String,
+                         imgTok: Int = 64, capacity: Int = 2048): DataFrame = {
+    require(capacity % imgTok == 0, "image slots must tile the pack")
+    val docs = Tables(s, dir).documents
+    val payloads = Multimodal.attachPayload(docs, "doc_id", "text")
+    val nFrames = Multimodal.videoFrames(payloads, s, frameBytes = 32, stride = 3)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val perDoc = docs
+      .select(col("doc_id"), col("source"),
+        graft.text.TextMetrics.bpeTokenCount(col("text")).cast("long").as("text_tok"))
+      .join(nFrames, Seq("doc_id"))
+      .withColumn("doc_cost", col("text_tok") + col("n_frames") * imgTok)
+      .withColumn("doc_cost_pad",
+        expr(s"((doc_cost + ${imgTok - 1}) div $imgTok) * $imgTok"))
+      .withColumn("doc_start", coalesce(sum(col("doc_cost_pad")).over(w), lit(0L)))
+    val images = perDoc.select(col("doc_id"), col("source"),
+        explode(sequence(lit(0), col("n_frames").cast("int") - 1)).as("item_idx"),
+        lit("image").as("modality"), lit(imgTok.toLong).as("n_tok"),
+        col("doc_start"))
+      .withColumn("offset_in_stream",
+        col("doc_start") + col("item_idx").cast("long") * imgTok)
+    val texts = perDoc.select(col("doc_id"), col("source"),
+      col("n_frames").cast("int").as("item_idx"),
+      lit("text").as("modality"), col("text_tok").as("n_tok"), col("doc_start"),
+      (col("doc_start") + col("n_frames") * imgTok).as("offset_in_stream"))
+    val pads = perDoc.filter(col("doc_cost_pad") > col("doc_cost"))
+      .select(col("doc_id"), col("source"),
+        (col("n_frames") + 1).cast("int").as("item_idx"),
+        lit("pad").as("modality"),
+        (col("doc_cost_pad") - col("doc_cost")).as("n_tok"), col("doc_start"),
+        (col("doc_start") + col("doc_cost")).as("offset_in_stream"))
+    images.unionByName(texts).unionByName(pads)
+      .select(col("doc_id"), col("source"), col("item_idx"), col("modality"),
+        col("n_tok"), col("offset_in_stream"),
+        expr(s"offset_in_stream div $capacity").as("chunk_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m15_interleaved_packing" -> ((s, d) => interleavedPacking(s, d)),
     "m01_binary_meta" -> (binaryMeta _),
     "m02_image_decode" -> (imageDecode _),
     "m03_audio_decode" -> (audioDecode _),
@@ -486,6 +551,40 @@ object MultimodalQ {
       |  FROM hbits JOIN vbits USING (doc_id, f))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // m15: the stub frame-count arithmetic (m04's slicing law: one frame
+    // per 96 payload bytes), the q47 BPE-ish token regex, then the same
+    // pad-to-64 / running-offset / div-2048 integer packing — windows and
+    // floor division only, so both engines agree cell-exactly
+    "m15_interleaved_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         greatest((octet_length(encode(text)) - 1) // 96, 0) + 1 AS n_frames,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS text_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, text_tok + n_frames * 64 AS doc_cost,
+        |         ((text_tok + n_frames * 64 + 63) // 64) * 64 AS doc_cost_pad
+        |  FROM d),
+        |o AS (
+        |  SELECT *, COALESCE(SUM(doc_cost_pad) OVER (PARTITION BY source ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS doc_start
+        |  FROM c),
+        |items AS (
+        |  SELECT doc_id, source, CAST(i AS INT) AS item_idx, 'image' AS modality,
+        |         CAST(64 AS BIGINT) AS n_tok, doc_start + i * 64 AS offset_in_stream
+        |  FROM o, UNNEST(generate_series(0, CAST(n_frames - 1 AS INT))) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, source, CAST(n_frames AS INT), 'text',
+        |         text_tok, doc_start + n_frames * 64
+        |  FROM o
+        |  UNION ALL
+        |  SELECT doc_id, source, CAST(n_frames + 1 AS INT), 'pad',
+        |         CAST(doc_cost_pad - doc_cost AS BIGINT), doc_start + doc_cost
+        |  FROM o WHERE doc_cost_pad > doc_cost)
+        |SELECT doc_id, source, item_idx, modality, n_tok,
+        |       CAST(offset_in_stream AS BIGINT) AS offset_in_stream,
+        |       CAST(offset_in_stream // 2048 AS BIGINT) AS chunk_id
+        |FROM items""".stripMargin,
     "m08_adpcm_decode" -> adpcmOracle,
     // m09 replays m04's frame slicing (ASCII corpus: char slice == byte
     // slice), then distinct-doc counts per checksum and per-doc rollup
