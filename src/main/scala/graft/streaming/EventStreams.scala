@@ -31,8 +31,11 @@ object EventStreams {
     * is normalized to raw Long nanos, the repo-wide batch convention
     * (`ts div 1000` = integer µs), so the streaming twins share
     * expressions with their batch queries verbatim. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.readStream.schema(eventSchema).parquet(dir)
+  def readEventStream(spark: SparkSession, dir: String,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(eventSchema)
+    maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(dir)
       .withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
   }
