@@ -1,0 +1,107 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal twin checker (dev harness): asserts the result-equal
+  * twin pairs — stored-registry probe == from-scratch rebuild, and
+  * incremental == monolithic — at ANY scale factor, with no DuckDB in
+  * the loop (the quadratic oracle SQLs are the bottleneck at sf1, not
+  * the engine; the twins gate each other instead). Equality is multiset
+  * equality via (row count, sum of per-row xxhash64 over all columns,
+  * null-marked, column-order-normalized).
+  *
+  *   sbt "runMain graft.tools.ScaleInvariants /root/repo/testdata_sf1"
+  */
+object ScaleInvariants {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 21)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.GraftExtensions.registerAll(spark)
+    graft.meta.MetadataStar.materialize(spark, dir)
+    graft.store.Registries.materialize(spark, dir)
+
+    // RESULT-EQUAL twins: worst-case / from-scratch / monolithic on the
+    // left, stored-registry / incremental production shape on the right
+    val pairs = Seq(
+      "d26_incr_minhash" -> "d26b_incr_minhash_stored",
+      "e10_ivfpq" -> "e10b_ivfpq_stored",
+      "q57_ngram_contamination" -> "q57b_contamination_stored",
+      "d33_incr_clusters" -> "q48_dup_clusters")
+    // RECALL-BOUNDED twins: the bucketed/banded registry probe emits a
+    // SUBSET of the exact twin's pair keys (its contract is the bucketed
+    // one); equality would be wrong, containment is the invariant
+    val subsets = Seq(
+      "e07b_incr_neardup_stored" -> "e07_incr_neardup",
+      "d30b_lexsem_audit_stored" -> "d30_lexsem_audit")
+
+    def sig(name: String): (Long, BigDecimal) = {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val cols = df.columns.sorted
+        .map(c => coalesce(col(c).cast("string"), lit("\u0000")))
+      val r = df.select(xxhash64(concat_ws("\u0001", cols.toIndexedSeq: _*)).as("h"))
+        .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+
+    var fail = 0
+    pairs.foreach { case (a, b) =>
+      val t0 = System.nanoTime()
+      val (sa, sb) = (sig(a), sig(b))
+      val secs = (System.nanoTime() - t0) / 1e9
+      val ok = sa == sb
+      if (!ok) fail += 1
+      println(f"${if (ok) "PASS" else "FAIL"}%s $a == $b  rows=${sa._1}%d vs ${sb._1}%d  (${secs}%.1f s)")
+    }
+    def q(n: String) = graft.SparkEntry.queries(n)(spark, dir)
+
+    subsets.foreach { case (small, big) =>
+      val t0 = System.nanoTime()
+      val s = q(small).select("id_a", "id_b")
+      val extra = s.join(q(big).select("id_a", "id_b"),
+        Seq("id_a", "id_b"), "left_anti").count()
+      val nSmall = s.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val ok = extra == 0
+      if (!ok) fail += 1
+      println(f"${if (ok) "PASS" else "FAIL"}%s $small subsetOf $big  " +
+        f"pairs=$nSmall%d extra=$extra%d  (${secs}%.1f s)")
+    }
+
+    // REFINEMENT twin: e12b's bucketed clusters must refine e12's exact
+    // clusters — every e12b node exists in e12, and each e12b cluster
+    // lands wholly inside ONE e12 cluster (bucketed edges are a subset of
+    // exact edges, so connected components can only split, never merge)
+    locally {
+      val t0 = System.nanoTime()
+      val a = q("e12_incr_semclusters")
+        .select(col("vec_id"), col("cluster_id").as("ca"))
+      val b = q("e12b_incr_semclusters_stored")
+        .select(col("vec_id"), col("cluster_id").as("cb"))
+      val j = b.join(a, Seq("vec_id"), "left")
+      val orphans = j.filter(col("ca").isNull).count()
+      val splitAcross = j.groupBy("cb")
+        .agg(countDistinct(col("ca")).as("n")).filter(col("n") > 1).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val ok = orphans == 0 && splitAcross == 0
+      if (!ok) fail += 1
+      println(f"${if (ok) "PASS" else "FAIL"}%s e12b refines e12  " +
+        f"orphans=$orphans%d crossClusters=$splitAcross%d  (${secs}%.1f s)")
+    }
+
+    val total = pairs.size + subsets.size + 1
+    println(s"${total - fail}/$total twin invariants hold at $dir")
+    spark.stop()
+    if (fail > 0) sys.exit(1)
+  }
+}
