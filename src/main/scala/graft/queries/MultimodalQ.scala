@@ -389,26 +389,30 @@ object MultimodalQ {
       .withColumn("doc_cost_pad",
         expr(s"((doc_cost + ${imgTok - 1}) div $imgTok) * $imgTok"))
       .withColumn("doc_start", coalesce(sum(col("doc_cost_pad")).over(w), lit(0L)))
-    val images = perDoc.select(col("doc_id"), col("source"),
-        explode(sequence(lit(0), col("n_frames").cast("int") - 1)).as("item_idx"),
-        lit("image").as("modality"), lit(imgTok.toLong).as("n_tok"),
-        col("doc_start"))
-      .withColumn("offset_in_stream",
-        col("doc_start") + col("item_idx").cast("long") * imgTok)
-    val texts = perDoc.select(col("doc_id"), col("source"),
-      col("n_frames").cast("int").as("item_idx"),
-      lit("text").as("modality"), col("text_tok").as("n_tok"), col("doc_start"),
-      (col("doc_start") + col("n_frames") * imgTok).as("offset_in_stream"))
-    val pads = perDoc.filter(col("doc_cost_pad") > col("doc_cost"))
-      .select(col("doc_id"), col("source"),
-        (col("n_frames") + 1).cast("int").as("item_idx"),
-        lit("pad").as("modality"),
-        (col("doc_cost_pad") - col("doc_cost")).as("n_tok"), col("doc_start"),
-        (col("doc_start") + col("doc_cost")).as("offset_in_stream"))
-    images.unionByName(texts).unionByName(pads)
-      .select(col("doc_id"), col("source"), col("item_idx"), col("modality"),
-        col("n_tok"), col("offset_in_stream"),
-        expr(s"offset_in_stream div $capacity").as("chunk_id"))
+    // one array-of-item-structs per document, exploded ONCE — a
+    // union of three per-modality branches would re-derive the whole
+    // scan→frame-count→join→window subtree per branch (3x the work;
+    // the toy plan showed exactly that before this shape)
+    def item(idx: org.apache.spark.sql.Column, mod: String,
+             tok: org.apache.spark.sql.Column,
+             off: org.apache.spark.sql.Column) =
+      struct(idx.cast("int").as("item_idx"), lit(mod).as("modality"),
+        tok.cast("long").as("n_tok"), off.cast("long").as("offset_in_stream"))
+    val pad = col("doc_cost_pad") - col("doc_cost")
+    val items = concat(
+      transform(sequence(lit(0), col("n_frames").cast("int") - 1),
+        i => item(i, "image", lit(imgTok.toLong),
+          col("doc_start") + i.cast("long") * imgTok)),
+      array(item(col("n_frames"), "text", col("text_tok"),
+        col("doc_start") + col("n_frames") * imgTok)),
+      // empty when the doc needs no padding: slice(_, 1, 0) = []
+      slice(array(item(col("n_frames") + 1, "pad", pad,
+          col("doc_start") + col("doc_cost"))),
+        lit(1), when(pad > 0, 1).otherwise(0)))
+    perDoc.select(col("doc_id"), col("source"), explode(items).as("item"))
+      .select(col("doc_id"), col("source"), col("item.item_idx"),
+        col("item.modality"), col("item.n_tok"), col("item.offset_in_stream"))
+      .withColumn("chunk_id", expr(s"offset_in_stream div $capacity"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
