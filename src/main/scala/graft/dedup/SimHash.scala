@@ -206,9 +206,28 @@ object SimHash {
   def hammingNearDuplicatesGrouped(hashes: DataFrame, idCol: String, hashCol: String,
                                    maxDist: Int, chunks: Int,
                                    maxChunkBucket: Option[Int] = None,
-                                   bits: Int = 64): DataFrame = {
-    val h = hashes.select(col(idCol).cast("long").as("__id"),
+                                   bits: Int = 64,
+                                   maxValueDocs: Option[Int] = None): DataFrame = {
+    val all = hashes.select(col(idCol).cast("long").as("__id"),
       col(hashCol).cast("long").as("__h"))
+    // `maxValueDocs`: pair only the k LOWEST ids carrying each hash value
+    // (its representatives). An equal-hash group is already a fully-linked
+    // hamming-0 cluster on the linear surface (m06-style window), so for
+    // cluster connectivity the full member×member fan-out across value
+    // pairs is redundant — members reach their cross-value neighbors
+    // through their value's representatives. Without the cap the OUTPUT
+    // is quadratic in group size (sf1 measured: one 24-bit dHash value
+    // carrying 57% of 50k docs → 10^8 pairs); with it, output per
+    // value-pair hit is <= k², independent of corpus growth. Deterministic
+    // (order by id) so a SQL oracle replays it with one row_number.
+    val h = maxValueDocs match {
+      case Some(k) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("__h").orderBy("__id")
+        all.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= k).drop("__rn")
+      case None => all
+    }
     val hashPairs = hammingNearDuplicates(
       h.select(col("__h")).distinct().select(col("__h").as("hid"), col("__h")),
       "hid", "__h", maxDist, chunks, maxChunkBucket, bits)

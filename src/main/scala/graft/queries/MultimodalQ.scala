@@ -304,9 +304,15 @@ object MultimodalQ {
     // exact-equal hashes are m06's clusters (one window, linear); this
     // query is the 1..2-bit NEIGHBOR surface, so the grouped variant —
     // banding over distinct hash VALUES, expanding hits to doc pairs —
-    // applies: perceptual hashes collapse hard over near-dup corpora
+    // applies: perceptual hashes collapse hard over near-dup corpora.
+    // maxValueDocs = 8: pair only each value's 8 earliest members — the
+    // sf1 rehearsal measured exponent 2.0 without it (one value carries
+    // 57% of the corpus; the member×member fan-out IS the output). CC
+    // connectivity over (m12 pairs ∪ m06 clusters) is unchanged
+    // (PerceptualDedupSpec proves it): non-representatives reach their
+    // cross-value neighbors through their cluster's representatives.
     graft.dedup.SimHash.hammingNearDuplicatesGrouped(hashes, "doc_id", "dhash",
-      maxDist = 2, chunks = 4, bits = 24)
+      maxDist = 2, chunks = 4, bits = 24, maxValueDocs = Some(8))
   }
 
   /** Audio-fingerprint near-dup pairs (m13) — m12's shape on the 15-bit
@@ -857,9 +863,15 @@ object MultimodalQ {
         |hashes AS MATERIALIZED (
         |  SELECT h.doc_id, CAST(hb + vb AS BIGINT) AS dhash
         |  FROM hbits h JOIN vbits USING (doc_id)),
+        |reps AS MATERIALIZED (
+        |  SELECT doc_id, dhash FROM (
+        |    SELECT doc_id, dhash,
+        |           row_number() OVER (PARTITION BY dhash ORDER BY doc_id) AS rn
+        |    FROM hashes)
+        |  WHERE rn <= 8),
         |chunks AS MATERIALIZED (
         |  SELECT doc_id, dhash, c, (dhash >> (c * 6)) & 63 AS cv
-        |  FROM hashes, UNNEST(generate_series(0, 3)) AS uc(c)),
+        |  FROM reps, UNNEST(generate_series(0, 3)) AS uc(c)),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         |         a.dhash AS ha, b.dhash AS hb

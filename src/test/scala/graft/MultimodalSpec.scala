@@ -145,6 +145,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(plain.nonEmpty, "fixture must actually produce near pairs")
   }
 
+  test("maxValueDocs caps the pair fan-out without changing cluster connectivity") {
+    import spark.implicits._
+    val vals = Seq(0x0fff00L, 0x0fff01L, 0x0fff03L, 0x0fff07L,
+      0x00ff00L, 0xf000f0L, 0xf000f1L)
+    val rows = (0L until 60L).map(i => (i, vals((i % 7).toInt)))
+    val hashes = rows.toDF("doc_id", "dhash")
+    def pairs(cap: Option[Int]) = graft.dedup.SimHash
+      .hammingNearDuplicatesGrouped(hashes, "doc_id", "dhash",
+        maxDist = 2, chunks = 4, bits = 24, maxValueDocs = cap)
+    val unc = pairs(None).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cap = pairs(Some(3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // capped pairs are a subset, and each value contributes only its 3
+    // lowest ids: 7 values here means no id >= 21 appears at all
+    assert(cap.subsetOf(unc) && cap.nonEmpty && cap.size < unc.size)
+    assert(cap.forall { case (a, b) => a < 21 && b < 21 })
+    // connectivity is preserved: CC over (pairs ∪ per-value hamming-0
+    // clusters) yields the same components either way — non-representative
+    // members reach cross-value neighbors through their representatives
+    val clusterEdges = hashes
+      .withColumn("rep", org.apache.spark.sql.functions.min("doc_id")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("dhash")))
+      .select(col("doc_id").as("id_a"), col("rep").as("id_b"))
+    def components(p: Set[(Long, Long)]) = {
+      val edges = p.toSeq.toDF("id_a", "id_b").unionByName(clusterEdges)
+      graft.ops.ConnectedComponents.clusters(edges, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(components(cap) == components(unc))
+  }
+
   test("grouped == per-row banding on random hash tables (seeded property sweep)") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260814L)
