@@ -333,8 +333,12 @@ object MultimodalQ {
         n, ns, 8000, aLaw = n % 2 == 1)
       Multimodal.CompressedAudio.fingerprint(id, wav)
     }).toDF()
+    // maxValueDocs = 8: m12's representative cap — the 15-bit fingerprint
+    // space collapses the same way the 24-bit dHash does, just later in
+    // the growth curve; same connectivity argument (m07's equal-value
+    // clusters are the linear surface)
     graft.dedup.SimHash.hammingNearDuplicatesGrouped(fps, "doc_id", "fingerprint",
-      maxDist = 2, chunks = 4, bits = 15)
+      maxDist = 2, chunks = 4, bits = 15, maxValueDocs = Some(8))
   }
 
   /** Video frame sampling through the ONE frame source
@@ -706,9 +710,15 @@ object MultimodalQ {
         |  FROM energies a
         |  JOIN energies b ON b.doc_id = a.doc_id AND b.frame = a.frame + 1
         |  GROUP BY 1),
+        |reps AS MATERIALIZED (
+        |  SELECT doc_id, fp FROM (
+        |    SELECT doc_id, fp,
+        |           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM fps)
+        |  WHERE rn <= 8),
         |chunkdef(c, lo, mask) AS (VALUES $chunkVals),
         |ch AS MATERIALIZED (
-        |  SELECT doc_id, fp, c, (fp >> lo) & mask AS cv FROM fps, chunkdef),
+        |  SELECT doc_id, fp, c, (fp >> lo) & mask AS cv FROM reps, chunkdef),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         |         a.fp AS fa, b.fp AS fb
