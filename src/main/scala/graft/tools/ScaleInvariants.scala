@@ -35,8 +35,7 @@ object ScaleInvariants {
     val pairs = Seq(
       "d26_incr_minhash" -> "d26b_incr_minhash_stored",
       "e10_ivfpq" -> "e10b_ivfpq_stored",
-      "q57_ngram_contamination" -> "q57b_contamination_stored",
-      "d33_incr_clusters" -> "q48_dup_clusters")
+      "q57_ngram_contamination" -> "q57b_contamination_stored")
     // RECALL-BOUNDED twins: the bucketed/banded registry probe emits a
     // SUBSET of the exact twin's pair keys (its contract is the bucketed
     // one); equality would be wrong, containment is the invariant
@@ -99,7 +98,34 @@ object ScaleInvariants {
         f"orphans=$orphans%d crossClusters=$splitAcross%d  (${secs}%.1f s)")
     }
 
-    val total = pairs.size + subsets.size + 1
+    // d33's monolithic twin is CC over the FULL MinHash pair set (d06's
+    // detector — NOT q48, whose exact-Jaccard detector coincides with
+    // MinHash clustering only on toy corpora; sf1 exposed the difference)
+    locally {
+      val t0 = System.nanoTime()
+      val mono = graft.ops.ConnectedComponents.clusters(
+          q("d06_minhash_dedup").select(col("id_a"), col("id_b")), "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val sizes = mono.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      val monoFull = mono.join(sizes, Seq("cluster_id"))
+        .select("doc_id", "cluster_id", "n_members")
+      def sigDf(df: org.apache.spark.sql.DataFrame): (Long, BigDecimal) = {
+        val cols = df.columns.sorted
+          .map(c => coalesce(col(c).cast("string"), lit(" ")))
+        val r = df.select(xxhash64(concat_ws("", cols.toIndexedSeq: _*)).as("h"))
+          .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)"))).collect()(0)
+        (r.getLong(0),
+          if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+      }
+      val (sa, sb) = (sigDf(q("d33_incr_clusters")), sigDf(monoFull))
+      val secs = (System.nanoTime() - t0) / 1e9
+      val ok = sa == sb
+      if (!ok) fail += 1
+      println(f"${if (ok) "PASS" else "FAIL"}%s d33_incr_clusters == CC(d06 full pairs)  " +
+        f"rows=${sa._1}%d vs ${sb._1}%d  (${secs}%.1f s)")
+    }
+
+    val total = pairs.size + subsets.size + 2
     println(s"${total - fail}/$total twin invariants hold at $dir")
     spark.stop()
     if (fail > 0) sys.exit(1)
