@@ -102,7 +102,7 @@ object Events {
     "q23_events_hourly" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_ep, event_type,
         |       count(*) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q24_events_json" ->
       """SELECT event_type,

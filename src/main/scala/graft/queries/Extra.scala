@@ -122,18 +122,18 @@ object Extra {
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q28_pivot_matrix" ->
       """SELECT o_custkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS p1_urgent,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderpriority = '2-HIGH') AS DOUBLE) AS p2_high,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS DOUBLE) AS p3_medium,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE) AS p4_not_specified,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE) AS p5_low
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderpriority = '1-URGENT') AS VARCHAR) AS DOUBLE) AS p1_urgent,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderpriority = '2-HIGH') AS VARCHAR) AS DOUBLE) AS p2_high,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS VARCHAR) AS DOUBLE) AS p3_medium,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS VARCHAR) AS DOUBLE) AS p4_not_specified,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderpriority = '5-LOW') AS VARCHAR) AS DOUBLE) AS p5_low
         |FROM orders GROUP BY 1""".stripMargin,
     "q29_outer_merge" ->
       """WITH a AS (
-        |  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_r
+        |  SELECT l_partkey, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS qty_r
         |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
         |b AS (
-        |  SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_a
+        |  SELECT l_partkey, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS qty_a
         |  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1)
         |SELECT COALESCE(a.l_partkey, b.l_partkey) AS l_partkey,
         |       COALESCE(qty_r, 0.0) AS qty_r, COALESCE(qty_a, 0.0) AS qty_a

@@ -905,14 +905,22 @@ object MultimodalQ {
         |GROUP BY 1""".stripMargin,
     // m14: the same per-frame dHash CTEs, shingled into consecutive
     // triples per video — the sequence-level contract, one source with
-    // m11's hash derivation so the two video-dedup semantics cannot drift
+    // m11's hash derivation so the two video-dedup semantics cannot
+    // drift. The hot-triple cap is replayed exactly (whole-bucket drop at
+    // > HotTripleCap docs — order-free, so plain HAVING): non-binding at
+    // sf0.1, binding at sf1, identical rows either way
     "m14_video_clip_dedup" ->
       s"""WITH $videoHashCtes,
-        |tri AS (
+        |tri0 AS (
         |  SELECT DISTINCT a.doc_id, a.dhash AS d0, b.dhash AS d1, c.dhash AS d2
         |  FROM hashes a
         |  JOIN hashes b ON b.doc_id = a.doc_id AND b.f = a.f + 1
-        |  JOIN hashes c ON c.doc_id = a.doc_id AND c.f = a.f + 2)
+        |  JOIN hashes c ON c.doc_id = a.doc_id AND c.f = a.f + 2),
+        |keep AS (
+        |  SELECT d0, d1, d2 FROM tri0 GROUP BY 1, 2, 3
+        |  HAVING COUNT(*) <= $HotTripleCap),
+        |tri AS (
+        |  SELECT tri0.* FROM tri0 JOIN keep USING (d0, d1, d2))
         |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
         |       CAST(COUNT(*) AS BIGINT) AS n_shared
         |FROM tri x JOIN tri y

@@ -93,7 +93,7 @@ object Relational {
       """WITH rollup AS (
         |  SELECT o_custkey, o_orderkey,
         |         max(o_totalprice) AS expected,
-        |         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS actual,
+        |         CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS actual,
         |         count(l_extendedprice * (1 - l_discount)) AS n_items
         |  FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
         |  GROUP BY 1, 2)
@@ -105,7 +105,7 @@ object Relational {
         |GROUP BY 1, 2""".stripMargin,
     "q02_lineage_join" ->
       """SELECT r_name, n_name,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
         |       count(*) AS n_items
         |FROM region
         |JOIN nation ON r_regionkey = n_regionkey

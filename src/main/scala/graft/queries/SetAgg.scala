@@ -142,7 +142,7 @@ object SetAgg {
         |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
         |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
         |       count(*) AS n,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "q34_percentiles" ->
       """SELECT l_returnflag,
@@ -152,7 +152,7 @@ object SetAgg {
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q35_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
     "q11_group_minmax" ->
       """SELECT l_returnflag, min(l_discount) AS mn_disc, max(l_tax) AS mx_tax,
@@ -179,17 +179,17 @@ object SetAgg {
         |            WHEN o_totalprice < 150000.0 THEN 'medium'
         |            ELSE 'large' END AS bucket,
         |       count(*) AS n,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
         |FROM orders GROUP BY 1""".stripMargin,
     "q21_corr_moments" ->
       """WITH m AS (
         |  SELECT l_returnflag,
         |         CAST(count(*) AS DOUBLE) AS n,
-        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-        |         CAST(SUM(CAST(l_quantity AS DECIMAL(25,4)) * CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sxy,
-        |         CAST(SUM(CAST(l_quantity AS DECIMAL(25,4)) * CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sxx,
-        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4)) * CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS syy
+        |         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sx,
+        |         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sy,
+        |         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,4)) * CAST(l_extendedprice AS DECIMAL(25,4))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,4)) * CAST(l_quantity AS DECIMAL(25,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4)) * CAST(l_extendedprice AS DECIMAL(25,4))) AS VARCHAR) AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag,
         |       round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qp,
