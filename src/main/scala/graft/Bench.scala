@@ -142,21 +142,38 @@ object Bench {
     val calibMt = math.min(calibMtBefore, calibMtAfter)
     val contended = calibWorst > calibFloor * 2.0 ||
       (loadAvg > 0 && loadAvg > nCores * 1.5)
+    // Calib-normalized values: the box's aggregate throughput oscillated
+    // 1.25-1.84x mt/floor across round 9 at identical single-thread
+    // floors, so raw round-over-round deltas read host steal as code
+    // drift. calib_mt_ref is the quiet-state all-cores spin this box
+    // delivers when undisturbed (r8/r9 quiet runs: 0.115-0.124 s at
+    // calib_floor 0.105-0.109); value_norm = value * (ref / calib_mt)
+    // rescales every timing to that reference state. Normalization is
+    // exact only to the extent a query's bottleneck matches the spin's
+    // (CPU-bound parallel) — treat value_norm as the comparison number
+    // and value as the measurement of record.
+    val calibMtRef = 0.120
+    val normFactor = if (calibMt > 0) calibMtRef / calibMt else 1.0
     def f(v: Double) = if (v < 0) "-1" else f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val cal = s""""contended":$contended,"calib_floor":${f(calibFloor)},""" +
       s""""calib_worst":${f(calibWorst)},"calib_mt":${f(calibMt)},""" +
+      s""""calib_mt_ref":${f(calibMtRef)},"norm_factor":${f(normFactor)},""" +
       s""""load_avg":${f(loadAvg)},"cores":$nCores"""
     // "total_full" NOT "total": only the short summary line printed LAST
     // carries metric=total, so a consumer matching on the metric name can
     // never pick this head-truncatable full-map variant or double-count
-    println(s"""{"metric":"total_full","unit":"sec","queries":$qs,"sf":"$sfDir",$cal,"value":${f(total)}}""")
+    println(s"""{"metric":"total_full","unit":"sec","queries":$qs,"sf":"$sfDir",$cal,"value_norm":${f(total * normFactor)},"value":${f(total)}}""")
     // persist the complete per-query map in-repo so round-over-round
-    // diffs never depend on the capture window
+    // diffs never depend on the capture window; queries_norm carries the
+    // per-query calib-normalized values the comparisons should read
     try {
-      val dump = s"""{"sf":"$sfDir","total":${f(total)},$cal,"queries":$qs}"""
+      val qsNorm = results
+        .map { case (k, v) => "\"" + k + "\":" + f(if (v < 0) v else v * normFactor) }
+        .mkString("{", ",", "}")
+      val dump = s"""{"sf":"$sfDir","total":${f(total)},"total_norm":${f(total * normFactor)},$cal,"queries":$qs,"queries_norm":$qsNorm}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("docs/bench_full.json"),
         (dump + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -168,7 +185,8 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir",$cal,""" +
       s""""n_queries":${results.size},"queries_slowest":$slowest,""" +
-      s""""queries_full":"docs/bench_full.json","value":${f(total)}}""")
+      s""""queries_full":"docs/bench_full.json",""" +
+      s""""value_norm":${f(total * normFactor)},"value":${f(total)}}""")
     spark.stop()
   }
 }
