@@ -242,7 +242,10 @@ object CurationQ {
     * duplicates the shingle pass is blind to, `lexical_only` pairs are
     * template/boilerplate twins whose MEANING diverged. Cost: the two
     * (already bounded, never-all-pairs) pair pipelines + one shuffle
-    * join on the pair key — linear in pair counts at any scale. The
+    * join on the pair key — linear in PAIR COUNTS at any scale, but the
+    * e02 side's pair count itself grows super-linearly (measured
+    * sf0.1→sf1 exponent 1.14; the registry-probing twin d30b measures
+    * 0.89 — docs/SCALE.md). The
     * oracle composes d06's and e02's full SQL, so the classification is
     * cell-exact, not spot-checked. */
   def lexSemAudit(s: SparkSession, dir: String): DataFrame = {
@@ -267,7 +270,8 @@ object CurationQ {
     * classifier verbatim. No broadcast-nested-loop anywhere: both pair
     * generators are banded/bucketed registry joins, so this is the plan
     * that survives 100× — d30 stays registered as the from-scratch
-    * worst-case twin (the d26/d26b convention). The oracle composes
+    * worst-case twin (the d26/d26b convention). Measured sf0.1→sf1
+    * exponent 0.89 vs d30's 1.14 (docs/SCALE.md). The oracle composes
     * d26b's restricted-rerun SQL and e07b's bucketed-contract SQL with
     * d30's classification tail, CTE-sharing both so the audit cannot
     * drift from the detectors it audits. */

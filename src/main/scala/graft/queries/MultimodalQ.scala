@@ -190,7 +190,8 @@ object MultimodalQ {
     * card / template detector, robust to re-encoding where m09's byte
     * checksums are not). Per video: frame count, shared count, shared
     * fraction. Distinct-doc counts per hash via aggregation, never an
-    * O(docs) window set; no pair join — linear in total frames. The
+    * O(docs) window set; no pair join — linear in total frames (measured
+    * sf0.1→sf1 exponent 0.48, docs/SCALE.md). The
     * hamming-tolerant pair variant is
     * [[graft.dedup.SimHash.hammingNearDuplicates]] (bits = 24) on the
     * same hash column, exercised in MultimodalSpec. */
@@ -276,7 +277,8 @@ object MultimodalQ {
     * sized not to bind on the oracle corpus (largest sf0.1 bucket is 708
     * docs — ProbeM14), so the oracle is unchanged. At real scale the cap
     * is the dial that bounds a ubiquitous triple (black card, station
-    * ident) to cap² pairs instead of corpus². */
+    * ident) to cap² pairs instead of corpus². Measured sf0.1→sf1
+    * exponent 0.86 (docs/SCALE.md). */
   val HotTripleCap = 1024
 
   def videoClipDedup(s: SparkSession, dir: String): DataFrame =
@@ -291,7 +293,11 @@ object MultimodalQ {
     * catches the re-encoded/brightness-shifted copies a bit apart.
     * Never all-pairs: candidates come from the
     * 4-chunk pigeonhole join (complete for hamming <= 2 < 4 chunks);
-    * production adds the hot-chunk cap, documented at the callee. */
+    * production adds the hot-chunk cap, documented at the callee.
+    * The sf1 rehearsal measured this query's pre-cap exponent at 2.02
+    * (one hash value carried 57% of the corpus — 41.6 s at sf1); the
+    * per-value representative cap cut it to 0.09 / 0.79 s with CC
+    * connectivity provably unchanged (docs/SCALE.md). */
   def imageNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val seeded = docSeeds(s, dir)
@@ -448,7 +454,8 @@ object MultimodalQ {
     * intro/outro/card detector of a video-corpus pipeline). Per doc:
     * frame count, shared-frame count, shared fraction. One frame-keyed
     * window (count of distinct docs per checksum) + one doc aggregation
-    * — no pair join, linear in total frames. */
+    * — no pair join, linear in total frames (measured sf0.1→sf1
+    * exponent 0.31, docs/SCALE.md). */
   def frameDedup(s: SparkSession, dir: String): DataFrame = {
     val payloads = Multimodal.attachPayload(Tables(s, dir).documents, "doc_id", "text")
     val frames = Multimodal.videoFrames(payloads, s, frameBytes = 32, stride = 3)

@@ -237,7 +237,8 @@ object PipelineQ {
     * incrementally), so the benched cost is shingling the 2% eval slice
     * plus one registry join; q57 itself re-shingles the 98% train corpus
     * every run (the audit-from-scratch worst case). Same oracle as q57 —
-    * the registry holds exactly the train corpus's distinct 5-grams. */
+    * the registry holds exactly the train corpus's distinct 5-grams.
+    * Measured sf0.1→sf1 exponent 0.27 vs q57's 0.52 (docs/SCALE.md). */
   def ngramContaminationStored(s: SparkSession, dir: String): DataFrame = {
     val evalSh = Shingles.explodeShingles(
       Tables(s, dir).documents.filter(col("doc_id") % 50 === 0),

@@ -24,14 +24,23 @@ object SimilarityQ {
       .select("qid", "vec_id", "cos", "rk")
   }
 
-  /** Embedding near-duplicate pairs at cosine >= 0.4. */
+  /** Embedding near-duplicate pairs at cosine >= 0.4. All-pairs by
+    * construction — measured sf0.1→sf1 exponent 1.49 (docs/SCALE.md);
+    * the incremental/stored scale paths are e07/e07b. */
   def cosineNearDup(s: SparkSession, dir: String): DataFrame =
     Knn.nearDupPairs(emb(s, dir), minCos = 0.4)
 
-  /** LSH-bucketed approximate top-10 (the scale path). Oracle-backed since
-    * r06: bucket assignment is exact integer math over seeded quantized
-    * planes and within-bucket scoring rescores exactly, so DuckDB can
-    * reproduce the full output bit-for-bit. */
+  /** LSH-bucketed approximate top-10 (the fixed-plane demonstrator).
+    * Oracle-backed since r06: bucket assignment is exact integer math over
+    * seeded quantized planes and within-bucket scoring rescores exactly, so
+    * DuckDB can reproduce the full output bit-for-bit.
+    *
+    * Measured sf0.1→sf1 exponent 1.27 (docs/SCALE.md): a FIXED 6-plane
+    * family means within-bucket candidates grow n²/64 — mildly super-linear
+    * by design. At a production corpus nPlanes scales with log(n), but a
+    * data-dependent plane count can't be replayed by a static oracle, so
+    * the registered query keeps the checkable fixed family; the true scale
+    * path is e10b's partition-pruned stored IVF+PQ probe (exponent 0.02). */
   def knnApprox(s: SparkSession, dir: String): DataFrame =
     Knn.approxKnn(emb(s, dir), dim = 64, k = 10, nPlanes = 6)
       .select("qid", "vec_id", "cos", "rk")
@@ -82,7 +91,8 @@ object SimilarityQ {
     * min-id member, which min-label CC makes the cluster_id itself).
     * Composition of two already-oracle-backed operators into the third
     * curation stage; only vectors in >= 1 pair appear (same contract as
-    * q48). */
+    * q48). Rides e02's all-pairs surface: measured sf0.1→sf1 exponent 1.21
+    * (docs/SCALE.md); the incremental scale path is e12/e12b. */
   def semanticClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = Knn.nearDupPairs(emb(s, dir), minCos = 0.4)
     val cl = graft.ops.ConnectedComponents.clusters(pairs, "id_a", "id_b")
@@ -117,7 +127,9 @@ object SimilarityQ {
     * only pairs touching a new vector are computed (n_new × n_total, not
     * n_total²). The oracle is e02's monolithic SQL restricted to
     * new-touching pairs — the equality [[Knn.incrementalNearDupPairs]]
-    * guarantees. */
+    * guarantees. Still exact-rescan over history (the correctness twin):
+    * measured sf0.1→sf1 exponent 1.78 (docs/SCALE.md); the registry-probing
+    * production path is e07b at 0.97. */
   def incrementalNearDup(s: SparkSession, dir: String): DataFrame = {
     val all = emb(s, dir)
     Knn.incrementalNearDupPairs(
@@ -131,6 +143,7 @@ object SimilarityQ {
     * parquet on disk); candidates rescore with the decimal-exact cosine.
     * History's vectors are never re-hashed — the benched cost is the
     * per-increment probe, where e07 measures the exact-rescan worst case.
+    * Measured sf0.1→sf1 exponent 0.97 — linear, vs e07's 1.78 (docs/SCALE.md).
     * Semantics are the BUCKETED contract (pairs sharing a bucket), so the
     * oracle replays the e03 plane family: same-bucket new-touching pairs
     * at exact cos >= 0.4. */
@@ -185,7 +198,9 @@ object SimilarityQ {
     * become a partition filter, so the scan opens nProbe/nCells of the
     * files (IvfPqSpec gates the pruned file count); e10 itself re-encodes
     * the corpus inline (the build worst case). Search output is identical
-    * by construction (spec-proven), so the oracle is e10's. */
+    * by construction (spec-proven), so the oracle is e10's.
+    * Measured sf0.1→sf1 exponent 0.02 vs e10's 0.30 (docs/SCALE.md) —
+    * the probe cost is a function of the probed cells, not the corpus. */
   def ivfPqStored(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val cents = graft.similarity.IvfPq.seedCentroids(e, nCells = 8)
@@ -254,7 +269,9 @@ object SimilarityQ {
     * pass yields the updated labels. Cost: |labels| + |new pairs| edges,
     * never the historical pair set. The oracle IS e05's monolithic
     * recursive rerun over the whole corpus, so incremental == full is
-    * the correctness gate itself. Output shape mirrors e05
+    * the correctness gate itself (measured sf0.1→sf1 exponent 1.61 — the
+    * e07 exact-rescan side dominates; the production twin e12b measures
+    * 0.77, docs/SCALE.md). Output shape mirrors e05
     * (vec_id, cluster_id, n_members, keep). */
   def incrementalSemClusters(s: SparkSession, dir: String): DataFrame = {
     val all = emb(s, dir)
@@ -281,7 +298,8 @@ object SimilarityQ {
     * recursive walk over (exact even-even pairs — the stored labels'
     * provenance — ∪ bucketed new-touching pairs), which the composed
     * oracle spells out CTE by CTE. At 100 TB this is the shape that
-    * runs: registry probe cost per drop, never an all-pairs pass. */
+    * runs: registry probe cost per drop, never an all-pairs pass.
+    * Measured sf0.1→sf1 exponent 0.77 vs e12's 1.61 (docs/SCALE.md). */
   def incrementalSemClustersBucketed(s: SparkSession, dir: String): DataFrame = {
     val newPairs = incrementalNearDupStored(s, dir).select("id_a", "id_b")
     val stored = graft.store.Registries.embClusters(s, dir)

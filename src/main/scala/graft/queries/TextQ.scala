@@ -140,7 +140,8 @@ object TextQ {
     * probe the stored signatures, and only new-touching pairs are scored.
     * Closes the incremental-dedup trilogy (d24 substring, e07 embedding,
     * d26 sketch) — each oracle is its monolithic twin restricted to the
-    * new ids. */
+    * new ids. Re-signs history inline (the rebuild worst case): measured
+    * sf0.1→sf1 exponent 0.56 vs d26b's 0.47 (docs/SCALE.md). */
   def incrementalMinhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
     val newSig = MinHashLsh.signaturesMd5(

@@ -13,18 +13,31 @@ the 10x tables. Exponent 1.0 = linear, <1 = amortizing fixed cost
 super-linear (a scale problem unless it is a documented worst-case
 twin).
 
-Usage: python3 tools/scale_report.py bench_sf01.json bench_sf1.json
+Usage: python3 tools/scale_report.py bench_sf01.json bench_sf1.json[,more_sf1.json...]
+
+Either side may be a comma-separated list of quiet artifacts; the report
+takes the per-query MIN of the calib-normalized values (min-of-runs — the
+box oscillates +-45% day to day and a single 20-minute sweep can catch a
+bad window on one heavy query).
 """
 import json
 import math
 import sys
 
 
-def norm(d):
+def norm_one(d):
     # value_norm when present; else rescale by calib (0.120 quiet ref)
     f = d.get("norm_factor") or (0.120 / d["calib_mt"] if d.get("calib_mt") else 1.0)
     qs = d.get("queries_norm") or {k: v * f for k, v in d["queries"].items()}
     return {k: v for k, v in qs.items() if v > 0}
+
+
+def norm(paths):
+    merged = {}
+    for p in paths.split(","):
+        for k, v in norm_one(json.load(open(p))).items():
+            merged[k] = min(v, merged.get(k, float("inf")))
+    return merged
 
 
 RATIO_OVERRIDE = {
@@ -49,7 +62,7 @@ WORST_CASE = {"d26_incr_minhash", "d30_lexsem_audit", "q48_dup_clusters",
 
 
 def main(p01, p1):
-    a, b = norm(json.load(open(p01))), norm(json.load(open(p1)))
+    a, b = norm(p01), norm(p1)
     rows = []
     for k in sorted(set(a) & set(b)):
         r = ratio_for(k)
