@@ -357,16 +357,25 @@ object SimilarityQ {
     * recall, n_sampled) — recall always reads alongside the sample size
     * that produced it. */
   def ivfRecall(s: SparkSession, dir: String, sampleQueries: Int = 64): DataFrame = {
+    // the probe output feeds BOTH the sample derivation and the final
+    // join; persist it (bounded: nQueries x topK rows) or the whole
+    // stored-probe pipeline evaluates twice (measured 1.7 -> 1.1 s quiet
+    // at sf0.1 — the audit should cost one probe, not two)
     val approx = ivfPqStored(s, dir).select(col("qid"), col("vec_id"))
-    val sampled = graft.ops.WindowOps.topKBounded(
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the sampled qid list is <= sampleQueries rows — a bounded
+    // driver-scale contract point (probeCells' convention), collected so
+    // the sample becomes a LITERAL isin filter on both sides instead of
+    // two extra sequential broadcast-exchange jobs
+    val sampledQids: Seq[Any] = graft.ops.WindowOps.topKBounded(
       approx.select("qid").distinct()
         .withColumn("__smp", md5(col("qid").cast("string"))),
       part = Seq(), order = Seq("__smp" -> false, "qid" -> false),
       k = sampleQueries)
-      .select("qid")
+      .select("qid").collect().toSeq.map(_.get(0))
     val pts = graft.similarity.KMeansExact.quantize(emb(s, dir))
-    val qs = pts.join(broadcast(sampled), pts("id") === sampled("qid"))
-      .select(col("qid"), col("q").as("qq"))
+    val qs = pts.filter(col("id").isin(sampledQids: _*))
+      .select(col("id").as("qid"), col("q").as("qq"))
     val gt = graft.ops.WindowOps.topKBounded(
       pts.crossJoin(broadcast(qs))
         .filter(col("id") =!= col("qid"))
@@ -374,7 +383,7 @@ object SimilarityQ {
           graft.functions.VectorExpressions
             .intVecSqDist(col("q"), col("qq")).as("d")),
       part = Seq("qid"), order = Seq("d" -> false, "vec_id" -> false), k = 10)
-    approx.join(broadcast(sampled), Seq("qid"))
+    approx.filter(col("qid").isin(sampledQids: _*))
       .join(gt.select(col("qid"), col("vec_id"))
         .withColumn("__hit", lit(1)), Seq("qid", "vec_id"), "left")
       .groupBy("qid")
