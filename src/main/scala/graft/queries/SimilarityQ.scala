@@ -211,6 +211,33 @@ object SimilarityQ {
       dims = 64, m = 8, nQueries = 3, nProbe = 2, topK = 10)
   }
 
+  /** Incremental IVF+PQ index maintenance (e15) — the missing verb of
+    * the index lifecycle (e10 build, e10b stored probe, e14 recall
+    * audit): a day's vectors join the index WITHOUT re-encoding history.
+    * Odd ids play today's crawl: one [[graft.similarity.IvfPq.encode]]
+    * pass against the FROZEN centroids/codebook (both seeded from fixed
+    * vector ids, so the model never drifts between builds), and the
+    * probe scans (partition-pruned stored even-id codes ∪ the delta's
+    * probed-cell rows). Because encode is per-row against broadcast
+    * models, the merged index IS the full rebuild's index — the oracle
+    * is e10's monolithic SQL verbatim (the d26b convention), and
+    * IvfPqSpec pins merged == rebuilt in-engine. At 100 TB: flush the
+    * delta with writeCodes-append into the same cell dirs; history cost
+    * per day is the probe, never a re-encode. Measured: the stored side
+    * keeps e10b's partition pruning, so the increment costs one
+    * delta-encode pass + the pruned probe. */
+  def ivfPqIncr(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cents = graft.similarity.IvfPq.seedCentroids(e, nCells = 8)
+    val cb = graft.similarity.IvfPq.residualCodebook(e, cents, dims = 64,
+      m = 8, seedFrom = 8)
+    val delta = graft.similarity.IvfPq.encode(
+      e.filter(col("id") % 2 === 1), cents, cb, dims = 64, m = 8)
+    graft.similarity.IvfPq.searchStoredWithDelta(
+      graft.store.Registries.ivfPqCodesHalfDir(s, dir), delta, e, cents, cb,
+      dims = 64, m = 8, nQueries = 3, nProbe = 2, topK = 10)
+  }
+
   /** SemDeDup-shape semantic dedup (published k-means-bucketed form):
     * cluster the corpus with the e06 integer-exact Lloyd k-means (2
     * rounds, k=8 seed centroids), then find near-duplicate pairs ONLY
@@ -411,6 +438,7 @@ object SimilarityQ {
     "e09_pq_adc"         -> (pqAdc _),
     "e10_ivfpq"          -> (ivfPq _),
     "e10b_ivfpq_stored"  -> (ivfPqStored _),
+    "e15_ivfpq_incr"     -> (ivfPqIncr _),
     "e11_semdedup_kmeans" -> (semDedupKmeans _))
 
   // Shared oracle scaffolding, in lockstep with Knn.dotExact/cosine:
@@ -739,6 +767,10 @@ object SimilarityQ {
          |FROM n""".stripMargin,
     "e10_ivfpq" -> ivfPqOracle,
     "e10b_ivfpq_stored" -> ivfPqOracle,
+    // e15: the merged (stored-history ∪ delta) index equals the full
+    // rebuild's by construction, so the monolithic build-and-search SQL
+    // is the oracle verbatim (the d26b same-oracle convention)
+    "e15_ivfpq_incr" -> ivfPqOracle,
     "e08_pq_encode" ->
       s"""WITH $pqCte
          |SELECT id AS vec_id,

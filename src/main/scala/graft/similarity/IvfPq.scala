@@ -110,6 +110,36 @@ object IvfPq {
     searchCodes(codes, emb, cents, cb, dims, m, nQueries, nProbe, topK)
   }
 
+  /** ADC search probing a STORED cell-partitioned codes table PLUS an
+    * un-flushed delta — the steady state of a maintained index: history's
+    * codes live cell-partitioned on disk (never re-encoded), today's
+    * vectors arrive as `delta` (one [[encode]] pass against the FROZEN
+    * centroids/codebook — encode is per-row against broadcast models, so
+    * the delta's codes equal the codes a full rebuild would assign), and
+    * the probe scans (pruned stored cells) ∪ (delta rows in probed
+    * cells). Search output is therefore identical to [[searchStored]]
+    * over the fully-rebuilt index — IvfPqSpec pins the equality, e15's
+    * oracle (= e10's) pins it cell-exactly against DuckDB. At 100 TB the
+    * delta is a day's crawl: flushing it is [[writeCodes]] in append mode
+    * into the same cell dirs, and compaction is the registry's
+    * file-count story, not a re-encode. */
+  def searchStoredWithDelta(codesDir: String, delta: DataFrame,
+                            emb: DataFrame, cents: DataFrame, cb: DataFrame,
+                            dims: Int, m: Int, nQueries: Int,
+                            nProbe: Int, topK: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val probedCells = probeCells(emb, cents, nQueries, nProbe)
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
+    val anyCells = probedCells.map(_.asInstanceOf[Any])
+    val stored = spark.read.parquet(codesDir)
+      .filter(col("cell").isin(anyCells: _*))
+      .select(col("id"), col("cell"), col("sub"), col("code"))
+    val merged = stored.unionByName(
+      delta.filter(col("cell").isin(anyCells: _*))
+        .select(col("id"), col("cell"), col("sub"), col("code")))
+    searchCodes(merged, emb, cents, cb, dims, m, nQueries, nProbe, topK)
+  }
+
   /** (qid, cell, qr): each query's nProbe nearest cells + its residual
     * against each probed centroid. */
   private def probeCells(emb: DataFrame, cents: DataFrame, nQueries: Int,

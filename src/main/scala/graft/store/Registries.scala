@@ -161,6 +161,24 @@ object Registries {
         graft.similarity.IvfPq.encode(e, cents, cb, dims = 64, m = 8), path)
     }
 
+  /** Stored IVF+PQ codes for the HISTORY half of the corpus (even ids)
+    * — what e15's incremental-maintenance probe merges a fresh delta
+    * into. Same frozen centroids/codebook as [[ivfPqCodesDir]] (both are
+    * seeded from fixed vector ids, so the model is identical whichever
+    * slice is encoded); cell-partitioned like the full index so the
+    * probe's partition pruning applies to history. */
+  def ivfPqCodesHalfDir(s: SparkSession, dir: String): String =
+    materializedDir(dir, "ivfpq_codes_half") { path =>
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = graft.similarity.IvfPq.seedCentroids(e, nCells = 8)
+      val cb = graft.similarity.IvfPq.residualCodebook(e, cents, dims = 64,
+        m = 8, seedFrom = 8)
+      graft.similarity.IvfPq.writeCodes(
+        graft.similarity.IvfPq.encode(e.filter(col("id") % 2 === 0),
+          cents, cb, dims = 64, m = 8), path)
+    }
+
   /** Compact an append-only parquet registry directory to `numFiles`
     * files — the maintenance the 50-drop ScaleProbe curve demands: daily
     * appends accumulate one small file per drop, and at toy scale the
@@ -245,6 +263,7 @@ object Registries {
     minhashClusters(s, dir).head(1)
     embClusters(s, dir).head(1)
     ivfPqCodesDir(s, dir)
+    ivfPqCodesHalfDir(s, dir)
     ()
   }
 }

@@ -146,6 +146,59 @@ class IvfPqSpec extends AnyFunSuite {
     for (q <- Seq(1L, 2L)) assert(row(capped, q) == row(full, q))
   }
 
+  test("e15 incremental maintenance: stored-history + delta probe equals " +
+       "the full rebuild's, history scan still partition-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_half").toString
+    // history = even ids' codes on disk; delta = odd ids encoded against
+    // the SAME frozen models (encode is per-row, so delta == rebuild's subset)
+    IvfPq.writeCodes(
+      IvfPq.encode(emb.filter(col("id") % 2 === 0), cents, cb, dims, m), dir)
+    val delta = IvfPq.encode(emb.filter(col("id") % 2 === 1), cents, cb, dims, m)
+    val merged = IvfPq.searchStoredWithDelta(dir, delta, emb, cents, cb,
+      dims, m, nQueries = 3, nProbe = 2, topK = 10)
+    val rebuilt = IvfPq.search(emb, cents, cb, dims, m,
+      nQueries = 3, nProbe = 2, topK = 10)
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    assert(key(merged) == key(rebuilt))
+    // the stored-history read keeps e10b's partition pruning: only the
+    // probed cells' dirs are opened even with the delta unioned in
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scans(r.child)
+      case other =>
+        (other.children ++ other.subqueries).flatMap(scans)
+    }
+    // prune gate on a single-query probe (2 of 4 cells), since three
+    // queries' probe union can legitimately cover every cell
+    val one = IvfPq.searchStoredWithDelta(dir, delta, emb, cents, cb,
+      dims, m, nQueries = 1, nProbe = 2, topK = 5)
+    one.collect()
+    val probed = probesOf(0L).toSet
+    val cellDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).toSeq
+    def filesUnder(d: java.io.File) =
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    val expectedFiles = cellDirs
+      .filter(d => probed.contains(d.getName.stripPrefix("cell=").toInt))
+      .map(filesUnder).sum
+    val totalFiles = cellDirs.map(filesUnder).sum
+    val codeScans = scans(one.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("ivfpq_half")))
+    assert(codeScans.nonEmpty)
+    val numFiles = codeScans.map(_.metrics("numFiles").value).sum
+    assert(numFiles == expectedFiles && numFiles < totalFiles,
+      s"history scan read $numFiles files; expected $expectedFiles of $totalFiles")
+  }
+
   test("plans: model artifacts broadcast; no sort-merge join, no cartesian") {
     for (df <- Seq(IvfPq.encode(emb, cents, cb, dims, m),
                    IvfPq.search(emb, cents, cb, dims, m, 3, 2, 10))) {
