@@ -46,7 +46,10 @@ object BatchCommit {
     fsFor(spark, dir).exists(markerPath(dir, batchId))
 
   /** Delete this batch's tagged data files when its marker is absent —
-    * the entry-time undo of a crashed partial append. Idempotent. */
+    * the entry-time undo of a crashed partial append. Idempotent. Also
+    * sweeps ONE level of partition subdirs (`cell=3/…`) so the same undo
+    * covers [[appendPartitioned]] sinks; flat registries have no
+    * subdirs, so the recursion is free there. */
   def rollback(spark: SparkSession, dir: String, batchId: Long): Unit = {
     val fs = fsFor(spark, dir)
     val d = new Path(dir)
@@ -55,6 +58,12 @@ object BatchCommit {
     fs.listStatus(d).foreach { st =>
       if (st.isFile && st.getPath.getName.startsWith(pre)) {
         fs.delete(st.getPath, false); ()
+      } else if (st.isDirectory && st.getPath.getName.contains("=")) {
+        fs.listStatus(st.getPath).foreach { sub =>
+          if (sub.isFile && sub.getPath.getName.startsWith(pre)) {
+            fs.delete(sub.getPath, false); ()
+          }
+        }
       }
     }
   }
@@ -103,6 +112,57 @@ object BatchCommit {
       }
     }
     fs.delete(staging, true)
+    claim(fs, dir, batchId, moved.toSeq)
+  }
+
+  /** Exactly-once append of a PARTITIONED `df` into `dir`: same protocol
+    * as [[append]], but the staging write is `partitionBy(partitionCol)`
+    * and each staged `col=value/part.parquet` moves into the matching
+    * `dir/col=value/` subdir under the batch tag — the "append new days'
+    * codes into the same cell dirs" layout [[graft.similarity.IvfPq]]
+    * promises, kept partition-prunable for readers. ONE root done-marker
+    * commits the whole batch across all partitions ([[rollback]] sweeps
+    * the subdirs), so claim/skip stays atomic per (dir, batchId). */
+  def appendPartitioned(df: DataFrame, dir: String, batchId: Long,
+                        partitionCol: String): Unit = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, dir)
+    if (fs.exists(markerPath(dir, batchId))) return
+    val staging = new Path(dir + f"__staging_b$batchId%06d")
+    if (fs.exists(staging)) { fs.delete(staging, true); () }
+    df.write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(staging.toString)
+    Failpoints.hit("commit:staged", dir)
+    val d = new Path(dir)
+    if (!fs.exists(d)) { fs.mkdirs(d); () }
+    val pre = filePrefix(batchId)
+    val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
+    fs.listStatus(staging).foreach { part =>
+      if (part.isDirectory && part.getPath.getName.startsWith(partitionCol + "=")) {
+        val target = new Path(d, part.getPath.getName)
+        if (!fs.exists(target)) { fs.mkdirs(target); () }
+        fs.listStatus(part.getPath).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isFile && n.endsWith(".parquet")) {
+            val tf = new Path(target, pre + n)
+            if (!fs.rename(st.getPath, tf))
+              throw new java.io.IOException(
+                s"batch commit: move ${st.getPath} -> $target failed")
+            moved += tf
+            Failpoints.hit("commit:moved-one", dir)
+          }
+        }
+      }
+    }
+    fs.delete(staging, true)
+    claim(fs, dir, batchId, moved.toSeq)
+  }
+
+  /** The commit point shared by [[append]]/[[appendPartitioned]]: create
+    * the done-marker as a put-if-absent claim, then verify every moved
+    * file survived to the claim. */
+  private def claim(fs: FileSystem, dir: String, batchId: Long,
+                    moved: Seq[Path]): Unit = {
     Failpoints.hit("commit:pre-marker", dir)
     val marker = markerPath(dir, batchId)
     // the commit point: a single atomic create = the put-if-absent claim

@@ -91,4 +91,53 @@ object EmbStreams {
       BatchCommit.maybeCompact(spark, bucketRegistryDir, compactAfterFiles)
       BatchCommit.maybeCompact(spark, vecRegistryDir, compactAfterFiles); ()
     }
+
+  /** Streaming IVF+PQ index maintenance — the FLUSH half of e15's story:
+    * each drop of new vectors is encoded against the FROZEN
+    * centroids/codebook (passed in as data — in production the model
+    * store's artifacts; they never retrain per drop) and appended
+    * CELL-PARTITIONED into the live codes directory
+    * ([[BatchCommit.appendPartitioned]] — one root done-marker per
+    * batch, tagged files inside the `cell=` dirs), so the probe's
+    * partition pruning applies to every increment ever flushed and
+    * history is never re-encoded. Exactly-once under crash/replay like
+    * every other flow here (rollback on entry sweeps the cell subdirs);
+    * IvfStreamSpec proves the streamed directory converges to the full
+    * batch encode and that [[graft.similarity.IvfPq.searchStored]] over
+    * it equals the rebuilt index's search, and CrashRecoverySpec kills
+    * each commit window. Per-cell compaction bounds file counts: each
+    * `cell=` subdir is a plain parquet dir, recovered and compacted
+    * independently (markers live at the root, so marker logic is
+    * untouched). */
+  def ivfCodesIngestStream(embStream: DataFrame, cents: DataFrame,
+                           cb: DataFrame, codesDir: String,
+                           dims: Int = 64, m: Int = 8,
+                           compactAfterFiles: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    embStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      val spark = batch.sparkSession
+      import graft.streaming.{BatchCommit, Failpoints}
+      // heal any crashed per-cell compaction swap, then undo any crashed
+      // partial append of THIS batch before the encode
+      val root = new org.apache.hadoop.fs.Path(codesDir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith("cell="))
+          graft.store.Registries.recover(spark, st.getPath.toString)
+      }
+      BatchCommit.rollback(spark, codesDir, bid)
+      val newEmb = batch
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      // one writer task per cell, so a drop adds ONE file per cell dir
+      // (not tasks x cells); at real scale size this by bytes instead
+      val codes = graft.similarity.IvfPq.encode(newEmb, cents, cb, dims, m)
+        .repartition(col("cell"))
+      BatchCommit.appendPartitioned(codes, codesDir, bid, "cell")
+      Failpoints.hit("ivfcodes:post", codesDir)
+      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith("cell="))
+          BatchCommit.maybeCompact(spark, st.getPath.toString, compactAfterFiles)
+      }
+      ()
+    }
 }

@@ -42,9 +42,14 @@ class CrashRecoverySpec extends AnyFunSuite {
   private def dirState(dir: String): Map[String, Int] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
+    def visibleParquet(st: org.apache.hadoop.fs.FileStatus) =
       st.isFile && st.getPath.getName.endsWith(".parquet") &&
         !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
+    // data may sit one level down in cell=/… partition dirs
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
+      visibleParquet(st) ||
+        (st.isDirectory && st.getPath.getName.contains("=") &&
+          fs.listStatus(st.getPath).exists(visibleParquet))
     }
     if (!hasData) Map.empty
     else spark.read.parquet(dir).toJSON.collect()
@@ -170,7 +175,25 @@ class CrashRecoverySpec extends AnyFunSuite {
         (stage, base, ckpt) => await(EmbStreams.embeddingDedupStream(
           EmbStreams.readEmbeddingStream(spark, stage, maxFilesPerTrigger = Some(1)),
           s"$base/buckets", s"$base/vecs", s"$base/pairs"), ckpt),
-        Seq("buckets", "vecs", "pairs")))
+        Seq("buckets", "vecs", "pairs")),
+      Flow("ivfCodesIngestStream",
+        // the partitioned-append commit windows: after the staging write,
+        // mid per-cell moves, just before the root marker, and post-commit
+        Seq("commit:staged", "commit:moved-one", "commit:pre-marker",
+          "ivfcodes:post"),
+        () => stageTwoDrops(Tables(spark, sf).embeddings, "vec_id", 50L),
+        _ => (),
+        (stage, base, ckpt) => {
+          val emb = Tables(spark, sf).embeddings
+            .select(col("vec_id").as("id"), col("embedding").as("vec"))
+          val cents = graft.similarity.IvfPq.seedCentroids(emb, nCells = 8)
+          val cb = graft.similarity.IvfPq.residualCodebook(
+            emb, cents, dims = 64, m = 8, seedFrom = 8)
+          await(EmbStreams.ivfCodesIngestStream(
+            EmbStreams.readEmbeddingStream(spark, stage, maxFilesPerTrigger = Some(1)),
+            cents, cb, s"$base/codes"), ckpt)
+        },
+        Seq("codes")))
   }
 
   private def runFlowMatrix(f: Flow): Unit = {
