@@ -390,25 +390,42 @@ object MultimodalQ {
   def interleavedPacking(s: SparkSession, dir: String,
                          imgTok: Int = 64, capacity: Int = 2048): DataFrame = {
     require(capacity % imgTok == 0, "image slots must tile the pack")
-    val docs = Tables(s, dir).documents
-    val payloads = Multimodal.attachPayload(docs, "doc_id", "text")
-    val nFrames = Multimodal.videoFrames(payloads, s, frameBytes = 32, stride = 3)
-      .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val perDoc = docs
+    val perDoc = packingCosts(s, Tables(s, dir).documents, imgTok)
+      .withColumn("doc_start", coalesce(sum(col("doc_cost_pad")).over(w), lit(0L)))
+    packItems(perDoc, imgTok, capacity)
+  }
+
+  /** m15's per-document cost stage, shared with the streaming twin
+    * ([[graft.streaming.DocStreams.packingStream]] offsets these costs by
+    * a stored per-source total instead of the corpus window): exact BPE
+    * token count + true container-walked frame count, padded up to the
+    * imgTok slot. Only (doc_id, count) leaves the frame stage. */
+  private[graft] def packingCosts(s: SparkSession, docs: DataFrame,
+                                  imgTok: Int): DataFrame = {
+    val payloads = Multimodal.attachPayload(docs, "doc_id", "text")
+    val nFrames = Multimodal.videoFrames(payloads, s, frameBytes = 32, stride = 3)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+    docs
       .select(col("doc_id"), col("source"),
         graft.text.TextMetrics.bpeTokenCount(col("text")).cast("long").as("text_tok"))
       .join(nFrames, Seq("doc_id"))
       .withColumn("doc_cost", col("text_tok") + col("n_frames") * imgTok)
       .withColumn("doc_cost_pad",
         expr(s"((doc_cost + ${imgTok - 1}) div $imgTok) * $imgTok"))
-      .withColumn("doc_start", coalesce(sum(col("doc_cost_pad")).over(w), lit(0L)))
-    // one array-of-item-structs per document, exploded ONCE — a
-    // union of three per-modality branches would re-derive the whole
-    // scan→frame-count→join→window subtree per branch (3x the work;
-    // the toy plan showed exactly that before this shape)
+  }
+
+  /** m15's item-explode stage over a cost table that already carries
+    * `doc_start` (however derived — corpus window or stored totals). One
+    * array-of-item-structs per document, exploded ONCE — a union of
+    * three per-modality branches would re-derive the whole
+    * scan→frame-count→join→window subtree per branch (3x the work; the
+    * toy plan showed exactly that before this shape). */
+  private[graft] def packItems(perDoc: DataFrame, imgTok: Int,
+                               capacity: Int): DataFrame = {
+    require(capacity % imgTok == 0, "image slots must tile the pack")
     def item(idx: org.apache.spark.sql.Column, mod: String,
              tok: org.apache.spark.sql.Column,
              off: org.apache.spark.sql.Column) =

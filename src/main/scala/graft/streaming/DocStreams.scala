@@ -521,4 +521,59 @@ object DocStreams {
       Failpoints.hit("contam:post", outDir)
       ()
     }
+
+  /** Streaming interleaved multimodal packing — m15's daily-drop twin
+    * ([[graft.queries.MultimodalQ.interleavedPacking]]): each arriving
+    * drop of documents is costed by the SHARED stage (exact BPE tokens +
+    * true container-walked frame counts, padded to the imgTok slot),
+    * offset by the per-source running total stored in `totalsDir`, and
+    * exploded by the SHARED item stage — so the stream cannot drift from
+    * the batch op, and PackingSpec's alignment law carries over verbatim
+    * (totals are sums of imgTok-multiples, so every stored base offset is
+    * imgTok-aligned and no image ever straddles a capacity boundary).
+    *
+    * The totals registry is append-only (source, delta) rows whose
+    * per-source SUM is the current stream length — compaction-friendly
+    * (folding rows preserves sums) and exactly-once under the
+    * [[BatchCommit]] protocol; item rows land FIRST, the delta LAST, per
+    * the recache-ordering rule every twin here follows. Equality with
+    * the batch packing holds when drops respect id order per source —
+    * the same append-stability contract as [[segmentDedupStream]]. */
+  def packingStream(docStream: DataFrame, totalsDir: String, itemsDir: String,
+                    imgTok: Int = 64, capacity: Int = 2048,
+                    compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(capacity % imgTok == 0, "image slots must tile the pack")
+    docStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      val spark = batch.sparkSession
+      BatchCommit.rollback(spark, itemsDir, bid)
+      BatchCommit.rollback(spark, totalsDir, bid)
+      val totals = BatchCommit.readOr(spark, totalsDir)(
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            StructType(Seq(StructField("source", StringType),
+              StructField("delta", LongType)))))
+        .groupBy("source").agg(sum(col("delta")).as("__base"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val perDoc = graft.queries.MultimodalQ.packingCosts(spark, batch, imgTok)
+        .join(totals, Seq("source"), "left")
+        .withColumn("doc_start",
+          coalesce(col("__base"), lit(0L)) +
+            coalesce(sum(col("doc_cost_pad")).over(w), lit(0L)))
+        .persist()
+      try {
+        BatchCommit.append(
+          graft.queries.MultimodalQ.packItems(perDoc, imgTok, capacity),
+          itemsDir, bid)
+        Failpoints.hit("pack:mid", totalsDir)
+        BatchCommit.append(
+          perDoc.groupBy("source").agg(sum(col("doc_cost_pad")).as("delta")),
+          totalsDir, bid)
+        Failpoints.hit("pack:post", totalsDir)
+      } finally { perDoc.unpersist(); () }
+      BatchCommit.maybeCompact(spark, totalsDir, compactAfterFiles)
+      ()
+    }
+  }
 }

@@ -176,6 +176,13 @@ class CrashRecoverySpec extends AnyFunSuite {
           EmbStreams.readEmbeddingStream(spark, stage, maxFilesPerTrigger = Some(1)),
           s"$base/buckets", s"$base/vecs", s"$base/pairs"), ckpt),
         Seq("buckets", "vecs", "pairs")),
+      Flow("packingStream",
+        Seq("pack:mid", "pack:post"),
+        () => stageTwoDrops(docs, "doc_id", 150L),
+        _ => (),
+        (stage, base, ckpt) => await(DocStreams.packingStream(
+          docStream(stage), s"$base/totals", s"$base/items"), ckpt),
+        Seq("totals", "items")),
       Flow("ivfCodesIngestStream",
         // the partitioned-append commit windows: after the staging write,
         // mid per-cell moves, just before the root marker, and post-commit

@@ -99,4 +99,42 @@ class PackingSpec extends AnyFunSuite {
       assert(idxByMod == idxByMod.sortBy(Seq("image", "text", "pad").indexOf(_)))
     }
   }
+
+  test("streaming twin over id-ordered drops converges to the batch " +
+       "packing: identical item rows, totals registry == per-source sums") {
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = java.nio.file.Files.createTempDirectory("pack-stage").toString
+    for ((lo, hi) <- Seq((0L, 100L), (100L, 210L), (210L, Long.MaxValue))) {
+      Tables(spark, sf).documents
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .repartition(1).write.mode("append").parquet(stage)
+      Thread.sleep(1100)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("pack-out").toString
+    val q = graft.streaming.DocStreams.packingStream(
+        graft.streaming.DocStreams.readDocumentStream(
+          spark, stage, maxFilesPerTrigger = Some(1)),
+        totalsDir = s"$tmp/totals", itemsDir = s"$tmp/items")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 3, "expected a multi-batch run")
+
+    def key(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("item_idx"), r.getAs[String]("modality"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("offset_in_stream"),
+        r.getAs[Long]("chunk_id"))).toSeq.sorted
+    val streamed = key(spark.read.parquet(s"$tmp/items").collect())
+    assert(streamed == key(rows), "streamed items diverged from batch m15")
+
+    // the totals registry's per-source sums equal the batch stream lengths
+    val totals = spark.read.parquet(s"$tmp/totals")
+      .groupBy("source").agg(sum(col("delta")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = rows.groupBy(_.getAs[String]("source")).view
+      .mapValues(_.map(_.getAs[Long]("n_tok")).sum).toMap
+    assert(totals == expected, "totals registry diverged from stream lengths")
+  }
 }
