@@ -400,6 +400,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "e09_pq_adc",           // ADC table: codebook x query, both require-capped
       "e10_ivfpq",            // same ADC shape per probed cell
       "e10b_ivfpq_stored",    // same ADC shape, probing the stored cells
+      "e15_ivfpq_incr",       // same ADC shape over (stored history ∪ delta)
       "d27_mixture_plan",     // per-source weights x ONE global-budget row
       "e01_knn_brute",        // brute-force baseline IS all-pairs by contract
       "e02_cosine_neardup",   // exact verification path (sketch path is e03)
