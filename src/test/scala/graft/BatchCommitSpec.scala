@@ -211,4 +211,67 @@ class BatchCommitSpec extends AnyFunSuite {
     BatchCommit.append(batchDf(1).limit(0), dir, 1)
     assert(content(dir).size == 30)
   }
+
+  // ---- appendPartitioned: the same protocol over cell= partition dirs ----
+
+  private def pbatchDf(bid: Long) =
+    (0 until 30).map(i => (bid * 100 + i, i % 4, s"b$bid-$i"))
+      .toDF("id", "cell", "v").repartition(3)
+
+  private def pcycle(dir: String, bid: Long): Unit = {
+    BatchCommit.rollback(spark, dir, bid)
+    BatchCommit.appendPartitioned(pbatchDf(bid), dir, bid, "cell")
+  }
+
+  private def pcontent(dir: String): Set[(Long, Int, String)] = {
+    val root = new java.io.File(dir)
+    val hasData = root.exists() && root.listFiles().exists(d =>
+      d.isDirectory && d.getName.startsWith("cell=") &&
+        d.listFiles().exists(_.getName.endsWith(".parquet")))
+    if (!hasData) Set.empty
+    else spark.read.parquet(dir)
+      .select("id", "cell", "v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+  }
+
+  test("partitioned append killed at every internal window replays to " +
+       "exactly one copy, cell layout intact") {
+    val ref = tmp(); pcycle(ref, 0); pcycle(ref, 1)
+    val want = pcontent(ref)
+    assert(want.size == 60)
+    for (label <- Seq("commit:staged", "commit:moved-one", "commit:pre-marker");
+         nth <- 1 to 3) {
+      val dir = tmp()
+      pcycle(dir, 0)
+      val crashed = withCrashAt(dir, label, nth) { pcycle(dir, 1) }
+      if (crashed) pcycle(dir, 1)
+      assert(pcontent(dir) == want,
+        s"crash at $label#$nth: replay diverged (crashed=$crashed)")
+      assert(BatchCommit.isDone(spark, dir, 1L))
+      // data landed INSIDE the cell dirs, nothing loose at the root
+      assert(!new java.io.File(dir).listFiles()
+        .exists(f => f.isFile && f.getName.endsWith(".parquet")))
+    }
+  }
+
+  test("two writers racing one partitioned (dir, batchId): one winner, " +
+       "loser's per-cell moves withdrawn") {
+    val dir = tmp()
+    val (reached, gate) = pauseFirstPreMarker(dir)
+    try {
+      val loserErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val loser = new Thread(() =>
+        try BatchCommit.appendPartitioned(pbatchDf(0), dir, 0, "cell")
+        catch { case e: Throwable => loserErr.set(e) })
+      loser.start(); reached.await()
+      val winnerRows = (100 until 130).map(i => (i.toLong, i % 4, s"w-$i"))
+      BatchCommit.appendPartitioned(
+        winnerRows.toDF("id", "cell", "v").repartition(3), dir, 0, "cell")
+      gate.countDown(); loser.join()
+      assert(loserErr.get().isInstanceOf[java.util.ConcurrentModificationException],
+        s"loser got ${loserErr.get()} instead of a loud claim failure")
+      assert(pcontent(dir) == winnerRows.toSet)
+      assert(BatchCommit.isDone(spark, dir, 0L))
+    } finally { Failpoints.hook = (_, _) => () }
+  }
 }
