@@ -86,6 +86,61 @@ object SimilarityQ {
       .select(col("vec_id"), col("best.cid").as("cid"), col("best.cos").as("cos"))
   }
 
+  /** Assignment-MARGIN audit — the stability readout for e04's hard
+    * assignment and the churn predictor for e12's incremental cluster
+    * maintenance: per vector, the exact cosine to its best and
+    * second-best centroid and the gap between them. A thin margin means
+    * the vector sits on a cell boundary — these are exactly the rows that
+    * flip cells under centroid drift, so the flagged share is the
+    * re-clustering churn estimate a curator reads BEFORE rolling a new
+    * centroid model. Same two-phase float policy as e04 (the codegen'd
+    * double cosine prunes; the interpreted exact-decimal rescore runs
+    * only on survivors), widened from argmax to top-2: every candidate
+    * with fast cosine >= (second-highest fast) - 2*FastCosEps must
+    * contain the true exact top-2 — the second-highest fast score can
+    * overshoot the true second's exact cosine by at most FastCosEps, and
+    * the true top-2's fast scores trail their exact values by at most
+    * FastCosEps each, so a 2*eps band below the observed fast second is
+    * sufficient (one eps wider than e04's argmax band — the bound passes
+    * through the observed-vs-true second twice). Both windows share one
+    * vec_id exchange; the survivor set is ~2-3 rows per vector. */
+  def assignMargin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = emb(s, dir)
+    val cents = broadcast(all.filter(col("id") < 8)
+      .select(col("id").as("cid"), col("vec").as("cvec"),
+        sqrt(Knn.dotExact(col("vec"), col("vec"))).as("cnrm"),
+        sqrt(Knn.dotFast(col("vec"), col("vec"))).as("cnrm_f")))
+    val scored = all.filter(col("id") >= 8)
+      .select(col("id").as("vec_id"), col("vec"),
+        sqrt(Knn.dotFast(col("vec"), col("vec"))).as("nrm_f"))
+      .crossJoin(cents)
+      .withColumn("cos_f",
+        Knn.dotFast(col("vec"), col("cvec")) / (col("nrm_f") * col("cnrm_f")))
+    val byVec = Window.partitionBy(col("vec_id"))
+    val cand = scored
+      .withColumn("__rn_f",
+        row_number().over(byVec.orderBy(col("cos_f").desc, col("cid"))))
+      .withColumn("__second_f",
+        max(when(col("__rn_f") === 2, col("cos_f"))).over(byVec))
+      .filter(col("cos_f") >= col("__second_f") - lit(2 * Knn.FastCosEps))
+      .select(col("vec_id"), col("cid"),
+        (Knn.dotExact(col("vec"), col("cvec")) /
+          (sqrt(Knn.dotExact(col("vec"), col("vec"))) * col("cnrm"))).as("cos"))
+    cand
+      .withColumn("__rk",
+        row_number().over(byVec.orderBy(col("cos").desc, col("cid"))))
+      .groupBy("vec_id")
+      .agg(
+        max(when(col("__rk") === 1, struct(col("cid"), col("cos")))).as("b1"),
+        max(when(col("__rk") === 2, struct(col("cid"), col("cos")))).as("b2"))
+      .select(col("vec_id"),
+        col("b1.cid").as("cid1"), col("b2.cid").as("cid2"),
+        col("b1.cos").as("cos1"), col("b2.cos").as("cos2"))
+      .withColumn("margin", col("cos1") - col("cos2"))
+      .withColumn("ambiguous", (col("margin") < 0.05).cast("int"))
+  }
+
   /** SemDeDup-style semantic dedup: e02's embedding near-dup pairs →
     * connected components → keep one representative per cluster (the
     * min-id member, which min-label CC makes the cluster_id itself).
@@ -439,6 +494,7 @@ object SimilarityQ {
     "e10_ivfpq"          -> (ivfPq _),
     "e10b_ivfpq_stored"  -> (ivfPqStored _),
     "e15_ivfpq_incr"     -> (ivfPqIncr _),
+    "e16_assign_margin"  -> (assignMargin _),
     "e11_semdedup_kmeans" -> (semDedupKmeans _))
 
   // Shared oracle scaffolding, in lockstep with Knn.dotExact/cosine:
@@ -834,6 +890,31 @@ object SimilarityQ {
          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
          |  FROM scored)
          |SELECT qid, vec_id, cos, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 10""".stripMargin,
+    "e16_assign_margin" ->
+      s"""WITH norms AS ($normsSql),
+         |cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |dots AS (
+         |  SELECT e.vec_id, c.cid,
+         |         CAST(CAST(SUM(${q9("e.embedding[i]")} * ${q9("c.cvec[i]")}) AS VARCHAR) AS DOUBLE) AS d
+         |  FROM embeddings e, cents c, UNNEST(generate_series(1, len(e.embedding))) AS u(i)
+         |  WHERE e.vec_id >= 8
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT dots.vec_id AS vec_id, cid,
+         |         d / (sqrt(ne.nrm2) * sqrt(nc.nrm2)) AS cos
+         |  FROM dots
+         |  JOIN norms ne ON ne.vec_id = dots.vec_id
+         |  JOIN norms nc ON nc.vec_id = cid),
+         |ranked AS (
+         |  SELECT vec_id, cid, cos,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+         |  FROM scored)
+         |SELECT a.vec_id, a.cid AS cid1, b.cid AS cid2,
+         |       a.cos AS cos1, b.cos AS cos2,
+         |       a.cos - b.cos AS margin,
+         |       CASE WHEN a.cos - b.cos < 0.05 THEN 1 ELSE 0 END AS ambiguous
+         |FROM ranked a JOIN ranked b ON a.vec_id = b.vec_id AND b.rk = 2
+         |WHERE a.rk = 1""".stripMargin,
     "e04_centroid_assign" ->
       s"""WITH norms AS ($normsSql),
          |cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),

@@ -134,6 +134,58 @@ object TextQ {
         round(col("n_novel").cast("double") / col("n_grams").cast("double"), 9))
   }
 
+  /** Dedup IMPACT report — the ROI readout a curation pipeline publishes
+    * after d03's exact pass: per source, how many documents (and how many
+    * characters) exact dedup removes. Canonical choice is GLOBAL (min
+    * doc_id across all sources), so a mirror source is charged for copies
+    * whose canonical lives elsewhere — the cross-source accounting a
+    * per-source dedup report cannot see. Scale shape: the text column is
+    * projected away before the shuffle (only the 16-byte fingerprint +
+    * three narrow columns move), one fingerprint-partitioned window (the
+    * same exchange d03's groupBy pays) tags keep/remove per row, then an
+    * ordinary partially-aggregated per-source rollup; no joins, no second
+    * scan of the corpus. */
+  def dedupImpact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        TextMetrics.fingerprint(col("text")).as("__fp"))
+      .withColumn("__keep",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("__fp"))))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(!col("__keep"), col("n_chars")).otherwise(0L)).as("chars_removed"))
+      .withColumn("removed_share",
+        round((col("n_docs") - col("n_kept")).cast("double") /
+          col("n_docs").cast("double"), 9))
+  }
+
+  /** Threshold-CALIBRATION sweep for d21's model gate — the table a
+    * curator reads to pick d25's gate threshold: the score axis in fixed
+    * 200-point bins; per bin, the document count plus the survivor count
+    * and share if the threshold were set at that bin's lower edge. Scale
+    * shape: the per-document work is d21's codegen'd one-pass scorer
+    * feeding a partially-aggregated groupBy on a narrow derived key; the
+    * cumulative-survival window then runs over the AGGREGATED frame
+    * (#bins rows — driver-scale), so the global ordering never touches
+    * per-document data. */
+  def qualityCalibration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = graft.text.QualityClassifier.scored(
+        Tables(s, dir).documents, "doc_id", "text",
+        graft.text.QualityClassifier.seededModel(), threshold = 0L)
+      .groupBy(floor(col("score") / lit(200)).as("score_bin"))
+      .agg(count(lit(1)).as("n_docs"))
+    binned
+      .withColumn("surv_docs",
+        sum(col("n_docs")).over(Window.orderBy(col("score_bin").desc)))
+      .withColumn("surv_share",
+        round(col("surv_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy()).cast("double"), 9))
+  }
+
   /** Incremental MinHash near-dup — the daily-crawl twin of d06: even
     * doc_ids play the accumulated history (their signature table is what
     * the flow stores), odd doc_ids are today's batch; the batch's bands
@@ -209,7 +261,9 @@ object TextQ {
     "d21_quality_score" -> (qualityScore _),
     "d22_novelty"       -> (novelty _),
     "d26_incr_minhash"  -> (incrementalMinhash _),
-    "d26b_incr_minhash_stored" -> (incrementalMinhashStored _))
+    "d26b_incr_minhash_stored" -> (incrementalMinhashStored _),
+    "d36_dedup_impact"  -> (dedupImpact _),
+    "d37_quality_calibration" -> (qualityCalibration _))
 
   private[queries] val toksSql =
     """SELECT doc_id, lang, text,
@@ -469,5 +523,30 @@ object TextQ {
       """SELECT source, lang, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
-        |FROM documents GROUP BY 1, 2""".stripMargin)
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "d36_dedup_impact" ->
+      """WITH f AS (
+        |  SELECT source, n_chars,
+        |         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+        |              THEN 1 ELSE 0 END AS keep
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(keep) AS BIGINT) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |       CAST(sum(CASE WHEN keep = 0 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_removed,
+        |       round(CAST(count(*) - sum(keep) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 9) AS removed_share
+        |FROM f GROUP BY 1""".stripMargin,
+    "d37_quality_calibration" ->
+      s"""WITH toks AS ($toksSql),
+         |$modelScoreCtes,
+         |b AS (
+         |  SELECT CAST(floor(score / 200) AS BIGINT) AS score_bin,
+         |         count(*) AS n_docs
+         |  FROM msc GROUP BY 1)
+         |SELECT score_bin, n_docs,
+         |       CAST(sum(n_docs) OVER (ORDER BY score_bin DESC) AS BIGINT) AS surv_docs,
+         |       round(CAST(sum(n_docs) OVER (ORDER BY score_bin DESC) AS DOUBLE)
+         |             / CAST(sum(n_docs) OVER () AS DOUBLE), 9) AS surv_share
+         |FROM b""".stripMargin)
 }

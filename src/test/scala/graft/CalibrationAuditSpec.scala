@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the round-10 audit trio: d36 dedup impact, d37 quality
+  * calibration, e16 assignment margin. Each query's cell-exact values are
+  * pinned by its DuckDB oracle; these tests pin the CONTRACTS the oracle
+  * comparison can't state — cross-query consistency (d36 vs d03, e16 vs
+  * e04), conservation totals, and monotonicity.
+  */
+class CalibrationAuditSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("d36: per-source counts conserve the corpus and pin GLOBAL canonicals") {
+    val impact = SparkEntry.queries("d36_dedup_impact")(spark, sf)
+    val docs = Tables(spark, sf).documents
+    val byCol = impact.agg(
+      sum("n_docs"), sum("n_kept"), sum("chars_total"), sum("chars_removed")).head()
+    assert(byCol.getLong(0) == docs.count())
+    // global canonical choice: total keeps == distinct texts (a per-source
+    // canonical would count a cross-source copy once PER source instead)
+    assert(byCol.getLong(1) == docs.select("text").distinct().count())
+    assert(byCol.getLong(2) == docs.agg(sum("n_chars")).head().getLong(0))
+    // chars_removed is the complement of the kept docs' chars
+    val keptChars = docs
+      .withColumn("__keep", col("doc_id") === min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("text"))))
+      .filter(col("__keep")).agg(sum("n_chars")).head().getLong(0)
+    assert(byCol.getLong(2) - byCol.getLong(3) == keptChars)
+    val badShare = impact.filter(col("removed_share") < 0 || col("removed_share") > 1)
+    assert(badShare.isEmpty)
+  }
+
+  test("d37: survival counts are suffix sums of the bins and bounded by the corpus") {
+    val cal = SparkEntry.queries("d37_quality_calibration")(spark, sf)
+      .orderBy(col("score_bin")).collect()
+    assert(cal.nonEmpty)
+    val total = cal.map(_.getAs[Long]("n_docs")).sum
+    // threshold at the lowest bin's edge keeps every scored doc
+    assert(cal.head.getAs[Long]("surv_docs") == total)
+    // suffix-sum identity bin by bin, strictly decreasing upward
+    cal.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("surv_docs") ==
+        hi.getAs[Long]("surv_docs") + lo.getAs[Long]("n_docs"))
+    }
+    assert(cal.last.getAs[Long]("surv_docs") == cal.last.getAs[Long]("n_docs"))
+    cal.foreach { r =>
+      val share = r.getAs[Double]("surv_share")
+      assert(share > 0 && share <= 1.0)
+    }
+    // the scored population is d21's (empty-text docs carry no evidence)
+    val scored = SparkEntry.queries("d21_quality_score")(spark, sf).count()
+    assert(total == scored)
+  }
+
+  test("e16: best centroid agrees with e04 cell-exactly; margins are ordered") {
+    val margin = SparkEntry.queries("e16_assign_margin")(spark, sf)
+    val assign = SparkEntry.queries("e04_centroid_assign")(spark, sf)
+    assert(margin.count() == assign.count())
+    // e16's (cid1, cos1) must be exactly e04's assignment — same float
+    // policy, so equality is exact, not approximate
+    val disagree = margin.alias("m").join(assign.alias("a"), Seq("vec_id"))
+      .filter(col("m.cid1") =!= col("a.cid") || col("m.cos1") =!= col("a.cos"))
+    assert(disagree.isEmpty)
+    val bad = margin.filter(
+      col("margin") < 0 || col("cid1") === col("cid2") ||
+        (col("ambiguous") === 1) =!= (col("margin") < 0.05))
+    assert(bad.isEmpty)
+  }
+}

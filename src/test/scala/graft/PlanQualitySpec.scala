@@ -406,6 +406,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "e02_cosine_neardup",   // exact verification path (sketch path is e03)
       "d30_lexsem_audit",     // composes e02's require-capped exact pair side
       "e04_centroid_assign",  // vectors x broadcast k-row centroid table
+      "e16_assign_margin",    // same k-row broadcast shape, widened to top-2
       "e11_semdedup_kmeans",  // same k-row broadcast assignment feeding cells
       "e13_cell_source_mix",  // same k-row broadcast assignment feeding census
       "e14_ann_recall",       // truth side: md5-sampled (<=64-row) broadcast query set x corpus
