@@ -39,6 +39,22 @@ object MultimodalQ {
       .as[(Long, Long)]
   }
 
+  /** The m12 image dHash surface: one 24-bit dHash row per synthetic
+    * document image. Shared by [[imageNearDup]] and the dev scale probe
+    * ([[graft.tools.ProbeM12]]) — same single-source convention as
+    * [[videoFrameHashes]]/ProbeM14 — so a derivation change can never
+    * make the probe measure a different hash distribution than the
+    * registered query pairs on. */
+  private[graft] def imageHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docSeeds(s, dir).mapPartitions(_.flatMap { case (id, n) =>
+      val w = (n % 13).toInt + 4
+      val h = ((n / 13) % 11).toInt + 4
+      Multimodal.CompressedImage.dhash(id,
+        Multimodal.CompressedImage.renderPattern(n, w, h))
+    }).toDF()
+  }
+
   /** Binary payload metadata: byte length, checksum, pseudo format tag. */
   def binaryMeta(s: SparkSession, dir: String): DataFrame = {
     val payloads = Multimodal.attachPayload(Tables(s, dir).documents, "doc_id", "text")
@@ -299,14 +315,7 @@ object MultimodalQ {
     * per-value representative cap cut it to 0.09 / 0.79 s with CC
     * connectivity provably unchanged (docs/SCALE.md). */
   def imageNearDup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val seeded = docSeeds(s, dir)
-    val hashes = seeded.mapPartitions(_.flatMap { case (id, n) =>
-      val w = (n % 13).toInt + 4
-      val h = ((n / 13) % 11).toInt + 4
-      Multimodal.CompressedImage.dhash(id,
-        Multimodal.CompressedImage.renderPattern(n, w, h))
-    }).toDF()
+    val hashes = imageHashes(s, dir)
     // exact-equal hashes are m06's clusters (one window, linear); this
     // query is the 1..2-bit NEIGHBOR surface, so the grouped variant —
     // banding over distinct hash VALUES, expanding hits to doc pairs —
@@ -315,7 +324,8 @@ object MultimodalQ {
     // sf1 rehearsal measured exponent 2.0 without it (one value carries
     // 57% of the corpus; the member×member fan-out IS the output). CC
     // connectivity over (m12 pairs ∪ m06 clusters) is unchanged
-    // (PerceptualDedupSpec proves it): non-representatives reach their
+    // (MultimodalSpec's cap-connectivity test proves it): non-
+    // representatives reach their
     // cross-value neighbors through their cluster's representatives.
     graft.dedup.SimHash.hammingNearDuplicatesGrouped(hashes, "doc_id", "dhash",
       maxDist = 2, chunks = 4, bits = 24, maxValueDocs = Some(8))

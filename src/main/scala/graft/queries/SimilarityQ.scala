@@ -465,7 +465,7 @@ object SimilarityQ {
           graft.functions.VectorExpressions
             .intVecSqDist(col("q"), col("qq")).as("d")),
       part = Seq("qid"), order = Seq("d" -> false, "vec_id" -> false), k = 10)
-    approx.filter(col("qid").isin(sampledQids: _*))
+    val out = approx.filter(col("qid").isin(sampledQids: _*))
       .join(gt.select(col("qid"), col("vec_id"))
         .withColumn("__hit", lit(1)), Seq("qid", "vec_id"), "left")
       .groupBy("qid")
@@ -474,6 +474,15 @@ object SimilarityQ {
       .withColumn("recall", round(col("n_hit").cast("double") / 10.0, 9))
       .withColumn("n_sampled",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    // materialize the <= sampleQueries-row audit eagerly so the persisted
+    // probe can be RELEASED before returning — without this every
+    // invocation in a long-lived session (bench warm-ups, repeated
+    // audits) leaks one pinned DataFrame into the block manager forever
+    import scala.jdk.CollectionConverters._
+    val rows = out.collect().toSeq
+    val schema = out.schema
+    approx.unpersist()
+    s.createDataFrame(rows.asJava, schema)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

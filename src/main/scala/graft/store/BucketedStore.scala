@@ -49,8 +49,11 @@ final class BucketedStore(spark: SparkSession, root: String, numBuckets: Int = 6
     * than a fixed length — otherwise claims/garbage above 999999 silently
     * become invisible to versions/vacuum/recoverStaleClaims. */
   private def versionOf(fn: String): Option[Int] =
+    // toIntOption: a digits-only name overflowing Int (foreign tooling,
+    // corruption) must be SKIPPED like any other non-version dir, not
+    // crash every maintenance path that lists the table
     if (fn.length >= 7 && fn.startsWith("v") && fn.drop(1).forall(_.isDigit))
-      Some(fn.drop(1).toInt)
+      fn.drop(1).toIntOption
     else None
 
   private def currentVersion(name: String): Int =

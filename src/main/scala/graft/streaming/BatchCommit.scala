@@ -165,14 +165,33 @@ object BatchCommit {
                     moved: Seq[Path]): Unit = {
     Failpoints.hit("commit:pre-marker", dir)
     val marker = markerPath(dir, batchId)
-    // the commit point: a single atomic create = the put-if-absent claim
-    try fs.create(marker, false).close()
+    // the commit point: a single atomic create = the put-if-absent claim.
+    // Only the CREATE call decides the claim — an exception HERE with the
+    // marker present means a foreign writer committed this batch id.
+    val out =
+      try fs.create(marker, false)
+      catch {
+        case e: java.io.IOException if fs.exists(marker) =>
+          moved.foreach { p => fs.delete(p, false); () }
+          throw new java.util.ConcurrentModificationException(
+            s"batch commit claim lost: $dir batch $batchId was committed by " +
+              "a concurrent writer — one registry dir must have one flow", e)
+      }
+    Failpoints.hit("commit:marker-created", dir)
+    // A close() failure must NOT be read as a lost claim (the old
+    // single-expression form did, and deleted this batch's data files
+    // while leaving our own marker behind — a committed EMPTY batch).
+    // The marker is empty, so once create() returned the claim is ours
+    // and the marker's existence alone is the commit; if the close
+    // somehow left no marker behind, fail the batch loudly WITHOUT
+    // touching the moved files — entry rollback undoes them on replay.
+    try out.close()
     catch {
-      case e: java.io.IOException if fs.exists(marker) =>
-        moved.foreach { p => fs.delete(p, false); () }
-        throw new java.util.ConcurrentModificationException(
-          s"batch commit claim lost: $dir batch $batchId was committed by " +
-            "a concurrent writer — one registry dir must have one flow", e)
+      case e: java.io.IOException if !fs.exists(marker) =>
+        throw new java.io.IOException(
+          s"batch commit: marker create for $dir batch $batchId did not " +
+            "survive — batch left uncommitted for replay", e)
+      case _: java.io.IOException => // marker exists: the commit stands
     }
     // post-claim integrity: a concurrent writer's entry rollback may have
     // deleted this append's moves before the claim landed — withdraw the

@@ -118,12 +118,26 @@ object EmbStreams {
       val spark = batch.sparkSession
       import graft.streaming.{BatchCommit, Failpoints}
       // heal any crashed per-cell compaction swap, then undo any crashed
-      // partial append of THIS batch before the encode
+      // partial append of THIS batch before the encode. The live names to
+      // heal are DERIVED from every child (a crash between compact's two
+      // renames leaves only `cell=3__precompact` — listing existing
+      // `cell=` dirs would miss the vanished live dir entirely, a fresh
+      // empty `cell=3` would be created by the next append, and the NEXT
+      // heal would then delete the aside holding all of the cell's
+      // history), so strip the compaction suffixes and recover each
+      // distinct live name whether or not it currently exists.
       val root = new org.apache.hadoop.fs.Path(codesDir)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-        if (st.isDirectory && st.getPath.getName.startsWith("cell="))
-          graft.store.Registries.recover(spark, st.getPath.toString)
+      def liveCells(): Set[String] =
+        if (!fs.exists(root)) Set.empty
+        else fs.listStatus(root).iterator
+          .filter(_.isDirectory).map(_.getPath.getName)
+          .filter(_.startsWith("cell="))
+          .map(_.stripSuffix("__precompact").stripSuffix("__compacting"))
+          .toSet
+      liveCells().foreach { n =>
+        graft.store.Registries.recover(spark,
+          new org.apache.hadoop.fs.Path(root, n).toString)
       }
       BatchCommit.rollback(spark, codesDir, bid)
       val newEmb = batch
@@ -134,10 +148,16 @@ object EmbStreams {
         .repartition(col("cell"))
       BatchCommit.appendPartitioned(codes, codesDir, bid, "cell")
       Failpoints.hit("ivfcodes:post", codesDir)
-      if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-        if (st.isDirectory && st.getPath.getName.startsWith("cell="))
-          BatchCommit.maybeCompact(spark, st.getPath.toString, compactAfterFiles)
+      // maintenance: compact LIVE cell dirs only (a stray __precompact/
+      // __compacting leftover is compaction state, not a registry), and
+      // prune the ROOT's dead done-markers — appendPartitioned commits
+      // one marker per batch at the root, where no maybeCompact runs, so
+      // without this the root gains a marker file per micro-batch forever
+      liveCells().filterNot(_.contains("__")).foreach { n =>
+        BatchCommit.maybeCompact(spark,
+          new org.apache.hadoop.fs.Path(root, n).toString, compactAfterFiles)
       }
+      BatchCommit.pruneMarkers(spark, codesDir)
       ()
     }
 }

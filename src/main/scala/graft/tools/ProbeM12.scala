@@ -13,17 +13,9 @@ object ProbeM12 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.GraftExtensions.registerAll(spark)
-    import spark.implicits._
-    val seeded = graft.Tables.spread(
-      graft.Tables(spark, dir).documents
-        .select(col("doc_id"), length(col("text").cast("binary")).as("n")),
-      "doc_id").as[(Long, Long)]
-    val hashes = seeded.mapPartitions(_.flatMap { case (id, n) =>
-      val w = (n % 13).toInt + 4
-      val h = ((n / 13) % 11).toInt + 4
-      graft.multimodal.Multimodal.CompressedImage.dhash(id,
-        graft.multimodal.Multimodal.CompressedImage.renderPattern(n, w, h))
-    }).toDF()
+    // the ONE hash derivation m12 itself pairs on — a probe measuring a
+    // private copy would silently drift from the registered query
+    val hashes = graft.queries.MultimodalQ.imageHashes(spark, dir)
     val byVal = hashes.groupBy("dhash").count()
     println(s"docs=${hashes.count()} distinctValues=${byVal.count()} " +
       s"maxPerValue=${byVal.agg(max("count")).first().getLong(0)} " +

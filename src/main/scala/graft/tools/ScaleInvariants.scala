@@ -110,10 +110,12 @@ object ScaleInvariants {
       val sizes = mono.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
       val monoFull = mono.join(sizes, Seq("cluster_id"))
         .select("doc_id", "cluster_id", "n_members")
+      // same separator/null-marker discipline as sig() above: an empty
+      // separator would hash ("12","3") equal to ("1","23")
       def sigDf(df: org.apache.spark.sql.DataFrame): (Long, BigDecimal) = {
         val cols = df.columns.sorted
-          .map(c => coalesce(col(c).cast("string"), lit(" ")))
-        val r = df.select(xxhash64(concat_ws("", cols.toIndexedSeq: _*)).as("h"))
+          .map(c => coalesce(col(c).cast("string"), lit("\u0000")))
+        val r = df.select(xxhash64(concat_ws("\u0001", cols.toIndexedSeq: _*)).as("h"))
           .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)"))).collect()(0)
         (r.getLong(0),
           if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))

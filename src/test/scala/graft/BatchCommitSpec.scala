@@ -54,7 +54,8 @@ class BatchCommitSpec extends AnyFunSuite {
     val want = content(ref)
     assert(want.size == 60)
 
-    for (label <- Seq("commit:staged", "commit:moved-one", "commit:pre-marker");
+    for (label <- Seq("commit:staged", "commit:moved-one", "commit:pre-marker",
+                      "commit:marker-created");
          nth <- 1 to 3) {
       val dir = tmp()
       cycle(dir, 0) // batch 0 committed
@@ -68,7 +69,8 @@ class BatchCommitSpec extends AnyFunSuite {
 
   test("randomized multi-crash sequences converge (seeded chaos sweep)") {
     val rnd = new scala.util.Random(20260814L)
-    val labels = Seq("commit:staged", "commit:moved-one", "commit:pre-marker")
+    val labels = Seq("commit:staged", "commit:moved-one", "commit:pre-marker",
+      "commit:marker-created")
     val ref = tmp(); (0L to 3L).foreach(cycle(ref, _))
     val want = content(ref)
     for (trial <- 0 until 5) {
@@ -239,7 +241,8 @@ class BatchCommitSpec extends AnyFunSuite {
     val ref = tmp(); pcycle(ref, 0); pcycle(ref, 1)
     val want = pcontent(ref)
     assert(want.size == 60)
-    for (label <- Seq("commit:staged", "commit:moved-one", "commit:pre-marker");
+    for (label <- Seq("commit:staged", "commit:moved-one", "commit:pre-marker",
+                      "commit:marker-created");
          nth <- 1 to 3) {
       val dir = tmp()
       pcycle(dir, 0)

@@ -187,7 +187,7 @@ class CrashRecoverySpec extends AnyFunSuite {
         // the partitioned-append commit windows: after the staging write,
         // mid per-cell moves, just before the root marker, and post-commit
         Seq("commit:staged", "commit:moved-one", "commit:pre-marker",
-          "ivfcodes:post"),
+          "commit:marker-created", "ivfcodes:post"),
         () => stageTwoDrops(Tables(spark, sf).embeddings, "vec_id", 50L),
         _ => (),
         (stage, base, ckpt) => {

@@ -38,7 +38,7 @@ class IvfStreamSpec extends AnyFunSuite {
     .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq.sorted
 
   private def runFlow(stage: String, codesDir: String, ckpt: String,
-                      compactAfterFiles: Int = 64): Unit = {
+                      compactAfterFiles: Int = 64, minBatches: Int = 3): Unit = {
     val q = EmbStreams.ivfCodesIngestStream(
         EmbStreams.readEmbeddingStream(spark, stage, maxFilesPerTrigger = Some(1)),
         cents, cb, codesDir, compactAfterFiles = compactAfterFiles)
@@ -46,7 +46,7 @@ class IvfStreamSpec extends AnyFunSuite {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    assert(q.recentProgress.length >= 3, "expected a multi-batch run")
+    assert(q.recentProgress.length >= minBatches, "expected a multi-batch run")
   }
 
   test("streamed cell-partitioned codes converge to the full batch encode; " +
@@ -90,5 +90,41 @@ class IvfStreamSpec extends AnyFunSuite {
       val n = d.listFiles().count(_.getName.endsWith(".parquet"))
       assert(n <= 4, s"${d.getName}: $n files after per-batch compaction")
     }
+    // dead ROOT done-markers are pruned every batch (the flow commits one
+    // per micro-batch at the root, where no per-cell maybeCompact runs)
+    val markers = new java.io.File(s"$tmp/codes").listFiles()
+      .count(f => f.isFile && f.getName.matches("_b\\d+\\.done"))
+    assert(markers <= 2, s"$markers root done-markers survived pruning")
+  }
+
+  test("a per-cell compaction crash between the two renames (live dir " +
+       "gone, only the __precompact aside left) heals on the next batch") {
+    val stage = stageDrops(Seq((0L, 60L), (60L, 130L)))
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-codes-h").toString
+    runFlow(stage, s"$tmp/codes", s"$tmp/ckpt", minBatches = 2)
+
+    // simulate Registries.compact dying between rename(live, aside) and
+    // rename(tmp, live) on a POPULATED cell: the live dir vanishes and
+    // only `cell=K__precompact` remains — the window where a heal that
+    // merely lists existing cell= dirs would never recover the cell, the
+    // next append would recreate it empty, and the FOLLOWING heal would
+    // delete the aside holding the cell's whole history
+    val cellDirs = new java.io.File(s"$tmp/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length >= 2, "need populated cells to crash one")
+    val victim = cellDirs.minBy(_.getName)
+    val aside = new java.io.File(victim.getParent, victim.getName + "__precompact")
+    assert(victim.renameTo(aside), "test setup: aside rename failed")
+
+    // third drop arrives; the batch-entry heal must restore the victim
+    // BEFORE the append touches it
+    Tables(spark, sf).embeddings.filter(col("vec_id") >= 130L)
+      .repartition(1).write.mode("append").parquet(stage)
+    runFlow(stage, s"$tmp/codes", s"$tmp/ckpt", minBatches = 1)
+
+    assert(!aside.exists, "aside dir survived the heal")
+    val full = IvfPq.encode(emb, cents, cb, dims = 64, m = 8)
+    assert(codeKey(spark.read.parquet(s"$tmp/codes")) == codeKey(full),
+      "post-heal codes diverged from the full encode — history lost")
   }
 }

@@ -71,7 +71,7 @@ def main(p01, p1):
     fams = {}
     for k, t0, t1, e in rows:
         fam = k.split("_")[0][0]
-        fams.setdefault(fam, []).append((t0, t1))
+        fams.setdefault(fam, []).append((k, t0, t1))
     print(f"{'query':32s} {'sf0.1':>8s} {'sf1':>8s} {'exp':>6s}")
     for k, t0, t1, e in sorted(rows, key=lambda x: -x[3]):
         flag = " WORST-CASE-TWIN" if k in WORST_CASE and e > 1.05 else (
@@ -79,9 +79,12 @@ def main(p01, p1):
         print(f"{k:32s} {t0:8.3f} {t1:8.3f} {e:6.2f}{flag}")
     print()
     for fam in sorted(fams):
-        t0 = sum(x for x, _ in fams[fam])
-        t1 = sum(y for _, y in fams[fam])
-        r = 25.0 if fam == "e" else 10.0
+        t0 = sum(x for _, x, _ in fams[fam])
+        t1 = sum(y for _, _, y in fams[fam])
+        # time-weighted mean of per-query ratios, so RATIO_OVERRIDE
+        # members (e.g. d30* at 25x inside family d) keep their own
+        # input ratio instead of inheriting the family letter's
+        r = math.exp(sum(t * math.log(ratio_for(k)) for k, t, _ in fams[fam]) / t0)
         print(f"family {fam}: {t0:7.1f}s -> {t1:7.1f}s  "
               f"aggregate exp {math.log(t1 / t0) / math.log(r):.2f}")
     t0, t1 = sum(r[1] for r in rows), sum(r[2] for r in rows)
