@@ -128,7 +128,27 @@ object ScaleInvariants {
         f"rows=${sa._1}%d vs ${sb._1}%d  (${secs}%.1f s)")
     }
 
-    val total = pairs.size + subsets.size + 2
+    // e16's best column must be EXACTLY e04's assignment at any scale —
+    // both run the two-phase exact-rescore policy, so (cid, cos) equality
+    // is bitwise, and any divergence means one side's pruning band lost
+    // the true argmax
+    locally {
+      val t0 = System.nanoTime()
+      val a = q("e04_centroid_assign")
+        .select(col("vec_id"), col("cid"), col("cos"))
+      val b = q("e16_assign_margin")
+        .select(col("vec_id"), col("cid1").as("cid"), col("cos1").as("cos"))
+      val nA = a.count()
+      val matched = a.join(b, Seq("vec_id", "cid", "cos")).count()
+      val nB = b.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val ok = nA == nB && matched == nA
+      if (!ok) fail += 1
+      println(f"${if (ok) "PASS" else "FAIL"}%s e16 best == e04 assignment  " +
+        f"rows=$nA%d matched=$matched%d  (${secs}%.1f s)")
+    }
+
+    val total = pairs.size + subsets.size + 3
     println(s"${total - fail}/$total twin invariants hold at $dir")
     spark.stop()
     if (fail > 0) sys.exit(1)
