@@ -104,14 +104,20 @@ object SimilarityQ {
     * sufficient (one eps wider than e04's argmax band — the bound passes
     * through the observed-vs-true second twice). Both windows share one
     * vec_id exchange; the survivor set is ~2-3 rows per vector. */
-  def assignMargin(s: SparkSession, dir: String): DataFrame = {
+  def assignMargin(s: SparkSession, dir: String): DataFrame =
+    assignMarginFrom(emb(s, dir), nCents = 8)
+
+  /** [[assignMargin]] over an arbitrary (id, vec) frame — the first
+    * nCents ids are the centroids, the rest the assigned vectors; split
+    * out so the property spec can drive the two-phase top-2 policy over
+    * adversarial random frames, not just the fixture corpus. */
+  private[graft] def assignMarginFrom(all: DataFrame, nCents: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val all = emb(s, dir)
-    val cents = broadcast(all.filter(col("id") < 8)
+    val cents = broadcast(all.filter(col("id") < nCents)
       .select(col("id").as("cid"), col("vec").as("cvec"),
         sqrt(Knn.dotExact(col("vec"), col("vec"))).as("cnrm"),
         sqrt(Knn.dotFast(col("vec"), col("vec"))).as("cnrm_f")))
-    val scored = all.filter(col("id") >= 8)
+    val scored = all.filter(col("id") >= nCents)
       .select(col("id").as("vec_id"), col("vec"),
         sqrt(Knn.dotFast(col("vec"), col("vec"))).as("nrm_f"))
       .crossJoin(cents)
