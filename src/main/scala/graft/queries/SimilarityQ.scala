@@ -782,10 +782,16 @@ object SimilarityQ {
     // of the query set the Spark path audits (64 does not bind at 3
     // queries, so the capped production shape sits behind the gate)
     "e14_ann_recall" ->
-      s"""WITH approx AS (
+      // approx MATERIALIZED (it is read twice: the sample derivation and
+      // the final join); gt bounds the query side to the 64-row sample
+      // via an explicit equi-join BEFORE the point product — the earlier
+      // `qq.id IN (subquery)` join condition let DuckDB plan a full
+      // point x point product filtered late, which at sf1 spilled past
+      // 79 GB of temp before dying (docs/SCALE.md addendum 2)
+      s"""WITH approx AS MATERIALIZED (
          |$ivfPqOracle
          |),
-         |smp AS (
+         |smp AS MATERIALIZED (
          |  SELECT qid FROM (SELECT DISTINCT qid FROM approx)
          |  ORDER BY md5(CAST(qid AS VARCHAR)), qid LIMIT 64),
          |qv14 AS MATERIALIZED (
@@ -800,8 +806,8 @@ object SimilarityQ {
          |             CAST(list_sum(list_transform(generate_series(1, 64),
          |               i -> (p.q[i] - qq.q[i]) * (p.q[i] - qq.q[i]))) AS BIGINT),
          |             p.id) AS rk
-         |    FROM qv14 p JOIN qv14 qq ON qq.id IN (SELECT qid FROM smp)
-         |                            AND p.id <> qq.id)
+         |    FROM (SELECT v.id, v.q FROM qv14 v JOIN smp ON smp.qid = v.id) qq
+         |         JOIN qv14 p ON p.id <> qq.id)
          |  WHERE rk <= 10)
          |SELECT qid, n_returned, n_hit, recall,
          |       CAST(COUNT(*) OVER () AS BIGINT) AS n_sampled
