@@ -145,9 +145,16 @@ object TextQ {
     * same exchange d03's groupBy pays) tags keep/remove per row, then an
     * ordinary partially-aggregated per-source rollup; no joins, no second
     * scan of the corpus. */
-  def dedupImpact(s: SparkSession, dir: String): DataFrame = {
+  def dedupImpact(s: SparkSession, dir: String): DataFrame =
+    dedupImpactFrom(Tables(s, dir).documents)
+
+  /** [[dedupImpact]] over an arbitrary (doc_id, source, n_chars, text)
+    * frame — split out so the spec can pin the global-canonical
+    * semantics on a synthetic frame with PLANTED cross-source copies
+    * (the driver corpus has none below sf0.1). */
+  private[graft] def dedupImpactFrom(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    Tables(s, dir).documents
+    docs
       .select(col("doc_id"), col("source"), col("n_chars"),
         TextMetrics.fingerprint(col("text")).as("__fp"))
       .withColumn("__keep",

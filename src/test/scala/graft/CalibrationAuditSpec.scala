@@ -32,6 +32,29 @@ class CalibrationAuditSpec extends AnyFunSuite {
     assert(badShare.isEmpty)
   }
 
+  test("d36: planted cross-source copies are charged to the mirror, not the origin") {
+    import spark.implicits._
+    // origin srcA holds the canonical (lowest doc_id); mirrors srcB/srcC
+    // carry byte-identical copies; srcB also has one unique doc
+    val docs = Seq(
+      (1L, "srcA", 10L, "shared text one"),
+      (2L, "srcB", 10L, "shared text one"),
+      (3L, "srcC", 10L, "shared text one"),
+      (4L, "srcB", 7L, "unique text"),
+      (5L, "srcA", 5L, "another unique")
+    ).toDF("doc_id", "source", "n_chars", "text")
+    val rows = graft.queries.TextQ.dedupImpactFrom(docs)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("chars_removed"))).toMap
+    // the origin keeps everything; each mirror loses its copy even
+    // though ITS copy is the only one in that source — the global
+    // canonical is what a per-source dedup report cannot express
+    assert(rows("srcA") == ((2L, 2L, 0L)))
+    assert(rows("srcB") == ((2L, 1L, 10L)))
+    assert(rows("srcC") == ((1L, 0L, 10L)))
+  }
+
   test("d37: survival counts are suffix sums of the bins and bounded by the corpus") {
     val cal = SparkEntry.queries("d37_quality_calibration")(spark, sf)
       .orderBy(col("score_bin")).collect()
