@@ -576,4 +576,59 @@ object DocStreams {
       ()
     }
   }
+
+  /** Streaming exact-dedup IMPACT accounting — d36's daily-drop twin and
+    * the doc-level exact-dedup flow itself: each drop's fingerprints
+    * probe the STORED fingerprint registry (history is never re-hashed),
+    * a doc is kept iff its fingerprint is globally new AND it is the
+    * drop's lowest-id holder of it, and two append-only sinks record the
+    * outcome — per-source impact DELTAS (additive: summing them per
+    * source reproduces d36's n_docs/n_kept/chars columns when drops
+    * arrive in doc_id order, the first-seen canonical then being the
+    * global min) and the (fp, canonical_id) registry delta. Write order
+    * follows the twins' replay rule (impact first, registry delta LAST):
+    * every stage's content depends only on the pre-batch registry, so a
+    * crashed batch recomputes identically. Registry cost: one narrow row
+    * per DISTINCT document ever seen, compacted like every registry;
+    * the probe is a batch-sized hash join against it. */
+  def dedupImpactStream(docStream: DataFrame, fpDir: String, impactDir: String,
+                        compactAfterFiles: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      val spark = batch.sparkSession
+      BatchCommit.rollback(spark, impactDir, bid)
+      BatchCommit.rollback(spark, fpDir, bid)
+      val stored = BatchCommit.readOr(spark, fpDir)(
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("fp", StringType),
+            StructField("canonical_id", LongType)))))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      val tagged = batch
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          graft.text.TextMetrics.fingerprint(col("text")).as("fp"))
+        .withColumn("__batch_canon", min(col("doc_id")).over(w))
+        .join(stored.select(col("fp"), lit(1).as("__known")), Seq("fp"), "left")
+        .withColumn("__keep",
+          col("__known").isNull && col("doc_id") === col("__batch_canon"))
+        .persist()
+      try {
+        BatchCommit.append(
+          tagged.groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(col("n_chars")).as("chars_total"),
+            sum(when(!col("__keep"), col("n_chars")).otherwise(0L)).as("chars_removed")),
+          impactDir, bid)
+        Failpoints.hit("impact:mid", fpDir)
+        BatchCommit.append(
+          tagged.filter(col("__keep"))
+            .select(col("fp"), col("doc_id").as("canonical_id")),
+          fpDir, bid)
+        Failpoints.hit("impact:post", fpDir)
+      } finally { tagged.unpersist(); () }
+      BatchCommit.maybeCompact(spark, fpDir, compactAfterFiles)
+      BatchCommit.maybeCompact(spark, impactDir, compactAfterFiles)
+      ()
+    }
 }

@@ -183,6 +183,19 @@ class CrashRecoverySpec extends AnyFunSuite {
         (stage, base, ckpt) => await(DocStreams.packingStream(
           docStream(stage), s"$base/totals", s"$base/items"), ckpt),
         Seq("totals", "items")),
+      Flow("dedupImpactStream",
+        Seq("impact:mid", "impact:post"),
+        // plant duplicates across the two drops (sf0.001 has none): the
+        // second drop re-carries three first-drop texts under new ids,
+        // so the replayed windows hit a NON-EMPTY known-fp probe
+        () => stageTwoDrops(docs.unionByName(
+          docs.filter(col("doc_id") < 3).select(
+            (col("doc_id") + 500L).as("doc_id"), col("text"), col("lang"),
+            lit("srcMirror").as("source"), col("n_chars"))), "doc_id", 150L),
+        _ => (),
+        (stage, base, ckpt) => await(DocStreams.dedupImpactStream(
+          docStream(stage), s"$base/fp", s"$base/impact"), ckpt),
+        Seq("fp", "impact")),
       Flow("ivfCodesIngestStream",
         // the partitioned-append commit windows: after the staging write,
         // mid per-cell moves, just before the root marker, and post-commit

@@ -45,6 +45,63 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture produced no contaminated docs — vacuous test")
   }
 
+  test("streaming dedup-impact converges to batch d36 under id-ordered drops") {
+    // sf0.001 has no exact duplicates — plant cross-source AND
+    // intra-drop copies with ids ABOVE every original, so id-ordered
+    // arrival makes first-seen == global-min canonical (the equality
+    // contract's precondition) and both probe shapes are non-vacuous
+    val base = Tables(spark, sf).documents
+    val copies = base.filter(col("doc_id").isin(3L, 7L, 11L))
+      .select((col("doc_id") + 600L).as("doc_id"), col("text"), col("lang"),
+        lit("srcMirror").as("source"), col("n_chars"))
+    val intra = {
+      import spark.implicits._
+      // a brand-new text duplicated WITHIN one drop: exercises the
+      // intra-batch canonical (min doc_id in the window), which the
+      // known-fp probe alone never reaches
+      Seq((800L, "brand new duplicated text", "en", "srcMirror", 25L),
+        (801L, "brand new duplicated text", "en", "srcMirror", 25L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    }
+    val all = base.unionByName(copies).unionByName(intra)
+
+    val stageDir = java.nio.file.Files.createTempDirectory("imp-stream").toString
+    for ((lo, hi) <- Seq((0L, 150L), (150L, 500L), (500L, 10000L))) {
+      all.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .repartition(1).write.mode("append").parquet(stageDir)
+      Thread.sleep(1100)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("imp-state").toString
+    val q = DocStreams.dedupImpactStream(
+        DocStreams.readDocumentStream(spark, stageDir, maxFilesPerTrigger = Some(1)),
+        s"$tmp/fp", s"$tmp/impact")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 3, "expected a multi-batch run")
+
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("chars_total"), r.getAs[Long]("chars_removed")))).toMap
+    val streamed = key(spark.read.parquet(s"$tmp/impact")
+      .groupBy("source").agg(sum("n_docs").as("n_docs"),
+        sum("n_kept").as("n_kept"), sum("chars_total").as("chars_total"),
+        sum("chars_removed").as("chars_removed")))
+    val batch = key(graft.queries.TextQ.dedupImpactFrom(all)
+      .select("source", "n_docs", "n_kept", "chars_total", "chars_removed"))
+    assert(streamed == batch,
+      "summed streaming impact deltas diverged from batch d36")
+    // mirror: 3 cross-source copies removed + the intra-drop pair keeps
+    // exactly its lowest id — 5 docs total, 1 kept
+    assert(batch("srcMirror")._1 == 5L && batch("srcMirror")._2 == 1L,
+      s"planted dup accounting wrong: ${batch("srcMirror")}")
+    // the registry holds exactly one row per distinct text ever seen
+    assert(spark.read.parquet(s"$tmp/fp").count() ==
+      all.select("text").distinct().count())
+  }
+
   test("streaming segment dedup converges to the batch d13 operator") {
     val docs = Tables(spark, sf).documents
     // stage three id-ordered drops with distinct mtimes: FileStreamSource
