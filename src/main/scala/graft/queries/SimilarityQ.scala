@@ -112,6 +112,10 @@ object SimilarityQ {
     * out so the property spec can drive the two-phase top-2 policy over
     * adversarial random frames, not just the fixture corpus. */
   private[graft] def assignMarginFrom(all: DataFrame, nCents: Int): DataFrame = {
+    // a top-2 needs two candidates; with one centroid the second-best
+    // window value is null and the band filter would silently drop every
+    // row — fail loudly instead
+    require(nCents >= 2, s"assignMargin needs >= 2 centroids, got $nCents")
     import org.apache.spark.sql.expressions.Window
     val cents = broadcast(all.filter(col("id") < nCents)
       .select(col("id").as("cid"), col("vec").as("cvec"),
@@ -480,16 +484,21 @@ object SimilarityQ {
       .withColumn("recall", round(col("n_hit").cast("double") / 10.0, 9))
       .withColumn("n_sampled",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy()))
-    // materialize the <= sampleQueries-row audit eagerly so the persisted
-    // probe can be RELEASED before returning — without this every
-    // invocation in a long-lived session (bench warm-ups, repeated
-    // audits) leaks one pinned DataFrame into the block manager forever
-    import scala.jdk.CollectionConverters._
-    val rows = out.collect().toSeq
-    val schema = out.schema
-    approx.unpersist()
-    s.createDataFrame(rows.asJava, schema)
+    // release the PREVIOUS invocation's persisted probe (one-slot cache):
+    // repeated audits in a long-lived session (bench warm-ups, verify
+    // reruns) would otherwise pin one DataFrame per call in the block
+    // manager forever. The swap keeps THIS call's result fully lazy —
+    // an eager collect-and-localize here would hand every plan gate a
+    // LocalTableScan and silently blind them to the real pipeline.
+    Option(lastProbeCache.getAndSet(approx))
+      .filter(_ ne approx).foreach { prev => prev.unpersist(); () }
+    out
   }
+
+  /** One-slot cache of [[ivfRecall]]'s persisted probe — see its release
+    * comment; bounds the pinned-DataFrame count at one per session. */
+  private val lastProbeCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e14_ann_recall" -> ((s, d) => ivfRecall(s, d)),

@@ -596,6 +596,11 @@ object DocStreams {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       val spark = batch.sparkSession
+      // impactDir is write-only (never readOr'd), yet it compacts below —
+      // so a compaction crash there must be healed explicitly at entry or
+      // the aside holding all prior impact history is eventually deleted
+      // (fpDir gets the same heal implicitly via readOr)
+      graft.store.Registries.recover(spark, impactDir)
       BatchCommit.rollback(spark, impactDir, bid)
       BatchCommit.rollback(spark, fpDir, bid)
       val stored = BatchCommit.readOr(spark, fpDir)(

@@ -153,7 +153,7 @@ object EmbStreams {
       // prune the ROOT's dead done-markers — appendPartitioned commits
       // one marker per batch at the root, where no maybeCompact runs, so
       // without this the root gains a marker file per micro-batch forever
-      liveCells().filterNot(_.contains("__")).foreach { n =>
+      liveCells().foreach { n =>
         BatchCommit.maybeCompact(spark,
           new org.apache.hadoop.fs.Path(root, n).toString, compactAfterFiles)
       }

@@ -44,8 +44,11 @@ object ScaleInvariants {
       "e07b_incr_neardup_stored" -> "e07_incr_neardup",
       "d30b_lexsem_audit_stored" -> "d30_lexsem_audit")
 
-    def sig(name: String): (Long, BigDecimal) = {
-      val df = graft.SparkEntry.queries(name)(spark, dir)
+    // ONE row-hash signature (null-marked, separator-delimited, column-
+    // order-normalized) for both the named-query and raw-frame forms —
+    // two copies let the discipline drift once (the d33 block shipped
+    // with an empty separator that hashed ("12","3") equal to ("1","23"))
+    def sigDf(df: org.apache.spark.sql.DataFrame): (Long, BigDecimal) = {
       val cols = df.columns.sorted
         .map(c => coalesce(col(c).cast("string"), lit("\u0000")))
       val r = df.select(xxhash64(concat_ws("\u0001", cols.toIndexedSeq: _*)).as("h"))
@@ -53,6 +56,8 @@ object ScaleInvariants {
       (r.getLong(0),
         if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
     }
+    def sig(name: String): (Long, BigDecimal) =
+      sigDf(graft.SparkEntry.queries(name)(spark, dir))
 
     var fail = 0
     pairs.foreach { case (a, b) =>
@@ -110,16 +115,6 @@ object ScaleInvariants {
       val sizes = mono.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
       val monoFull = mono.join(sizes, Seq("cluster_id"))
         .select("doc_id", "cluster_id", "n_members")
-      // same separator/null-marker discipline as sig() above: an empty
-      // separator would hash ("12","3") equal to ("1","23")
-      def sigDf(df: org.apache.spark.sql.DataFrame): (Long, BigDecimal) = {
-        val cols = df.columns.sorted
-          .map(c => coalesce(col(c).cast("string"), lit("\u0000")))
-        val r = df.select(xxhash64(concat_ws("\u0001", cols.toIndexedSeq: _*)).as("h"))
-          .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)"))).collect()(0)
-        (r.getLong(0),
-          if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
-      }
       val (sa, sb) = (sigDf(q("d33_incr_clusters")), sigDf(monoFull))
       val secs = (System.nanoTime() - t0) / 1e9
       val ok = sa == sb
