@@ -133,6 +133,48 @@ class RegistryCompactSpec extends AnyFunSuite {
     assert(total <= 8, s"total registry file count $total not bounded")
   }
 
+  test("dedup-impact flow self-compacts BOTH sinks: identical accounting, bounded files") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    // same shape as the segment-dedup probe, for the round-10 flow whose
+    // impact sink is write-only (compaction there crosses the explicit
+    // entry heal, not readOr's)
+    val docs = Tables(spark, sf).documents
+    val stage = java.nio.file.Files.createTempDirectory("di-stage").toString
+    for (k <- 0 until 8) {
+      docs.filter(pmod(col("doc_id"), lit(8)) === k)
+        .repartition(1).write.mode("append").parquet(stage)
+      Thread.sleep(1100)
+    }
+    def run(compactAfter: Int): (String, String) = {
+      val base = java.nio.file.Files.createTempDirectory("di-run").toString
+      val q = graft.streaming.DocStreams.dedupImpactStream(
+          graft.streaming.DocStreams.readDocumentStream(spark, stage,
+            maxFilesPerTrigger = Some(1)),
+          s"$base/fp", s"$base/impact", compactAfterFiles = compactAfter)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("di-ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (s"$base/fp", s"$base/impact")
+    }
+    val (fpC, impC) = run(compactAfter = 2)
+    val (fpN, impN) = run(compactAfter = 1 << 30)
+    def sums(dir: String) = spark.read.parquet(dir)
+      .groupBy("source").agg(sum("n_docs"), sum("n_kept"),
+        sum("chars_total"), sum("chars_removed"))
+      .collect().map(_.toSeq).toSet
+    assert(sums(impC) == sums(impN), "compaction changed impact accounting")
+    def rows(dir: String) = spark.read.parquet(dir).toJSON.collect().sorted.toSeq
+    assert(rows(fpC) == rows(fpN), "compaction changed the fp registry")
+    def files(dir: String) = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(files(fpN) >= 8 && files(impN) >= 8, "non-compacting run should hold 1+ file per drop")
+    assert(files(fpC) <= 6 && files(impC) <= 6,
+      s"self-compaction left fp=${files(fpC)} impact=${files(impC)} files")
+  }
+
   test("registry cache keys distinguish dirs that sanitize identically") {
     import spark.implicits._
     // /…/x/a_b and /…/x/a/b both sanitize to _…_x_a_b — the digest suffix
