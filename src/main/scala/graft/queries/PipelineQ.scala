@@ -152,6 +152,42 @@ object PipelineQ {
       .select("source", "n_chars_src", "w", "planned_chars", "rate_ppm", "epochs_ppm")
   }
 
+  /** Temperature-scaled source mixture (d38) — the DATA-DERIVED sibling of
+    * d27's fixed-weight plan: sampling weights proportional to
+    * n_chars_src^(1/T) with T = 2 (the α = 0.5 posture of multilingual /
+    * multi-source pretraining — big sources damped, small sources boosted),
+    * plus a UniMax-style repetition cap at 4 epochs so no small source is
+    * asked to repeat unboundedly. The fractional power is the one
+    * engine-portability hazard, solved by construction: w = floor(sqrt(n))
+    * on integers — IEEE-754 sqrt is CORRECTLY ROUNDED, so Spark and DuckDB
+    * produce the identical double for the identical bigint (exact below
+    * 2^52 ≈ 4.5e15 chars/source, comfortably above 100 TB/source), and
+    * everything downstream is decimal-widened integer floor-division
+    * exactly like d27. Same scale shape as d27: one census groupBy, then
+    * broadcast joins of one-row frames — nothing but the census touches
+    * per-document data. */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val perSource = docs.groupBy("source")
+      .agg(sum(col("n_chars")).as("n_chars_src"))
+      .withColumn("w_sqrt",
+        floor(sqrt(col("n_chars_src").cast("double"))).cast("long"))
+    val budget = docs.agg(sum(col("n_chars")).as("budget"))
+    val sumW = perSource.agg(sum(col("w_sqrt")).as("w_sum"))
+    perSource.crossJoin(broadcast(budget)).crossJoin(broadcast(sumW))
+      .withColumn("share_ppm",
+        expr("(cast(w_sqrt as decimal(38,0)) * 1000000) div w_sum"))
+      .withColumn("planned_chars",
+        expr("(cast(budget as decimal(38,0)) * w_sqrt) div w_sum"))
+      .withColumn("epochs_ppm",
+        expr("(cast(planned_chars as decimal(38,0)) * 1000000) div n_chars_src"))
+      .withColumn("capped", col("epochs_ppm") > lit(4000000L))
+      .withColumn("planned_capped_chars",
+        least(col("planned_chars"), expr("4 * n_chars_src")))
+      .select("source", "n_chars_src", "w_sqrt", "share_ppm",
+        "planned_chars", "epochs_ppm", "capped", "planned_capped_chars")
+  }
+
   /** Leakage-free split — the eval-hygiene upgrade of q46: a document's
     * split is decided by the md5 of its near-dup CLUSTER representative
     * (q48's connected components; singletons represent themselves), so a
@@ -328,6 +364,7 @@ object PipelineQ {
     "q57_ngram_contamination" -> (ngramContamination _),
     "q57b_contamination_stored" -> (ngramContaminationStored _),
     "d27_mixture_plan"     -> (mixturePlan _),
+    "d38_temperature_mix"  -> (temperatureMix _),
     "d28_leakfree_split"   -> (leakFreeSplit _),
     "d31_soft_dedup"       -> (softDedupWeights _),
     "d32_decontaminate"    -> (decontaminate _))
@@ -623,6 +660,29 @@ object PipelineQ {
          |       CAST((planned * 1000000) // n_chars_src AS BIGINT) AS epochs_ppm
          |FROM p""".stripMargin
     },
+    // d38: floor(sqrt) weight is bit-identical cross-engine (IEEE sqrt is
+    // correctly rounded); all downstream arithmetic is integer floor-div
+    "d38_temperature_mix" ->
+      """WITH n AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars_src
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_chars_src,
+        |             CAST(floor(sqrt(CAST(n_chars_src AS DOUBLE))) AS BIGINT) AS w_sqrt
+        |      FROM n),
+        |t AS (SELECT CAST(sum(n_chars) AS HUGEINT) AS budget FROM documents),
+        |sw AS (SELECT CAST(sum(w_sqrt) AS HUGEINT) AS w_sum FROM w),
+        |p AS (
+        |  SELECT w.source, w.n_chars_src, w.w_sqrt,
+        |         (CAST(w.w_sqrt AS HUGEINT) * 1000000) // sw.w_sum AS share_ppm,
+        |         (t.budget * w.w_sqrt) // sw.w_sum AS planned
+        |  FROM w, t, sw)
+        |SELECT source, n_chars_src, w_sqrt,
+        |       CAST(share_ppm AS BIGINT) AS share_ppm,
+        |       CAST(planned AS BIGINT) AS planned_chars,
+        |       CAST((planned * 1000000) // n_chars_src AS BIGINT) AS epochs_ppm,
+        |       (planned * 1000000) // n_chars_src > 4000000 AS capped,
+        |       CAST(least(planned, 4 * CAST(n_chars_src AS HUGEINT)) AS BIGINT)
+        |         AS planned_capped_chars
+        |FROM p""".stripMargin,
     // d28: q48's cluster closure decides the split key — a doc outside any
     // cluster represents itself
     "d28_leakfree_split" ->

@@ -193,6 +193,47 @@ object TextQ {
           sum(col("n_docs")).over(Window.partitionBy()).cast("double"), 9))
   }
 
+  /** Snapshot drift audit (d39) — Population Stability Index between two
+    * corpus snapshots (even doc_ids = the accumulated crawl, odd = the new
+    * drop, d26's convention), per source over fixed 200-char length bins
+    * (capped at bin 24 → B = 25 bins): the distribution-shift alarm a
+    * curation deployment reads before retraining gates or remixing — PSI
+    * > 0.2 on a source means its new crawl no longer looks like history.
+    * Laplace-smoothed ((n+1)/(N+B)) so every observed bin is defined even
+    * when one snapshot misses it. Engine-portability: every probability is
+    * a correctly-rounded IEEE division of EXACT integers (products <
+    * 2^52), so only ln's final ulp differs across engines — rounded away
+    * at 6 decimals, and `+ 0.0` normalizes -0.0; the per-source total sums
+    * the ROUNDED terms as decimals (order-free), not raw doubles. Scale
+    * shape: one scan → one (source × bin) groupBy with map-side partials;
+    * the windows run over the aggregated frame (≤ 25 rows/source). */
+  def snapshotDrift(s: SparkSession, dir: String): DataFrame =
+    snapshotDriftFrom(Tables(s, dir).documents)
+
+  /** [[snapshotDrift]] over an arbitrary (doc_id, source, n_chars) frame —
+    * split out so the spec can pin PSI = 0 on identical snapshots and
+    * localized positive PSI on a planted length shift. */
+  private[graft] def snapshotDriftFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = docs
+      .groupBy(col("source"),
+        least(expr("n_chars div 200"), lit(24L)).as("chars_bin"))
+      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("n_new"))
+    val w = Window.partitionBy(col("source"))
+    h.withColumn("__No", sum(col("n_old")).over(w))
+      .withColumn("__Nn", sum(col("n_new")).over(w))
+      .withColumn("psi_term",
+        round(((col("n_new") + 1).cast("double") / (col("__Nn") + 25).cast("double")
+            - (col("n_old") + 1).cast("double") / (col("__No") + 25).cast("double"))
+          * log(((col("n_new") + 1) * (col("__No") + 25)).cast("double")
+            / ((col("n_old") + 1) * (col("__Nn") + 25)).cast("double")), 6)
+          + lit(0.0))
+      .withColumn("psi_total",
+        sum(col("psi_term").cast("decimal(18,6)")).over(w).cast("double"))
+      .select("source", "chars_bin", "n_old", "n_new", "psi_term", "psi_total")
+  }
+
   /** Incremental MinHash near-dup — the daily-crawl twin of d06: even
     * doc_ids play the accumulated history (their signature table is what
     * the flow stores), odd doc_ids are today's batch; the batch's bands
@@ -270,7 +311,8 @@ object TextQ {
     "d26_incr_minhash"  -> (incrementalMinhash _),
     "d26b_incr_minhash_stored" -> (incrementalMinhashStored _),
     "d36_dedup_impact"  -> (dedupImpact _),
-    "d37_quality_calibration" -> (qualityCalibration _))
+    "d37_quality_calibration" -> (qualityCalibration _),
+    "d39_snapshot_drift" -> (snapshotDrift _))
 
   private[queries] val toksSql =
     """SELECT doc_id, lang, text,
@@ -555,5 +597,30 @@ object TextQ {
          |       CAST(sum(n_docs) OVER (ORDER BY score_bin DESC) AS BIGINT) AS surv_docs,
          |       round(CAST(sum(n_docs) OVER (ORDER BY score_bin DESC) AS DOUBLE)
          |             / CAST(sum(n_docs) OVER () AS DOUBLE), 9) AS surv_share
-         |FROM b""".stripMargin)
+         |FROM b""".stripMargin,
+    // d39: exact-integer probabilities (correctly-rounded IEEE division),
+    // ln rounded at 6 decimals, totals summed as decimals — order-free
+    "d39_snapshot_drift" ->
+      """WITH h AS (
+        |  SELECT source, least(n_chars // 200, 24) AS chars_bin,
+        |         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (
+        |  SELECT source, chars_bin, n_old, n_new,
+        |         CAST(sum(n_old) OVER (PARTITION BY source) AS BIGINT) AS n_o,
+        |         CAST(sum(n_new) OVER (PARTITION BY source) AS BIGINT) AS n_n
+        |  FROM h),
+        |t AS (
+        |  SELECT source, chars_bin, n_old, n_new,
+        |         round((CAST(n_new + 1 AS DOUBLE) / CAST(n_n + 25 AS DOUBLE)
+        |              - CAST(n_old + 1 AS DOUBLE) / CAST(n_o + 25 AS DOUBLE))
+        |               * ln(CAST((n_new + 1) * (n_o + 25) AS DOUBLE)
+        |                  / CAST((n_old + 1) * (n_n + 25) AS DOUBLE)), 6) + 0.0
+        |           AS psi_term
+        |  FROM g)
+        |SELECT source, chars_bin, n_old, n_new, psi_term,
+        |       CAST(sum(CAST(psi_term AS DECIMAL(18,6))) OVER (PARTITION BY source)
+        |            AS DOUBLE) AS psi_total
+        |FROM t""".stripMargin)
 }

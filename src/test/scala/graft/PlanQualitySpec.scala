@@ -402,6 +402,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "e10b_ivfpq_stored",    // same ADC shape, probing the stored cells
       "e15_ivfpq_incr",       // same ADC shape over (stored history ∪ delta)
       "d27_mixture_plan",     // per-source weights x ONE global-budget row
+      "d38_temperature_mix",  // same shape: census x two ONE-row global frames
       "e01_knn_brute",        // brute-force baseline IS all-pairs by contract
       "e02_cosine_neardup",   // exact verification path (sketch path is e03)
       "d30_lexsem_audit",     // composes e02's require-capped exact pair side
