@@ -93,6 +93,40 @@ object CurationQ {
         round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 9))
   }
 
+  /** Token-fertility drift (d40) — q58's tokenizer-budget signal split
+    * old-crawl vs new-drop (even/odd doc_ids, d26's convention), per
+    * source: chars-per-token of each snapshot in exact integer ppm
+    * (decimal floor-division, d27's arithmetic — no cross-engine float
+    * hazard) and the delta between them. This is the tokenizer-drift
+    * alarm a budget planner reads next to d39: a source whose NEW crawl
+    * tokenizes denser (drift_ppm < 0 — e.g. prose giving way to code or
+    * boilerplate) silently eats more token budget per planned char than
+    * d38's mixture assumed. Same scale shape as q58: one codegen'd
+    * encode pass, one source-keyed aggregation with map-side partials;
+    * the ppm arithmetic runs on the 20-row aggregate. A source missing a
+    * snapshot reports null ppm for it (nullif guard) rather than a
+    * divide-by-zero. */
+  def fertilityDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val model = Bpe.stableModel
+    docs.select(col("source"), (col("doc_id") % 2 === 1).as("__new"),
+        length(col("text")).cast("long").as("__chars"),
+        size(BpeEncode.bpeEncode(col("text"), model)).cast("long").as("__subwords"))
+      .groupBy("source")
+      .agg(
+        sum(when(!col("__new"), 1L).otherwise(0L)).as("n_docs_old"),
+        sum(when(col("__new"), 1L).otherwise(0L)).as("n_docs_new"),
+        sum(when(!col("__new"), col("__subwords")).otherwise(0L)).as("tokens_old"),
+        sum(when(col("__new"), col("__subwords")).otherwise(0L)).as("tokens_new"),
+        sum(when(!col("__new"), col("__chars")).otherwise(0L)).as("chars_old"),
+        sum(when(col("__new"), col("__chars")).otherwise(0L)).as("chars_new"))
+      .withColumn("cpt_old_ppm",
+        expr("(cast(chars_old as decimal(38,0)) * 1000000) div nullif(tokens_old, 0)"))
+      .withColumn("cpt_new_ppm",
+        expr("(cast(chars_new as decimal(38,0)) * 1000000) div nullif(tokens_new, 0)"))
+      .withColumn("drift_ppm", col("cpt_new_ppm") - col("cpt_old_ppm"))
+  }
+
   /** Dataset-level overlap: exact pairwise Jaccard between the 20
     * sources' trigram-shingle sets (the "how much of crawl B is already
     * in crawl A" question). The MinHash sketch twin is bound to this
@@ -328,6 +362,7 @@ object CurationQ {
     "d15_bpe_pairs"     -> (bpePairs _),
     "d16_bpe_encode"    -> (bpeEncode _),
     "q58_token_fertility" -> (tokenFertility _),
+    "d40_fertility_drift" -> (fertilityDrift _),
     "d17_source_overlap" -> (sourceOverlap _),
     "q56_nfc_normalize" -> (nfcNormalize _))
 
@@ -498,6 +533,40 @@ object CurationQ {
          |       round(CAST(SUM(chars) AS DOUBLE) / CAST(SUM(subwords) AS DOUBLE), 9)
          |         AS chars_per_token
          |FROM enc GROUP BY 1""".stripMargin
+    },
+    // d40: q58's chain with the even/odd snapshot split; ppm ratios are
+    // hugeint floor-division (d27's arithmetic), nullif-guarded
+    "d40_fertility_drift" -> {
+      val chain = bpeChainSql
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, text,
+         |         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |enc AS (
+         |  SELECT doc_id, source, doc_id % 2 = 1 AS nw, length(text) AS chars,
+         |         coalesce(list_sum(list_transform(
+         |           list_transform(t, w -> $chain),
+         |           s -> length(s) - length(replace(s, chr(1), '')))), 0) AS subwords
+         |  FROM toks),
+         |agg AS (
+         |  SELECT source,
+         |         CAST(sum(CASE WHEN NOT nw THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_old,
+         |         CAST(sum(CASE WHEN nw THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_new,
+         |         CAST(sum(CASE WHEN NOT nw THEN subwords ELSE 0 END) AS BIGINT) AS tokens_old,
+         |         CAST(sum(CASE WHEN nw THEN subwords ELSE 0 END) AS BIGINT) AS tokens_new,
+         |         CAST(sum(CASE WHEN NOT nw THEN chars ELSE 0 END) AS BIGINT) AS chars_old,
+         |         CAST(sum(CASE WHEN nw THEN chars ELSE 0 END) AS BIGINT) AS chars_new
+         |  FROM enc GROUP BY 1)
+         |SELECT source, n_docs_old, n_docs_new, tokens_old, tokens_new,
+         |       chars_old, chars_new,
+         |       CAST((CAST(chars_old AS HUGEINT) * 1000000)
+         |            // nullif(tokens_old, 0) AS BIGINT) AS cpt_old_ppm,
+         |       CAST((CAST(chars_new AS HUGEINT) * 1000000)
+         |            // nullif(tokens_new, 0) AS BIGINT) AS cpt_new_ppm,
+         |       CAST((CAST(chars_new AS HUGEINT) * 1000000) // nullif(tokens_new, 0)
+         |          - (CAST(chars_old AS HUGEINT) * 1000000) // nullif(tokens_old, 0)
+         |         AS BIGINT) AS drift_ppm
+         |FROM agg""".stripMargin
     },
     "d29_chunk_overlap" ->
       s"""WITH toks AS (

@@ -431,6 +431,30 @@ object SimilarityQ {
             .cast("double"), 9))
   }
 
+  /** Embedding-cell drift audit (e17) — d39's snapshot-PSI machinery
+    * pointed at the SEMANTIC axis: old crawl (even vec_ids) vs new drop
+    * (odd vec_ids) occupancy of e13's k-means cells, Laplace-smoothed PSI
+    * over the B = 8 fixed cells. This is the index-health alarm the IVF
+    * lifecycle reads BEFORE e15 appends a delta: d39 catches a source
+    * whose surface statistics shifted; e17 catches the drift d39 cannot
+    * see — new content that LOOKS like history (same lengths, same
+    * sources) but lands in different semantic cells, which silently
+    * unbalances the IVF index (hot cells stop pruning) and skews e13's
+    * mixture census. PSI > 0.2 here says "retrain the coarse quantizer",
+    * exactly the trigger e06's Lloyd rebuild wants. Scale shape: the cell
+    * assignment is e13's k-row broadcast argmax (linear scan, measured
+    * exponent family e04/e13 in docs/SCALE.md); everything after is an
+    * 8-row histogram, so [[graft.ops.Drift]]'s windows are over 8 rows
+    * regardless of corpus size. */
+  def cellDrift(s: SparkSession, dir: String): DataFrame = {
+    val h = kmeansCells(s, dir)
+      .groupBy("cell")
+      .agg(sum(when(col("id") % 2 === 0, 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("id") % 2 === 1, 1L).otherwise(0L)).as("n_new"))
+    graft.ops.Drift.psi(h, Seq(), bins = 8)
+      .select("cell", "n_old", "n_new", "psi_term", "psi_total")
+  }
+
   /** ANN quality audit (e14): recall@10 of the STORED IVF+PQ nprobe-2
     * ADC search (e10b — cell-pruned, quantization-lossy) against the
     * exact integer-L2 top-10 over the same quantized vectors, per query.
@@ -519,6 +543,7 @@ object SimilarityQ {
     "e10b_ivfpq_stored"  -> (ivfPqStored _),
     "e15_ivfpq_incr"     -> (ivfPqIncr _),
     "e16_assign_margin"  -> (assignMargin _),
+    "e17_cell_drift"     -> (cellDrift _),
     "e11_semdedup_kmeans" -> (semDedupKmeans _))
 
   // Shared oracle scaffolding, in lockstep with Knn.dotExact/cosine:
@@ -851,6 +876,40 @@ object SimilarityQ {
          |       round(CAST(n_docs AS DOUBLE) /
          |             CAST(SUM(n_docs) OVER (PARTITION BY cell) AS DOUBLE), 9) AS share
          |FROM n""".stripMargin,
+    // e17: e13's cell CTE chain, then d39's PSI SQL with B = 8 over one
+    // global population — the drift audit cannot diverge from the
+    // clustering it audits
+    "e17_cell_drift" ->
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding,
+         |           x -> CAST(round_even(CAST(x AS DOUBLE) * 1024, 0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c0 AS (SELECT CAST(id AS INT) AS cid, q AS cq FROM q WHERE id < 8),
+         |${lloydRoundSql(1, "c0", 64)},
+         |${lloydRoundSql(2, "c1", 64)},
+         |h AS (
+         |  SELECT CAST(cid AS INT) AS cell,
+         |         CAST(sum(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         |         CAST(sum(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+         |  FROM a2 GROUP BY 1),
+         |g AS (
+         |  SELECT cell, n_old, n_new,
+         |         CAST(sum(n_old) OVER () AS BIGINT) AS n_o,
+         |         CAST(sum(n_new) OVER () AS BIGINT) AS n_n
+         |  FROM h),
+         |t AS (
+         |  SELECT cell, n_old, n_new,
+         |         round((CAST(n_new + 1 AS DOUBLE) / CAST(n_n + 8 AS DOUBLE)
+         |              - CAST(n_old + 1 AS DOUBLE) / CAST(n_o + 8 AS DOUBLE))
+         |               * ln(CAST((n_new + 1) * (n_o + 8) AS DOUBLE)
+         |                  / CAST((n_old + 1) * (n_n + 8) AS DOUBLE)), 6) + 0.0
+         |           AS psi_term
+         |  FROM g)
+         |SELECT cell, n_old, n_new, psi_term,
+         |       CAST(sum(CAST(psi_term AS DECIMAL(18,6))) OVER ()
+         |            AS DOUBLE) AS psi_total
+         |FROM t""".stripMargin,
     "e10_ivfpq" -> ivfPqOracle,
     "e10b_ivfpq_stored" -> ivfPqOracle,
     // e15: the merged (stored-history ∪ delta) index equals the full

@@ -212,25 +212,16 @@ object TextQ {
 
   /** [[snapshotDrift]] over an arbitrary (doc_id, source, n_chars) frame —
     * split out so the spec can pin PSI = 0 on identical snapshots and
-    * localized positive PSI on a planted length shift. */
+    * localized positive PSI on a planted length shift. The PSI arithmetic
+    * lives in [[graft.ops.Drift]], shared with e17's embedding-cell
+    * drift. */
   private[graft] def snapshotDriftFrom(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val h = docs
       .groupBy(col("source"),
         least(expr("n_chars div 200"), lit(24L)).as("chars_bin"))
       .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_old"),
         sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("n_new"))
-    val w = Window.partitionBy(col("source"))
-    h.withColumn("__No", sum(col("n_old")).over(w))
-      .withColumn("__Nn", sum(col("n_new")).over(w))
-      .withColumn("psi_term",
-        round(((col("n_new") + 1).cast("double") / (col("__Nn") + 25).cast("double")
-            - (col("n_old") + 1).cast("double") / (col("__No") + 25).cast("double"))
-          * log(((col("n_new") + 1) * (col("__No") + 25)).cast("double")
-            / ((col("n_old") + 1) * (col("__Nn") + 25)).cast("double")), 6)
-          + lit(0.0))
-      .withColumn("psi_total",
-        sum(col("psi_term").cast("decimal(18,6)")).over(w).cast("double"))
+    graft.ops.Drift.psi(h, Seq("source"), bins = 25)
       .select("source", "chars_bin", "n_old", "n_new", "psi_term", "psi_total")
   }
 

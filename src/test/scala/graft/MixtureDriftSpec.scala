@@ -85,6 +85,68 @@ class MixtureDriftSpec extends AnyFunSuite {
     assert(out("srcShift") > 0.2, s"shift PSI ${out("srcShift")}")
   }
 
+  test("e17: cell counts conserve the corpus; totals are the sum of terms") {
+    val drift = SparkEntry.queries("e17_cell_drift")(spark, sf)
+    val rows = drift.collect()
+    assert(rows.length <= 8 && rows.nonEmpty)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    assert(rows.map(r => r.getAs[Long]("n_old") + r.getAs[Long]("n_new")).sum
+      == emb.count())
+    val total = BigDecimal(rows.head.getAs[Double]("psi_total"))
+    val termSum = rows.map(r => BigDecimal(r.getAs[Double]("psi_term"))).sum
+    assert((total - termSum).abs < BigDecimal("1e-9"))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("psi_term") >= 0.0, r.toString)
+      assert(r.getAs[Double]("psi_total") == rows.head.getAs[Double]("psi_total"))
+    }
+  }
+
+  test("Drift.psi: zero on identical histograms, positive on a swap, " +
+       "smoothing defines bins absent from one snapshot") {
+    import spark.implicits._
+    val same = Seq((0, 10L, 10L), (1, 5L, 5L), (2, 0L, 0L))
+      .toDF("bin", "n_old", "n_new")
+    graft.ops.Drift.psi(same, Seq(), bins = 8).collect().foreach { r =>
+      assert(r.getAs[Double]("psi_term") == 0.0)
+      assert(r.getAs[Double]("psi_total") == 0.0)
+    }
+    // total occupancy swap between two bins: both terms positive
+    val swap = Seq((0, 100L, 0L), (1, 0L, 100L)).toDF("bin", "n_old", "n_new")
+    val out = graft.ops.Drift.psi(swap, Seq(), bins = 2).collect()
+    out.foreach(r => assert(r.getAs[Double]("psi_term") > 0.0, r.toString))
+    assert(out.head.getAs[Double]("psi_total") > 0.2)
+  }
+
+  test("d40: snapshot sums reconcile with q58 and ppm ratios are exact " +
+       "floor divisions") {
+    val drift = SparkEntry.queries("d40_fertility_drift")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val q58 = SparkEntry.queries("q58_token_fertility")(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(drift.keySet == q58.keySet)
+    q58.foreach { case (src, f) =>
+      val d = drift(src)
+      assert(d.getAs[Long]("n_docs_old") + d.getAs[Long]("n_docs_new")
+        == f.getAs[Long]("n_docs"))
+      assert(d.getAs[Long]("tokens_old") + d.getAs[Long]("tokens_new")
+        == f.getAs[Long]("n_tokens"))
+      assert(d.getAs[Long]("chars_old") + d.getAs[Long]("chars_new")
+        == f.getAs[Long]("n_chars"))
+      // a snapshot with zero tokens reports null ppm (nullif guard),
+      // and null propagates into drift_ppm
+      def cpt(chars: Long, toks: Long): Option[Long] =
+        if (toks == 0L) None else Some(chars * 1000000L / toks)
+      val cptOld = cpt(d.getAs[Long]("chars_old"), d.getAs[Long]("tokens_old"))
+      val cptNew = cpt(d.getAs[Long]("chars_new"), d.getAs[Long]("tokens_new"))
+      def field(n: String): Option[Long] =
+        if (d.isNullAt(d.fieldIndex(n))) None else Some(d.getAs[Long](n))
+      assert(field("cpt_old_ppm") == cptOld)
+      assert(field("cpt_new_ppm") == cptNew)
+      assert(field("drift_ppm") ==
+        (for (o <- cptOld; n <- cptNew) yield n - o))
+    }
+  }
+
   test("d39: counts conserve the corpus and totals are the sum of terms") {
     val drift = SparkEntry.queries("d39_snapshot_drift")(spark, sf)
     val docs = Tables(spark, sf).documents

@@ -410,6 +410,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "e16_assign_margin",    // same k-row broadcast shape, widened to top-2
       "e11_semdedup_kmeans",  // same k-row broadcast assignment feeding cells
       "e13_cell_source_mix",  // same k-row broadcast assignment feeding census
+      "e17_cell_drift",       // same k-row broadcast assignment feeding the PSI histogram
       "e14_ann_recall",       // truth side: md5-sampled (<=64-row) broadcast query set x corpus
       "e07_incr_neardup",     // new-batch side broadcasts (plan-gated elsewhere)
       // q38: the synthetic star derivation constant-folds the 1-row
