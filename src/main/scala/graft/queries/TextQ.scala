@@ -225,6 +225,31 @@ object TextQ {
       .select("source", "chars_bin", "n_old", "n_new", "psi_term", "psi_total")
   }
 
+  /** Snapshot drift, production shape (d39b) — the same PSI report as
+    * [[snapshotDrift]], but history is never re-scanned: the new drop
+    * (odd doc_ids) is histogrammed in one pass and full-outer-joined
+    * against the STORED reference histogram
+    * ([[graft.store.Registries.driftHistogram]], ≤ sources × 25 rows).
+    * This is what a daily drift read actually costs — O(drop) + a tiny
+    * registry scan — while d39 stays registered as the from-scratch
+    * worst-case twin (the d26/d26b convention). Bitwise-equal to d39 by
+    * construction (the outer join reproduces exactly the observed-bin
+    * row set, counts are the same integers, [[graft.ops.Drift.psi]] is
+    * shared), which ScaleInvariants pins as a result-equal pair. The
+    * join is a ≤500-row-a-side equi-join on the aggregated frames —
+    * nothing here grows with history size. */
+  def snapshotDriftStored(s: SparkSession, dir: String): DataFrame = {
+    val newHist = Tables(s, dir).documents.filter(col("doc_id") % 2 === 1)
+      .groupBy(col("source"),
+        least(expr("n_chars div 200"), lit(24L)).as("chars_bin"))
+      .agg(count(lit(1)).as("n_new"))
+    val h = graft.store.Registries.driftHistogram(s, dir)
+      .join(newHist, Seq("source", "chars_bin"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+    graft.ops.Drift.psi(h, Seq("source"), bins = 25)
+      .select("source", "chars_bin", "n_old", "n_new", "psi_term", "psi_total")
+  }
+
   /** Incremental MinHash near-dup — the daily-crawl twin of d06: even
     * doc_ids play the accumulated history (their signature table is what
     * the flow stores), odd doc_ids are today's batch; the batch's bands
@@ -303,7 +328,8 @@ object TextQ {
     "d26b_incr_minhash_stored" -> (incrementalMinhashStored _),
     "d36_dedup_impact"  -> (dedupImpact _),
     "d37_quality_calibration" -> (qualityCalibration _),
-    "d39_snapshot_drift" -> (snapshotDrift _))
+    "d39_snapshot_drift" -> (snapshotDrift _),
+    "d39b_drift_stored" -> (snapshotDriftStored _))
 
   private[queries] val toksSql =
     """SELECT doc_id, lang, text,
@@ -597,6 +623,42 @@ object TextQ {
         |         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
         |         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
         |  FROM documents GROUP BY 1, 2),
+        |g AS (
+        |  SELECT source, chars_bin, n_old, n_new,
+        |         CAST(sum(n_old) OVER (PARTITION BY source) AS BIGINT) AS n_o,
+        |         CAST(sum(n_new) OVER (PARTITION BY source) AS BIGINT) AS n_n
+        |  FROM h),
+        |t AS (
+        |  SELECT source, chars_bin, n_old, n_new,
+        |         round((CAST(n_new + 1 AS DOUBLE) / CAST(n_n + 25 AS DOUBLE)
+        |              - CAST(n_old + 1 AS DOUBLE) / CAST(n_o + 25 AS DOUBLE))
+        |               * ln(CAST((n_new + 1) * (n_o + 25) AS DOUBLE)
+        |                  / CAST((n_old + 1) * (n_n + 25) AS DOUBLE)), 6) + 0.0
+        |           AS psi_term
+        |  FROM g)
+        |SELECT source, chars_bin, n_old, n_new, psi_term,
+        |       CAST(sum(CAST(psi_term AS DECIMAL(18,6))) OVER (PARTITION BY source)
+        |            AS DOUBLE) AS psi_total
+        |FROM t""".stripMargin,
+    // d39b: the stored-registry replay — history histogram and drop
+    // histogram built separately, full-outer-joined (exactly the
+    // observed-bin row set), then the identical PSI arithmetic
+    "d39b_drift_stored" ->
+      """WITH old_h AS (
+        |  SELECT source, least(n_chars // 200, 24) AS chars_bin,
+        |         CAST(count(*) AS BIGINT) AS n_old
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |new_h AS (
+        |  SELECT source, least(n_chars // 200, 24) AS chars_bin,
+        |         CAST(count(*) AS BIGINT) AS n_new
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+        |h AS (
+        |  SELECT coalesce(o.source, n.source) AS source,
+        |         coalesce(o.chars_bin, n.chars_bin) AS chars_bin,
+        |         coalesce(o.n_old, 0) AS n_old,
+        |         coalesce(n.n_new, 0) AS n_new
+        |  FROM old_h o FULL OUTER JOIN new_h n
+        |    ON o.source = n.source AND o.chars_bin = n.chars_bin),
         |g AS (
         |  SELECT source, chars_bin, n_old, n_new,
         |         CAST(sum(n_old) OVER (PARTITION BY source) AS BIGINT) AS n_o,

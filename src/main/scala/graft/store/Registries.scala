@@ -90,6 +90,22 @@ object Registries {
         .select(col("id"), col("bucket"))
     }
 
+  /** Stored per-(source, 200-char bin) length histogram of the
+    * accumulated crawl (even-id docs) — the frozen reference histogram
+    * d39b's drift audit probes per drop, so history is never re-scanned:
+    * a daily PSI read costs one scan of the DROP plus a ≤(sources × 25)-
+    * row parquet read, regardless of how much history has accumulated.
+    * The streaming twin ([[graft.streaming.DocStreams]]) maintains
+    * exactly this table as append-only count deltas (sum by key = the
+    * histogram). */
+  def driftHistogram(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "drift_hist") {
+      Tables(s, dir).documents.filter(col("doc_id") % 2 === 0)
+        .groupBy(col("source"),
+          least(expr("n_chars div 200"), lit(24L)).as("chars_bin"))
+        .agg(count(lit(1)).as("n_old"))
+    }
+
   /** Stored distinct 5-gram registry of the training corpus (q50/q57's
     * doc_id % 50 != 0 split): what the contamination audit probes per
     * eval drop, instead of re-shingling 98% of the corpus every run. The
@@ -258,6 +274,7 @@ object Registries {
     minhashSignatures(s, dir).head(1)
     minhashBands(s, dir).head(1)
     embBuckets(s, dir).head(1)
+    driftHistogram(s, dir).head(1)
     trainShingles(s, dir).head(1)
     dupClusters(s, dir).head(1)
     minhashClusters(s, dir).head(1)

@@ -522,6 +522,47 @@ object DocStreams {
       ()
     }
 
+  /** Streaming drift-histogram maintenance — d39b's registry twin
+    * ([[graft.queries.TextQ.snapshotDriftStored]]): each arriving drop is
+    * histogrammed over the (source × 200-char bin) grid and the counts
+    * appended to `histDir` as delta rows whose per-key SUM is the
+    * accumulated drop histogram — compaction-friendly (folding rows
+    * preserves sums, the [[packingStream]] totals convention) and
+    * exactly-once under [[BatchCommit]] (single sink, rollback then
+    * tagged append). The PSI read side is [[driftReport]]; nothing here
+    * ever re-scans earlier drops, so a day's maintenance costs one scan
+    * of that day's files. */
+  def driftHistStream(docStream: DataFrame, histDir: String,
+                      compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      val spark = batch.sparkSession
+      BatchCommit.rollback(spark, histDir, bid)
+      BatchCommit.append(
+        batch.groupBy(col("source"),
+            least(expr("n_chars div 200"), lit(24L)).as("chars_bin"))
+          .agg(count(lit(1)).as("n")),
+        histDir, bid)
+      Failpoints.hit("drift:post", histDir)
+      BatchCommit.maybeCompact(spark, histDir, compactAfterFiles)
+      ()
+    }
+
+  /** The PSI read over [[driftHistStream]]'s accumulated registry:
+    * reference histogram (`(source, chars_bin, n_old)` — e.g.
+    * [[graft.store.Registries.driftHistogram]]) vs the summed drop
+    * deltas, full-outer-joined and run through the shared
+    * [[graft.ops.Drift.psi]] arithmetic — converges to the batch
+    * d39/d39b report once every drop has been folded in. */
+  def driftReport(spark: SparkSession, refHist: DataFrame,
+                  histDir: String): DataFrame = {
+    val newHist = spark.read.parquet(histDir)
+      .groupBy("source", "chars_bin").agg(sum(col("n")).as("n_new"))
+    val h = refHist.join(newHist, Seq("source", "chars_bin"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+    graft.ops.Drift.psi(h, Seq("source"), bins = 25)
+      .select("source", "chars_bin", "n_old", "n_new", "psi_term", "psi_total")
+  }
+
   /** Streaming interleaved multimodal packing — m15's daily-drop twin
     * ([[graft.queries.MultimodalQ.interleavedPacking]]): each arriving
     * drop of documents is costed by the SHARED stage (exact BPE tokens +

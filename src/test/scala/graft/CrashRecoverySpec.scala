@@ -113,6 +113,13 @@ class CrashRecoverySpec extends AnyFunSuite {
         (stage, base, ckpt) => await(DocStreams.ngramContaminationStream(
           docStream(stage), "doc_id", "text", 5, s"$base/ngreg", s"$base/out"), ckpt),
         Seq("out")),
+      Flow("driftHistStream",
+        Seq("drift:post"),
+        () => stageTwoDrops(docs.filter(col("doc_id") % 2 === 1), "doc_id", 150L),
+        _ => (),
+        (stage, base, ckpt) => await(DocStreams.driftHistStream(
+          docStream(stage), s"$base/hist"), ckpt),
+        Seq("hist")),
       Flow("curationFunnelStream",
         Seq("funnel:mid1", "funnel:mid2", "funnel:post"),
         () => stageTwoDrops(docs, "doc_id", 150L),

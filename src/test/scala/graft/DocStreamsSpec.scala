@@ -383,6 +383,33 @@ class DocStreamsSpec extends AnyFunSuite {
       "streamed contamination fractions diverged from the batch q57 query")
   }
 
+  test("streaming drift histogram converges to the batch d39 report") {
+    val docs = Tables(spark, sf).documents
+    val newDocs = docs.filter(col("doc_id") % 2 === 1)
+    // the new drop arrives in three chunks
+    val stageDir = java.nio.file.Files.createTempDirectory("dr-stream").toString
+    for ((lo, hi) <- Seq((0L, 150L), (150L, 320L), (320L, 100000L))) {
+      newDocs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .repartition(1).write.mode("append").parquet(stageDir)
+      Thread.sleep(1100)
+    }
+    val histDir = java.nio.file.Files.createTempDirectory("dr-hist").toString + "/h"
+    val ckpt = java.nio.file.Files.createTempDirectory("dr-ckpt").toString
+    DocStreams.driftHistStream(
+        DocStreams.readDocumentStream(spark, stageDir, maxFilesPerTrigger = Some(1)),
+        histDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+
+    val report = DocStreams.driftReport(spark,
+      graft.store.Registries.driftHistogram(spark, sf), histDir)
+    val batch = SparkEntry.queries("d39_snapshot_drift")(spark, sf)
+    assert(report.count() > 0)
+    assert(report.except(batch).isEmpty && batch.except(report).isEmpty,
+      "streamed drift report diverged from the batch d39 PSI")
+  }
+
   test("streaming repeated-regions converges to per-prefix full reruns") {
     import graft.text.Winnowing
     val docs = Tables(spark, sf).documents.select("doc_id", "text")

@@ -147,6 +147,22 @@ class MixtureDriftSpec extends AnyFunSuite {
     }
   }
 
+  test("d39b: the stored-registry probe is bitwise-equal to the " +
+       "from-scratch d39") {
+    val full = SparkEntry.queries("d39_snapshot_drift")(spark, sf).collect()
+      .map(_.toString).sorted
+    val stored = SparkEntry.queries("d39b_drift_stored")(spark, sf).collect()
+      .map(_.toString).sorted
+    assert(stored.sameElements(full),
+      s"d39b diverged from d39: ${full.length} vs ${stored.length} rows")
+    // and the registry itself conserves history: its counts sum to the
+    // even-id doc count (zero rows lost or double-counted in the build)
+    val reg = graft.store.Registries.driftHistogram(spark, sf)
+    val evens = Tables(spark, sf).documents
+      .filter(col("doc_id") % 2 === 0).count()
+    assert(reg.agg(sum("n_old")).head().getLong(0) == evens)
+  }
+
   test("d39: counts conserve the corpus and totals are the sum of terms") {
     val drift = SparkEntry.queries("d39_snapshot_drift")(spark, sf)
     val docs = Tables(spark, sf).documents

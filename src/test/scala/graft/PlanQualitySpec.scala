@@ -328,6 +328,14 @@ class PlanQualitySpec extends AnyFunSuite {
     // rescore arms; history itself is never re-signed in either)
     assert(scans(d30b, "documents.parquet") <= scans(d26b, "documents.parquet"),
       "d30b re-signs history beyond the d26b probe" + BNL + d30b)
+    // d39b: history's histogram comes from the stored registry — exactly
+    // one documents scan (the new drop being histogrammed); re-scanning
+    // history would add a second
+    val d39b = plan("d39b_drift_stored")
+    assert(d39b.contains("graft_registry"),
+      "d39b must probe the stored reference histogram" + BNL + d39b)
+    assert(scans(d39b, "documents.parquet") == 1,
+      "d39b must scan documents exactly once (the drop)" + BNL + d39b)
   }
 
   test("perceptual hash clustering windows partition by the hash") {
