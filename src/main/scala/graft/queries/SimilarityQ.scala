@@ -321,17 +321,25 @@ object SimilarityQ {
     * seam shared by e11's within-cell dedup and e13's topic-balance
     * audit, in lockstep with the oracle's Lloyd CTE chain. */
   private def kmeansCells(s: SparkSession, dir: String): DataFrame = {
+    val pts = graft.similarity.KMeansExact.quantize(emb(s, dir))
+    graft.similarity.KMeansExact.assignIds(pts, kmeansModel(s, dir))
+      .select(col("id"), col("cid").as("cell"))
+  }
+
+  /** The frozen cell MODEL behind [[kmeansCells]] — the 8-row (cid, cq)
+    * centroid table after ONE Lloyd update round from the fixed id < 8
+    * seeds (the oracles' `c1` CTE); assigning against it is the round-2
+    * assignment. private[graft] so
+    * [[graft.store.Registries.kmeansCentroids]] can persist it as the
+    * model table e17b's drop assignment broadcasts. */
+  private[graft] def kmeansModel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pts = graft.similarity.KMeansExact.quantize(emb(s, dir))
     val init = pts.filter(col("id") < 8).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Long](1).toArray))
       .sortBy(_._1).toSeq
-    // centroids after ONE update round; assigning against them is the
-    // round-2 assignment — the same `a2` table e06's oracle materializes
     val afterR1 = graft.similarity.KMeansExact.lloyd(s, pts, init, rounds = 1)
-    val centsDf = afterR1.map(c => (c.cid, c.vec.toSeq)).toDF("cid", "cq")
-    graft.similarity.KMeansExact.assignIds(pts, centsDf)
-      .select(col("id"), col("cid").as("cell"))
+    afterR1.map(c => (c.cid, c.vec.toSeq)).toDF("cid", "cq")
   }
 
   def semDedupKmeans(s: SparkSession, dir: String): DataFrame = {
@@ -455,6 +463,34 @@ object SimilarityQ {
       .select("cell", "n_old", "n_new", "psi_term", "psi_total")
   }
 
+  /** Embedding-cell drift, production shape (e17b) — the same PSI
+    * report as [[cellDrift]], but nothing from history is touched: the
+    * drop (odd vec_ids) is quantized and assigned against the STORED
+    * 8-row frozen model ([[graft.store.Registries.kmeansCentroids]],
+    * broadcast argmax — one embeddings scan), history's occupancy is a
+    * count over the STORED label registry
+    * ([[graft.store.Registries.cellLabels]]), and the two 8-row
+    * histograms meet in a full outer join before the shared
+    * [[graft.ops.Drift.psi]]. Bitwise-equal to e17 by construction
+    * (same model, same assignment arithmetic, same observed-cell row
+    * set), pinned as a ScaleInvariants result-equal pair. This is what
+    * the nightly retrain alarm costs on a real index: O(drop) assign +
+    * two tiny registry reads — e17 stays registered as the from-scratch
+    * worst-case twin that also re-fits the model. */
+  def cellDriftStored(s: SparkSession, dir: String): DataFrame = {
+    val newH = graft.similarity.KMeansExact.assignIds(
+        graft.similarity.KMeansExact.quantize(
+          emb(s, dir).filter(col("id") % 2 === 1)),
+        graft.store.Registries.kmeansCentroids(s, dir))
+      .groupBy(col("cid").as("cell")).agg(count(lit(1)).as("n_new"))
+    val oldH = graft.store.Registries.cellLabels(s, dir)
+      .groupBy("cell").agg(count(lit(1)).as("n_old"))
+    val h = oldH.join(newH, Seq("cell"), "full_outer")
+      .na.fill(0L, Seq("n_old", "n_new"))
+    graft.ops.Drift.psi(h, Seq(), bins = 8)
+      .select("cell", "n_old", "n_new", "psi_term", "psi_total")
+  }
+
   /** ANN quality audit (e14): recall@10 of the STORED IVF+PQ nprobe-2
     * ADC search (e10b — cell-pruned, quantization-lossy) against the
     * exact integer-L2 top-10 over the same quantized vectors, per query.
@@ -544,6 +580,7 @@ object SimilarityQ {
     "e15_ivfpq_incr"     -> (ivfPqIncr _),
     "e16_assign_margin"  -> (assignMargin _),
     "e17_cell_drift"     -> (cellDrift _),
+    "e17b_cell_drift_stored" -> (cellDriftStored _),
     "e11_semdedup_kmeans" -> (semDedupKmeans _))
 
   // Shared oracle scaffolding, in lockstep with Knn.dotExact/cosine:
@@ -893,6 +930,47 @@ object SimilarityQ {
          |         CAST(sum(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
          |         CAST(sum(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
          |  FROM a2 GROUP BY 1),
+         |g AS (
+         |  SELECT cell, n_old, n_new,
+         |         CAST(sum(n_old) OVER () AS BIGINT) AS n_o,
+         |         CAST(sum(n_new) OVER () AS BIGINT) AS n_n
+         |  FROM h),
+         |t AS (
+         |  SELECT cell, n_old, n_new,
+         |         round((CAST(n_new + 1 AS DOUBLE) / CAST(n_n + 8 AS DOUBLE)
+         |              - CAST(n_old + 1 AS DOUBLE) / CAST(n_o + 8 AS DOUBLE))
+         |               * ln(CAST((n_new + 1) * (n_o + 8) AS DOUBLE)
+         |                  / CAST((n_old + 1) * (n_n + 8) AS DOUBLE)), 6) + 0.0
+         |           AS psi_term
+         |  FROM g)
+         |SELECT cell, n_old, n_new, psi_term,
+         |       CAST(sum(CAST(psi_term AS DECIMAL(18,6))) OVER ()
+         |            AS DOUBLE) AS psi_total
+         |FROM t""".stripMargin,
+    // e17b: the stored-registry replay — history's occupancy counted
+    // over the even-id label slice (the cellLabels registry), the drop
+    // assigned separately, the two histograms outer-joined, then the
+    // identical PSI arithmetic
+    "e17b_cell_drift_stored" ->
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding,
+         |           x -> CAST(round_even(CAST(x AS DOUBLE) * 1024, 0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c0 AS (SELECT CAST(id AS INT) AS cid, q AS cq FROM q WHERE id < 8),
+         |${lloydRoundSql(1, "c0", 64)},
+         |${lloydRoundSql(2, "c1", 64)},
+         |old_h AS (
+         |  SELECT CAST(cid AS INT) AS cell, CAST(count(*) AS BIGINT) AS n_old
+         |  FROM a2 WHERE id % 2 = 0 GROUP BY 1),
+         |new_h AS (
+         |  SELECT CAST(cid AS INT) AS cell, CAST(count(*) AS BIGINT) AS n_new
+         |  FROM a2 WHERE id % 2 = 1 GROUP BY 1),
+         |h AS (
+         |  SELECT coalesce(o.cell, n.cell) AS cell,
+         |         coalesce(o.n_old, 0) AS n_old,
+         |         coalesce(n.n_new, 0) AS n_new
+         |  FROM old_h o FULL OUTER JOIN new_h n ON o.cell = n.cell),
          |g AS (
          |  SELECT cell, n_old, n_new,
          |         CAST(sum(n_old) OVER () AS BIGINT) AS n_o,

@@ -106,6 +106,31 @@ object Registries {
         .agg(count(lit(1)).as("n_old"))
     }
 
+  /** Stored frozen cell model — the 8-row (cid, cq) centroid table of
+    * e13's k-means cells ([[graft.queries.SimilarityQ.kmeansModel]]).
+    * The model a production deployment trains once and serves for
+    * months; persisting it is what lets a daily drop be assigned with a
+    * broadcast argmax and NO access to the training vectors. */
+  def kmeansCentroids(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "kmeans_cents") {
+      graft.queries.SimilarityQ.kmeansModel(s, dir)
+    }
+
+  /** Stored (id, cell) labels of the accumulated (even-id) embedding
+    * corpus under the frozen [[kmeansCentroids]] model — e17b's history
+    * side: cell occupancy of history is a count over this table, never
+    * a re-assignment of the vectors themselves. */
+  def cellLabels(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "cell_labels") {
+      graft.similarity.KMeansExact.assignIds(
+        graft.similarity.KMeansExact.quantize(
+          Tables(s, dir).embeddings
+            .select(col("vec_id").as("id"), col("embedding").as("vec"))
+            .filter(col("id") % 2 === 0)),
+        kmeansCentroids(s, dir))
+        .select(col("id"), col("cid").as("cell"))
+    }
+
   /** Stored distinct 5-gram registry of the training corpus (q50/q57's
     * doc_id % 50 != 0 split): what the contamination audit probes per
     * eval drop, instead of re-shingling 98% of the corpus every run. The
@@ -275,6 +300,8 @@ object Registries {
     minhashBands(s, dir).head(1)
     embBuckets(s, dir).head(1)
     driftHistogram(s, dir).head(1)
+    kmeansCentroids(s, dir).head(1)
+    cellLabels(s, dir).head(1)
     trainShingles(s, dir).head(1)
     dupClusters(s, dir).head(1)
     minhashClusters(s, dir).head(1)

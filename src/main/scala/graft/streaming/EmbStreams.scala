@@ -109,6 +109,33 @@ object EmbStreams {
     * `cell=` subdir is a plain parquet dir, recovered and compacted
     * independently (markers live at the root, so marker logic is
     * untouched). */
+  /** Streaming cell-label maintenance — e17b's label-registry twin
+    * ([[graft.store.Registries.cellLabels]]): each arriving drop of
+    * vectors is quantized and assigned against the FROZEN centroid
+    * model (a k-row broadcast argmax — history is never re-assigned)
+    * and the (id, cell) labels appended exactly-once under
+    * [[BatchCommit]]. e17b's history histogram is a count over this
+    * registry; compaction folds files without touching rows, so the
+    * label SET is swap-stable. A day's maintenance costs one scan of
+    * that day's vectors — nothing grows with the registry. */
+  def cellLabelStream(embStream: DataFrame, cents: DataFrame,
+                      labelsDir: String,
+                      compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    embStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      val spark = batch.sparkSession
+      BatchCommit.rollback(spark, labelsDir, bid)
+      BatchCommit.append(
+        graft.similarity.KMeansExact.assignIds(
+          graft.similarity.KMeansExact.quantize(
+            batch.select(col("vec_id").as("id"), col("embedding").as("vec"))),
+          cents)
+          .select(col("id"), col("cid").as("cell")),
+        labelsDir, bid)
+      Failpoints.hit("celllabel:post", labelsDir)
+      BatchCommit.maybeCompact(spark, labelsDir, compactAfterFiles)
+      ()
+    }
+
   def ivfCodesIngestStream(embStream: DataFrame, cents: DataFrame,
                            cb: DataFrame, codesDir: String,
                            dims: Int = 64, m: Int = 8,

@@ -203,6 +203,17 @@ class CrashRecoverySpec extends AnyFunSuite {
         (stage, base, ckpt) => await(DocStreams.dedupImpactStream(
           docStream(stage), s"$base/fp", s"$base/impact"), ckpt),
         Seq("fp", "impact")),
+      Flow("cellLabelStream",
+        Seq("celllabel:post"),
+        () => stageTwoDrops(
+          Tables(spark, sf).embeddings.filter(col("vec_id") % 2 === 0),
+          "vec_id", 50L),
+        _ => (),
+        (stage, base, ckpt) => await(EmbStreams.cellLabelStream(
+          EmbStreams.readEmbeddingStream(spark, stage, maxFilesPerTrigger = Some(1)),
+          graft.store.Registries.kmeansCentroids(spark, sf),
+          s"$base/labels"), ckpt),
+        Seq("labels")),
       Flow("ivfCodesIngestStream",
         // the partitioned-append commit windows: after the staging write,
         // mid per-cell moves, just before the root marker, and post-commit

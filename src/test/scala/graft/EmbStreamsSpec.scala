@@ -74,4 +74,28 @@ class EmbStreamsSpec extends AnyFunSuite {
       expectedBuckets.except(bucketReg).isEmpty)
     assert(spark.read.parquet(s"$tmp/vecs").count() == emb.count())
   }
+
+  test("streaming cell labels over replayed even-id drops == the stored " +
+       "cellLabels registry e17b counts") {
+    val evens = Tables(spark, sf).embeddings.filter(col("vec_id") % 2 === 0)
+    val stageDir = java.nio.file.Files.createTempDirectory("cl-stream").toString
+    for ((lo, hi) <- Seq((0L, 60L), (60L, 100000L))) {
+      evens.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .repartition(1).write.mode("append").parquet(stageDir)
+      Thread.sleep(1100)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("cl-out").toString
+    EmbStreams.cellLabelStream(
+        EmbStreams.readEmbeddingStream(spark, stageDir, maxFilesPerTrigger = Some(1)),
+        graft.store.Registries.kmeansCentroids(spark, sf), s"$tmp/labels")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+
+    val streamed = spark.read.parquet(s"$tmp/labels")
+    val batch = graft.store.Registries.cellLabels(spark, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streamed labels diverged from the batch cellLabels registry")
+  }
 }

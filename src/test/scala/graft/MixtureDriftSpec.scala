@@ -163,6 +163,21 @@ class MixtureDriftSpec extends AnyFunSuite {
     assert(reg.agg(sum("n_old")).head().getLong(0) == evens)
   }
 
+  test("e17b: the frozen-model registry probe is bitwise-equal to the " +
+       "from-scratch e17") {
+    val full = SparkEntry.queries("e17_cell_drift")(spark, sf).collect()
+      .map(_.toString).sorted
+    val stored = SparkEntry.queries("e17b_cell_drift_stored")(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(stored.sameElements(full),
+      s"e17b diverged from e17: ${full.length} vs ${stored.length} rows")
+    // the label registry conserves history: one label per even vector
+    val labels = graft.store.Registries.cellLabels(spark, sf)
+    val evens = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") % 2 === 0).count()
+    assert(labels.count() == evens)
+  }
+
   test("d39: counts conserve the corpus and totals are the sum of terms") {
     val drift = SparkEntry.queries("d39_snapshot_drift")(spark, sf)
     val docs = Tables(spark, sf).documents

@@ -336,6 +336,14 @@ class PlanQualitySpec extends AnyFunSuite {
       "d39b must probe the stored reference histogram" + BNL + d39b)
     assert(scans(d39b, "documents.parquet") == 1,
       "d39b must scan documents exactly once (the drop)" + BNL + d39b)
+    // e17b: the frozen model and history labels come from registries —
+    // exactly one embeddings scan (the drop being assigned); e17, the
+    // worst-case twin, re-fits and re-assigns the whole corpus
+    val e17b = plan("e17b_cell_drift_stored")
+    assert(e17b.contains("graft_registry"),
+      "e17b must probe the stored model + label registries" + BNL + e17b)
+    assert(scans(e17b, "embeddings.parquet") == 1,
+      "e17b must scan embeddings exactly once (the drop)" + BNL + e17b)
   }
 
   test("perceptual hash clustering windows partition by the hash") {
@@ -419,6 +427,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "e11_semdedup_kmeans",  // same k-row broadcast assignment feeding cells
       "e13_cell_source_mix",  // same k-row broadcast assignment feeding census
       "e17_cell_drift",       // same k-row broadcast assignment feeding the PSI histogram
+      "e17b_cell_drift_stored", // drop-only assignment against the stored 8-row model
       "e14_ann_recall",       // truth side: md5-sampled (<=64-row) broadcast query set x corpus
       "e07_incr_neardup",     // new-batch side broadcasts (plan-gated elsewhere)
       // q38: the synthetic star derivation constant-folds the 1-row
