@@ -39,12 +39,13 @@ object MultimodalQ {
       .as[(Long, Long)]
   }
 
-  /** The m12 image dHash surface: one 24-bit dHash row per synthetic
-    * document image. Shared by [[imageNearDup]] and the dev scale probe
+  /** The image dHash surface: one 24-bit dHash row per synthetic
+    * document image. Shared by [[imagePhash]] (m06), [[imageNearDup]]
+    * (m12), [[imageDrift]] (m16) and the dev scale probe
     * ([[graft.tools.ProbeM12]]) — same single-source convention as
     * [[videoFrameHashes]]/ProbeM14 — so a derivation change can never
-    * make the probe measure a different hash distribution than the
-    * registered query pairs on. */
+    * make one consumer see a different hash distribution than the
+    * others pair, cluster, or histogram on. */
   private[graft] def imageHashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docSeeds(s, dir).mapPartitions(_.flatMap { case (id, n) =>
@@ -127,18 +128,37 @@ object MultimodalQ {
     * exercised in MultimodalSpec). The image-side twin of d03/d07. */
   def imagePhash(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import s.implicits._
-    val seeded = docSeeds(s, dir)
-    val hashes = seeded.mapPartitions(_.flatMap { case (id, n) =>
-      val w = (n % 13).toInt + 4
-      val h = ((n / 13) % 11).toInt + 4
-      val png = Multimodal.CompressedImage.renderPattern(n, w, h)
-      Multimodal.CompressedImage.dhash(id, png)
-    })
-    hashes.toDF()
+    imageHashes(s, dir)
       .withColumn("cluster_id",
         min(col("doc_id")).over(Window.partitionBy(col("dhash"))))
       .select("doc_id", "width", "height", "dhash", "cluster_id")
+  }
+
+
+  /** Image perceptual drift (m16) — the visual-modality row of the
+    * drift family (d39 surface stats, e17 semantic cells, d40 tokenizer
+    * budget): old-crawl vs new-drop occupancy of 16 fixed dHash-residue
+    * buckets per source, Laplace-smoothed PSI via the shared
+    * [[graft.ops.Drift]]. Catches a shift in what the images LOOK like
+    * (photos giving way to screenshots, renders, charts) that no text
+    * statistic sees — the alarm a multimodal mixture planner reads next
+    * to d39 before trusting m06's dedup rates or d38's weights forward.
+    * Scale shape: the decode+dHash pass is m06's measured-linear scan;
+    * the histogram is a (source × 16)-bucket groupBy with map-side
+    * partials; the doc_id join is two skinny projections of the same
+    * table (co-partitionable at 100 TB); PSI windows run over
+    * ≤ sources × 16 rows. Bucket = dhash % 16 — a FIXED B = 16 bin
+    * space (the smoothing constant), deliberately coarse so every
+    * bucket is populated enough for PSI to be stable at small sources. */
+  def imageDrift(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables(s, dir).documents.select(col("doc_id"), col("source"))
+    val h = imageHashes(s, dir).select("doc_id", "dhash")
+      .join(src, Seq("doc_id"))
+      .groupBy(col("source"), pmod(col("dhash"), lit(16L)).as("hash_bin"))
+      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("n_new"))
+    graft.ops.Drift.psi(h, Seq("source"), bins = 16)
+      .select("source", "hash_bin", "n_old", "n_new", "psi_term", "psi_total")
   }
 
   /** Audio fingerprint dedup: G.711 decode → 15-bit energy-profile
@@ -473,7 +493,8 @@ object MultimodalQ {
     "m11_video_phash" -> (videoPhash _),
     "m12_image_neardup" -> (imageNearDup _),
     "m13_audio_neardup" -> (audioNearDup _),
-    "m14_video_clip_dedup" -> (videoClipDedup _))
+    "m14_video_clip_dedup" -> (videoClipDedup _),
+    "m16_image_drift" -> (imageDrift _))
 
   /** Video frame-level dedup — the frame-granularity analog of d13's
     * segment dedup, over m04's sampled-frame table: a frame is SHARED
@@ -993,5 +1014,68 @@ object MultimodalQ {
         |FROM dims,
         |     UNNEST(generate_series(0, w - 1)) AS ux(x),
         |     UNNEST(generate_series(0, h - 1)) AS uy(y)
-        |GROUP BY 1, 2, 3""".stripMargin)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // m16: m06's dHash replay bucketed mod 16, per-source even/odd
+    // histograms, then d39's PSI SQL with B = 16
+    "m16_image_drift" ->
+      """WITH dims AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |         (octet_length(encode(text)) % 13) + 4 AS w,
+        |         ((octet_length(encode(text)) // 13) % 11) + 4 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, (y * 4) // h AS ty, (x * 4) // w AS tx,
+        |         299 * ((3 * x + 7 * y + n) % 256)
+        |       + 587 * ((3 * x + 7 * y + 11 + n) % 256)
+        |       + 114 * ((3 * x + 7 * y + 22 + n) % 256) AS lum
+        |  FROM dims,
+        |       UNNEST(generate_series(0, w - 1)) AS ux(x),
+        |       UNNEST(generate_series(0, h - 1)) AS uy(y)),
+        |cells AS (
+        |  SELECT doc_id, ty, tx, SUM(lum) // count(*) AS c
+        |  FROM px GROUP BY 1, 2, 3),
+        |hbits AS (
+        |  SELECT a.doc_id,
+        |         SUM(CASE WHEN b.c > a.c
+        |             THEN CAST(1 AS BIGINT) << CAST(a.ty * 3 + a.tx AS INT)
+        |             ELSE 0 END) AS hb
+        |  FROM cells a
+        |  JOIN cells b ON b.doc_id = a.doc_id AND b.ty = a.ty AND b.tx = a.tx + 1
+        |  GROUP BY 1),
+        |vbits AS (
+        |  SELECT a.doc_id,
+        |         SUM(CASE WHEN b.c > a.c
+        |             THEN CAST(1 AS BIGINT) << CAST(12 + a.tx * 3 + a.ty AS INT)
+        |             ELSE 0 END) AS vb
+        |  FROM cells a
+        |  JOIN cells b ON b.doc_id = a.doc_id AND b.tx = a.tx AND b.ty = a.ty + 1
+        |  GROUP BY 1),
+        |hashes AS (
+        |  SELECT d.doc_id, CAST(hb + vb AS BIGINT) AS dhash
+        |  FROM dims d
+        |  JOIN hbits USING (doc_id)
+        |  JOIN vbits USING (doc_id)),
+        |h AS (
+        |  SELECT s.source, ha.dhash % 16 AS hash_bin,
+        |         CAST(sum(CASE WHEN ha.doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+        |         CAST(sum(CASE WHEN ha.doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM hashes ha JOIN documents s USING (doc_id)
+        |  GROUP BY 1, 2),
+        |g AS (
+        |  SELECT source, hash_bin, n_old, n_new,
+        |         CAST(sum(n_old) OVER (PARTITION BY source) AS BIGINT) AS n_o,
+        |         CAST(sum(n_new) OVER (PARTITION BY source) AS BIGINT) AS n_n
+        |  FROM h),
+        |t AS (
+        |  SELECT source, hash_bin, n_old, n_new,
+        |         round((CAST(n_new + 1 AS DOUBLE) / CAST(n_n + 16 AS DOUBLE)
+        |              - CAST(n_old + 1 AS DOUBLE) / CAST(n_o + 16 AS DOUBLE))
+        |               * ln(CAST((n_new + 1) * (n_o + 16) AS DOUBLE)
+        |                  / CAST((n_old + 1) * (n_n + 16) AS DOUBLE)), 6) + 0.0
+        |           AS psi_term
+        |  FROM g)
+        |SELECT source, hash_bin, n_old, n_new, psi_term,
+        |       CAST(sum(CAST(psi_term AS DECIMAL(18,6))) OVER (PARTITION BY source)
+        |            AS DOUBLE) AS psi_total
+        |FROM t""".stripMargin)
 }

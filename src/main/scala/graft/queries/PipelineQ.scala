@@ -188,6 +188,40 @@ object PipelineQ {
         "planned_chars", "epochs_ppm", "capped", "planned_capped_chars")
   }
 
+  /** Temperature mixture, production shape (d38b) — the same plan as
+    * [[temperatureMix]], computed ENTIRELY from the stored per-source
+    * census ([[graft.store.Registries.sourceCensus]]): a nightly
+    * mixture re-plan costs ~20 registry rows and ZERO corpus scans at
+    * any corpus size — the extreme end of the stored-twin family, where
+    * the probe touches no base table at all. The sum-by-key on read
+    * makes the stored single-row and streamed delta-row registry
+    * layouts interchangeable
+    * ([[graft.streaming.DocStreams.sourceCensusStream]] maintains the
+    * deltas). Bitwise-equal to d38 by construction — identical decimal
+    * floor-div arithmetic on the same exact integers (the budget is the
+    * sum of per-source sums, associativity on longs) — pinned as a
+    * ScaleInvariants pair. */
+  def temperatureMixStored(s: SparkSession, dir: String): DataFrame = {
+    val perSource = graft.store.Registries.sourceCensus(s, dir)
+      .groupBy("source").agg(sum(col("n_chars_src")).as("n_chars_src"))
+      .withColumn("w_sqrt",
+        floor(sqrt(col("n_chars_src").cast("double"))).cast("long"))
+    val budget = perSource.agg(sum(col("n_chars_src")).as("budget"))
+    val sumW = perSource.agg(sum(col("w_sqrt")).as("w_sum"))
+    perSource.crossJoin(broadcast(budget)).crossJoin(broadcast(sumW))
+      .withColumn("share_ppm",
+        expr("(cast(w_sqrt as decimal(38,0)) * 1000000) div w_sum"))
+      .withColumn("planned_chars",
+        expr("(cast(budget as decimal(38,0)) * w_sqrt) div w_sum"))
+      .withColumn("epochs_ppm",
+        expr("(cast(planned_chars as decimal(38,0)) * 1000000) div n_chars_src"))
+      .withColumn("capped", col("epochs_ppm") > lit(4000000L))
+      .withColumn("planned_capped_chars",
+        least(col("planned_chars"), expr("4 * n_chars_src")))
+      .select("source", "n_chars_src", "w_sqrt", "share_ppm",
+        "planned_chars", "epochs_ppm", "capped", "planned_capped_chars")
+  }
+
   /** Leakage-free split — the eval-hygiene upgrade of q46: a document's
     * split is decided by the md5 of its near-dup CLUSTER representative
     * (q48's connected components; singletons represent themselves), so a
@@ -365,6 +399,7 @@ object PipelineQ {
     "q57b_contamination_stored" -> (ngramContaminationStored _),
     "d27_mixture_plan"     -> (mixturePlan _),
     "d38_temperature_mix"  -> (temperatureMix _),
+    "d38b_mixture_stored"  -> (temperatureMixStored _),
     "d28_leakfree_split"   -> (leakFreeSplit _),
     "d31_soft_dedup"       -> (softDedupWeights _),
     "d32_decontaminate"    -> (decontaminate _))
@@ -669,6 +704,29 @@ object PipelineQ {
         |             CAST(floor(sqrt(CAST(n_chars_src AS DOUBLE))) AS BIGINT) AS w_sqrt
         |      FROM n),
         |t AS (SELECT CAST(sum(n_chars) AS HUGEINT) AS budget FROM documents),
+        |sw AS (SELECT CAST(sum(w_sqrt) AS HUGEINT) AS w_sum FROM w),
+        |p AS (
+        |  SELECT w.source, w.n_chars_src, w.w_sqrt,
+        |         (CAST(w.w_sqrt AS HUGEINT) * 1000000) // sw.w_sum AS share_ppm,
+        |         (t.budget * w.w_sqrt) // sw.w_sum AS planned
+        |  FROM w, t, sw)
+        |SELECT source, n_chars_src, w_sqrt,
+        |       CAST(share_ppm AS BIGINT) AS share_ppm,
+        |       CAST(planned AS BIGINT) AS planned_chars,
+        |       CAST((planned * 1000000) // n_chars_src AS BIGINT) AS epochs_ppm,
+        |       (planned * 1000000) // n_chars_src > 4000000 AS capped,
+        |       CAST(least(planned, 4 * CAST(n_chars_src AS HUGEINT)) AS BIGINT)
+        |         AS planned_capped_chars
+        |FROM p""".stripMargin,
+    // d38b: the stored-census replay — the budget comes from the census
+    // rows (sum of per-source sums), never a second corpus pass
+    "d38b_mixture_stored" ->
+      """WITH c AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars_src
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_chars_src,
+        |             CAST(floor(sqrt(CAST(n_chars_src AS DOUBLE))) AS BIGINT) AS w_sqrt
+        |      FROM c),
+        |t AS (SELECT CAST(sum(n_chars_src) AS HUGEINT) AS budget FROM c),
         |sw AS (SELECT CAST(sum(w_sqrt) AS HUGEINT) AS w_sum FROM w),
         |p AS (
         |  SELECT w.source, w.n_chars_src, w.w_sqrt,

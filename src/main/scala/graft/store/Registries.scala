@@ -106,6 +106,20 @@ object Registries {
         .agg(count(lit(1)).as("n_old"))
     }
 
+  /** Stored per-source corpus census — (source, n_chars_src, n_docs_src)
+    * for the whole accumulated corpus, the ~20-row table every nightly
+    * mixture re-plan (d38b) reads INSTEAD of a corpus scan: at 100 TB
+    * the plan costs the same 20 rows it costs here. The streaming twin
+    * ([[graft.streaming.DocStreams.sourceCensusStream]]) maintains it as
+    * append-only deltas; consumers sum by key, so the stored single-row
+    * and streamed delta-row layouts read identically. */
+  def sourceCensus(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "source_census") {
+      Tables(s, dir).documents.groupBy("source")
+        .agg(sum(col("n_chars")).as("n_chars_src"),
+          count(lit(1)).as("n_docs_src"))
+    }
+
   /** Stored frozen cell model — the 8-row (cid, cq) centroid table of
     * e13's k-means cells ([[graft.queries.SimilarityQ.kmeansModel]]).
     * The model a production deployment trains once and serves for
@@ -300,6 +314,7 @@ object Registries {
     minhashBands(s, dir).head(1)
     embBuckets(s, dir).head(1)
     driftHistogram(s, dir).head(1)
+    sourceCensus(s, dir).head(1)
     kmeansCentroids(s, dir).head(1)
     cellLabels(s, dir).head(1)
     trainShingles(s, dir).head(1)

@@ -547,6 +547,27 @@ object DocStreams {
       ()
     }
 
+  /** Streaming source-census maintenance — d38b's registry twin
+    * ([[graft.store.Registries.sourceCensus]]): each drop's per-source
+    * char/doc totals appended as delta rows whose per-key SUM is the
+    * census (sum-preserving under compaction, exactly-once under
+    * [[BatchCommit]]). The nightly mixture re-plan (d38b) reads the
+    * summed census; it never re-scans a single document. */
+  def sourceCensusStream(docStream: DataFrame, censusDir: String,
+                         compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      val spark = batch.sparkSession
+      BatchCommit.rollback(spark, censusDir, bid)
+      BatchCommit.append(
+        batch.groupBy("source")
+          .agg(sum(col("n_chars")).as("n_chars_src"),
+            count(lit(1)).as("n_docs_src")),
+        censusDir, bid)
+      Failpoints.hit("census:post", censusDir)
+      BatchCommit.maybeCompact(spark, censusDir, compactAfterFiles)
+      ()
+    }
+
   /** The PSI read over [[driftHistStream]]'s accumulated registry:
     * reference histogram (`(source, chars_bin, n_old)` — e.g.
     * [[graft.store.Registries.driftHistogram]]) vs the summed drop

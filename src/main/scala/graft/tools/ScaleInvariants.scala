@@ -38,7 +38,8 @@ object ScaleInvariants {
       "e10_ivfpq" -> "e15_ivfpq_incr",
       "q57_ngram_contamination" -> "q57b_contamination_stored",
       "d39_snapshot_drift" -> "d39b_drift_stored",
-      "e17_cell_drift" -> "e17b_cell_drift_stored")
+      "e17_cell_drift" -> "e17b_cell_drift_stored",
+      "d38_temperature_mix" -> "d38b_mixture_stored")
     // RECALL-BOUNDED twins: the bucketed/banded registry probe emits a
     // SUBSET of the exact twin's pair keys (its contract is the bucketed
     // one); equality would be wrong, containment is the invariant

@@ -120,6 +120,13 @@ class CrashRecoverySpec extends AnyFunSuite {
         (stage, base, ckpt) => await(DocStreams.driftHistStream(
           docStream(stage), s"$base/hist"), ckpt),
         Seq("hist")),
+      Flow("sourceCensusStream",
+        Seq("census:post"),
+        () => stageTwoDrops(docs, "doc_id", 150L),
+        _ => (),
+        (stage, base, ckpt) => await(DocStreams.sourceCensusStream(
+          docStream(stage), s"$base/census"), ckpt),
+        Seq("census")),
       Flow("curationFunnelStream",
         Seq("funnel:mid1", "funnel:mid2", "funnel:post"),
         () => stageTwoDrops(docs, "doc_id", 150L),

@@ -410,6 +410,32 @@ class DocStreamsSpec extends AnyFunSuite {
       "streamed drift report diverged from the batch d39 PSI")
   }
 
+  test("streaming source census converges to the stored census registry") {
+    val docs = Tables(spark, sf).documents
+    val stageDir = java.nio.file.Files.createTempDirectory("sc-stream").toString
+    for ((lo, hi) <- Seq((0L, 150L), (150L, 320L), (320L, 100000L))) {
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .repartition(1).write.mode("append").parquet(stageDir)
+      Thread.sleep(1100)
+    }
+    val censusDir = java.nio.file.Files.createTempDirectory("sc-out").toString + "/c"
+    val ckpt = java.nio.file.Files.createTempDirectory("sc-ckpt").toString
+    DocStreams.sourceCensusStream(
+        DocStreams.readDocumentStream(spark, stageDir, maxFilesPerTrigger = Some(1)),
+        censusDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+
+    val summed = spark.read.parquet(censusDir).groupBy("source")
+      .agg(sum(col("n_chars_src")).as("n_chars_src"),
+        sum(col("n_docs_src")).as("n_docs_src"))
+    val batch = graft.store.Registries.sourceCensus(spark, sf)
+    assert(summed.count() > 0)
+    assert(summed.except(batch).isEmpty && batch.except(summed).isEmpty,
+      "summed census deltas diverged from the stored census registry")
+  }
+
   test("streaming repeated-regions converges to per-prefix full reruns") {
     import graft.text.Winnowing
     val docs = Tables(spark, sf).documents.select("doc_id", "text")

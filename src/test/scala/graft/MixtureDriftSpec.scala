@@ -178,6 +178,41 @@ class MixtureDriftSpec extends AnyFunSuite {
     assert(labels.count() == evens)
   }
 
+  test("m16: image-bucket counts conserve the corpus; per-source totals " +
+       "are the sum of terms") {
+    val rows = SparkEntry.queries("m16_image_drift")(spark, sf).collect()
+    val docs = Tables(spark, sf).documents.count()
+    assert(rows.map(r => r.getAs[Long]("n_old") + r.getAs[Long]("n_new")).sum
+      == docs, "every document's image must land in exactly one bucket")
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val total = BigDecimal(rs.head.getAs[Double]("psi_total"))
+      val termSum = rs.map(r => BigDecimal(r.getAs[Double]("psi_term"))).sum
+      assert((total - termSum).abs < BigDecimal("1e-9"), s"$src: $total vs $termSum")
+      rs.foreach { r =>
+        assert(r.getAs[Double]("psi_term") >= 0.0, r.toString)
+        val b = r.getAs[Long]("hash_bin")
+        assert(b >= 0 && b < 16, s"bucket out of the fixed B=16 space: $b")
+      }
+    }
+  }
+
+  test("d38b: the census-registry plan is bitwise-equal to the " +
+       "corpus-scan d38") {
+    val full = SparkEntry.queries("d38_temperature_mix")(spark, sf).collect()
+      .map(_.toString).sorted
+    val stored = SparkEntry.queries("d38b_mixture_stored")(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(stored.sameElements(full),
+      s"d38b diverged from d38: ${full.length} vs ${stored.length} rows")
+    // the census registry conserves the corpus: char totals match a
+    // direct scan, so the zero-scan plan is planning over real totals
+    val census = graft.store.Registries.sourceCensus(spark, sf)
+    val docs = Tables(spark, sf).documents
+    assert(census.agg(sum("n_chars_src")).head().getLong(0)
+      == docs.agg(sum("n_chars")).head().getLong(0))
+    assert(census.agg(sum("n_docs_src")).head().getLong(0) == docs.count())
+  }
+
   test("d39: counts conserve the corpus and totals are the sum of terms") {
     val drift = SparkEntry.queries("d39_snapshot_drift")(spark, sf)
     val docs = Tables(spark, sf).documents

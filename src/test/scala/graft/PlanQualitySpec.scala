@@ -344,6 +344,13 @@ class PlanQualitySpec extends AnyFunSuite {
       "e17b must probe the stored model + label registries" + BNL + e17b)
     assert(scans(e17b, "embeddings.parquet") == 1,
       "e17b must scan embeddings exactly once (the drop)" + BNL + e17b)
+    // d38b: the extreme of the family — the nightly mixture re-plan
+    // touches NO base table at all, only the ~20-row census registry
+    val d38b = plan("d38b_mixture_stored")
+    assert(d38b.contains("graft_registry"),
+      "d38b must read the stored census" + BNL + d38b)
+    assert(scans(d38b, "documents.parquet") == 0,
+      "d38b must not scan the corpus at all" + BNL + d38b)
   }
 
   test("perceptual hash clustering windows partition by the hash") {
@@ -419,6 +426,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "e15_ivfpq_incr",       // same ADC shape over (stored history ∪ delta)
       "d27_mixture_plan",     // per-source weights x ONE global-budget row
       "d38_temperature_mix",  // same shape: census x two ONE-row global frames
+      "d38b_mixture_stored",  // same shape from the stored census registry
       "e01_knn_brute",        // brute-force baseline IS all-pairs by contract
       "e02_cosine_neardup",   // exact verification path (sketch path is e03)
       "d30_lexsem_audit",     // composes e02's require-capped exact pair side
