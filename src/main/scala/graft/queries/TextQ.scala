@@ -94,6 +94,45 @@ object TextQ {
     MinHashLsh.nearDuplicatesMd5(Tables.spread(Tables(s, dir).documents, "doc_id"),
       "doc_id", "text", minEstJaccard = 0.5)
 
+  /** Sketch-recall audit (d41) — the text-side twin of e14's ANN recall
+    * gate: per exact-Jaccard band (floor(jac × 10), 1.0 folded into
+    * band 9), what fraction of d04's TRUE near-dup pairs does d06's
+    * MinHash banding emit. The S-curve made measurable — the nightly
+    * detector-health read that catches a banding/hash regression before
+    * a dedup run silently under-merges: band-9 recall collapsing is a
+    * bug, band-5 recall being partial is the theory working as priced.
+    * Production posture mirrors e14: the truth side is capped to the
+    * 4096 md5-lowest pairs (deterministic, oracle-replayed, NON-binding
+    * at the test scales so the oracle pins the capped shape) — the
+    * exact-Jaccard surface is the expensive side and the audit needs a
+    * sample, not a census; the sketch side would be read from the dedup
+    * run's persisted pair table in production (recomputed here to keep
+    * the query self-contained for the oracle). The rank window is
+    * global but runs over the already-capped d04 pair SET, not the
+    * corpus. */
+  def sketchRecall(s: SparkSession, dir: String): DataFrame =
+    sketchRecallCapped(s, dir, maxTruthPairs = 4096)
+
+  private[graft] def sketchRecallCapped(s: SparkSession, dir: String,
+                                        maxTruthPairs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val truth = ngramJaccard(s, dir)
+      .withColumn("__rk", row_number().over(Window.orderBy(
+        md5(concat_ws(":", col("id_a"), col("id_b"))),
+        col("id_a"), col("id_b"))))
+      .filter(col("__rk") <= maxTruthPairs)
+      .select(col("id_a"), col("id_b"),
+        least(floor(col("jaccard") * 10), lit(9L)).as("jac_band"))
+    val caught = minhashDedup(s, dir)
+      .select(col("id_a"), col("id_b")).withColumn("__hit", lit(1L))
+    truth.join(caught, Seq("id_a", "id_b"), "left")
+      .groupBy("jac_band")
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_caught"))
+      .withColumn("recall",
+        round(col("n_caught").cast("double") / col("n_true").cast("double"), 9))
+  }
+
   /** SimHash near-dup pairs — oracle-backed md5 hash source. Balanced
     * preset: hamming <= 6 over 8 chunks with the hot-chunk cap on. */
   def simhashDedup(s: SparkSession, dir: String): DataFrame =
@@ -321,6 +360,7 @@ object TextQ {
     "d05_source_census" -> (sourceCensus _),
     "d08_repetition"    -> (repetition _),
     "d06_minhash_dedup" -> (minhashDedup _),
+    "d41_sketch_recall" -> (sketchRecall _),
     "d07_simhash_dedup" -> (simhashDedup _),
     "d21_quality_score" -> (qualityScore _),
     "d22_novelty"       -> (novelty _),
@@ -373,19 +413,23 @@ object TextQ {
     * affine family the Spark aggregate uses (rendered as literals). The
     * final WHERE takes an extra conjunct so d26's new-touching restriction
     * cannot drift from the full rerun it must equal. */
-  private[queries] def minhashOracle(extraWhere: String = ""): String = {
+  /** The full MinHash pipeline as a CTE BODY ending in `mh` (id_a, id_b,
+    * est_jaccard ≥ 0.5) — m-prefixed names so it composes with
+    * [[jaccardOracleCte]] in one statement (d41 joins the two chains).
+    * [[minhashOracle]] wraps it for the standalone d06/d26 family. */
+  private[queries] def minhashCtes: String = {
     val p = MinHashLsh.Params()
     val fam = MinHashLsh.hashFamily(p).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
     val r = p.rowsPerBand
-    s"""WITH toks AS ($toksSql),
-       |sh AS (
+    s"""mtoks AS ($toksSql),
+       |msh AS (
        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-       |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+       |  FROM mtoks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
        |  WHERE len(t) >= 3),
        |xs AS MATERIALIZED (
        |  SELECT doc_id, ${hexToBigint("md5(shingle)", 15)} % 2147483647 AS x
-       |  FROM sh),
+       |  FROM msh),
        |fam(i, a, b) AS (VALUES $fam),
        |sigv AS (
        |  SELECT xs.doc_id, f.i, MIN((f.a * xs.x + f.b) % 2147483647) AS h
@@ -399,16 +443,22 @@ object TextQ {
        |  FROM sigl, UNNEST(generate_series(0, ${p.bands - 1})) AS u(b)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
-       |SELECT id_a, id_b,
-       |       CAST(len(list_filter(generate_series(1, ${p.numHashes}),
-       |              i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / ${p.numHashes}.0 AS est_jaccard
-       |FROM cand
-       |JOIN sigl sa ON sa.doc_id = id_a
-       |JOIN sigl sb ON sb.doc_id = id_b
-       |WHERE CAST(len(list_filter(generate_series(1, ${p.numHashes}),
-       |        i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / ${p.numHashes}.0 >= 0.5$extraWhere""".stripMargin
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+       |mh0 AS (
+       |  SELECT id_a, id_b,
+       |         CAST(len(list_filter(generate_series(1, ${p.numHashes}),
+       |                i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / ${p.numHashes}.0
+       |           AS est_jaccard
+       |  FROM cand
+       |  JOIN sigl sa ON sa.doc_id = id_a
+       |  JOIN sigl sb ON sb.doc_id = id_b),
+       |mh AS (SELECT * FROM mh0 WHERE est_jaccard >= 0.5)""".stripMargin
   }
+
+  private[queries] def minhashOracle(extraWhere: String = ""): String =
+    s"""WITH $minhashCtes
+       |SELECT id_a, id_b, est_jaccard FROM mh
+       |WHERE TRUE$extraWhere""".stripMargin
 
   /** d07's oracle: the full SimHash pipeline in SQL — per-token md5 hash
     * split into two 32-bit halves, 64 plane votes, bit assembly, chunk
@@ -513,6 +563,34 @@ object TextQ {
          |       count(*) OVER (PARTITION BY cluster_id) AS n_members
          |FROM cl""".stripMargin,
     "d06_minhash_dedup" -> minhashOracle(),
+    // d41: d04's truth chain (md5-rank capped) LEFT JOIN the d06 chain,
+    // per-band recall — both CTE bodies are the shared definitions the
+    // standalone oracles build on, so the audit cannot drift from either
+    "d41_sketch_recall" ->
+      s"""WITH $jaccardOracleCte,
+         |truth0 AS (
+         |  SELECT id_a, id_b,
+         |         least(CAST(floor(CAST(n_common AS DOUBLE)
+         |             / CAST(sa.sz + sb.sz - n_common AS DOUBLE) * 10) AS BIGINT),
+         |           9) AS jac_band,
+         |         row_number() OVER (ORDER BY
+         |           md5(CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR)),
+         |           id_a, id_b) AS rk
+         |  FROM pairs0
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(n_common AS DOUBLE)
+         |        / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5),
+         |truth AS (SELECT id_a, id_b, jac_band FROM truth0 WHERE rk <= 4096),
+         |$minhashCtes
+         |SELECT t.jac_band, CAST(count(*) AS BIGINT) AS n_true,
+         |       CAST(sum(CASE WHEN mh.id_a IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_caught,
+         |       round(CAST(sum(CASE WHEN mh.id_a IS NOT NULL THEN 1 ELSE 0 END)
+         |                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS recall
+         |FROM truth t
+         |LEFT JOIN mh ON mh.id_a = t.id_a AND mh.id_b = t.id_b
+         |GROUP BY 1""".stripMargin,
     // the incremental run's contract: the monolithic rerun restricted to
     // pairs touching a new (odd-id) doc
     "d26_incr_minhash" -> minhashOracle(" AND (id_a % 2 = 1 OR id_b % 2 = 1)"),

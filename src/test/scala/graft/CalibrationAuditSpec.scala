@@ -91,4 +91,33 @@ class CalibrationAuditSpec extends AnyFunSuite {
         (col("ambiguous") === 1) =!= (col("margin") < 0.05))
     assert(bad.isEmpty)
   }
+
+  test("d41: recall reconciles with the raw d04 ∩ d06 pair intersection " +
+       "and high-Jaccard bands are caught") {
+    val audit = SparkEntry.queries("d41_sketch_recall")(spark, sf).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      val t = r.getAs[Long]("n_true"); val c = r.getAs[Long]("n_caught")
+      assert(c >= 0 && c <= t, r.toString)
+      val b = r.getAs[Long]("jac_band")
+      assert(b >= 5 && b <= 9, s"band below the 0.5 truth threshold: $b")
+      assert(r.getAs[Double]("recall")
+        == BigDecimal(c.toDouble / t.toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble, r.toString)
+    }
+    // cap is non-binding at this scale, so summed counts equal the raw
+    // pair-set sizes: n_true == |d04|, n_caught == |d04 ∩ d06|
+    val d04 = SparkEntry.queries("d04_ngram_jaccard")(spark, sf)
+      .select("id_a", "id_b")
+    val d06 = SparkEntry.queries("d06_minhash_dedup")(spark, sf)
+      .select("id_a", "id_b")
+    assert(audit.map(_.getAs[Long]("n_true")).sum == d04.count())
+    assert(audit.map(_.getAs[Long]("n_caught")).sum
+      == d04.intersect(d06).count())
+    // the S-curve's top: near-identical pairs must not be missed — a
+    // band-9 collapse is exactly the regression this audit exists for
+    audit.filter(_.getAs[Long]("jac_band") == 9L).foreach { r =>
+      assert(r.getAs[Double]("recall") >= 0.75, r.toString)
+    }
+  }
 }
