@@ -127,6 +127,17 @@ class CrashRecoverySpec extends AnyFunSuite {
         (stage, base, ckpt) => await(DocStreams.sourceCensusStream(
           docStream(stage), s"$base/census"), ckpt),
         Seq("census")),
+      Flow("driftHistStream+compactEveryBatch",
+        // delta-SUM registries under forced per-batch compaction: a
+        // replayed batch finds its tagged delta files already folded
+        // and must skip on the carried done-marker — a lost marker
+        // would double-count the batch's histogram deltas
+        Seq("drift:post"),
+        () => stageTwoDrops(docs.filter(col("doc_id") % 2 === 1), "doc_id", 150L),
+        _ => (),
+        (stage, base, ckpt) => await(DocStreams.driftHistStream(
+          docStream(stage), s"$base/hist", compactAfterFiles = 0), ckpt),
+        Seq("hist")),
       Flow("curationFunnelStream",
         Seq("funnel:mid1", "funnel:mid2", "funnel:post"),
         () => stageTwoDrops(docs, "doc_id", 150L),

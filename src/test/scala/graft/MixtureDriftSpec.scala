@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Invariants for the round-10 planning/audit additions: d38 temperature-
@@ -193,6 +194,67 @@ class MixtureDriftSpec extends AnyFunSuite {
         val b = r.getAs[Long]("hash_bin")
         assert(b >= 0 && b < 16, s"bucket out of the fixed B=16 space: $b")
       }
+    }
+  }
+
+  test("Drift.psi properties on generated histograms: terms nonnegative, " +
+       "zero exactly when smoothed ratios agree, totals sum terms, " +
+       "old/new symmetric") {
+    import spark.implicits._
+    val histGen: Gen[Seq[(Int, Long, Long)]] = for {
+      nBins <- Gen.chooseNum(1, 12)
+      rows <- Gen.listOfN(nBins,
+        Gen.zip(Gen.chooseNum(0L, 100000L), Gen.chooseNum(0L, 100000L)))
+    } yield rows.zipWithIndex.map { case ((o, n), i) => (i, o, n) }
+    val samples = Iterator.continually(histGen.sample).flatten.take(40).toSeq
+    for (hist <- samples) {
+      val df = hist.toDF("bin", "n_old", "n_new")
+      val out = graft.ops.Drift.psi(df, Seq(), bins = hist.length).collect()
+      val No = hist.map(_._2).sum; val Nn = hist.map(_._3).sum
+      val b = hist.length
+      out.foreach { r =>
+        val term = r.getAs[Double]("psi_term")
+        assert(term >= 0.0, r.toString)
+        // smoothed-ratio equality ⇒ exact 0.0 (an integer identity the
+        // smoothing makes decidable even on empty bins); the converse is
+        // only one-way — a genuinely tiny shift can round to 0.0 at the
+        // 6-decimal grain
+        val zero = (r.getAs[Long]("n_new") + 1) * (No + b) ==
+          (r.getAs[Long]("n_old") + 1) * (Nn + b)
+        if (zero) assert(term == 0.0, s"equal smoothed ratios, term != 0: $r")
+      }
+      val total = out.head.getAs[Double]("psi_total")
+      val termSum = out.map(r => BigDecimal(r.getAs[Double]("psi_term"))).sum
+      assert((BigDecimal(total) - termSum).abs < BigDecimal("1e-9"))
+      // PSI is symmetric in the two snapshots (each term is
+      // (p-q)ln(p/q)); the two directions compute ln on reciprocal
+      // correctly-rounded quotients, so agreement is to the rounding
+      // grain, not bitwise
+      val sw = graft.ops.Drift.psi(
+        df.select(col("bin"), col("n_new").as("n_old"), col("n_old").as("n_new")),
+        Seq(), bins = hist.length).collect()
+      // each of the ≤12 terms can land on the other side of a 1e-6
+      // rounding boundary in the reversed direction
+      assert(math.abs(sw.head.getAs[Double]("psi_total") - total) <= 1.3e-5)
+    }
+  }
+
+  test("d38 portability domain: floor of IEEE sqrt IS the integer sqrt " +
+       "for per-source char counts up to 2^44 (generated)") {
+    // the engine-portability argument: both engines floor the SAME
+    // correctly-rounded sqrt; this pins the stronger claim that the
+    // result is the EXACT isqrt throughout the realistic domain (2^44
+    // chars/source ≈ 17 TB of text in ONE source) — including the
+    // adversarial k^2-1 / k^2 boundary values where a rounding slip
+    // would land
+    val gen = Gen.oneOf(
+      Gen.chooseNum(0L, 1L << 44),
+      Gen.chooseNum(1L, 1L << 22).map(k => k * k - 1),
+      Gen.chooseNum(1L, 1L << 22).map(k => k * k))
+    val ns = Iterator.continually(gen.sample).flatten.take(2000).toSeq
+    for (n <- ns) {
+      val w = math.floor(math.sqrt(n.toDouble)).toLong
+      assert(w * w <= n && (w + 1) * (w + 1) > n, s"floor-sqrt != isqrt at $n")
     }
   }
 
