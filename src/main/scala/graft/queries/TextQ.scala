@@ -114,16 +114,26 @@ object TextQ {
     sketchRecallCapped(s, dir, maxTruthPairs = 4096)
 
   private[graft] def sketchRecallCapped(s: SparkSession, dir: String,
-                                        maxTruthPairs: Int): DataFrame = {
+                                        maxTruthPairs: Int): DataFrame =
+    sketchRecallFrom(Tables.spread(Tables(s, dir).documents, "doc_id"),
+      maxTruthPairs)
+
+  /** [[sketchRecall]] over an arbitrary (doc_id, text) frame — split out
+    * so the spec can drive the full S-curve with PLANTED controlled-
+    * Jaccard pairs (the real corpora only populate bands 8–9). */
+  private[graft] def sketchRecallFrom(docs: DataFrame,
+                                      maxTruthPairs: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val truth = ngramJaccard(s, dir)
+    val truth = Shingles.jaccardPairs(docs, "doc_id", "text", n = 3,
+        minJaccard = 0.5, maxShingleDf = Some(64))
       .withColumn("__rk", row_number().over(Window.orderBy(
         md5(concat_ws(":", col("id_a"), col("id_b"))),
         col("id_a"), col("id_b"))))
       .filter(col("__rk") <= maxTruthPairs)
       .select(col("id_a"), col("id_b"),
         least(floor(col("jaccard") * 10), lit(9L)).as("jac_band"))
-    val caught = minhashDedup(s, dir)
+    val caught = MinHashLsh.nearDuplicatesMd5(docs, "doc_id", "text",
+        minEstJaccard = 0.5)
       .select(col("id_a"), col("id_b")).withColumn("__hit", lit(1L))
     truth.join(caught, Seq("id_a", "id_b"), "left")
       .groupBy("jac_band")

@@ -120,4 +120,37 @@ class CalibrationAuditSpec extends AnyFunSuite {
       assert(r.getAs[Double]("recall") >= 0.75, r.toString)
     }
   }
+
+  test("d41: a planted controlled-Jaccard corpus populates every band " +
+       "5..9 and the S-curve holds (band-9 perfect, top beats bottom)") {
+    import spark.implicits._
+    // 40 doc pairs per band; pair p's docs share a (k+2)-token prefix
+    // then diverge into pair-unique vocabulary, so the pair's trigram
+    // Jaccard is exactly k/(2m-k) with m = 40 shingles per doc, and no
+    // shingle is shared across pairs (vocabulary disjoint by p)
+    val m = 40
+    val bands = Seq(28 -> 5L, 32 -> 6L, 35 -> 7L, 37 -> 8L, 39 -> 9L)
+    val docs = bands.zipWithIndex.flatMap { case ((k, _), bi) =>
+      (0 until 40).flatMap { j =>
+        val p = bi * 40 + j
+        val shared = (0 until k + 2).map(t => s"p${p}s$t")
+        val a = shared ++ (0 until m - k).map(t => s"p${p}a$t")
+        val b = shared ++ (0 until m - k).map(t => s"p${p}b$t")
+        Seq((p * 2L, a.mkString(" ")), (p * 2L + 1, b.mkString(" ")))
+      }
+    }.toDF("doc_id", "text")
+    val audit = graft.queries.TextQ.sketchRecallFrom(docs, maxTruthPairs = 4096)
+      .collect().map(r => r.getAs[Long]("jac_band") -> r).toMap
+    assert(audit.keySet == Set(5L, 6L, 7L, 8L, 9L),
+      s"planted bands missing: ${audit.keySet}")
+    // every pair is a true near-dup by construction
+    assert(audit.values.map(_.getAs[Long]("n_true")).sum == 200L)
+    val recall = audit.map { case (b, r) => b -> r.getAs[Double]("recall") }
+    // deterministic md5 hashes → these are fixed values, not flaky draws:
+    // near-identical pairs are all caught; the threshold-adjacent band
+    // sits below the top of the curve (est-Jaccard noise around 0.5)
+    assert(recall(9L) == 1.0, s"band-9 dropped pairs: $recall")
+    assert(recall(5L) <= recall(9L) && recall(5L) >= 0.5,
+      s"S-curve bottom out of range: $recall")
+  }
 }
