@@ -576,7 +576,16 @@ object DocStreams {
     * d39/d39b report once every drop has been folded in. */
   def driftReport(spark: SparkSession, refHist: DataFrame,
                   histDir: String): DataFrame = {
-    val newHist = spark.read.parquet(histDir)
+    // readOr: a report taken before the first drop lands (or mid-crash,
+    // where recover() heals a half-swapped compaction first) sees an
+    // empty delta table, not an exception — PSI then reads pure
+    // reference occupancy
+    val newHist = BatchCommit.readOr(spark, histDir)(
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("source", StringType),
+            StructField("chars_bin", LongType),
+            StructField("n", LongType)))))
       .groupBy("source", "chars_bin").agg(sum(col("n")).as("n_new"))
     val h = refHist.join(newHist, Seq("source", "chars_bin"), "full_outer")
       .na.fill(0L, Seq("n_old", "n_new"))

@@ -395,6 +395,12 @@ class DocStreamsSpec extends AnyFunSuite {
     }
     val histDir = java.nio.file.Files.createTempDirectory("dr-hist").toString + "/h"
     val ckpt = java.nio.file.Files.createTempDirectory("dr-ckpt").toString
+    // a report taken BEFORE any drop lands reads pure reference
+    // occupancy (readOr seam), never throws on the missing delta dir
+    val ref = graft.store.Registries.driftHistogram(spark, sf)
+    val pre = DocStreams.driftReport(spark, ref, histDir)
+    assert(pre.count() == ref.count())
+    assert(pre.agg(sum(col("n_new"))).head().getLong(0) == 0L)
     DocStreams.driftHistStream(
         DocStreams.readDocumentStream(spark, stageDir, maxFilesPerTrigger = Some(1)),
         histDir)
