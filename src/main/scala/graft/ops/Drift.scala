@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * per bin and the per-population total.
   *
   * Engine-portability is by construction, the same argument d39's
-  * scaladoc makes: each probability is a correctly-rounded IEEE division
-  * of EXACT integers (all products stay far below 2^52), so only ln's
-  * final ulp can differ across engines — rounded away at 6 decimals, with
+  * scaladoc makes: each integer factor is cast to double FIRST (a
+  * long→double cast and a double multiply are both correctly-rounded
+  * IEEE operations, identical across engines — and immune to the Long
+  * wraparound a raw integer product would hit once per-source bin
+  * counts pass ~3e9), so only ln's final ulp can differ across
+  * engines — rounded away at 6 decimals, with
   * `+ 0.0` normalizing -0.0; the total sums the ROUNDED terms as decimals
   * (order-free), never raw doubles. Scale shape: the input is already the
   * aggregated histogram (#populations × #bins rows), so the windows here
@@ -36,8 +39,8 @@ object Drift {
       .withColumn("psi_term",
         round(((col("n_new") + 1).cast("double") / (col("__Nn") + bins).cast("double")
             - (col("n_old") + 1).cast("double") / (col("__No") + bins).cast("double"))
-          * log(((col("n_new") + 1) * (col("__No") + bins)).cast("double")
-            / ((col("n_old") + 1) * (col("__Nn") + bins)).cast("double")), 6)
+          * log((col("n_new") + 1).cast("double") * (col("__No") + bins).cast("double")
+            / ((col("n_old") + 1).cast("double") * (col("__Nn") + bins).cast("double"))), 6)
           + lit(0.0))
       .withColumn("psi_total",
         sum(col("psi_term").cast("decimal(18,6)")).over(w).cast("double"))

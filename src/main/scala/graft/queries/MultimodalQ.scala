@@ -1070,8 +1070,8 @@ object MultimodalQ {
         |  SELECT source, hash_bin, n_old, n_new,
         |         round((CAST(n_new + 1 AS DOUBLE) / CAST(n_n + 16 AS DOUBLE)
         |              - CAST(n_old + 1 AS DOUBLE) / CAST(n_o + 16 AS DOUBLE))
-        |               * ln(CAST((n_new + 1) * (n_o + 16) AS DOUBLE)
-        |                  / CAST((n_old + 1) * (n_n + 16) AS DOUBLE)), 6) + 0.0
+        |               * ln(CAST(n_new + 1 AS DOUBLE) * CAST(n_o + 16 AS DOUBLE)
+        |                  / (CAST(n_old + 1 AS DOUBLE) * CAST(n_n + 16 AS DOUBLE))), 6) + 0.0
         |           AS psi_term
         |  FROM g)
         |SELECT source, hash_bin, n_old, n_new, psi_term,

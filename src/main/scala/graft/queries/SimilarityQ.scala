@@ -939,8 +939,8 @@ object SimilarityQ {
          |  SELECT cell, n_old, n_new,
          |         round((CAST(n_new + 1 AS DOUBLE) / CAST(n_n + 8 AS DOUBLE)
          |              - CAST(n_old + 1 AS DOUBLE) / CAST(n_o + 8 AS DOUBLE))
-         |               * ln(CAST((n_new + 1) * (n_o + 8) AS DOUBLE)
-         |                  / CAST((n_old + 1) * (n_n + 8) AS DOUBLE)), 6) + 0.0
+         |               * ln(CAST(n_new + 1 AS DOUBLE) * CAST(n_o + 8 AS DOUBLE)
+         |                  / (CAST(n_old + 1 AS DOUBLE) * CAST(n_n + 8 AS DOUBLE))), 6) + 0.0
          |           AS psi_term
          |  FROM g)
          |SELECT cell, n_old, n_new, psi_term,
@@ -980,8 +980,8 @@ object SimilarityQ {
          |  SELECT cell, n_old, n_new,
          |         round((CAST(n_new + 1 AS DOUBLE) / CAST(n_n + 8 AS DOUBLE)
          |              - CAST(n_old + 1 AS DOUBLE) / CAST(n_o + 8 AS DOUBLE))
-         |               * ln(CAST((n_new + 1) * (n_o + 8) AS DOUBLE)
-         |                  / CAST((n_old + 1) * (n_n + 8) AS DOUBLE)), 6) + 0.0
+         |               * ln(CAST(n_new + 1 AS DOUBLE) * CAST(n_o + 8 AS DOUBLE)
+         |                  / (CAST(n_old + 1 AS DOUBLE) * CAST(n_n + 8 AS DOUBLE))), 6) + 0.0
          |           AS psi_term
          |  FROM g)
          |SELECT cell, n_old, n_new, psi_term,

@@ -107,9 +107,11 @@ object TextQ {
     * exact-Jaccard surface is the expensive side and the audit needs a
     * sample, not a census; the sketch side would be read from the dedup
     * run's persisted pair table in production (recomputed here to keep
-    * the query self-contained for the oracle). The rank window is
-    * global but runs over the already-capped d04 pair SET, not the
-    * corpus. */
+    * the query self-contained for the oracle). The cap itself is
+    * produced by the bounded top-K aggregate (e14's convention, map-side
+    * combine: each partition ships ≤ maxTruthPairs rows), NOT a global
+    * row_number window — the uncapped ≥0.5-Jaccard pair surface never
+    * lands on one task. */
   def sketchRecall(s: SparkSession, dir: String): DataFrame =
     sketchRecallCapped(s, dir, maxTruthPairs = 4096)
 
@@ -123,13 +125,17 @@ object TextQ {
     * Jaccard pairs (the real corpora only populate bands 8–9). */
   private[graft] def sketchRecallFrom(docs: DataFrame,
                                       maxTruthPairs: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val truth = Shingles.jaccardPairs(docs, "doc_id", "text", n = 3,
-        minJaccard = 0.5, maxShingleDf = Some(64))
-      .withColumn("__rk", row_number().over(Window.orderBy(
-        md5(concat_ws(":", col("id_a"), col("id_b"))),
-        col("id_a"), col("id_b"))))
-      .filter(col("__rk") <= maxTruthPairs)
+    // bounded top-K (ascending md5 rank, ties by ids — the same total
+    // order the oracle's row_number replays): each partition contributes
+    // at most maxTruthPairs rows to the final selection, so deriving the
+    // cap never funnels the whole pair surface through one task
+    val truth = graft.ops.WindowOps.topKBounded(
+        Shingles.jaccardPairs(docs, "doc_id", "text", n = 3,
+            minJaccard = 0.5, maxShingleDf = Some(64))
+          .withColumn("__md5", md5(concat_ws(":", col("id_a"), col("id_b")))),
+        part = Seq.empty,
+        order = Seq(("__md5", false), ("id_a", false), ("id_b", false)),
+        k = maxTruthPairs, rankCol = "__rk")
       .select(col("id_a"), col("id_b"),
         least(floor(col("jaccard") * 10), lit(9L)).as("jac_band"))
     val caught = MinHashLsh.nearDuplicatesMd5(docs, "doc_id", "text",
@@ -249,9 +255,12 @@ object TextQ {
     * curation deployment reads before retraining gates or remixing — PSI
     * > 0.2 on a source means its new crawl no longer looks like history.
     * Laplace-smoothed ((n+1)/(N+B)) so every observed bin is defined even
-    * when one snapshot misses it. Engine-portability: every probability is
-    * a correctly-rounded IEEE division of EXACT integers (products <
-    * 2^52), so only ln's final ulp differs across engines — rounded away
+    * when one snapshot misses it. Engine-portability: every integer factor
+    * is cast to double BEFORE multiplying (long→double casts and double
+    * multiply/divide are correctly-rounded IEEE ops, identical across
+    * engines, and immune to the Long wraparound a raw integer product
+    * would hit past ~3e9 rows/bin), so only ln's final ulp differs across
+    * engines — rounded away
     * at 6 decimals, and `+ 0.0` normalizes -0.0; the per-source total sums
     * the ROUNDED terms as decimals (order-free), not raw doubles. Scale
     * shape: one scan → one (source × bin) groupBy with map-side partials;
@@ -720,8 +729,8 @@ object TextQ {
         |  SELECT source, chars_bin, n_old, n_new,
         |         round((CAST(n_new + 1 AS DOUBLE) / CAST(n_n + 25 AS DOUBLE)
         |              - CAST(n_old + 1 AS DOUBLE) / CAST(n_o + 25 AS DOUBLE))
-        |               * ln(CAST((n_new + 1) * (n_o + 25) AS DOUBLE)
-        |                  / CAST((n_old + 1) * (n_n + 25) AS DOUBLE)), 6) + 0.0
+        |               * ln(CAST(n_new + 1 AS DOUBLE) * CAST(n_o + 25 AS DOUBLE)
+        |                  / (CAST(n_old + 1 AS DOUBLE) * CAST(n_n + 25 AS DOUBLE))), 6) + 0.0
         |           AS psi_term
         |  FROM g)
         |SELECT source, chars_bin, n_old, n_new, psi_term,
@@ -756,8 +765,8 @@ object TextQ {
         |  SELECT source, chars_bin, n_old, n_new,
         |         round((CAST(n_new + 1 AS DOUBLE) / CAST(n_n + 25 AS DOUBLE)
         |              - CAST(n_old + 1 AS DOUBLE) / CAST(n_o + 25 AS DOUBLE))
-        |               * ln(CAST((n_new + 1) * (n_o + 25) AS DOUBLE)
-        |                  / CAST((n_old + 1) * (n_n + 25) AS DOUBLE)), 6) + 0.0
+        |               * ln(CAST(n_new + 1 AS DOUBLE) * CAST(n_o + 25 AS DOUBLE)
+        |                  / (CAST(n_old + 1 AS DOUBLE) * CAST(n_n + 25 AS DOUBLE))), 6) + 0.0
         |           AS psi_term
         |  FROM g)
         |SELECT source, chars_bin, n_old, n_new, psi_term,

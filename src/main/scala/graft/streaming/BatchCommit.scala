@@ -166,16 +166,27 @@ object BatchCommit {
     Failpoints.hit("commit:pre-marker", dir)
     val marker = markerPath(dir, batchId)
     // the commit point: a single atomic create = the put-if-absent claim.
-    // Only the CREATE call decides the claim — an exception HERE with the
-    // marker present means a foreign writer committed this batch id.
+    // Only an explicit ALREADY-EXISTS from the create decides the claim
+    // was lost — that is the one signal that cannot mean our own create
+    // half-succeeded. Any other IOException with the marker present is
+    // ambiguous (on HDFS/object stores the create can succeed server-side
+    // and still throw client-side on a timeout, in which case the standing
+    // marker is OURS): deleting the moved files there would commit an
+    // EMPTY batch under our own marker, so instead fail loudly WITHOUT
+    // touching them — entry rollback replays the batch cleanly.
     val out =
       try fs.create(marker, false)
       catch {
-        case e: java.io.IOException if fs.exists(marker) =>
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
           moved.foreach { p => fs.delete(p, false); () }
           throw new java.util.ConcurrentModificationException(
             s"batch commit claim lost: $dir batch $batchId was committed by " +
               "a concurrent writer — one registry dir must have one flow", e)
+        case e: java.io.IOException if fs.exists(marker) =>
+          throw new java.io.IOException(
+            s"batch commit: marker create for $dir batch $batchId failed " +
+              "ambiguously with a marker present (ours or foreign — " +
+              "undecidable); batch left for replay, moved files untouched", e)
       }
     Failpoints.hit("commit:marker-created", dir)
     // A close() failure must NOT be read as a lost claim (the old

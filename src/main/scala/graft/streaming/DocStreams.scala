@@ -536,6 +536,11 @@ object DocStreams {
                       compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       val spark = batch.sparkSession
+      // histDir is write-only in this flow (only driftReport ever reads
+      // it), yet it compacts below — heal a half-swapped compaction at
+      // entry or the aside holding the whole accumulated histogram is
+      // eventually deleted (the dedupImpactStream hazard)
+      graft.store.Registries.recover(spark, histDir)
       BatchCommit.rollback(spark, histDir, bid)
       BatchCommit.append(
         batch.groupBy(col("source"),
@@ -557,6 +562,9 @@ object DocStreams {
                          compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       val spark = batch.sparkSession
+      // write-only sink that compacts: heal half-swapped compactions at
+      // entry (see dedupImpactStream's hazard note)
+      graft.store.Registries.recover(spark, censusDir)
       BatchCommit.rollback(spark, censusDir, bid)
       BatchCommit.append(
         batch.groupBy("source")

@@ -123,6 +123,10 @@ object EmbStreams {
                       compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     embStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       val spark = batch.sparkSession
+      // write-only sink that compacts: heal a half-swapped compaction at
+      // entry or the aside holding the whole accumulated label registry
+      // is eventually deleted (DocStreams.dedupImpactStream's hazard)
+      graft.store.Registries.recover(spark, labelsDir)
       BatchCommit.rollback(spark, labelsDir, bid)
       BatchCommit.append(
         graft.similarity.KMeansExact.assignIds(

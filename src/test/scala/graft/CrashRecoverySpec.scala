@@ -324,6 +324,75 @@ class CrashRecoverySpec extends AnyFunSuite {
         s"double-crash: state '$d' diverged from the uncrashed run")
   }
 
+  test("write-only compacting sinks: a crash leaving only the __precompact " +
+       "aside (mid-compaction-swap) heals at batch entry — driftHist, " +
+       "sourceCensus, cellLabel") {
+    // The dedupImpactStream hazard, aimed at the three flows that compact
+    // a dir nothing ever readOr's: crash batch 1 after its append, then
+    // simulate compact dying between its two renames (live dir gone, the
+    // __precompact aside holding ALL accumulated state). Without an
+    // entry-time Registries.recover the replay recreates an empty live
+    // dir, and the forced per-batch compact (threshold 0) then reads
+    // 'live intact' and deletes the aside — silently losing every earlier
+    // batch. With the heal, the replay converges to the uncrashed run.
+    case class Sink(name: String, label: String, mkStage: () => String,
+                    run: (String, String, String) => Unit, sub: String)
+    def docStream(stage: String) =
+      DocStreams.readDocumentStream(spark, stage, maxFilesPerTrigger = Some(1))
+    val sinks = Seq(
+      Sink("driftHistStream", "drift:post",
+        () => stageTwoDrops(docs.filter(col("doc_id") % 2 === 1), "doc_id", 150L),
+        (stage, base, ckpt) => await(DocStreams.driftHistStream(
+          docStream(stage), s"$base/hist", compactAfterFiles = 0), ckpt),
+        "hist"),
+      Sink("sourceCensusStream", "census:post",
+        () => stageTwoDrops(docs, "doc_id", 150L),
+        (stage, base, ckpt) => await(DocStreams.sourceCensusStream(
+          docStream(stage), s"$base/census", compactAfterFiles = 0), ckpt),
+        "census"),
+      Sink("cellLabelStream", "celllabel:post",
+        () => stageTwoDrops(
+          Tables(spark, sf).embeddings.filter(col("vec_id") % 2 === 0),
+          "vec_id", 50L),
+        (stage, base, ckpt) => await(EmbStreams.cellLabelStream(
+          EmbStreams.readEmbeddingStream(spark, stage, maxFilesPerTrigger = Some(1)),
+          graft.store.Registries.kmeansCentroids(spark, sf),
+          s"$base/labels", compactAfterFiles = 0), ckpt),
+        "labels"))
+    for (s <- sinks) {
+      val refBase = tmp(s"crsw-ref-${s.name}")
+      s.run(s.mkStage(), refBase, tmp("crsw-refckpt"))
+      val refState = dirState(s"$refBase/${s.sub}")
+      assert(refState.nonEmpty, s"${s.name}: vacuous reference")
+
+      val base = tmp(s"crsw-${s.name}")
+      val ckpt = tmp("crsw-ckpt")
+      val stage = s.mkStage()
+      val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+      Failpoints.hook = (l, d) =>
+        if (l == s.label && d.startsWith(base) && hits.incrementAndGet() == 2)
+          throw new RuntimeException(s"injected crash at ${s.label}")
+      val crashed =
+        try { s.run(stage, base, ckpt); false }
+        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => true }
+        finally { Failpoints.hook = (_, _) => () }
+      assert(crashed, s"${s.name}: failpoint did not fire on batch 1")
+
+      // simulate the mid-swap window: live renamed aside, nothing else
+      val sinkDir = s"$base/${s.sub}"
+      val live = new org.apache.hadoop.fs.Path(sinkDir)
+      val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+      val tmpDir = new org.apache.hadoop.fs.Path(sinkDir + "__compacting")
+      if (fs.exists(tmpDir)) { fs.delete(tmpDir, true); () }
+      assert(fs.rename(live, new org.apache.hadoop.fs.Path(sinkDir + "__precompact")),
+        s"${s.name}: could not stage the mid-swap state")
+
+      s.run(stage, base, ckpt) // restart: batch 1 replays over healed state
+      assert(dirState(sinkDir) == refState,
+        s"${s.name}: mid-compaction-swap crash lost accumulated state")
+    }
+  }
+
   test("ingestStream: crash after the store merge replays idempotently") {
     val dropDir = tmp("cr-ing")
     val ckpt = tmp("cr-ing-ckpt")
