@@ -90,7 +90,18 @@ object Bench {
     val calibQuiet = (1 to 3).map(_ => calibSpin()).min
     val calibMtBefore = calibSpinMt()
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_QUERIES (comma-separated names) narrows the sweep —
+    // the scale-rehearsal harness times the steep-exponent subset at
+    // sf10 without paying for the worst-case monolith twins (hours at
+    // that scale); the driver's full run leaves it unset
+    val names = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(qs) =>
+        val want = qs.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val unknown = want.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+        want.sorted
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     // warm-up on the smoke scale factor (not timed)
     names.foreach(runOnce("/root/testdata/sf0.001", _))
     // the metadata star's stored tables and the incremental-dedup

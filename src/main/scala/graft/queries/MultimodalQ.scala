@@ -403,10 +403,13 @@ object MultimodalQ {
     * training); an IMAGE must land whole inside one pack. That constraint
     * is met closed-form, not with a sequential scan: frames go FIRST in
     * each document, every document's cost is padded up to a multiple of
-    * `imgTok` (the explicit 'pad' item), and `imgTok` divides `capacity`
-    * — so every document start, hence every image start, is imgTok-
-    * aligned, and an imgTok-wide item at an imgTok-aligned offset can
-    * never straddle a capacity boundary. The whole packing stays two
+    * `imgTok` (the explicit 'pad' item), and each pack holds
+    * `usable = floor(capacity / imgTok) * imgTok` content tokens (the
+    * whole capacity when imgTok divides it — the default — otherwise the
+    * physical tail is reserved pad) — so every document start, hence
+    * every image start, is imgTok-aligned, and an imgTok-wide item at an
+    * imgTok-aligned offset can never straddle a pack boundary, for ANY
+    * (imgTok, capacity) pair. The whole packing stays two
     * windows + one join: no greedy stateful fold, no mapPartitions, and
     * the same plan shape at 100 TB (the per-source running sum is the
     * one inherently sequential step, shared with q47; sources are the
@@ -419,7 +422,6 @@ object MultimodalQ {
     * its exact token charge, stream offset, and pack id. */
   def interleavedPacking(s: SparkSession, dir: String,
                          imgTok: Int = 64, capacity: Int = 2048): DataFrame = {
-    require(capacity % imgTok == 0, "image slots must tile the pack")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -455,7 +457,18 @@ object MultimodalQ {
     * toy plan showed exactly that before this shape). */
   private[graft] def packItems(perDoc: DataFrame, imgTok: Int,
                                capacity: Int): DataFrame = {
-    require(capacity % imgTok == 0, "image slots must tile the pack")
+    // non-divisor generalization: pack content into the largest imgTok-
+    // multiple that fits the physical capacity and RESERVE the remaining
+    // (capacity mod imgTok) tail of every physical pack as padding. All
+    // offsets below are CONTENT-stream positions (gapless, what the
+    // loader consumes); physical position = (off div usable) * capacity
+    // + (off mod usable). Chunk boundaries land on imgTok multiples of
+    // the content stream, so the no-straddle law holds for ANY (imgTok,
+    // capacity) with zero sequential state — the closed form survives.
+    // When imgTok | capacity, usable == capacity and this is the
+    // original layout bit-for-bit (m15's oracle pins that case).
+    val usable = (capacity / imgTok) * imgTok
+    require(usable > 0, s"capacity $capacity cannot fit one $imgTok-token image slot")
     def item(idx: org.apache.spark.sql.Column, mod: String,
              tok: org.apache.spark.sql.Column,
              off: org.apache.spark.sql.Column) =
@@ -475,7 +488,7 @@ object MultimodalQ {
     perDoc.select(col("doc_id"), col("source"), explode(items).as("item"))
       .select(col("doc_id"), col("source"), col("item.item_idx"),
         col("item.modality"), col("item.n_tok"), col("item.offset_in_stream"))
-      .withColumn("chunk_id", expr(s"offset_in_stream div $capacity"))
+      .withColumn("chunk_id", expr(s"offset_in_stream div $usable"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -45,6 +45,45 @@ object SimilarityQ {
     Knn.approxKnn(emb(s, dir), dim = 64, k = 10, nPlanes = 6)
       .select("qid", "vec_id", "cos", "rk")
 
+  /** Adaptive-plane multi-probe ANN top-10 (e18) — the scale-true LSH
+    * demonstrator beside e03's fixed family. The plane count is DATA-
+    * DEPENDENT: the smallest p whose per-query candidate load
+    * n·(1 + p + C(p,2))/2^p stays under ~512 ([[adaptivePlanes]]), so
+    * bucket work grows ~linearly with the corpus where e03's fixed six
+    * planes grow n²/64 (its measured 1.27 exponent). Two-bit multi-probe
+    * buys back the recall extra planes cost. A static oracle cannot
+    * replay a data-dependent plane count, so e18's correctness story is
+    * (a) KnnSpec's mechanism laws (probe set is a superset, recall
+    * monotone in nFlip, within-bucket scoring exact, adaptivePlanes
+    * minimal and monotone) and (b) the ScaleInvariants PROMISE-RADIUS
+    * recall gate: recall of the exact truth pairs within the radius the
+    * index promises at its current plane count (cos(θ) such that
+    * P(signature hamming <= nFlip) >= 0.75), over a bounded md5-keyed
+    * query sample, must clear a pinned floor at every rehearsed scale.
+    * The promise radius — not the full isotropic top-10 — because at a
+    * fixed candidate budget random cos~0.4 "neighbors" are unretrievable
+    * by ANY sublinear index as n grows (measured: 1.00 at sf0.01 → 0.10
+    * at sf1), while in-promise pairs stay probe-reachable at every
+    * adaptive plane count — precisely the retrieval contract an ANN
+    * index serves at 100 TB. */
+  def knnAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Knn.approxKnnMultiProbe(e, dim = 64, k = 10,
+      nPlanes = adaptivePlanes(e.count()), nFlip = 2)
+      .select("qid", "vec_id", "cos", "rk")
+  }
+
+  /** Smallest plane count p (1..20) whose expected per-query candidate
+    * load n·(1 + p + p(p-1)/2)/2^p is at most `targetCand` — the probe
+    * fan-out (1 exact bucket + p one-flips + C(p,2) two-flips) priced
+    * against the 2^p bucket split. n=2k → 7 planes, n=20k → 12: the
+    * candidate budget, and so the scan cost per query, stays ~flat as
+    * the corpus grows. */
+  private[graft] def adaptivePlanes(n: Long, targetCand: Int = 512): Int =
+    (1 to 20).find { p =>
+      (1L << p).toDouble / (1 + p + p * (p - 1) / 2) >= n.toDouble / targetCand
+    }.getOrElse(20)
+
   /** Nearest-centroid assignment — the IVF build step ([[graft.similarity.Ivf]])
     * as an oracle-backed query: the 8 seed vectors (vec_id < 8) act as
     * fixed centroids (a deterministic k-means iteration 0), every other
@@ -568,6 +607,7 @@ object SimilarityQ {
     "e01_knn_brute"      -> (knnBrute _),
     "e02_cosine_neardup" -> (cosineNearDup _),
     "e03_knn_approx"     -> (knnApprox _),
+    "e18_ann_adaptive"   -> (knnAdaptive _),
     "e04_centroid_assign" -> (centroidAssign _),
     "e05_semantic_clusters" -> (semanticClusters _),
     "e06_kmeans_lloyd"   -> (kmeansLloyd _),

@@ -149,6 +149,31 @@ object TextQ {
         round(col("n_caught").cast("double") / col("n_true").cast("double"), 9))
   }
 
+  /** Sketch-recall audit on a bounded document sample (d41b) — d41's
+    * scale path: the same per-band S-curve, measured over the 1024
+    * md5-lowest documents instead of the corpus (an unbiased, engine-
+    * stable pseudo-random subset, e14's sampling convention). d41's
+    * oracle replays two corpus-wide quadratic chains and is the fair-set
+    * outlier at sf1; HERE both the exact-Jaccard truth and the MinHash
+    * sketch run over a FIXED-size sample, so the audit (and its oracle)
+    * costs the same at sf1 as at sf0.01 — cell-exact at every scale. The
+    * detector-health signal survives sampling because recall is a
+    * per-band ratio, not a count. */
+  def sketchRecallSampled(s: SparkSession, dir: String): DataFrame =
+    sketchRecallSampledCapped(s, dir, sampleDocs = 1024, maxTruthPairs = 4096)
+
+  private[graft] def sketchRecallSampledCapped(s: SparkSession, dir: String,
+      sampleDocs: Int, maxTruthPairs: Int): DataFrame = {
+    val docs = graft.ops.WindowOps.topKBounded(
+        Tables(s, dir).documents.select(col("doc_id"), col("text"))
+          .withColumn("__md5", md5(col("doc_id").cast("string"))),
+        part = Seq.empty,
+        order = Seq(("__md5", false), ("doc_id", false)),
+        k = sampleDocs, rankCol = "__rk")
+      .select("doc_id", "text")
+    sketchRecallFrom(Tables.spread(docs, "doc_id"), maxTruthPairs)
+  }
+
   /** SimHash near-dup pairs — oracle-backed md5 hash source. Balanced
     * preset: hamming <= 6 over 8 chunks with the hot-chunk cap on. */
   def simhashDedup(s: SparkSession, dir: String): DataFrame =
@@ -380,6 +405,7 @@ object TextQ {
     "d08_repetition"    -> (repetition _),
     "d06_minhash_dedup" -> (minhashDedup _),
     "d41_sketch_recall" -> (sketchRecall _),
+    "d41b_sketch_recall_sampled" -> (sketchRecallSampled _),
     "d07_simhash_dedup" -> (simhashDedup _),
     "d21_quality_score" -> (qualityScore _),
     "d22_novelty"       -> (novelty _),
@@ -390,10 +416,11 @@ object TextQ {
     "d39_snapshot_drift" -> (snapshotDrift _),
     "d39b_drift_stored" -> (snapshotDriftStored _))
 
-  private[queries] val toksSql =
-    """SELECT doc_id, lang, text,
-      |       list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
-      |FROM documents""".stripMargin
+  private[queries] def toksSqlFrom(table: String): String =
+    s"""SELECT doc_id, lang, text,
+       |       list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+       |FROM $table""".stripMargin
+  private[queries] val toksSql = toksSqlFrom("documents")
 
   /** Shared oracle CTE chain for the capped exact-Jaccard pipeline
     * (tokens → distinct trigram shingles → stop-shingle cap → post-cap
@@ -401,10 +428,11 @@ object TextQ {
     * clustering oracle ([[PipelineQ]]) both build on THIS definition, so
     * a semantics change cannot drift between them. Mirrors
     * [[graft.dedup.Shingles.jaccardPairs]] with maxShingleDf=64, n=3. */
-  val jaccardOracleCte: String =
-    """toks AS (
-      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
-      |  FROM documents),
+  val jaccardOracleCte: String = jaccardOracleCteFrom("documents")
+  def jaccardOracleCteFrom(table: String): String =
+    s"""toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+      |  FROM $table),
       |sh0 AS (
       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
       |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
@@ -436,12 +464,13 @@ object TextQ {
     * est_jaccard ≥ 0.5) — m-prefixed names so it composes with
     * [[jaccardOracleCte]] in one statement (d41 joins the two chains).
     * [[minhashOracle]] wraps it for the standalone d06/d26 family. */
-  private[queries] def minhashCtes: String = {
+  private[queries] def minhashCtes: String = minhashCtesFrom("documents")
+  private[queries] def minhashCtesFrom(table: String): String = {
     val p = MinHashLsh.Params()
     val fam = MinHashLsh.hashFamily(p).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
     val r = p.rowsPerBand
-    s"""mtoks AS ($toksSql),
+    s"""mtoks AS (${toksSqlFrom(table)}),
        |msh AS (
        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
        |  FROM mtoks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
@@ -562,6 +591,36 @@ object TextQ {
        |       CASE WHEN score >= 0 THEN 1 ELSE 0 END AS keep
        |FROM msc""".stripMargin
 
+  /** d41/d41b oracle: d04's truth chain (md5-rank capped) LEFT JOIN the
+    * d06 chain over `table`, per-band recall. `prefix` prepends the
+    * sample CTE for the bounded variant; one builder, so the two
+    * registered shapes cannot drift. */
+  private def sketchRecallOracle(prefix: String, table: String): String =
+    s"""WITH $prefix${jaccardOracleCteFrom(table)},
+       |truth0 AS (
+       |  SELECT id_a, id_b,
+       |         least(CAST(floor(CAST(n_common AS DOUBLE)
+       |             / CAST(sa.sz + sb.sz - n_common AS DOUBLE) * 10) AS BIGINT),
+       |           9) AS jac_band,
+       |         row_number() OVER (ORDER BY
+       |           md5(CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR)),
+       |           id_a, id_b) AS rk
+       |  FROM pairs0
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(n_common AS DOUBLE)
+       |        / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5),
+       |truth AS (SELECT id_a, id_b, jac_band FROM truth0 WHERE rk <= 4096),
+       |${minhashCtesFrom(table)}
+       |SELECT t.jac_band, CAST(count(*) AS BIGINT) AS n_true,
+       |       CAST(sum(CASE WHEN mh.id_a IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_caught,
+       |       round(CAST(sum(CASE WHEN mh.id_a IS NOT NULL THEN 1 ELSE 0 END)
+       |                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS recall
+       |FROM truth t
+       |LEFT JOIN mh ON mh.id_a = t.id_a AND mh.id_b = t.id_b
+       |GROUP BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // d33: the MONOLITHIC rerun — d06's full pair SQL → recursive
     // min-label walk over the whole corpus. The incremental Spark path
@@ -585,31 +644,14 @@ object TextQ {
     // d41: d04's truth chain (md5-rank capped) LEFT JOIN the d06 chain,
     // per-band recall — both CTE bodies are the shared definitions the
     // standalone oracles build on, so the audit cannot drift from either
-    "d41_sketch_recall" ->
-      s"""WITH $jaccardOracleCte,
-         |truth0 AS (
-         |  SELECT id_a, id_b,
-         |         least(CAST(floor(CAST(n_common AS DOUBLE)
-         |             / CAST(sa.sz + sb.sz - n_common AS DOUBLE) * 10) AS BIGINT),
-         |           9) AS jac_band,
-         |         row_number() OVER (ORDER BY
-         |           md5(CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR)),
-         |           id_a, id_b) AS rk
-         |  FROM pairs0
-         |  JOIN sizes sa ON sa.doc_id = id_a
-         |  JOIN sizes sb ON sb.doc_id = id_b
-         |  WHERE CAST(n_common AS DOUBLE)
-         |        / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5),
-         |truth AS (SELECT id_a, id_b, jac_band FROM truth0 WHERE rk <= 4096),
-         |$minhashCtes
-         |SELECT t.jac_band, CAST(count(*) AS BIGINT) AS n_true,
-         |       CAST(sum(CASE WHEN mh.id_a IS NOT NULL THEN 1 ELSE 0 END)
-         |            AS BIGINT) AS n_caught,
-         |       round(CAST(sum(CASE WHEN mh.id_a IS NOT NULL THEN 1 ELSE 0 END)
-         |                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 9) AS recall
-         |FROM truth t
-         |LEFT JOIN mh ON mh.id_a = t.id_a AND mh.id_b = t.id_b
-         |GROUP BY 1""".stripMargin,
+    "d41_sketch_recall" -> sketchRecallOracle("", "documents"),
+    // d41b: the identical statement over the 1024 md5-lowest documents —
+    // both quadratic chains bounded, so the oracle is sf-independent
+    "d41b_sketch_recall_sampled" -> sketchRecallOracle(
+      """docs_s AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 1024),
+        |""".stripMargin, "docs_s"),
     // the incremental run's contract: the monolithic rerun restricted to
     // pairs touching a new (odd-id) doc
     "d26_incr_minhash" -> minhashOracle(" AND (id_a % 2 = 1 OR id_b % 2 = 1)"),

@@ -245,8 +245,23 @@ object Registries {
     * window leaves the live dir or the aside readable, and [[recover]]
     * (called on entry here and by readers that find the dir missing)
     * restores whichever survives. A table format (Delta/Iceberg) makes
-    * the whole swap atomic in production. */
-  def compact(s: SparkSession, dir: String, numFiles: Int = 4): Unit = {
+    * the whole swap atomic in production.
+    *
+    * `foldKeys` turns on SUM-BY-KEY folding for delta-shaped registries
+    * (every non-key column is an additive delta whose per-key SUM is the
+    * value — the driftHist/sourceCensus/packing-totals/dedupImpact
+    * convention): instead of preserving rows verbatim (which leaves the
+    * registry O(batches) rows forever — a minutes-cadence year is ~500k
+    * delta rows per key), compaction folds them to one row per key.
+    * Read semantics are unchanged because every consumer of a delta
+    * registry sums by key anyway. Exactly-once is unchanged too: compact
+    * only ever sees COMMITTED rows (it runs after the batch's claim,
+    * single-writer per dir), and replay skip rests on the carried
+    * `_b*.done` markers, not on the folded rows — the compactEveryBatch
+    * crash rows pin exactly that window (a lost marker would re-append a
+    * batch whose rows are already folded in: double-count). */
+  def compact(s: SparkSession, dir: String, numFiles: Int = 4,
+              foldKeys: Seq[String] = Nil): Unit = {
     val conf = s.sessionState.newHadoopConf()
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(conf)
@@ -255,7 +270,18 @@ object Registries {
     val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
     val aside = new org.apache.hadoop.fs.Path(dir + "__precompact")
     if (fs.exists(tmp)) { fs.delete(tmp, true); () }
-    s.read.parquet(dir).repartition(numFiles)
+    val data = s.read.parquet(dir)
+    val folded =
+      if (foldKeys.isEmpty) data
+      else {
+        val deltas = data.columns.toSeq.filterNot(foldKeys.contains)
+        require(deltas.nonEmpty, s"compact fold: $dir has only key columns")
+        data.groupBy(foldKeys.map(col): _*)
+          .agg(sum(col(deltas.head)).as(deltas.head),
+            deltas.tail.map(c => sum(col(c)).as(c)): _*)
+          .select(data.columns.map(col).toSeq: _*) // original column order
+      }
+    folded.repartition(numFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     // carry streaming batch done-markers (_b*.done, [[graft.streaming
     // .BatchCommit]]) across the swap: compaction renames data files out

@@ -45,6 +45,40 @@ object BatchCommit {
   def isDone(spark: SparkSession, dir: String, batchId: Long): Boolean =
     fsFor(spark, dir).exists(markerPath(dir, batchId))
 
+  /** A WRITER-PRIVATE staging dir for (dir, batchId): the batch-id key
+    * alone is not enough — two live writers mis-pointed at one registry
+    * dir would share a staging path, and one could move the OTHER's
+    * partially-committed staging files and claim them under its own
+    * marker: a holed batch that passes the integrity check (every file
+    * it moved survived — they were just never the whole batch). A
+    * per-invocation nonce makes each append's staged content provably
+    * its own complete write; [[sweepStaging]] clears abandoned nonces.
+    * A crashed attempt's staging can only exist pre-claim (the staging
+    * dir is deleted before the marker create), and streaming always
+    * replays the failed batch — so the replaying [[append]]'s entry
+    * sweep is the one cleanup point needed. */
+  private def newStaging(dir: String, batchId: Long): Path =
+    new Path(dir + f"__staging_b$batchId%06d_" +
+      java.util.UUID.randomUUID().toString.substring(0, 8))
+
+  /** Delete every staging dir any writer left for (dir, batchId) — a
+    * crashed attempt's leftovers, or (two live writers) the other
+    * flow's in-flight staging write, whose Spark job then fails LOUDLY
+    * and retries; it can never silently lose rows because its commit
+    * point is still the marker claim. Called at append entry, before
+    * each staging write. */
+  private def sweepStaging(fs: FileSystem, dir: String, batchId: Long): Unit = {
+    val d = new Path(dir)
+    val parent = d.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val prefix = d.getName + f"__staging_b$batchId%06d"
+    fs.listStatus(parent).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(prefix)) {
+        fs.delete(st.getPath, true); ()
+      }
+    }
+  }
+
   /** Delete this batch's tagged data files when its marker is absent —
     * the entry-time undo of a crashed partial append. Idempotent. Also
     * sweeps ONE level of partition subdirs (`cell=3/…`) so the same undo
@@ -92,8 +126,8 @@ object BatchCommit {
     val spark = df.sparkSession
     val fs = fsFor(spark, dir)
     if (fs.exists(markerPath(dir, batchId))) return
-    val staging = new Path(dir + f"__staging_b$batchId%06d")
-    if (fs.exists(staging)) { fs.delete(staging, true); () }
+    sweepStaging(fs, dir, batchId)
+    val staging = newStaging(dir, batchId)
     df.write.mode("overwrite").parquet(staging.toString)
     Failpoints.hit("commit:staged", dir)
     val d = new Path(dir)
@@ -128,8 +162,8 @@ object BatchCommit {
     val spark = df.sparkSession
     val fs = fsFor(spark, dir)
     if (fs.exists(markerPath(dir, batchId))) return
-    val staging = new Path(dir + f"__staging_b$batchId%06d")
-    if (fs.exists(staging)) { fs.delete(staging, true); () }
+    sweepStaging(fs, dir, batchId)
+    val staging = newStaging(dir, batchId)
     df.write.mode("overwrite").partitionBy(partitionCol)
       .parquet(staging.toString)
     Failpoints.hit("commit:staged", dir)
@@ -270,9 +304,11 @@ object BatchCommit {
     * .compact]] carries `_b*.done` files across the swap) so replay
     * skip/rollback decisions stay correct for the in-flight batch; dead
     * markers below the newest two batch ids are [[pruneMarkers pruned]]
-    * here so TOTAL file count (data and markers) stays bounded. */
+    * here so TOTAL file count (data and markers) stays bounded.
+    * `foldKeys` (delta-shaped registries only) additionally folds rows
+    * to one per key — see [[graft.store.Registries.compact]]. */
   def maybeCompact(spark: SparkSession, dir: String, maxFiles: Int,
-                   targetFiles: Int = 4): Boolean = {
+                   targetFiles: Int = 4, foldKeys: Seq[String] = Nil): Boolean = {
     val fs = fsFor(spark, dir)
     val d = new Path(dir)
     if (!fs.exists(d)) return false
@@ -282,7 +318,7 @@ object BatchCommit {
         !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
     }
     if (n <= maxFiles) false
-    else { graft.store.Registries.compact(spark, dir, targetFiles); true }
+    else { graft.store.Registries.compact(spark, dir, targetFiles, foldKeys); true }
   }
 }
 

@@ -528,10 +528,12 @@ object DocStreams {
     * appended to `histDir` as delta rows whose per-key SUM is the
     * accumulated drop histogram — compaction-friendly (folding rows
     * preserves sums, the [[packingStream]] totals convention) and
-    * exactly-once under [[BatchCommit]] (single sink, rollback then
-    * tagged append). The PSI read side is [[driftReport]]; nothing here
-    * ever re-scans earlier drops, so a day's maintenance costs one scan
-    * of that day's files. */
+    * exactly-once under [[BatchCommit]] (rollback then tagged append).
+    * The PSI read side is [[driftReport]]; nothing here ever re-scans
+    * earlier drops, so a day's maintenance costs one scan of that day's
+    * files. Compaction folds delta rows per key (the registry stays
+    * O(sources × bins) rows), and the [[IdWatermark]] guard enforces the
+    * id-order contract the fold's correctness rests on. */
   def driftHistStream(docStream: DataFrame, histDir: String,
                       compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
@@ -542,22 +544,30 @@ object DocStreams {
       // eventually deleted (the dedupImpactStream hazard)
       graft.store.Registries.recover(spark, histDir)
       BatchCommit.rollback(spark, histDir, bid)
+      // id-space contract: a histogram registry stores sums, so an
+      // interleaved/re-delivered id cannot be de-duplicated later — the
+      // watermark guard refuses the batch loudly instead
+      val wm = IdWatermark.guard(batch, "doc_id", histDir, bid)
       BatchCommit.append(
         batch.groupBy(col("source"),
             least(expr("n_chars div 200"), lit(24L)).as("chars_bin"))
           .agg(count(lit(1)).as("n")),
         histDir, bid)
+      Failpoints.hit("drift:mid", histDir)
+      IdWatermark.commit(spark, histDir, bid, wm, compactAfterFiles)
       Failpoints.hit("drift:post", histDir)
-      BatchCommit.maybeCompact(spark, histDir, compactAfterFiles)
+      BatchCommit.maybeCompact(spark, histDir, compactAfterFiles,
+        foldKeys = Seq("source", "chars_bin"))
       ()
     }
 
   /** Streaming source-census maintenance — d38b's registry twin
     * ([[graft.store.Registries.sourceCensus]]): each drop's per-source
     * char/doc totals appended as delta rows whose per-key SUM is the
-    * census (sum-preserving under compaction, exactly-once under
-    * [[BatchCommit]]). The nightly mixture re-plan (d38b) reads the
-    * summed census; it never re-scans a single document. */
+    * census (folded to one row per source at compaction, exactly-once
+    * under [[BatchCommit]], id-order enforced by [[IdWatermark]]). The
+    * nightly mixture re-plan (d38b) reads the summed census; it never
+    * re-scans a single document. */
   def sourceCensusStream(docStream: DataFrame, censusDir: String,
                          compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
@@ -566,13 +576,18 @@ object DocStreams {
       // entry (see dedupImpactStream's hazard note)
       graft.store.Registries.recover(spark, censusDir)
       BatchCommit.rollback(spark, censusDir, bid)
+      // id-space contract (see driftHistStream): refuse interleaved ids
+      val wm = IdWatermark.guard(batch, "doc_id", censusDir, bid)
       BatchCommit.append(
         batch.groupBy("source")
           .agg(sum(col("n_chars")).as("n_chars_src"),
             count(lit(1)).as("n_docs_src")),
         censusDir, bid)
+      Failpoints.hit("census:mid", censusDir)
+      IdWatermark.commit(spark, censusDir, bid, wm, compactAfterFiles)
       Failpoints.hit("census:post", censusDir)
-      BatchCommit.maybeCompact(spark, censusDir, compactAfterFiles)
+      BatchCommit.maybeCompact(spark, censusDir, compactAfterFiles,
+        foldKeys = Seq("source"))
       ()
     }
 
@@ -609,7 +624,7 @@ object DocStreams {
     * exploded by the SHARED item stage — so the stream cannot drift from
     * the batch op, and PackingSpec's alignment law carries over verbatim
     * (totals are sums of imgTok-multiples, so every stored base offset is
-    * imgTok-aligned and no image ever straddles a capacity boundary).
+    * imgTok-aligned and no image ever straddles a pack boundary).
     *
     * The totals registry is append-only (source, delta) rows whose
     * per-source SUM is the current stream length — compaction-friendly
@@ -621,7 +636,8 @@ object DocStreams {
   def packingStream(docStream: DataFrame, totalsDir: String, itemsDir: String,
                     imgTok: Int = 64, capacity: Int = 2048,
                     compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    require(capacity % imgTok == 0, "image slots must tile the pack")
+    require((capacity / imgTok) * imgTok > 0,
+      s"capacity $capacity cannot fit one $imgTok-token image slot")
     docStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       val spark = batch.sparkSession
       BatchCommit.rollback(spark, itemsDir, bid)
@@ -651,7 +667,8 @@ object DocStreams {
           totalsDir, bid)
         Failpoints.hit("pack:post", totalsDir)
       } finally { perDoc.unpersist(); () }
-      BatchCommit.maybeCompact(spark, totalsDir, compactAfterFiles)
+      BatchCommit.maybeCompact(spark, totalsDir, compactAfterFiles,
+        foldKeys = Seq("source"))
       ()
     }
   }
@@ -712,7 +729,8 @@ object DocStreams {
         Failpoints.hit("impact:post", fpDir)
       } finally { tagged.unpersist(); () }
       BatchCommit.maybeCompact(spark, fpDir, compactAfterFiles)
-      BatchCommit.maybeCompact(spark, impactDir, compactAfterFiles)
+      BatchCommit.maybeCompact(spark, impactDir, compactAfterFiles,
+        foldKeys = Seq("source"))
       ()
     }
 }

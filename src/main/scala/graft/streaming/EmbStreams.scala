@@ -116,8 +116,10 @@ object EmbStreams {
     * and the (id, cell) labels appended exactly-once under
     * [[BatchCommit]]. e17b's history histogram is a count over this
     * registry; compaction folds files without touching rows, so the
-    * label SET is swap-stable. A day's maintenance costs one scan of
-    * that day's vectors — nothing grows with the registry. */
+    * label SET is swap-stable, and the [[IdWatermark]] guard refuses a
+    * re-delivered vec_id before it can duplicate a label row. A day's
+    * maintenance costs one scan of that day's vectors — nothing grows
+    * with the registry. */
   def cellLabelStream(embStream: DataFrame, cents: DataFrame,
                       labelsDir: String,
                       compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -128,6 +130,10 @@ object EmbStreams {
       // is eventually deleted (DocStreams.dedupImpactStream's hazard)
       graft.store.Registries.recover(spark, labelsDir)
       BatchCommit.rollback(spark, labelsDir, bid)
+      // id-space contract (DocStreams.driftHistStream's convention): a
+      // re-delivered vec_id would duplicate its label row and inflate
+      // e17b's history occupancy — refuse the batch loudly instead
+      val wm = IdWatermark.guard(batch, "vec_id", labelsDir, bid)
       BatchCommit.append(
         graft.similarity.KMeansExact.assignIds(
           graft.similarity.KMeansExact.quantize(
@@ -135,6 +141,8 @@ object EmbStreams {
           cents)
           .select(col("id"), col("cid").as("cell")),
         labelsDir, bid)
+      Failpoints.hit("celllabel:mid", labelsDir)
+      IdWatermark.commit(spark, labelsDir, bid, wm, compactAfterFiles)
       Failpoints.hit("celllabel:post", labelsDir)
       BatchCommit.maybeCompact(spark, labelsDir, compactAfterFiles)
       ()

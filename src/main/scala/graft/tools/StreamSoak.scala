@@ -1,0 +1,147 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Long-horizon streaming soak (dev): drive each registry-maintaining
+  * foreachBatch flow for N drops and record per-batch wall time plus the
+  * sink's file/row counts — the steady-state evidence the crash matrix
+  * cannot give. Flat per-batch wall and O(keys)/O(corpus) registry growth
+  * are the pass; any super-linear drift here is a scale bug the sf-curve
+  * harness would only catch much later.
+  *
+  *   sbt "runMain graft.tools.StreamSoak /root/testdata/sf0.1 100 docs/soak_r11.jsonl"
+  *
+  * Each drop is a full sf-table copy under shifted ids (drop k's doc gets
+  * id k*OFFSET+id), odd-id texts mutated per drop so exact-dedup keeps a
+  * realistic ~50% duplicate rate at every drop; embeddings keep their
+  * vectors (cell assignment is id-independent). Drops are staged as one
+  * file each; maxFilesPerTrigger=1 makes one micro-batch per drop.
+  */
+object StreamSoak {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nDrops = args.lift(1).map(_.toInt).getOrElse(100)
+    val outPath = args.lift(2).getOrElse("docs/soak.jsonl")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.numRecentProgressUpdates", "1024")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftExtensions.registerAll(spark)
+    val t = graft.Tables(spark, sfDir)
+    val out = new java.io.PrintWriter(new java.io.FileWriter(outPath))
+
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"soak-$tag").toString
+
+    // ---- staging: one parquet file per drop, shared across flows --------
+    val Offset = 1000000L
+    println(s"staging $nDrops drops…")
+    val docStage = tmp("docs")
+    val docBase = t.documents.cache(); docBase.count()
+    for (k <- 0 until nDrops)
+      docBase
+        .withColumn("doc_id", col("doc_id") + lit(k * Offset))
+        // odd ids diverge per drop; even ids repeat verbatim (Offset is
+        // even, so parity survives the shift)
+        .withColumn("text",
+          when(col("doc_id") % 2 === 1, concat(col("text"), lit(s" drop$k")))
+            .otherwise(col("text")))
+        .coalesce(1).write.mode("append").parquet(docStage)
+    val embStage = tmp("embs")
+    val embBase = t.embeddings.cache(); embBase.count()
+    for (k <- 0 until nDrops)
+      embBase.withColumn("vec_id", col("vec_id") + lit(k * Offset))
+        .coalesce(1).write.mode("append").parquet(embStage)
+    docBase.unpersist(); embBase.unpersist()
+    println("staged.")
+
+    def fileCount(dir: String): Int = {
+      val f = new java.io.File(dir)
+      if (!f.exists()) 0
+      else {
+        val top = f.listFiles().toSeq
+        (top ++ top.filter(d => d.isDirectory && d.getName.contains("="))
+          .flatMap(_.listFiles().toSeq))
+          .count(x => x.isFile &&
+            (x.getName.endsWith(".parquet") || x.getName.endsWith(".done")))
+      }
+    }
+    def rowCount(dir: String): Long =
+      if (!new java.io.File(dir).exists()) 0L
+      else try spark.read.parquet(dir).count() catch { case _: Exception => 0L }
+
+    /** Run one flow to completion. Wall times come from the (complete)
+      * recentProgress ring; file counts are sampled by a poll thread
+      * keyed to the then-current batch id. */
+    def soak(flow: String, sinks: Map[String, String])
+            (start: String => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+             stage: String): Unit = {
+      val ckpt = tmp("ckpt")
+      val q = start(stage)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      val sampled = scala.collection.mutable.Map.empty[Long, Map[String, Int]]
+      while (!q.awaitTermination(200)) {
+        val p = q.lastProgress
+        if (p != null)
+          sampled(p.batchId) = sinks.map { case (n, d) => n -> fileCount(d) }
+      }
+      for (p <- q.recentProgress if p.numInputRows > 0) {
+        val files = sampled.getOrElse(p.batchId,
+          sinks.map { case (n, d) => n -> fileCount(d) })
+        val fjson = files.map { case (n, c) => s""""$n":$c""" }.mkString(",")
+        out.println(s"""{"flow":"$flow","batch":${p.batchId},""" +
+          s""""wall_ms":${p.durationMs.get("triggerExecution")},"files":{$fjson}}""")
+      }
+      val rows = sinks.map { case (n, d) => s""""$n":${rowCount(d)}""" }
+      out.println(s"""{"flow":"$flow","final_rows":{${rows.mkString(",")}},""" +
+        s""""final_files":{${sinks.map { case (n, d) => s""""$n":${fileCount(d)}""" }.mkString(",")}}}""")
+      out.flush()
+      println(s"$flow: done (${q.recentProgress.count(_.numInputRows > 0)} batches)")
+    }
+
+    def docStream = graft.streaming.DocStreams
+      .readDocumentStream(spark, docStage, maxFilesPerTrigger = Some(1))
+    def embStream = graft.streaming.EmbStreams
+      .readEmbeddingStream(spark, embStage, maxFilesPerTrigger = Some(1))
+
+    val base = tmp("sinks")
+    val cents = graft.store.Registries.kmeansCentroids(spark, sfDir).cache()
+    cents.count()
+    val emb0 = t.embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val ivfCents = graft.similarity.IvfPq.seedCentroids(emb0, nCells = 8)
+    val ivfCb = graft.similarity.IvfPq.residualCodebook(emb0, ivfCents,
+      dims = 64, m = 8, seedFrom = 8)
+
+    soak("driftHist", Map("hist" -> s"$base/hist"))(
+      _ => graft.streaming.DocStreams.driftHistStream(docStream, s"$base/hist"),
+      docStage)
+    soak("sourceCensus", Map("census" -> s"$base/census"))(
+      _ => graft.streaming.DocStreams.sourceCensusStream(docStream, s"$base/census"),
+      docStage)
+    soak("dedupImpact", Map("fp" -> s"$base/fp", "impact" -> s"$base/impact"))(
+      _ => graft.streaming.DocStreams.dedupImpactStream(
+        docStream, s"$base/fp", s"$base/impact"),
+      docStage)
+    soak("packing", Map("totals" -> s"$base/totals", "items" -> s"$base/items"))(
+      _ => graft.streaming.DocStreams.packingStream(
+        docStream, s"$base/totals", s"$base/items"),
+      docStage)
+    soak("cellLabel", Map("labels" -> s"$base/labels"))(
+      _ => graft.streaming.EmbStreams.cellLabelStream(
+        embStream, cents, s"$base/labels"),
+      embStage)
+    soak("ivfCodesIngest", Map("codes" -> s"$base/codes"))(
+      _ => graft.streaming.EmbStreams.ivfCodesIngestStream(
+        embStream, ivfCents, ivfCb, s"$base/codes"),
+      embStage)
+
+    out.close()
+    spark.stop()
+  }
+}

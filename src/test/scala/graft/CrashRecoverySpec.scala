@@ -114,30 +114,30 @@ class CrashRecoverySpec extends AnyFunSuite {
           docStream(stage), "doc_id", "text", 5, s"$base/ngreg", s"$base/out"), ckpt),
         Seq("out")),
       Flow("driftHistStream",
-        Seq("drift:post"),
+        Seq("drift:mid", "drift:post"),
         () => stageTwoDrops(docs.filter(col("doc_id") % 2 === 1), "doc_id", 150L),
         _ => (),
         (stage, base, ckpt) => await(DocStreams.driftHistStream(
           docStream(stage), s"$base/hist"), ckpt),
-        Seq("hist")),
+        Seq("hist", "hist__idwm")),
       Flow("sourceCensusStream",
-        Seq("census:post"),
+        Seq("census:mid", "census:post"),
         () => stageTwoDrops(docs, "doc_id", 150L),
         _ => (),
         (stage, base, ckpt) => await(DocStreams.sourceCensusStream(
           docStream(stage), s"$base/census"), ckpt),
-        Seq("census")),
+        Seq("census", "census__idwm")),
       Flow("driftHistStream+compactEveryBatch",
         // delta-SUM registries under forced per-batch compaction: a
-        // replayed batch finds its tagged delta files already folded
-        // and must skip on the carried done-marker — a lost marker
-        // would double-count the batch's histogram deltas
-        Seq("drift:post"),
+        // replayed batch finds its tagged delta files already FOLDED
+        // (sum-by-key) and must skip on the carried done-marker — a lost
+        // marker would double-count the batch's histogram deltas
+        Seq("drift:mid", "drift:post"),
         () => stageTwoDrops(docs.filter(col("doc_id") % 2 === 1), "doc_id", 150L),
         _ => (),
         (stage, base, ckpt) => await(DocStreams.driftHistStream(
           docStream(stage), s"$base/hist", compactAfterFiles = 0), ckpt),
-        Seq("hist")),
+        Seq("hist", "hist__idwm")),
       Flow("curationFunnelStream",
         Seq("funnel:mid1", "funnel:mid2", "funnel:post"),
         () => stageTwoDrops(docs, "doc_id", 150L),
@@ -222,7 +222,7 @@ class CrashRecoverySpec extends AnyFunSuite {
           docStream(stage), s"$base/fp", s"$base/impact"), ckpt),
         Seq("fp", "impact")),
       Flow("cellLabelStream",
-        Seq("celllabel:post"),
+        Seq("celllabel:mid", "celllabel:post"),
         () => stageTwoDrops(
           Tables(spark, sf).embeddings.filter(col("vec_id") % 2 === 0),
           "vec_id", 50L),
@@ -231,7 +231,7 @@ class CrashRecoverySpec extends AnyFunSuite {
           EmbStreams.readEmbeddingStream(spark, stage, maxFilesPerTrigger = Some(1)),
           graft.store.Registries.kmeansCentroids(spark, sf),
           s"$base/labels"), ckpt),
-        Seq("labels")),
+        Seq("labels", "labels__idwm")),
       Flow("ivfCodesIngestStream",
         // the partitioned-append commit windows: after the staging write,
         // mid per-cell moves, just before the root marker, and post-commit

@@ -97,6 +97,28 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptivePlanes: candidate budget holds, plane count grows with log n") {
+    import graft.queries.SimilarityQ.adaptivePlanes
+    // the chosen p must satisfy the budget it prices: expected per-query
+    // candidates n·(1+p+C(p,2))/2^p <= target — and p-1 must NOT
+    // (minimality), except at the p=1 floor
+    for (n <- Seq(100L, 2000L, 20000L, 200000L, 2000000L)) {
+      val p = adaptivePlanes(n)
+      def load(q: Int) = n.toDouble * (1 + q + q * (q - 1) / 2) / (1L << q)
+      assert(load(p) <= 512.0 + 1e-9, s"n=$n p=$p busts the candidate budget")
+      if (p > 1) assert(load(p - 1) > 512.0, s"n=$n p=$p is not minimal")
+    }
+    // monotone non-decreasing in n — more corpus never means fewer planes
+    val ps = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)
+      .map(adaptivePlanes(_))
+    assert(ps == ps.sorted, s"plane count not monotone: $ps")
+    // ~log-n growth: a 10x corpus adds a bounded handful of planes
+    // (log2(10) ≈ 3.3 for the bucket split plus ~2-3 more because the
+    // probe fan-out 1+p+C(p,2) itself grows with p)
+    ps.sliding(2).foreach { case Seq(a, b) =>
+      assert(b - a <= 7, s"10x corpus added ${b - a} planes: $ps") }
+  }
+
   test("incremental near-dup equals the full rerun restricted to new-touching pairs") {
     val newE = emb.filter(col("id") % 2 === 1)
     val oldE = emb.filter(col("id") % 2 === 0)

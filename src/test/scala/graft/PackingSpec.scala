@@ -67,6 +67,54 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("non-divisor modality cost (imgTok=48, capacity=2048): the " +
+       "reserved-tail closed form keeps every image whole") {
+    // usable = floor(2048/48)*48 = 2016 content tokens per pack; the
+    // 32-token physical tail of each pack is reserved pad. Same
+    // invariants as the divisor case, against the usable boundary.
+    val tok = 48L
+    val usable = (2048L / tok) * tok
+    val nd = graft.queries.MultimodalQ
+      .interleavedPacking(spark, sf, imgTok = tok.toInt, capacity = 2048)
+      .collect()
+    assert(nd.nonEmpty)
+    val imgs = nd.filter(_.getAs[String]("modality") == "image")
+    assert(imgs.nonEmpty)
+    imgs.foreach { r =>
+      val off = r.getAs[Long]("offset_in_stream")
+      assert(r.getAs[Long]("n_tok") == tok)
+      assert(off % tok == 0, s"unaligned image at $off")
+      assert(off / usable == (off + tok - 1) / usable,
+        s"image straddles the usable pack boundary at $off")
+    }
+    // occupancy: no pack carries more than `usable` content tokens, and
+    // every non-final pack is filled exactly
+    val occ = scala.collection.mutable.Map.empty[(String, Long), Long]
+    nd.foreach { r =>
+      val off = r.getAs[Long]("offset_in_stream")
+      val end = off + r.getAs[Long]("n_tok")
+      var ch = off / usable
+      while (ch * usable < end) {
+        val part = math.min(end, (ch + 1) * usable) - math.max(off, ch * usable)
+        val k = (r.getAs[String]("source"), ch)
+        occ(k) = occ.getOrElse(k, 0L) + part
+        ch += 1
+      }
+      assert(r.getAs[Long]("chunk_id") == off / usable)
+    }
+    assert(occ.values.max <= usable)
+    occ.groupBy(_._1._1).foreach { case (_, packs) =>
+      val lastCh = packs.keys.map(_._2).max
+      packs.filter(_._1._2 < lastCh).values.foreach(v => assert(v == usable))
+    }
+    // a capacity that cannot fit one image slot is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.MultimodalQ
+        .interleavedPacking(spark, sf, imgTok = 3000, capacity = 2048)
+    }
+    assert(e.getMessage.contains("cannot fit one 3000-token image slot"))
+  }
+
   test("modality costs are charged exactly") {
     val perDocTok = Tables(spark, sf).documents
       .select(col("doc_id"),

@@ -175,6 +175,68 @@ class RegistryCompactSpec extends AnyFunSuite {
       s"self-compaction left fp=${files(fpC)} impact=${files(impC)} files")
   }
 
+  test("delta registries fold to one row per key under compaction: " +
+       "O(keys) rows, sums preserved, column order intact") {
+    import spark.implicits._
+    // unit shape first: a 3-column delta table folds by its 2-key prefix
+    val dir = java.nio.file.Files.createTempDirectory("fold").toString + "/r"
+    for (drop <- 0 until 6)
+      Seq(("a", 0L, 2L, 10L), ("a", 1L, 3L, 20L), ("b", 0L, 5L, 30L))
+        .toDF("source", "bin", "n", "chars")
+        .repartition(2).write.mode("append").parquet(dir)
+    Registries.compact(spark, dir, numFiles = 1,
+      foldKeys = Seq("source", "bin"))
+    val out = spark.read.parquet(dir)
+    assert(out.columns.toSeq == Seq("source", "bin", "n", "chars"),
+      "folding changed column order")
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.size == 3, s"expected one row per key, got ${rows.size}")
+    assert(rows(("a", 0L)) == (12L, 60L) && rows(("a", 1L)) == (18L, 120L) &&
+      rows(("b", 0L)) == (30L, 180L), "folding changed per-key sums")
+
+    // end-to-end: driftHistStream compacting every batch holds O(keys)
+    // registry rows after 8 drops, with per-key sums equal to the
+    // never-compacting run's — the registry no longer grows one delta
+    // row-set per batch forever
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables(spark, sf).documents
+    val stage = java.nio.file.Files.createTempDirectory("fold-stage").toString
+    // contiguous id ranges per drop: the flow's IdWatermark guard (by
+    // design) refuses interleaved ids, so modulo-sliced drops would fail
+    val width = docs.agg(max("doc_id")).head().getLong(0) / 8 + 1
+    for (k <- 0 until 8) {
+      docs.filter(col("doc_id") >= k * width && col("doc_id") < (k + 1) * width)
+        .repartition(1).write.mode("append").parquet(stage)
+      Thread.sleep(1100)
+    }
+    def run(compactAfter: Int): String = {
+      val base = java.nio.file.Files.createTempDirectory("fold-run").toString
+      graft.streaming.DocStreams.driftHistStream(
+          graft.streaming.DocStreams.readDocumentStream(spark, stage,
+            maxFilesPerTrigger = Some(1)),
+          s"$base/hist", compactAfterFiles = compactAfter)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("fold-ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s"$base/hist"
+    }
+    val histC = run(compactAfter = 0)
+    val histN = run(compactAfter = 1 << 30)
+    def summed(d: String) = spark.read.parquet(d)
+      .groupBy("source", "chars_bin").agg(sum("n").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(summed(histC) == summed(histN), "folding changed histogram sums")
+    val nKeys = summed(histN).size
+    val nRowsC = spark.read.parquet(histC).count()
+    val nRowsN = spark.read.parquet(histN).count()
+    assert(nRowsC == nKeys,
+      s"folded registry holds $nRowsC rows for $nKeys keys — not O(keys)")
+    assert(nRowsN > nKeys,
+      "fixture vacuous: the unfolded run never accumulated delta rows")
+  }
+
   test("registry cache keys distinguish dirs that sanitize identically") {
     import spark.implicits._
     // /…/x/a_b and /…/x/a/b both sanitize to _…_x_a_b — the digest suffix

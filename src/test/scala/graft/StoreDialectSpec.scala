@@ -69,6 +69,41 @@ class StoreDialectSpec extends AnyFunSuite {
       "ON t.\"project_id\" = s.\"project_id\" AND t.\"sample_id\" = s.\"sample_id\""))
   }
 
+  test("MariaDB: url selects the shared arm; the full mutation surface " +
+       "for a two-key table is pinned byte-exactly") {
+    // No MariaDB server or client jar exists in this container (re-checked
+    // this round: /opt/spark/jars has no mysql/mariadb driver, no mysqld/
+    // mariadbd binary, coursier offline), so the arm is frozen at the
+    // emitted-SQL level like MySQL's. MariaDB 10.x parses the identical
+    // backtick / UPDATE..JOIN / DELETE-alias / NOT-EXISTS grammar, which
+    // is exactly why one arm serves both — this pin makes the claim a
+    // regression gate rather than a comment.
+    val d = StoreDialect.forUrl("jdbc:mariadb://h:3306/igf?useSsl=false")
+    assert(d eq MySql)
+    val ks = Seq("project_id", "sample_id")
+    val cs = ks ++ Seq("status", "md5")
+    assert(d.upsertSql("`sample`", "`sample__stage`", cs, ks) == Seq(
+      "UPDATE `sample` t INNER JOIN `sample__stage` s " +
+        "ON t.`project_id` = s.`project_id` AND t.`sample_id` = s.`sample_id` " +
+        "SET t.`status` = s.`status`, t.`md5` = s.`md5`",
+      "INSERT INTO `sample` (`project_id`, `sample_id`, `status`, `md5`)\n" +
+        "SELECT s.`project_id`, s.`sample_id`, s.`status`, s.`md5` " +
+        "FROM `sample__stage` s\n" +
+        "WHERE NOT EXISTS (SELECT 1 FROM `sample` t WHERE " +
+        "t.`project_id` = s.`project_id` AND t.`sample_id` = s.`sample_id`)"))
+    assert(d.deleteWhereExistsSql("`sample`", "`sample__stage`", ks) ==
+      "DELETE t FROM `sample` t WHERE EXISTS (SELECT 1 FROM `sample__stage` s " +
+        "WHERE t.`project_id` = s.`project_id` AND t.`sample_id` = s.`sample_id`)")
+    assert(d.deleteChildSql("`sample_attribute`", "`sample__stage`",
+      "sample_id", "sample_id") ==
+      "DELETE c FROM `sample_attribute` c WHERE EXISTS " +
+        "(SELECT 1 FROM `sample__stage` s WHERE s.`sample_id` = c.`sample_id`)")
+    // weird identifiers survive quoting through the statement builders
+    val Seq(ins) = d.upsertSql("`we``ird`", "`we``ird__stage`",
+      Seq("k`ey"), Seq("k`ey"))
+    assert(ins.contains("INSERT INTO `we``ird` (`k``ey`)"), ins)
+  }
+
   test("MySQL delete uses the alias form its parser requires") {
     assert(MySql.deleteWhereExistsSql("`run`", "`run__stage`", keys) ==
       "DELETE t FROM `run` t WHERE EXISTS " +
