@@ -302,10 +302,13 @@ object CurationQ {
     * candidates, exact-decimal rescore), and the two NEW-TOUCHING pair
     * sets full-outer-join on the unordered pair key with d30's
     * classifier verbatim. No broadcast-nested-loop anywhere: both pair
-    * generators are banded/bucketed registry joins, so this is the plan
-    * that survives 100× — d30 stays registered as the from-scratch
-    * worst-case twin (the d26/d26b convention). Measured sf0.1→sf1
-    * exponent 0.89 vs d30's 1.14 (docs/SCALE.md). The oracle composes
+    * generators are banded/bucketed registry joins. Measured sf0.1→sf1
+    * exponent 0.89 vs d30's 1.14 (docs/SCALE.md); d30 stays registered as
+    * the from-scratch worst-case twin (the d26/d26b convention). SCALE
+    * CAVEAT (sf10 rehearsal): the SEMANTIC side inherits e07b's fixed-
+    * plane n²/64 candidate growth a decade past its calibration — at true
+    * scale the audit composes e19's adaptive-plane pair surface instead
+    * (the lexical banded side is corpus-stable). The oracle composes
     * d26b's restricted-rerun SQL and e07b's bucketed-contract SQL with
     * d30's classification tail, CTE-sharing both so the audit cannot
     * drift from the detectors it audits. */

@@ -247,10 +247,18 @@ object SimilarityQ {
     * parquet on disk); candidates rescore with the decimal-exact cosine.
     * History's vectors are never re-hashed — the benched cost is the
     * per-increment probe, where e07 measures the exact-rescan worst case.
-    * Measured sf0.1→sf1 exponent 0.97 — linear, vs e07's 1.78 (docs/SCALE.md).
     * Semantics are the BUCKETED contract (pairs sharing a bucket), so the
     * oracle replays the e03 plane family: same-bucket new-touching pairs
-    * at exact cos >= 0.4. */
+    * at exact cos >= 0.4.
+    *
+    * SCALE CAVEAT (sf10 rehearsal): the FIXED 6-plane registry's 64
+    * buckets make candidate load grow n²/64 — masked at sf0.1→sf1 by the
+    * /64 constant (measured exp 0.97) and exposed a decade later (the
+    * candidate count grows ~100× for 10× data; docs/SCALE.md round-11
+    * addendum). e07b stays registered as the fixed-family oracle anchor
+    * (the e03/e18 convention); the scale-true production path is
+    * [[incrementalNearDupAdaptive]] (e19), whose plane count follows the
+    * history size. */
   def incrementalNearDupStored(s: SparkSession, dir: String): DataFrame = {
     val all = emb(s, dir)
     val (cand, _) = Knn.incrementalBucketCandidates(
@@ -263,6 +271,51 @@ object SimilarityQ {
       .select(col("id_a"), col("id_b"),
         Knn.cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= 0.4)
+  }
+
+  /** e19 — incremental near-dup at the ADAPTIVE-plane stored registry
+    * (the scale-true production path the sf10 rehearsal demanded): today's
+    * odd-id vectors hash at [[graft.store.Registries.adaptiveEmbPlanes]]
+    * planes and multi-probe (nFlip=2) the stored even-id registry; exact
+    * decimal rescore keeps pairs at cos >= 0.4. Contract: every pair with
+    * at least one new member whose SIGNATURES differ in <= 2 bits — pair-
+    * symmetric, so the DuckDB oracle replays it with bit_count(xor) <= 2
+    * over the shared prefix-stable 20-plane matrix and re-derives the
+    * plane count from the history count with the same law; no probe-set
+    * enumeration needed. At driver scales the law gives p <= 2 and the
+    * probes are exhaustive, so e19 == e07 exactly (Knn19Spec pins it);
+    * past the fixed registry's calibration decade it keeps per-new-vector
+    * candidates under the 512 budget where e07b's fixed 64 buckets grow
+    * n²/64 (measured at sf10: candidate count ~100× for 10× data). */
+  def incrementalNearDupAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val all = emb(s, dir)
+    val p = graft.store.Registries.adaptiveEmbPlanes(s, dir)
+    val cand = Knn.adaptiveBucketCandidates(
+      all.filter(col("id") % 2 === 1),
+      graft.store.Registries.embBucketsAdaptive(s, dir),
+      dim = 64, nPlanes = p, nFlip = 2)
+    cand
+      .join(all.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(all.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Knn.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.4)
+  }
+
+  /** e20 — semantic dedup clusters over e19's adaptive pair surface:
+    * connected components, min-id labels, keep = representative. The
+    * semdedup operator e11 runs over fixed k-means cells (within-cell
+    * pairs grow n²/8 — its own second-decade cliff) re-expressed over the
+    * candidate generator that stays linear; the oracle composes e19's
+    * pair SQL with the d33-family recursive min-label walk. */
+  def semDedupAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val pairs = incrementalNearDupAdaptive(s, dir).select("id_a", "id_b")
+    val cl = graft.ops.ConnectedComponents.clusters(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "vec_id")
+    val sizes = cl.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    cl.join(sizes, Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"), col("n_members"),
+        (col("vec_id") === col("cluster_id")).as("keep"))
   }
 
   /** PQ encode ([[graft.similarity.Pq]]): 64 dims → 8 subspaces × 16 seed
@@ -381,6 +434,15 @@ object SimilarityQ {
     afterR1.map(c => (c.cid, c.vec.toSeq)).toDF("cid", "cq")
   }
 
+  /** SemDeDup over the frozen 8-cell k-means model (e11): within-cell
+    * cosine pairs >= 0.7, CC, keep = min-id representative.
+    *
+    * SCALE CAVEAT (sf10 rehearsal): a FIXED cell count makes within-cell
+    * pair work grow n²/8 — the same second-decade cliff as e07b's fixed
+    * planes (masked at sf1 by the /8 constant, measured exp 0.71). e11
+    * stays the oracle anchor for the fixed model family; the scale-true
+    * semantic-dedup path is [[semDedupAdaptive]] (e20), whose candidate
+    * generator follows the corpus size. */
   def semDedupKmeans(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val cells = kmeansCells(s, dir)
@@ -436,9 +498,14 @@ object SimilarityQ {
     * baseline. The contract is the bucketed one: labels equal to the
     * recursive walk over (exact even-even pairs — the stored labels'
     * provenance — ∪ bucketed new-touching pairs), which the composed
-    * oracle spells out CTE by CTE. At 100 TB this is the shape that
-    * runs: registry probe cost per drop, never an all-pairs pass.
-    * Measured sf0.1→sf1 exponent 0.77 vs e12's 1.61 (docs/SCALE.md). */
+    * oracle spells out CTE by CTE. Measured sf0.1→sf1 exponent 0.77 vs
+    * e12's 1.61 (docs/SCALE.md). SCALE CAVEAT (sf10 rehearsal): both the
+    * exact-provenance stored labels and the fixed-plane bucket probe are
+    * second-decade quadratic (e07b's n²/64 law; the registry build hits
+    * the exact builder's cap at 250k history vectors) — e12b stays the
+    * oracle anchor for the fixed maintenance contract, and the scale-true
+    * cluster maintenance is [[semDedupAdaptive]] (e20) over the adaptive
+    * pair surface. */
   def incrementalSemClustersBucketed(s: SparkSession, dir: String): DataFrame = {
     val newPairs = incrementalNearDupStored(s, dir).select("id_a", "id_b")
     val stored = graft.store.Registries.embClusters(s, dir)
@@ -613,6 +680,8 @@ object SimilarityQ {
     "e06_kmeans_lloyd"   -> (kmeansLloyd _),
     "e07_incr_neardup"   -> (incrementalNearDup _),
     "e07b_incr_neardup_stored" -> (incrementalNearDupStored _),
+    "e19_incr_neardup_adaptive" -> (incrementalNearDupAdaptive _),
+    "e20_semdedup_adaptive" -> (semDedupAdaptive _),
     "e08_pq_encode"      -> (pqEncode _),
     "e09_pq_adc"         -> (pqAdc _),
     "e10_ivfpq"          -> (ivfPq _),
@@ -669,6 +738,57 @@ object SimilarityQ {
     * >= 0.4. A full standalone query (its own WITH), shared verbatim by
     * e07b's oracle and the composed audits that reuse its pair set
     * (d30b), so the bucketed semantics have exactly one source. */
+  /** Shared CTE chain for the e19/e20 oracles: the ADAPTIVE-plane pair
+    * surface. The plane count is re-derived from the history count with
+    * the same law as [[graft.store.Registries.adaptiveEmbPlanes]] (both
+    * sides: exact integer arithmetic into one double divide + compare),
+    * signatures come from the shared prefix-stable 20-plane matrix
+    * restricted to j < p, and the multi-probe contract is the pair-
+    * symmetric form bit_count(xor(sig_a, sig_b)) <= 2 — no probe-set
+    * enumeration. All-pairs in SQL (judge-convention quadratic oracle,
+    * like d06's); the engine side is the banded probe. */
+  private val adaptivePairsCtes: String =
+    s"""qv AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(round_even(CAST(x AS DOUBLE) * 1e9, 0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |nh AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id % 2 = 0),
+       |pp AS (SELECT COALESCE(MIN(p), 20) AS p
+       |       FROM generate_series(1, 20) t(p), nh
+       |       WHERE power(2.0, p) / (1 + p + p*(p-1)/2) >= n / 512.0),
+       |planes AS (SELECT * FROM (VALUES
+       |${planesSql(64, 20)}) p(j, w)),
+       |pdots AS (
+       |  SELECT v.vec_id, p.j, SUM(v.q[i] * p.w[i]) AS d
+       |  FROM qv v, planes p, pp, UNNEST(generate_series(1, len(v.q))) AS u(i)
+       |  WHERE p.j < pp.p
+       |  GROUP BY 1, 2),
+       |buckets AS MATERIALIZED (
+       |  SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM pdots GROUP BY 1),
+       |cand AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.vec_id < b.vec_id
+       |  WHERE (a.vec_id % 2 = 1 OR b.vec_id % 2 = 1)
+       |    AND bit_count(xor(a.bucket, b.bucket)) <= 2),
+       |norms AS ($normsSql),
+       |adots AS (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(CAST(SUM(${q9("ea.embedding[i]")} * ${q9("eb.embedding[i]")}) AS VARCHAR) AS DOUBLE) AS d
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.id_a
+       |  JOIN embeddings eb ON eb.vec_id = c.id_b,
+       |       UNNEST(generate_series(1, len(ea.embedding))) AS u(i)
+       |  GROUP BY 1, 2),
+       |apairs AS MATERIALIZED (
+       |  SELECT id_a, id_b, d / (na.nr * nb.nr) AS cos
+       |  FROM adots
+       |  JOIN (SELECT vec_id, sqrt(nrm2) AS nr FROM norms) na ON na.vec_id = id_a
+       |  JOIN (SELECT vec_id, sqrt(nrm2) AS nr FROM norms) nb ON nb.vec_id = id_b
+       |  WHERE d / (na.nr * nb.nr) >= 0.4)""".stripMargin
+
   private[queries] val bucketedIncrNearDupOracle: String =
     s"""WITH qv AS MATERIALIZED (
        |  SELECT vec_id,
@@ -1171,6 +1291,24 @@ object SimilarityQ {
     // candidate CTE mirrors Knn.incrementalBucketCandidates' union of
     // new-old and new-new same-bucket pairs exactly
     "e07b_incr_neardup_stored" -> bucketedIncrNearDupOracle,
+    "e19_incr_neardup_adaptive" ->
+      s"""WITH $adaptivePairsCtes
+         |SELECT id_a, id_b, cos FROM apairs""".stripMargin,
+    // e20: the d33-family recursive min-label walk over e19's pair surface
+    "e20_semdedup_adaptive" ->
+      s"""WITH RECURSIVE $adaptivePairsCtes,
+         |edges AS MATERIALIZED (
+         |          SELECT id_a AS a, id_b AS b FROM apairs
+         |          UNION ALL SELECT id_b, id_a FROM apairs),
+         |walk(id, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r),
+         |cl AS (SELECT id AS vec_id, min(r) AS cluster_id FROM walk GROUP BY 1)
+         |SELECT vec_id, cluster_id,
+         |       count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         |       vec_id = cluster_id AS keep
+         |FROM cl""".stripMargin,
     "e05_semantic_clusters" -> e05OracleSql,
     // e12: the SAME monolithic rerun — the Spark path is the incremental
     // composition (stored labels + new-touching exact pairs), so the

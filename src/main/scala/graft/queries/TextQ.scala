@@ -158,7 +158,12 @@ object TextQ {
     * sketch run over a FIXED-size sample, so the audit (and its oracle)
     * costs the same at sf1 as at sf0.01 — cell-exact at every scale. The
     * detector-health signal survives sampling because recall is a
-    * per-band ratio, not a count. */
+    * per-band ratio, not a count. SCALE CAVEAT (sf10 rehearsal): the
+    * FIXED sample's within-sample pair density falls as (1024/n)² — at
+    * 500k docs the sampled truth side is empty (0 rows; the contract
+    * stays cell-exact, the signal is gone). d41 remains the production
+    * audit; if a bounded audit is ever needed at that scale, grow the
+    * sample cap ∝ sqrt(n) so expected sampled pairs stay constant. */
   def sketchRecallSampled(s: SparkSession, dir: String): DataFrame =
     sketchRecallSampledCapped(s, dir, sampleDocs = 1024, maxTruthPairs = 4096)
 

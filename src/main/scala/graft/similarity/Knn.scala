@@ -326,6 +326,48 @@ object Knn {
     * [[nearDupPairs]] phase-2 arithmetic) inherits e03's determinism.
     * One equi-join on the signature — at 100 TB the registry is bucketed
     * on `bucket`, making each day's probe a co-located join. */
+  /** Multi-probe variant of [[incrementalBucketCandidates]]: a candidate
+    * is any pair (new, stored) or (new, new) whose SIGNATURES differ in at
+    * most `nFlip` bits — equivalently, the stored bucket lies inside the
+    * new vector's probe set, since hamming distance is symmetric. Only the
+    * new side fans out (one row per probed bucket, 1 + p + C(p,2) probes
+    * at nFlip=2); the registry keeps one row per vector. With the plane
+    * count chosen by the e18 law against the HISTORY size, expected
+    * candidates per new vector stay under the fixed budget at every
+    * corpus size — the property the fixed-plane registry loses a decade
+    * past its calibration (measured: e07b sf0.1→sf1 exp 0.97, then the
+    * sf10 candidate count grows ~100× for 10× data). The pair-symmetric
+    * hamming rule is what makes the contract oracle-expressible:
+    * bit_count(xor(sig_a, sig_b)) <= nFlip needs no probe-set replay. */
+  def adaptiveBucketCandidates(newEmb: DataFrame, storedBuckets: DataFrame,
+                               dim: Int, nPlanes: Int, nFlip: Int = 2,
+                               seed: Long = 42L): DataFrame = {
+    require(nFlip >= 0 && nFlip <= 2, "nFlip beyond 2 costs more than more planes")
+    val newBuckets = lshBuckets(newEmb, dim, nPlanes, seed)
+      .select(col("id"), col("bucket"))
+    val flips1 = (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+    val flips2 =
+      if (nFlip < 2) Seq.empty
+      else for { i <- 0 until nPlanes; j <- (i + 1) until nPlanes }
+        yield col("bucket").bitwiseXOR(lit((1L << i) | (1L << j)))
+    val probeBuckets =
+      if (nFlip == 0) array(col("bucket"))
+      else array(Seq(col("bucket")) ++ flips1 ++ flips2: _*)
+    val probes = newBuckets.select(col("id").as("id_a"),
+      explode(probeBuckets).as("bucket"))
+    // b side: the stored history registry plus today's own exact buckets
+    // (new-new pairs obey the same hamming rule; each such pair is found
+    // from both directions and deduped by the id-ordered distinct)
+    val bSide = storedBuckets.select(col("id").as("id_b"), col("bucket"))
+      .unionByName(newBuckets.select(col("id").as("id_b"), col("bucket")))
+    probes.join(bSide, Seq("bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+  }
+
   def incrementalBucketCandidates(newEmb: DataFrame, storedBuckets: DataFrame,
                                   dim: Int, nPlanes: Int = 8,
                                   seed: Long = 42L): (DataFrame, DataFrame) = {

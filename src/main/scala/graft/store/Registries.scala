@@ -90,6 +90,35 @@ object Registries {
         .select(col("id"), col("bucket"))
     }
 
+  /** Plane count for [[embBucketsAdaptive]]: the e18 law applied to the
+    * HISTORY side — smallest p whose expected per-probe candidate load
+    * nHist·(1 + p + C(p,2))/2^p stays under 512. Grows log-linearly with
+    * the accumulated corpus, which is what keeps the e19 probe's
+    * per-increment cost flat where [[EmbBucketPlanes]]'s fixed 64 buckets
+    * grow n²/64 (the sf10 rehearsal measured the cliff). */
+  def adaptiveEmbPlanes(s: SparkSession, dir: String): Int =
+    graft.queries.SimilarityQ.adaptivePlanes(
+      Tables(s, dir).embeddings.filter(col("vec_id") % 2 === 0).count())
+
+  /** Stored `(id, bucket)` LSH registry at [[adaptiveEmbPlanes]] planes —
+    * e19's probe target, the scale-true sibling of [[embBuckets]]. Same
+    * plane family (prefix-stable seeded quantized hyperplanes), so the
+    * DuckDB oracle replays any plane count from the shared 20-plane
+    * matrix; the count itself is re-derived from the corpus by both
+    * engines. History is hashed once at build; each increment appends
+    * its own rows at the then-current plane count (a production deploy
+    * re-hashes the registry only when the plane law steps, amortized
+    * O(log) times over a corpus's life). */
+  def embBucketsAdaptive(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "emb_buckets_adaptive") {
+      graft.similarity.Knn.lshBuckets(
+        Tables(s, dir).embeddings
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+          .filter(col("id") % 2 === 0),
+        dim = 64, nPlanes = adaptiveEmbPlanes(s, dir))
+        .select(col("id"), col("bucket"))
+    }
+
   /** Stored per-(source, 200-char bin) length histogram of the
     * accumulated crawl (even-id docs) — the frozen reference histogram
     * d39b's drift audit probes per drop, so history is never re-scanned:
@@ -339,6 +368,7 @@ object Registries {
     minhashSignatures(s, dir).head(1)
     minhashBands(s, dir).head(1)
     embBuckets(s, dir).head(1)
+    embBucketsAdaptive(s, dir).head(1)
     driftHistogram(s, dir).head(1)
     sourceCensus(s, dir).head(1)
     kmeansCentroids(s, dir).head(1)
@@ -346,7 +376,18 @@ object Registries {
     trainShingles(s, dir).head(1)
     dupClusters(s, dir).head(1)
     minhashClusters(s, dir).head(1)
-    embClusters(s, dir).head(1)
+    // embClusters' PROVENANCE is the exact all-pairs baseline (e12's
+    // contract: stored labels = exact even-even pairs) — quadratic by
+    // definition, so above the exact builder's cap the registry cannot
+    // exist at all and its consumers (e12/e12b) inherit the worst-case-
+    // twin scale exclusion. Skip it loudly instead of failing the whole
+    // warmup: every other registry build is banded/capped/linear.
+    val nEven = Tables(s, dir).embeddings
+      .filter(col("vec_id") % 2 === 0).count()
+    if (nEven <= 200000) embClusters(s, dir).head(1)
+    else println(s"registries: SKIP emb_clusters at $dir — $nEven even-id " +
+      "vectors exceed the exact pair builder's 200k cap (quadratic " +
+      "provenance; e12/e12b are worst-case twins at this scale)")
     ivfPqCodesDir(s, dir)
     ivfPqCodesHalfDir(s, dir)
     ()

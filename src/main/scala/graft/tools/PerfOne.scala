@@ -6,11 +6,18 @@ import org.apache.spark.sql.SparkSession
   * sf dir, alternated reps in one JVM, cache cleared between runs.
   *
   *   sbt "runMain graft.tools.PerfOne /root/repo/testdata_sf1 e15_ivfpq_incr e10b_ivfpq_stored"
+  *
+  * `--count` times `.count()` instead of `.collect()` — for queries whose
+  * OUTPUT is corpus-sized (m14's pair set, e18's all-queries top-10),
+  * where collect would time driver deserialization, not the plan. Use the
+  * same mode at every scale an exponent compares.
   */
 object PerfOne {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    val useCount = args.contains("--count")
+    val rest = args.filterNot(_.startsWith("--"))
+    val dir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (rest.length > 1) rest.drop(1).toSeq
                 else Seq("q01_pooling_census")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -22,12 +29,14 @@ object PerfOne {
     def time(name: String): Double = {
       spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, dir).collect().length
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val n = if (useCount) df.count() else df.collect().length.toLong
       val t = (System.nanoTime() - t0) / 1e9
       println(f"$name%-28s $t%7.3f s  ($n rows)")
       t
     }
-    (1 to 3).foreach { _ => names.foreach(time) }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    (1 to reps).foreach { _ => names.foreach(time) }
     spark.stop()
   }
 }

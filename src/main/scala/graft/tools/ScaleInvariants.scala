@@ -12,10 +12,17 @@ import org.apache.spark.sql.functions._
   * null-marked, column-order-normalized).
   *
   *   sbt "runMain graft.tools.ScaleInvariants /root/repo/testdata_sf1"
+  *
+  * `--linear-only` (the sf10 rehearsal mode) skips the three checks whose
+  * LEFT side is a documented quadratic worst-case monolith (e07, d30, e12
+  * — hours at sf10 by design; their production twins still run): every
+  * check that remains is at-or-below linear, so the gate itself scales.
   */
 object ScaleInvariants {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val linearOnly = args.contains("--linear-only")
+    val dir = args.filterNot(_.startsWith("--")).headOption
+      .getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -43,7 +50,7 @@ object ScaleInvariants {
     // RECALL-BOUNDED twins: the bucketed/banded registry probe emits a
     // SUBSET of the exact twin's pair keys (its contract is the bucketed
     // one); equality would be wrong, containment is the invariant
-    val subsets = Seq(
+    val subsets = if (linearOnly) Seq() else Seq(
       "e07b_incr_neardup_stored" -> "e07_incr_neardup",
       "d30b_lexsem_audit_stored" -> "d30_lexsem_audit")
 
@@ -90,7 +97,7 @@ object ScaleInvariants {
     // clusters — every e12b node exists in e12, and each e12b cluster
     // lands wholly inside ONE e12 cluster (bucketed edges are a subset of
     // exact edges, so connected components can only split, never merge)
-    locally {
+    if (!linearOnly) {
       val t0 = System.nanoTime()
       val a = q("e12_incr_semclusters")
         .select(col("vec_id"), col("cluster_id").as("ca"))
@@ -193,6 +200,68 @@ object ScaleInvariants {
         f"floor=$floor%.2f n_true=$nTrue%d sample=${sampledQids.size}%d  (${secs}%.1f s)")
     }
 
+    // e19 (adaptive-plane incremental near-dup) carries a DuckDB oracle at
+    // driver scales (its hamming contract is pair-symmetric SQL), but past
+    // them the oracle is the d06-convention quadratic — so the rehearsal
+    // gate mirrors e18's: recall over the truth pairs INSIDE THE REGISTRY'S
+    // PROMISE RADIUS at its current plane count must clear the floor. The
+    // truth side is a <=64-query broadcast sweep (O(n) at any scale);
+    // threshold = max(0.4, promiseCos) because e19 emits nothing below 0.4.
+    locally {
+      val t0 = System.nanoTime()
+      val all = graft.Tables(spark, dir).embeddings
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val p = graft.store.Registries.adaptiveEmbPlanes(spark, dir)
+      def pLe2(q: Double): Double = (0 to 2).map { k =>
+        var c = 1.0
+        for (i <- 0 until k) c = c * (p - i) / (i + 1)
+        c * math.pow(q, k) * math.pow(1 - q, p - k)
+      }.sum
+      val qStar = {
+        var (lo, hi) = (0.0, 1.0)
+        for (_ <- 0 until 40) {
+          val m = (lo + hi) / 2
+          if (pLe2(m) >= 0.75) lo = m else hi = m
+        }
+        lo
+      }
+      val threshold = math.max(0.4, math.cos(math.Pi * qStar))
+      val e19 = q("e19_incr_neardup_adaptive").select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e19.count()
+      val odd = all.filter(col("id") % 2 === 1)
+      val sampledIds: Seq[Any] = graft.ops.WindowOps.topKBounded(
+        odd.select("id").withColumn("__smp", md5(col("id").cast("string"))),
+        part = Seq(), order = Seq("__smp" -> false, "id" -> false), k = 64)
+        .select("id").collect().toSeq.map(_.get(0))
+      import graft.similarity.Knn
+      val sample = broadcast(odd.filter(col("id").isin(sampledIds: _*))
+        .select(col("id").as("id_a"), col("vec").as("va"),
+          sqrt(Knn.dotFast(col("vec"), col("vec"))).as("na")))
+      val truth = sample
+        .crossJoin(all.select(col("id").as("id_b"), col("vec").as("vb"),
+          sqrt(Knn.dotFast(col("vec"), col("vec"))).as("nb")))
+        .filter(col("id_a") =!= col("id_b"))
+        .filter(Knn.dotFast(col("va"), col("vb")) / (col("na") * col("nb"))
+          >= threshold)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .distinct().persist()
+      val nTrue = truth.count()
+      val nHit =
+        if (nTrue == 0) 0L
+        else truth.join(e19, Seq("id_a", "id_b"), "left_semi").count()
+      truth.unpersist(); e19.unpersist()
+      val r = if (nTrue == 0) 1.0 else nHit.toDouble / nTrue
+      val floor = 0.55
+      val secs = (System.nanoTime() - t0) / 1e9
+      val ok = r >= floor
+      if (!ok) fail += 1
+      println(f"${if (ok) "PASS" else "FAIL"}%s e19 in-promise pair recall " +
+        f"(p=$p%d cos>=$threshold%.3f)  recall=$r%.3f " +
+        f"floor=$floor%.2f n_true=$nTrue%d sample=${sampledIds.size}%d  (${secs}%.1f s)")
+    }
+
     // e16's best column must be EXACTLY e04's assignment at any scale —
     // both run the two-phase exact-rescore policy, so (cid, cos) equality
     // is bitwise, and any divergence means one side's pruning band lost
@@ -213,7 +282,7 @@ object ScaleInvariants {
         f"rows=$nA%d matched=$matched%d  (${secs}%.1f s)")
     }
 
-    val total = pairs.size + subsets.size + 4
+    val total = pairs.size + subsets.size + (if (linearOnly) 4 else 5)
     println(s"${total - fail}/$total twin invariants hold at $dir")
     spark.stop()
     if (fail > 0) sys.exit(1)
