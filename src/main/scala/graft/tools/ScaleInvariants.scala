@@ -133,73 +133,6 @@ object ScaleInvariants {
         f"rows=${sa._1}%d vs ${sb._1}%d  (${secs}%.1f s)")
     }
 
-    // e18 (adaptive-plane multi-probe ANN) has no static oracle — the
-    // plane count is data-dependent — so its per-scale gate lives here:
-    // recall over the truth pairs INSIDE THE INDEX'S PROMISE RADIUS must
-    // clear a pinned floor. An LSH index at p planes with 2-flip probing
-    // promises retrieval of pairs whose per-bit mismatch rate q = θ/π
-    // keeps P(Binom(p,q) <= 2) >= 0.75 — i.e. cos(θ) >= promiseCos(p),
-    // computed below from the same (p, nFlip) the query runs. That is
-    // the honest contract: recall over the FULL isotropic top-10 decays
-    // with n at any fixed candidate budget (measured: 1.00 at sf0.01 →
-    // 0.10 at sf1 — no sublinear index can retrieve cos~0.4 "neighbors"
-    // of isotropic data), while promise-radius recall is scale-stable by
-    // construction. At p <= 2 the promise covers ALL pairs (the probes
-    // are exhaustive → recall 1.0: sf0.001/sf0.01); at sf1's p=14 it is
-    // cos >= ~0.92 — exactly the generator's planted near-copies. A
-    // scale whose sample holds no in-promise pairs passes vacuously with
-    // n_true=0 printed (sf0.1's isotropic background tops out at 0.60);
-    // the sf0.001/sf1 runs keep the truth side provably non-empty.
-    // Truth is a <=128-query broadcast brute force — O(n) at any scale —
-    // and the e18 side is the registered query itself, so a plane-count
-    // or probe-set regression trips this at every rehearsed scale.
-    locally {
-      val t0 = System.nanoTime()
-      val all = graft.Tables(spark, dir).embeddings
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val p = graft.queries.SimilarityQ.adaptivePlanes(all.count())
-      // largest per-bit mismatch q with P(Binom(p,q) <= nFlip=2) >= 0.75,
-      // by bisection; promiseCos = cos(pi * q)
-      def pLe2(q: Double): Double = (0 to 2).map { k =>
-        var c = 1.0
-        for (i <- 0 until k) c = c * (p - i) / (i + 1)
-        c * math.pow(q, k) * math.pow(1 - q, p - k)
-      }.sum
-      val qStar = {
-        var (lo, hi) = (0.0, 1.0)
-        for (_ <- 0 until 40) {
-          val m = (lo + hi) / 2
-          if (pLe2(m) >= 0.75) lo = m else hi = m
-        }
-        lo
-      }
-      val promiseCos = math.cos(math.Pi * qStar)
-      val e18 = q("e18_ann_adaptive").select(col("qid"), col("vec_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sampledQids: Seq[Any] = graft.ops.WindowOps.topKBounded(
-        e18.select("qid").distinct()
-          .withColumn("__smp", md5(col("qid").cast("string"))),
-        part = Seq(), order = Seq("__smp" -> false, "qid" -> false), k = 128)
-        .select("qid").collect().toSeq.map(_.get(0))
-      val truth = graft.similarity.Knn.bruteForceKnn(
-        all.filter(col("id").isin(sampledQids: _*)), all, k = 10)
-        .filter(col("cos") >= promiseCos)
-        .select(col("qid"), col("vec_id")).persist()
-      val nTrue = truth.count()
-      val nHit =
-        if (nTrue == 0) 0L
-        else truth.join(e18, Seq("qid", "vec_id"), "left_semi").count()
-      truth.unpersist(); e18.unpersist()
-      val r = if (nTrue == 0) 1.0 else nHit.toDouble / nTrue
-      val floor = 0.55 // promise is >= 0.75 per pair; margin for variance
-      val secs = (System.nanoTime() - t0) / 1e9
-      val ok = r >= floor
-      if (!ok) fail += 1
-      println(f"${if (ok) "PASS" else "FAIL"}%s e18 in-promise recall " +
-        f"(p=$p%d cos>=${math.max(promiseCos, -1.0)}%.3f)  recall=$r%.3f " +
-        f"floor=$floor%.2f n_true=$nTrue%d sample=${sampledQids.size}%d  (${secs}%.1f s)")
-    }
-
     // e19 (adaptive-plane incremental near-dup) carries a DuckDB oracle at
     // driver scales (its hamming contract is pair-symmetric SQL), but past
     // them the oracle is the d06-convention quadratic — so the rehearsal
@@ -280,6 +213,73 @@ object ScaleInvariants {
       if (!ok) fail += 1
       println(f"${if (ok) "PASS" else "FAIL"}%s e16 best == e04 assignment  " +
         f"rows=$nA%d matched=$matched%d  (${secs}%.1f s)")
+    }
+
+    // e18 (adaptive-plane multi-probe ANN) has no static oracle — the
+    // plane count is data-dependent — so its per-scale gate lives here:
+    // recall over the truth pairs INSIDE THE INDEX'S PROMISE RADIUS must
+    // clear a pinned floor. An LSH index at p planes with 2-flip probing
+    // promises retrieval of pairs whose per-bit mismatch rate q = θ/π
+    // keeps P(Binom(p,q) <= 2) >= 0.75 — i.e. cos(θ) >= promiseCos(p),
+    // computed below from the same (p, nFlip) the query runs. That is
+    // the honest contract: recall over the FULL isotropic top-10 decays
+    // with n at any fixed candidate budget (measured: 1.00 at sf0.01 →
+    // 0.10 at sf1 — no sublinear index can retrieve cos~0.4 "neighbors"
+    // of isotropic data), while promise-radius recall is scale-stable by
+    // construction. At p <= 2 the promise covers ALL pairs (the probes
+    // are exhaustive → recall 1.0: sf0.001/sf0.01); at sf1's p=14 it is
+    // cos >= ~0.92 — exactly the generator's planted near-copies. A
+    // scale whose sample holds no in-promise pairs passes vacuously with
+    // n_true=0 printed (sf0.1's isotropic background tops out at 0.60);
+    // the sf0.001/sf1 runs keep the truth side provably non-empty.
+    // Truth is a <=128-query broadcast brute force — O(n) at any scale —
+    // and the e18 side is the registered query itself, so a plane-count
+    // or probe-set regression trips this at every rehearsed scale.
+    locally {
+      val t0 = System.nanoTime()
+      val all = graft.Tables(spark, dir).embeddings
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val p = graft.queries.SimilarityQ.adaptivePlanes(all.count())
+      // largest per-bit mismatch q with P(Binom(p,q) <= nFlip=2) >= 0.75,
+      // by bisection; promiseCos = cos(pi * q)
+      def pLe2(q: Double): Double = (0 to 2).map { k =>
+        var c = 1.0
+        for (i <- 0 until k) c = c * (p - i) / (i + 1)
+        c * math.pow(q, k) * math.pow(1 - q, p - k)
+      }.sum
+      val qStar = {
+        var (lo, hi) = (0.0, 1.0)
+        for (_ <- 0 until 40) {
+          val m = (lo + hi) / 2
+          if (pLe2(m) >= 0.75) lo = m else hi = m
+        }
+        lo
+      }
+      val promiseCos = math.cos(math.Pi * qStar)
+      val e18 = q("e18_ann_adaptive").select(col("qid"), col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sampledQids: Seq[Any] = graft.ops.WindowOps.topKBounded(
+        e18.select("qid").distinct()
+          .withColumn("__smp", md5(col("qid").cast("string"))),
+        part = Seq(), order = Seq("__smp" -> false, "qid" -> false), k = 128)
+        .select("qid").collect().toSeq.map(_.get(0))
+      val truth = graft.similarity.Knn.bruteForceKnn(
+        all.filter(col("id").isin(sampledQids: _*)), all, k = 10)
+        .filter(col("cos") >= promiseCos)
+        .select(col("qid"), col("vec_id")).persist()
+      val nTrue = truth.count()
+      val nHit =
+        if (nTrue == 0) 0L
+        else truth.join(e18, Seq("qid", "vec_id"), "left_semi").count()
+      truth.unpersist(); e18.unpersist()
+      val r = if (nTrue == 0) 1.0 else nHit.toDouble / nTrue
+      val floor = 0.55 // promise is >= 0.75 per pair; margin for variance
+      val secs = (System.nanoTime() - t0) / 1e9
+      val ok = r >= floor
+      if (!ok) fail += 1
+      println(f"${if (ok) "PASS" else "FAIL"}%s e18 in-promise recall " +
+        f"(p=$p%d cos>=${math.max(promiseCos, -1.0)}%.3f)  recall=$r%.3f " +
+        f"floor=$floor%.2f n_true=$nTrue%d sample=${sampledQids.size}%d  (${secs}%.1f s)")
     }
 
     val total = pairs.size + subsets.size + (if (linearOnly) 4 else 5)
