@@ -516,7 +516,7 @@ object SimilarityQ {
     * e12's 1.61 (docs/SCALE.md). SCALE CAVEAT (sf10 rehearsal): both the
     * exact-provenance stored labels and the fixed-plane bucket probe are
     * second-decade quadratic (e07b's n²/64 law; the registry build hits
-    * the exact builder's cap at 250k history vectors) — e12b stays the
+    * the exact builder's cap at 200k history vectors) — e12b stays the
     * oracle anchor for the fixed maintenance contract, and the scale-true
     * cluster maintenance is [[semDedupAdaptive]] (e20) over the adaptive
     * pair surface. */

@@ -108,16 +108,27 @@ object Registries {
     * engines. History is hashed once at build; each increment appends
     * its own rows at the then-current plane count (a production deploy
     * re-hashes the registry only when the plane law steps, amortized
-    * O(log) times over a corpus's life). */
-  def embBucketsAdaptive(s: SparkSession, dir: String): DataFrame =
-    materialized(s, dir, "emb_buckets_adaptive") {
+    * O(log) times over a corpus's life).
+    *
+    * The plane count is PART OF THE REGISTRY PATH (`..._p$p`): a probe
+    * that hashes today's vectors at p can only ever read a registry built
+    * at the same p, because both sides derive p from the same
+    * [[adaptiveEmbPlanes]] law and the path keys on it. If the corpus
+    * grows enough that the law steps p→p+1, the old-p registry is simply
+    * not this path — the build fires again at p+1 (the amortized re-hash
+    * above) instead of silently joining new-p hashes against old-p
+    * signatures, which would break the hamming<=2 contract. */
+  def embBucketsAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val p = adaptiveEmbPlanes(s, dir)
+    materialized(s, dir, s"emb_buckets_adaptive_p$p") {
       graft.similarity.Knn.lshBuckets(
         Tables(s, dir).embeddings
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
           .filter(col("id") % 2 === 0),
-        dim = 64, nPlanes = adaptiveEmbPlanes(s, dir))
+        dim = 64, nPlanes = p)
         .select(col("id"), col("bucket"))
     }
+  }
 
   /** Stored per-(source, 200-char bin) length histogram of the
     * accumulated crawl (even-id docs) — the frozen reference histogram

@@ -35,7 +35,7 @@ object PerfOne {
       println(f"$name%-28s $t%7.3f s  ($n rows)")
       t
     }
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(3)
     (1 to reps).foreach { _ => names.foreach(time) }
     spark.stop()
   }

@@ -171,12 +171,19 @@ object ScaleInvariants {
       val sample = broadcast(odd.filter(col("id").isin(sampledIds: _*))
         .select(col("id").as("id_a"), col("vec").as("va"),
           sqrt(Knn.dotFast(col("vec"), col("vec"))).as("na")))
+      // two-phase truth, same policy as the queries themselves: fast
+      // prefilter at threshold - FastCosEps, exact decimal rescore at the
+      // threshold. e19 thresholds on the EXACT cosine at 0.4, so a
+      // fast-only truth set counts float-boundary pairs (fast >= 0.4,
+      // exact < 0.4) as truth that e19 is correct to omit — the gate must
+      // measure probe recall, not boundary noise.
       val truth = sample
         .crossJoin(all.select(col("id").as("id_b"), col("vec").as("vb"),
           sqrt(Knn.dotFast(col("vec"), col("vec"))).as("nb")))
         .filter(col("id_a") =!= col("id_b"))
         .filter(Knn.dotFast(col("va"), col("vb")) / (col("na") * col("nb"))
-          >= threshold)
+          >= threshold - Knn.FastCosEps)
+        .filter(Knn.cosine(col("va"), col("vb")) >= threshold)
         .select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"))
         .distinct().persist()

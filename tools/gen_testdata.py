@@ -122,35 +122,35 @@ def main():
     if not gen("lineitem"):
         lo = None  # skip the uniqueness walk entirely
     else:
-      r = rng(6)
-      lo = r.integers(0, n_ord, n_li)
-      lq = r.integers(1, 51, n_li).astype(float)
-      sdate = [day0 + dt.timedelta(days=int(d)) for d in r.integers(1, 2500, n_li)]
-    # Keep (l_orderkey, l_linenumber) UNIQUE: an order holds at most 7 lines
-    # (TPC-H convention; MetadataStar derives run_id = orderkey*8 + linenumber
-    # from it). Overflow lineitems are deterministically reassigned to the
-    # next order with spare capacity instead of clamping the linenumber.
-      linenum = np.zeros(n_li, dtype=np.int64)
-      seen = {}
-      for i in range(n_li):
-          o = int(lo[i])
-          while seen.get(o, 0) >= 7:
-              o = (o + 1) % n_ord
-          lo[i] = o
-          seen[o] = seen.get(o, 0) + 1
-          linenum[i] = seen[o]
-      write(a.out, "lineitem",
-            {"l_orderkey": pa.array(lo, pa.int64()),
-             "l_partkey": pa.array(r.integers(0, n_part, n_li), pa.int64()),
-             "l_suppkey": pa.array(r.integers(0, n_supp, n_li), pa.int64()),
-             "l_linenumber": pa.array(linenum, pa.int32()),
-             "l_quantity": lq,
-             "l_extendedprice": np.round(lq * r.uniform(900.0, 2100.0, n_li), 2),
-             "l_discount": np.round(r.integers(0, 11, n_li) * 0.01, 2),
-             "l_tax": np.round(r.integers(0, 9, n_li) * 0.01, 2),
-             "l_returnflag": [["A", "N", "R"][i] for i in r.integers(0, 3, n_li)],
-             "l_linestatus": [["O", "F"][i] for i in r.integers(0, 2, n_li)],
-             "l_shipdate": pa.array(sdate, pa.timestamp("us"))})
+        r = rng(6)
+        lo = r.integers(0, n_ord, n_li)
+        lq = r.integers(1, 51, n_li).astype(float)
+        sdate = [day0 + dt.timedelta(days=int(d)) for d in r.integers(1, 2500, n_li)]
+        # Keep (l_orderkey, l_linenumber) UNIQUE: an order holds at most 7 lines
+        # (TPC-H convention; MetadataStar derives run_id = orderkey*8 + linenumber
+        # from it). Overflow lineitems are deterministically reassigned to the
+        # next order with spare capacity instead of clamping the linenumber.
+        linenum = np.zeros(n_li, dtype=np.int64)
+        seen = {}
+        for i in range(n_li):
+            o = int(lo[i])
+            while seen.get(o, 0) >= 7:
+                o = (o + 1) % n_ord
+            lo[i] = o
+            seen[o] = seen.get(o, 0) + 1
+            linenum[i] = seen[o]
+        write(a.out, "lineitem",
+              {"l_orderkey": pa.array(lo, pa.int64()),
+               "l_partkey": pa.array(r.integers(0, n_part, n_li), pa.int64()),
+               "l_suppkey": pa.array(r.integers(0, n_supp, n_li), pa.int64()),
+               "l_linenumber": pa.array(linenum, pa.int32()),
+               "l_quantity": lq,
+               "l_extendedprice": np.round(lq * r.uniform(900.0, 2100.0, n_li), 2),
+               "l_discount": np.round(r.integers(0, 11, n_li) * 0.01, 2),
+               "l_tax": np.round(r.integers(0, 9, n_li) * 0.01, 2),
+               "l_returnflag": [["A", "N", "R"][i] for i in r.integers(0, 3, n_li)],
+               "l_linestatus": [["O", "F"][i] for i in r.integers(0, 2, n_li)],
+               "l_shipdate": pa.array(sdate, pa.timestamp("us"))})
 
     if gen("events"):
         r = rng(7)
@@ -171,23 +171,23 @@ def main():
     if not gen("documents"):
         texts = None
     else:
-      r = rng(8)
-      texts = []
-      for i in range(n_doc):
-          if i > 0 and r.random() < 0.12:
-              words = texts[int(r.integers(0, i))].split()
-              for _ in range(int(r.integers(1, 4))):
-                  words[int(r.integers(0, len(words)))] = VOCAB[int(r.integers(0, len(VOCAB)))]
-              texts.append(" ".join(words))
-          else:
-              n = int(r.integers(10, 100))
-              texts.append(" ".join(VOCAB[j] for j in r.integers(0, len(VOCAB), n)))
-      write(a.out, "documents",
-            {"doc_id": pa.array(range(n_doc), pa.int64()),
-             "text": texts,
-             "lang": [LANGS[i] for i in r.integers(0, 5, n_doc)],
-             "source": [f"src{i}" for i in r.integers(0, 20, n_doc)],
-             "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+        r = rng(8)
+        texts = []
+        for i in range(n_doc):
+            if i > 0 and r.random() < 0.12:
+                words = texts[int(r.integers(0, i))].split()
+                for _ in range(int(r.integers(1, 4))):
+                    words[int(r.integers(0, len(words)))] = VOCAB[int(r.integers(0, len(VOCAB)))]
+                texts.append(" ".join(words))
+            else:
+                n = int(r.integers(10, 100))
+                texts.append(" ".join(VOCAB[j] for j in r.integers(0, len(VOCAB), n)))
+        write(a.out, "documents",
+              {"doc_id": pa.array(range(n_doc), pa.int64()),
+               "text": texts,
+               "lang": [LANGS[i] for i in r.integers(0, 5, n_doc)],
+               "source": [f"src{i}" for i in r.integers(0, 20, n_doc)],
+               "n_chars": pa.array([len(t) for t in texts], pa.int64())})
 
     # embeddings: unit 64-d gaussian directions; ~5% are nudged copies of an
     # earlier vector (cos ~0.95+) so near-dup / cluster queries fire
