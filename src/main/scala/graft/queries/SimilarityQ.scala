@@ -51,18 +51,25 @@ object SimilarityQ {
     * n·(1 + p + C(p,2))/2^p stays under ~512 ([[adaptivePlanes]]), so
     * bucket work grows ~linearly with the corpus where e03's fixed six
     * planes grow n²/64 (its measured 1.27 exponent). Two-bit multi-probe
-    * buys back the recall extra planes cost. A static oracle cannot
-    * replay a data-dependent plane count, so e18's correctness story is
-    * (a) KnnSpec's mechanism laws (probe set is a superset, recall
-    * monotone in nFlip, within-bucket scoring exact, adaptivePlanes
-    * minimal and monotone) and (b) the ScaleInvariants PROMISE-RADIUS
-    * recall gate: recall of the exact truth pairs within the radius the
-    * index promises at its current plane count (cos(θ) such that
-    * P(signature hamming <= nFlip) >= 0.75), over a bounded md5-keyed
-    * query sample, must clear a pinned floor at every rehearsed scale.
-    * The promise radius — not the full isotropic top-10 — because at a
-    * fixed candidate budget random cos~0.4 "neighbors" are unretrievable
-    * by ANY sublinear index as n grows (measured: 1.00 at sf0.01 → 0.10
+    * buys back the recall extra planes cost.
+    *
+    * ORACLE-BACKED despite the data-dependent plane count, by the same
+    * convention e19 established: the candidate rule is pair-symmetric —
+    * vector c is probed for query q iff their signatures differ in at
+    * most nFlip bits (probing buckets at hamming <= nFlip of sig_q IS the
+    * predicate bit_count(xor(sig_q, sig_c)) <= nFlip; AdaptiveNearDupSpec
+    * proves the probe-set equivalence) — so DuckDB re-derives p from
+    * COUNT(*) with the same integer-exact law, replays signatures from
+    * the shared prefix-stable 20-plane matrix, and takes the exact-cosine
+    * top-10 with the vec_id tie rule. Beyond the cell-exact gate, the
+    * ScaleInvariants PROMISE-RADIUS recall gate covers the scales past
+    * the quadratic oracle: recall of the exact truth pairs within the
+    * radius the index promises at its current plane count (cos(θ) such
+    * that P(signature hamming <= nFlip) >= 0.75), over a bounded
+    * md5-keyed query sample, must clear a pinned floor. The promise
+    * radius — not the full isotropic top-10 — because at a fixed
+    * candidate budget random cos~0.4 "neighbors" are unretrievable by
+    * ANY sublinear index as n grows (measured: 1.00 at sf0.01 → 0.10
     * at sf1), while in-promise pairs stay probe-reachable at every
     * adaptive plane count — precisely the retrieval contract an ANN
     * index serves at 100 TB. */
@@ -1305,6 +1312,65 @@ object SimilarityQ {
     // candidate CTE mirrors Knn.incrementalBucketCandidates' union of
     // new-old and new-new same-bucket pairs exactly
     "e07b_incr_neardup_stored" -> bucketedIncrNearDupOracle,
+    // e18: the adaptive multi-probe contract in its pair-symmetric form —
+    // candidates are EXACTLY the pairs whose signatures differ in <= 2
+    // bits (probing buckets at hamming <= 2 of sig_q is the same set;
+    // AdaptiveNearDupSpec proves the equivalence), the plane count is
+    // re-derived from COUNT(*) with the e18 law, signatures replay from
+    // the shared prefix-stable 20-plane matrix, and the exact cosine is
+    // computed ONCE per unordered pair (cos is symmetric) then ranked
+    // from both directions with the vec_id tie rule. Quadratic in SQL
+    // (judge-convention, like e19's) — the engine side is the banded
+    // multi-probe.
+    "e18_ann_adaptive" ->
+      s"""WITH qv AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(round_even(CAST(x AS DOUBLE) * 1e9, 0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         |pp AS (SELECT COALESCE(MIN(p), 20) AS p
+         |       FROM generate_series(1, 20) t(p), nn
+         |       WHERE power(2.0, p) / (1 + p + p*(p-1)/2) >= n / 512.0),
+         |planes AS (SELECT * FROM (VALUES
+         |${planesSql(64, 20)}) p(j, w)),
+         |pdots AS (
+         |  SELECT v.vec_id, p.j, SUM(v.q[i] * p.w[i]) AS d
+         |  FROM qv v, planes p, pp, UNNEST(generate_series(1, len(v.q))) AS u(i)
+         |  WHERE p.j < pp.p
+         |  GROUP BY 1, 2),
+         |buckets AS MATERIALIZED (
+         |  SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM pdots GROUP BY 1),
+         |cpair AS MATERIALIZED (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.vec_id < b.vec_id
+         |  WHERE bit_count(xor(a.bucket, b.bucket)) <= 2),
+         |norms AS ($normsSql),
+         |cdots AS (
+         |  SELECT c.id_a, c.id_b,
+         |         CAST(CAST(SUM(${q9("ea.embedding[i]")} * ${q9("eb.embedding[i]")}) AS VARCHAR) AS DOUBLE) AS d
+         |  FROM cpair c
+         |  JOIN embeddings ea ON ea.vec_id = c.id_a
+         |  JOIN embeddings eb ON eb.vec_id = c.id_b,
+         |       UNNEST(generate_series(1, len(ea.embedding))) AS u(i)
+         |  GROUP BY 1, 2),
+         |pcos AS MATERIALIZED (
+         |  SELECT id_a, id_b, d / (na.nr * nb.nr) AS cos
+         |  FROM cdots
+         |  JOIN (SELECT vec_id, sqrt(nrm2) AS nr FROM norms) na ON na.vec_id = id_a
+         |  JOIN (SELECT vec_id, sqrt(nrm2) AS nr FROM norms) nb ON nb.vec_id = id_b),
+         |cand AS (
+         |  SELECT id_a AS qid, id_b AS vec_id, cos FROM pcos
+         |  UNION ALL
+         |  SELECT id_b, id_a, cos FROM pcos),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |  FROM cand)
+         |SELECT qid, vec_id, cos, CAST(rk AS INT) AS rk
+         |FROM ranked WHERE rk <= 10""".stripMargin,
     "e19_incr_neardup_adaptive" ->
       s"""WITH $adaptivePairsCtes
          |SELECT id_a, id_b, cos FROM apairs""".stripMargin,

@@ -100,37 +100,50 @@ object Knn {
     // output identical to the all-exact plan the oracle mirrors.
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id"), col("qvec"), col("cvec"),
+      .select(col("qid"), col("vec_id"),
         cosineFast(col("qvec"), col("cvec")).as("cos_fast"))
-    exactTopK(scored, k)
+    exactTopK(scored,
+      q.withColumn("qnrm", sqrt(dotExact(col("qvec"), col("qvec")))),
+      c.withColumn("cnrm", sqrt(dotExact(col("cvec"), col("cvec")))), k)
   }
 
-  /** Phase 2 of the two-phase top-k: given fast-scored candidate pairs
-    * `(qid, vec_id, qvec, cvec, cos_fast)`, keep every row within
-    * [[FastCosEps]] of the kth fast score per query (provably sufficient:
-    * exact >= fast - eps and kth_exact <= kth_fast + eps), rescore the
-    * survivors with the exact decimal cosine, and rank exactly — output
-    * identical to an all-exact plan over the same pair set.
+  /** Phase 2 of the two-phase top-k: given fast-scored SLIM candidate
+    * pairs `(qid, vec_id, cos_fast)` — no vectors attached — keep every
+    * row within [[FastCosEps]] of the kth fast score per query (provably
+    * sufficient: exact >= fast - eps and kth_exact <= kth_fast + eps),
+    * re-join the ~k survivors per query to their vectors by id, rescore
+    * with the exact decimal cosine, and rank exactly — output identical
+    * to an all-exact plan over the same pair set.
     *
-    * If the input carries precomputed exact norms (`qnrm`/`cnrm`), the
-    * rescore is one exact dot per survivor instead of three (norms once
-    * per VECTOR beats once per PAIR — the e04 lesson); sqrt-then-multiply
-    * is the identical IEEE closing the oracle uses. */
-  private[graft] def exactTopK(scored: DataFrame, k: Int): DataFrame = {
+    * The input MUST be slim: the per-query rank window sorts the whole
+    * candidate frame, and a sort row that carries two 64-float vectors is
+    * ~20× the bytes of (qid, vec_id, cos_fast). Measured at sf10 (500k
+    * vectors, 240M multi-probe candidates) the vector-attached sort
+    * spilled ~70 GB and filled the disk; the slim sort fits in memory and
+    * the survivors' vector re-join is |queries|·~k rows against the n-row
+    * vector table (docs/SCALE.md Addendum 4).
+    *
+    * `qVecs`/`cVecs` carry (qid|vec_id, qvec|cvec, qnrm|cnrm) with the
+    * exact norms computed once per VECTOR, not per pair (the e04 lesson);
+    * sqrt-then-multiply is the identical IEEE closing the oracle uses. */
+  private[graft] def exactTopK(scored: DataFrame, qVecs: DataFrame,
+                               cVecs: DataFrame, k: Int): DataFrame = {
     val wf = Window.partitionBy(col("qid"))
       .orderBy(col("cos_fast").desc, col("vec_id").asc)
     val wq = Window.partitionBy(col("qid"))
-    val cand = scored.withColumn("rkf", row_number().over(wf))
+    val cand = scored.select(col("qid"), col("vec_id"), col("cos_fast"))
+      .withColumn("rkf", row_number().over(wf))
       .withColumn("__kth", max(when(col("rkf") === k, col("cos_fast"))).over(wq))
       // groups smaller than k have a null __kth: the rank arm keeps them all
       .filter(col("rkf") <= k || col("cos_fast") >= col("__kth") - FastCosEps)
-    val rescore =
-      if (scored.columns.contains("qnrm"))
-        dotExact(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm"))
-      else cosine(col("qvec"), col("cvec"))
+      .select(col("qid"), col("vec_id"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    cand.select(col("qid"), col("vec_id"), rescore.as("cos"))
+    cand
+      .join(qVecs.select(col("qid"), col("qvec"), col("qnrm")), Seq("qid"))
+      .join(cVecs.select(col("vec_id"), col("cvec"), col("cnrm")), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        (dotExact(col("qvec"), col("cvec")) / (col("qnrm") * col("cnrm"))).as("cos"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
@@ -213,16 +226,22 @@ object Knn {
       .withColumn("nrm", sqrt(dotExact(col("vec"), col("vec"))))
       .withColumn("nrm_f", sqrt(dotFast(col("vec"), col("vec"))))
     val a = bucketed.select(col("bucket"), col("id").as("qid"),
-      col("vec").as("qvec"), col("nrm").as("qnrm"), col("nrm_f").as("qnrm_f"))
+      col("vec").as("qvec"), col("nrm_f").as("qnrm_f"))
     val b = bucketed.select(col("bucket"), col("id").as("vec_id"),
-      col("vec").as("cvec"), col("nrm").as("cnrm"), col("nrm_f").as("cnrm_f"))
+      col("vec").as("cvec"), col("nrm_f").as("cnrm_f"))
+    // the fast score is computed AT the bucket join and the vectors are
+    // projected away in the same select — only slim (qid, vec_id,
+    // cos_fast) rows reach exactTopK's rank window
     val scored = a.join(b, Seq("bucket"))
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id"), col("qvec"), col("cvec"),
-        col("qnrm"), col("cnrm"),
+      .select(col("qid"), col("vec_id"),
         (dotFast(col("qvec"), col("cvec")) / (col("qnrm_f") * col("cnrm_f")))
           .as("cos_fast"))
-    exactTopK(scored, k)
+    exactTopK(scored,
+      bucketed.select(col("id").as("qid"), col("vec").as("qvec"),
+        col("nrm").as("qnrm")),
+      bucketed.select(col("id").as("vec_id"), col("vec").as("cvec"),
+        col("nrm").as("cnrm")), k)
   }
 
   /** Multi-probe LSH top-k: [[approxKnn]] plus probing every bucket at
@@ -251,21 +270,33 @@ object Knn {
     val probeBuckets =
       if (nFlip == 0) array(col("bucket"))
       else array(Seq(col("bucket")) ++ flips1 ++ flips2: _*)
+    // the probe join, the pair dedup, and the rank window all run SLIM —
+    // ids and one double only. Vectors are attached twice, each time by an
+    // id equi-join: once to fast-score the deduped candidates, once (inside
+    // exactTopK) to exact-rescore the ~k survivors per query. At sf10 the
+    // candidate frame is ~240M rows; carrying two 64-float vectors through
+    // the dedup shuffle and the sort spilled ~70 GB (docs/SCALE.md).
     val a = bucketed.select(explode(probeBuckets).as("bucket"),
-      col("id").as("qid"), col("vec").as("qvec"),
-      col("nrm").as("qnrm"), col("nrm_f").as("qnrm_f"))
-    val b = bucketed.select(col("bucket"), col("id").as("vec_id"),
-      col("vec").as("cvec"), col("nrm").as("cnrm"), col("nrm_f").as("cnrm_f"))
-    val scored = a.join(b, Seq("bucket"))
+      col("id").as("qid"))
+    val b = bucketed.select(col("bucket"), col("id").as("vec_id"))
+    val cand = a.join(b, Seq("bucket"))
       .filter(col("qid") =!= col("vec_id"))
       // a candidate can surface through several probed buckets — dedup
       // BEFORE scoring so the window sees each pair once
       .dropDuplicates("qid", "vec_id")
-      .select(col("qid"), col("vec_id"), col("qvec"), col("cvec"),
-        col("qnrm"), col("cnrm"),
+    val qv = bucketed.select(col("id").as("qid"), col("vec").as("qvec"),
+      col("nrm").as("qnrm"), col("nrm_f").as("qnrm_f"))
+    val cv = bucketed.select(col("id").as("vec_id"), col("vec").as("cvec"),
+      col("nrm").as("cnrm"), col("nrm_f").as("cnrm_f"))
+    val scored = cand
+      .join(qv.select(col("qid"), col("qvec"), col("qnrm_f")), Seq("qid"))
+      .join(cv.select(col("vec_id"), col("cvec"), col("cnrm_f")), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
         (dotFast(col("qvec"), col("cvec")) / (col("qnrm_f") * col("cnrm_f")))
           .as("cos_fast"))
-    exactTopK(scored, k)
+    exactTopK(scored,
+      qv.select(col("qid"), col("qvec"), col("qnrm")),
+      cv.select(col("vec_id"), col("cvec"), col("cnrm")), k)
   }
 
   /** Incremental [[nearDupPairs]] — the daily-crawl flow in embedding
