@@ -268,35 +268,11 @@ object SimilarityQ {
     * history size. */
   def incrementalNearDupStored(s: SparkSession, dir: String): DataFrame = {
     val all = emb(s, dir)
-    val (cand, _) = Knn.incrementalBucketCandidates(
+    Knn.bucketedNearDupProbe(
       all.filter(col("id") % 2 === 1),
-      graft.store.Registries.embBuckets(s, dir),
-      dim = 64, nPlanes = graft.store.Registries.EmbBucketPlanes)
-    rescorePairs(cand, all, minCos = 0.4)
-  }
-
-  /** Shared candidate-rescore tail for the bucketed probes (e07b/e19):
-    * per-VECTOR norms computed once on each join side (not per pair —
-    * `Knn.cosine` inline recomputes both norm dots per candidate, 3× the
-    * work; e04's measured lesson), then the lossless two-phase close:
-    * codegen'd double prefilter at minCos − 1e-6 (double dots are within
-    * [[Knn.FastCosEps]] of exact — no qualifying pair can be lost), exact
-    * integer-scaled rescore + exact threshold on the survivors. Output is
-    * bit-identical to the all-exact plan and the oracle. */
-  private def rescorePairs(cand: DataFrame, all: DataFrame,
-                           minCos: Double): DataFrame = {
-    val va = all.select(col("id").as("id_a"), col("vec").as("va"),
-      sqrt(Knn.dotExact(col("vec"), col("vec"))).as("na"),
-      sqrt(Knn.dotFast(col("vec"), col("vec"))).as("nfa"))
-    val vb = all.select(col("id").as("id_b"), col("vec").as("vb"),
-      sqrt(Knn.dotExact(col("vec"), col("vec"))).as("nb"),
-      sqrt(Knn.dotFast(col("vec"), col("vec"))).as("nfb"))
-    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
-      .filter(Knn.dotFast(col("va"), col("vb")) / (col("nfa") * col("nfb"))
-        >= minCos - 1e-6)
-      .select(col("id_a"), col("id_b"),
-        (Knn.dotExact(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
-      .filter(col("cos") >= minCos)
+      graft.store.Registries.embBuckets(s, dir), all,
+      dim = 64, nPlanes = graft.store.Registries.EmbBucketPlanes,
+      minCos = 0.4, nFlip = 0)
   }
 
   /** e19 — incremental near-dup at the ADAPTIVE-plane stored registry
@@ -316,11 +292,10 @@ object SimilarityQ {
   def incrementalNearDupAdaptive(s: SparkSession, dir: String): DataFrame = {
     val all = emb(s, dir)
     val p = graft.store.Registries.adaptiveEmbPlanes(s, dir)
-    val cand = Knn.adaptiveBucketCandidates(
+    Knn.bucketedNearDupProbe(
       all.filter(col("id") % 2 === 1),
-      graft.store.Registries.embBucketsAdaptive(s, dir),
-      dim = 64, nPlanes = p, nFlip = 2)
-    rescorePairs(cand, all, minCos = 0.4)
+      graft.store.Registries.embBucketsAdaptive(s, dir), all,
+      dim = 64, nPlanes = p, minCos = 0.4, nFlip = 2)
   }
 
   /** e20 — semantic dedup clusters over e19's adaptive pair surface:

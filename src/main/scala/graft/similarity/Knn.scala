@@ -399,6 +399,75 @@ object Knn {
       .distinct()
   }
 
+  /** Fused bucket-probe near-dup: candidate generation, double prefilter,
+    * pair dedup, and exact rescore in ONE pipeline ordered for scale. The
+    * r11 shape ([[adaptiveBucketCandidates]] then a vector re-join) ran
+    * the pair-dedup shuffle over EVERY candidate and then attached
+    * vectors with two sort-merge joins whose second sort carried a
+    * 64-float array per row — at sf10 that meant sorting 187M
+    * vector-attached rows when only ~1% survive the prefilter. Here the
+    * vectors ride the BUCKET join (the probe fan-out carries the new
+    * vector; the registry side attaches its vector by a per-VECTOR id
+    * join, one row each, before the fan-in), the codegen'd double
+    * prefilter runs at the join output BEFORE any further shuffle, and
+    * only the surviving ~1% reach the pair-dedup distinct and the exact
+    * rescore's id joins.
+    *
+    * Output is bit-identical to candidates-then-[[graft.queries
+    * .SimilarityQ]]-rescore: the prefilter predicate (fast cosine >=
+    * minCos - 1e-6, sound by [[FastCosEps]]) is deterministic, so
+    * filtering each candidate occurrence before dedup keeps exactly the
+    * pairs the deduped-then-filtered plan keeps, and the exact close is
+    * the same norms-once decimal arithmetic. nFlip=0 probes only the
+    * vector's own bucket — the fixed-registry (e07b) same-bucket
+    * contract; nFlip=2 is the adaptive multi-probe (e19) hamming<=2
+    * contract. Pairs touching at least one new vector, id-ordered. */
+  def bucketedNearDupProbe(newEmb: DataFrame, storedBuckets: DataFrame,
+                           vectors: DataFrame, dim: Int, nPlanes: Int,
+                           minCos: Double, nFlip: Int,
+                           seed: Long = 42L): DataFrame = {
+    require(nFlip >= 0 && nFlip <= 2, "nFlip beyond 2 costs more than more planes")
+    val newBuckets = lshBuckets(newEmb, dim, nPlanes, seed)
+    val flips1 = (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+    val flips2 =
+      if (nFlip < 2) Seq.empty
+      else for { i <- 0 until nPlanes; j <- (i + 1) until nPlanes }
+        yield col("bucket").bitwiseXOR(lit((1L << i) | (1L << j)))
+    val probeBuckets =
+      if (nFlip == 0) array(col("bucket"))
+      else array(Seq(col("bucket")) ++ flips1 ++ flips2: _*)
+    val probes = newBuckets
+      .withColumn("nfa", sqrt(dotFast(col("vec"), col("vec"))))
+      .select(explode(probeBuckets).as("bucket"), col("id").as("id_a"),
+        col("vec").as("va"), col("nfa"))
+    // registry side: stored history ∪ today's own exact buckets (new-new
+    // pairs obey the same rule, found from both directions and deduped by
+    // the id-ordered distinct); the vector attaches ONCE PER VECTOR here,
+    // never once per candidate
+    val vecs = vectors.select(col("id").as("id_b"), col("vec").as("vb"),
+      sqrt(dotFast(col("vec"), col("vec"))).as("nfb"))
+    val bSide = storedBuckets.select(col("id").as("id_b"), col("bucket"))
+      .unionByName(newBuckets.select(col("id").as("id_b"), col("bucket")))
+      .join(vecs, Seq("id_b"))
+    val survivors = probes.join(bSide, Seq("bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(dotFast(col("va"), col("vb")) / (col("nfa") * col("nfb"))
+        >= minCos - 1e-6)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    // exact decimal rescore on the deduped survivors only — norms once
+    // per vector, the identical IEEE closing the oracles replay
+    val ea = vectors.select(col("id").as("id_a"), col("vec").as("xva"),
+      sqrt(dotExact(col("vec"), col("vec"))).as("na"))
+    val eb = vectors.select(col("id").as("id_b"), col("vec").as("xvb"),
+      sqrt(dotExact(col("vec"), col("vec"))).as("nb"))
+    survivors.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dotExact(col("xva"), col("xvb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   def incrementalBucketCandidates(newEmb: DataFrame, storedBuckets: DataFrame,
                                   dim: Int, nPlanes: Int = 8,
                                   seed: Long = 42L): (DataFrame, DataFrame) = {

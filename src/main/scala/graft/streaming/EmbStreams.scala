@@ -28,8 +28,9 @@ object EmbStreams {
   /** Streaming embedding near-dup — the daily-drop twin of the e07b
     * stored-registry query: each micro-batch of new vectors hashes to
     * LSH buckets, probes the bucket registry accumulated from all
-    * previous drops ([[Knn.incrementalBucketCandidates]] — history is
-    * never re-hashed, never re-paired), rescored with the decimal-exact
+    * previous drops ([[Knn.bucketedNearDupProbe]] — history is
+    * never re-hashed, never re-paired, and the double prefilter runs
+    * before the pair-dedup shuffle), rescored with the decimal-exact
     * cosine at `minCos`; surviving pairs append to `pairsDir`, the
     * batch's `(id, bucket)` rows append to `bucketRegistryDir`, and the
     * batch's raw vectors append to `vecRegistryDir` (the id-keyed vector
@@ -72,15 +73,15 @@ object EmbStreams {
         val storedVec = readOr(vecRegistryDir, StructType(Seq(
           StructField("id", LongType),
           StructField("vec", ArrayType(FloatType)))))
-        val (cand, newBuckets) =
-          Knn.incrementalBucketCandidates(newEmb, storedBuckets, dim, nPlanes)
+        val newBuckets = Knn.lshBuckets(newEmb, dim, nPlanes)
+          .select(col("id"), col("bucket"))
         val allVec = storedVec.unionByName(newEmb)
-        val pairs = cand
-          .join(allVec.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
-          .join(allVec.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
-          .select(col("id_a"), col("id_b"),
-            Knn.cosine(col("va"), col("vb")).as("cos"))
-          .filter(col("cos") >= minCos)
+        // the fused probe (prefilter before the pair-dedup shuffle,
+        // vectors attached per-vector at the bucket join) — the same
+        // scale shape as the e07b/e19 batch queries; output identical to
+        // candidates-then-exact-rescore (the prefilter is lossless)
+        val pairs = Knn.bucketedNearDupProbe(newEmb, storedBuckets, allVec,
+          dim, nPlanes, minCos, nFlip = 0)
         BatchCommit.append(pairs, pairsDir, bid)
         Failpoints.hit("emb:mid1", pairsDir)
         BatchCommit.append(newBuckets, bucketRegistryDir, bid)

@@ -454,4 +454,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       "quadratic join shape (lost equi-key?) in:\n" + offenders.mkString("\n"))
   }
+
+  test("bucketed near-dup probes prefilter BEFORE the pair-dedup shuffle " +
+    "and exact-rescore after it") {
+    // the scale contract of Knn.bucketedNearDupProbe: the codegen'd
+    // double prefilter (doubledot) must sit BELOW the pair-dedup
+    // HashAggregate in the plan tree (plans print top-down, parents
+    // first), so only prefilter survivors are shuffled for dedup; the
+    // exact rescore (q9dot) must sit ABOVE it, running on deduped
+    // survivors only. The r11 shape deduped every raw candidate and then
+    // sorted vector-attached rows — ~70 GB of sf10 spill.
+    for (name <- Seq("e07b_incr_neardup_stored", "e19_incr_neardup_adaptive")) {
+      val p = plan(name)
+      val dedup = p.indexOf("HashAggregate(keys=[id_a")
+      val pre = p.indexOf("doubledot")
+      val exact = p.indexOf("q9dot")
+      assert(dedup >= 0, s"$name: pair-dedup aggregate missing\n" + p)
+      assert(pre > dedup,
+        s"$name: double prefilter must be below (before) the pair-dedup " +
+          "shuffle, not after it\n" + p)
+      assert(exact >= 0 && exact < dedup,
+        s"$name: exact rescore must run on deduped survivors only\n" + p)
+    }
+  }
 }
