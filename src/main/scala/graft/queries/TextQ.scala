@@ -150,22 +150,38 @@ object TextQ {
   }
 
   /** Sketch-recall audit on a bounded document sample (d41b) — d41's
-    * scale path: the same per-band S-curve, measured over the 1024
+    * scale path: the same per-band S-curve, measured over the m
     * md5-lowest documents instead of the corpus (an unbiased, engine-
-    * stable pseudo-random subset, e14's sampling convention). d41's
+    * stable pseudo-random subset, e14's sampling convention; m from
+    * [[sampleCapLaw]]). d41's
     * oracle replays two corpus-wide quadratic chains and is the fair-set
     * outlier at sf1; HERE both the exact-Jaccard truth and the MinHash
     * sketch run over a FIXED-size sample, so the audit (and its oracle)
     * costs the same at sf1 as at sf0.01 — cell-exact at every scale. The
     * detector-health signal survives sampling because recall is a
-    * per-band ratio, not a count. SCALE CAVEAT (sf10 rehearsal): the
-    * FIXED sample's within-sample pair density falls as (1024/n)² — at
-    * 500k docs the sampled truth side is empty (0 rows; the contract
-    * stays cell-exact, the signal is gone). d41 remains the production
-    * audit; if a bounded audit is ever needed at that scale, grow the
-    * sample cap ∝ sqrt(n) so expected sampled pairs stay constant. */
+    * per-band ratio, not a count.
+    *
+    * The sample cap follows the sqrt(n) LAW (r11's rehearsal finding made
+    * code): a FIXED m-doc sample sees within-sample pair density fall as
+    * (m/n)² — at 500k docs a 1024-doc sample's truth side was literally
+    * empty. With qualifying pairs growing ~linearly in n (the corpus's
+    * mutation-copy rate is a constant fraction), expected sampled pairs
+    * ≈ P(n)·(m/n)² stays CONSTANT when m ∝ sqrt(n). [[sampleCapLaw]]
+    * anchors the constant at the cap's first binding point (1024 docs at
+    * n = 5000): below it the floor holds, above it m grows as sqrt so the
+    * audit keeps a scale-stable signal at sqrt-bounded cost. The law is
+    * plain IEEE double arithmetic (divide, sqrt, multiply, ceil — all
+    * correctly rounded), so the DuckDB oracle re-derives the identical
+    * cap from COUNT(*) (the e19 convention for data-dependent params). */
   def sketchRecallSampled(s: SparkSession, dir: String): DataFrame =
-    sketchRecallSampledCapped(s, dir, sampleDocs = 1024, maxTruthPairs = 4096)
+    sketchRecallSampledCapped(s, dir,
+      sampleDocs = sampleCapLaw(Tables(s, dir).documents.count()),
+      maxTruthPairs = 4096)
+
+  /** d41b's sample-size law: max(1024, ceil(1024·sqrt(n/5000))). */
+  private[graft] def sampleCapLaw(n: Long): Int =
+    math.max(1024L,
+      math.ceil(1024.0 * math.sqrt(n / 5000.0)).toLong).toInt
 
   private[graft] def sketchRecallSampledCapped(s: SparkSession, dir: String,
       sampleDocs: Int, maxTruthPairs: Int): DataFrame = {
@@ -650,12 +666,21 @@ object TextQ {
     // per-band recall — both CTE bodies are the shared definitions the
     // standalone oracles build on, so the audit cannot drift from either
     "d41_sketch_recall" -> sketchRecallOracle("", "documents"),
-    // d41b: the identical statement over the 1024 md5-lowest documents —
-    // both quadratic chains bounded, so the oracle is sf-independent
+    // d41b: the identical statement over the m md5-lowest documents,
+    // where m replays sampleCapLaw from COUNT(*) (max(1024,
+    // ceil(1024*sqrt(n/5000))) — correctly-rounded IEEE ops in both
+    // engines, the e19 convention); both quadratic chains stay bounded
+    // at sqrt(n) cost
     "d41b_sketch_recall_sampled" -> sketchRecallOracle(
       """docs_s AS (
-        |  SELECT doc_id, lang, text FROM documents
-        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 1024),
+        |  SELECT doc_id, lang, text FROM (
+        |    SELECT doc_id, lang, text,
+        |           row_number() OVER (
+        |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS __srk
+        |    FROM documents)
+        |  WHERE __srk <= (SELECT greatest(1024,
+        |           CAST(ceil(1024 * sqrt(COUNT(*) / 5000.0)) AS BIGINT))
+        |         FROM documents)),
         |""".stripMargin, "docs_s"),
     // the incremental run's contract: the monolithic rerun restricted to
     // pairs touching a new (odd-id) doc

@@ -257,7 +257,10 @@ object Knn {
   def approxKnnMultiProbe(emb: DataFrame, dim: Int, k: Int, nPlanes: Int = 8,
                           seed: Long = 42L, nFlip: Int = 1): DataFrame = {
     require(nFlip >= 0 && nFlip <= 2, "nFlip beyond 2 costs more than more planes")
-    val bucketed = lshBuckets(emb, dim, nPlanes, seed)
+    // spread: the probe fan-out below inherits the scan's partitioning —
+    // from a single-file input the vector-carrying explode would run on
+    // one core (the measured e19 lesson, bucketedNearDupProbe)
+    val bucketed = lshBuckets(graft.Tables.spread(emb, "id"), dim, nPlanes, seed)
       .withColumn("nrm", sqrt(dotExact(col("vec"), col("vec"))))
       .withColumn("nrm_f", sqrt(dotFast(col("vec"), col("vec"))))
     // probed buckets = signature with ≤ nFlip bits flipped, as a literal
@@ -270,33 +273,39 @@ object Knn {
     val probeBuckets =
       if (nFlip == 0) array(col("bucket"))
       else array(Seq(col("bucket")) ++ flips1 ++ flips2: _*)
-    // the probe join, the pair dedup, and the rank window all run SLIM —
-    // ids and one double only. Vectors are attached twice, each time by an
-    // id equi-join: once to fast-score the deduped candidates, once (inside
-    // exactTopK) to exact-rescore the ~k survivors per query. At sf10 the
-    // candidate frame is ~240M rows; carrying two 64-float vectors through
-    // the dedup shuffle and the sort spilled ~70 GB (docs/SCALE.md).
+    // the fast score is computed AT the bucket join — the one place both
+    // vectors of a candidate already meet — and the output goes slim
+    // (qid, vec_id, cos_fast) in the same select, so the pair dedup and
+    // the rank window never move a vector-attached row. Any other
+    // ordering re-attaches vectors to the candidate frame with id joins,
+    // and sorting/exchanging ~250M vector-attached rows is a ~75 GB
+    // spill at sf10 (measured twice: the r11 window sort, and a r12
+    // attempt that deduped slim first then joined vectors back). The
+    // registry side is SHUFFLE_HASH-hinted: per bucket-join partition it
+    // builds a hash of corpus/numPartitions vectors (the standard
+    // partitioned-probe layout — partitions are sized to fit memory at
+    // any deployment scale), while the 100×-fanned probe side streams
+    // through unsorted.
     val a = bucketed.select(explode(probeBuckets).as("bucket"),
-      col("id").as("qid"))
-    val b = bucketed.select(col("bucket"), col("id").as("vec_id"))
-    val cand = a.join(b, Seq("bucket"))
+      col("id").as("qid"), col("vec").as("qvec"), col("nrm_f").as("qnrm_f"))
+    val b = bucketed.select(col("bucket"), col("id").as("vec_id"),
+      col("vec").as("cvec"), col("nrm_f").as("cnrm_f"))
+    val scored = a.join(b.hint("shuffle_hash"), Seq("bucket"))
       .filter(col("qid") =!= col("vec_id"))
-      // a candidate can surface through several probed buckets — dedup
-      // BEFORE scoring so the window sees each pair once
-      .dropDuplicates("qid", "vec_id")
-    val qv = bucketed.select(col("id").as("qid"), col("vec").as("qvec"),
-      col("nrm").as("qnrm"), col("nrm_f").as("qnrm_f"))
-    val cv = bucketed.select(col("id").as("vec_id"), col("vec").as("cvec"),
-      col("nrm").as("cnrm"), col("nrm_f").as("cnrm_f"))
-    val scored = cand
-      .join(qv.select(col("qid"), col("qvec"), col("qnrm_f")), Seq("qid"))
-      .join(cv.select(col("vec_id"), col("cvec"), col("cnrm_f")), Seq("vec_id"))
       .select(col("qid"), col("vec_id"),
         (dotFast(col("qvec"), col("cvec")) / (col("qnrm_f") * col("cnrm_f")))
           .as("cos_fast"))
+    // NO pair dedup needed: a query's probe buckets are pairwise-distinct
+    // (XOR with distinct ≤nFlip-bit masks), and a corpus vector sits in
+    // exactly one bucket — so each (qid, vec_id) candidate matches exactly
+    // one probe row. KnnSpec pins the uniqueness; dropping the distinct
+    // removes a full candidate-frame shuffle (measured at sf10: a 302M-row
+    // exchange + 38 GB of spill for zero semantic effect).
     exactTopK(scored,
-      qv.select(col("qid"), col("qvec"), col("qnrm")),
-      cv.select(col("vec_id"), col("cvec"), col("cnrm")), k)
+      bucketed.select(col("id").as("qid"), col("vec").as("qvec"),
+        col("nrm").as("qnrm")),
+      bucketed.select(col("id").as("vec_id"), col("vec").as("cvec"),
+        col("nrm").as("cnrm")), k)
   }
 
   /** Incremental [[nearDupPairs]] — the daily-crawl flow in embedding
@@ -427,7 +436,13 @@ object Knn {
                            minCos: Double, nFlip: Int,
                            seed: Long = 42L): DataFrame = {
     require(nFlip >= 0 && nFlip <= 2, "nFlip beyond 2 costs more than more planes")
-    val newBuckets = lshBuckets(newEmb, dim, nPlanes, seed)
+    // spread BEFORE the fan-out: the probe explode inherits the scan's
+    // partitioning, and a single-file input would serialize the whole
+    // 100×-fanned vector-carrying probe frame on ONE core (measured at
+    // sf10: a 38.5M-row explode stage at 316 s wall == 318 s cpu — the
+    // entire e19 wall — against 8 s for the join it feeds)
+    val newBuckets = lshBuckets(graft.Tables.spread(newEmb, "id"),
+      dim, nPlanes, seed)
     val flips1 = (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
     val flips2 =
       if (nFlip < 2) Seq.empty
@@ -449,7 +464,12 @@ object Knn {
     val bSide = storedBuckets.select(col("id").as("id_b"), col("bucket"))
       .unionByName(newBuckets.select(col("id").as("id_b"), col("bucket")))
       .join(vecs, Seq("id_b"))
-    val survivors = probes.join(bSide, Seq("bucket"))
+    // SHUFFLE_HASH on the registry side: per bucket-join partition it
+    // builds a hash of corpus/numPartitions vectors (partitions are sized
+    // to fit memory at any scale), and the fanned-out probe side streams
+    // through UNSORTED — a sort-merge join would sort probes×vector rows
+    // per increment for no benefit
+    val survivors = probes.join(bSide.hint("shuffle_hash"), Seq("bucket"))
       .filter(col("id_a") =!= col("id_b"))
       .filter(dotFast(col("va"), col("vb")) / (col("nfa") * col("nfb"))
         >= minCos - 1e-6)

@@ -301,7 +301,8 @@ object Registries {
     * crash rows pin exactly that window (a lost marker would re-append a
     * batch whose rows are already folded in: double-count). */
   def compact(s: SparkSession, dir: String, numFiles: Int = 4,
-              foldKeys: Seq[String] = Nil): Unit = {
+              foldKeys: Seq[String] = Nil,
+              sortKeys: Seq[String] = Nil): Unit = {
     val conf = s.sessionState.newHadoopConf()
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(conf)
@@ -321,8 +322,17 @@ object Registries {
             deltas.tail.map(c => sum(col(c)).as(c)): _*)
           .select(data.columns.map(col).toSeq: _*) // original column order
       }
-    folded.repartition(numFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
+    // sortKeys lays the compacted registry out RANGE-PARTITIONED and
+    // sorted by the key (content registries probed by point lookups, e.g.
+    // the dedupImpact fingerprint registry): each parquet row group then
+    // covers a narrow key range, so at deployment scale a probe's pushed
+    // key predicates skip most row groups via min/max stats instead of
+    // scanning the whole registry.
+    val laidOut =
+      if (sortKeys.isEmpty) folded.repartition(numFiles)
+      else folded.repartitionByRange(numFiles, sortKeys.map(col): _*)
+        .sortWithinPartitions(sortKeys.map(col): _*)
+    laidOut.write.mode("overwrite").parquet(tmp.toString)
     // carry streaming batch done-markers (_b*.done, [[graft.streaming
     // .BatchCommit]]) across the swap: compaction renames data files out
     // of their batch prefixes, so losing the markers would make a replay

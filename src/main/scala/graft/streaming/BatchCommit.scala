@@ -308,7 +308,8 @@ object BatchCommit {
     * `foldKeys` (delta-shaped registries only) additionally folds rows
     * to one per key — see [[graft.store.Registries.compact]]. */
   def maybeCompact(spark: SparkSession, dir: String, maxFiles: Int,
-                   targetFiles: Int = 4, foldKeys: Seq[String] = Nil): Boolean = {
+                   targetFiles: Int = 4, foldKeys: Seq[String] = Nil,
+                   sortKeys: Seq[String] = Nil): Boolean = {
     val fs = fsFor(spark, dir)
     val d = new Path(dir)
     if (!fs.exists(d)) return false
@@ -318,7 +319,8 @@ object BatchCommit {
         !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
     }
     if (n <= maxFiles) false
-    else { graft.store.Registries.compact(spark, dir, targetFiles, foldKeys); true }
+    else { graft.store.Registries.compact(spark, dir, targetFiles, foldKeys,
+      sortKeys); true }
   }
 }
 

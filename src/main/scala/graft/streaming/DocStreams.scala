@@ -705,11 +705,25 @@ object DocStreams {
           StructType(Seq(StructField("fp", StringType),
             StructField("canonical_id", LongType)))))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-      val tagged = batch
+      val fped = batch
         .select(col("doc_id"), col("source"), col("n_chars"),
           graft.text.TextMetrics.fingerprint(col("text")).as("fp"))
+      // probe WITHOUT ever shuffling the registry: the registry side is a
+      // co-located scan semi-joined against a broadcast of the BATCH's
+      // fingerprints (batch-bounded, tiny), and the resulting known-set
+      // (<= batch distinct fps) broadcasts back onto the batch. The r11
+      // shape left-joined the batch against the raw registry — a
+      // registry-sized shuffle+sort per drop, the one soak flow whose
+      // latency grew with the accumulated corpus (886 -> 1050 ms over
+      // 100 drops). Per-drop cost is now one exchange-free registry scan;
+      // compaction keeps that scan range-sorted by fp (sortKeys below) so
+      // row-group stats can prune it at deployment scale.
+      val knownFps = stored
+        .join(broadcast(fped.select("fp").distinct()), Seq("fp"), "left_semi")
+        .select(col("fp"), lit(1).as("__known"))
+      val tagged = fped
         .withColumn("__batch_canon", min(col("doc_id")).over(w))
-        .join(stored.select(col("fp"), lit(1).as("__known")), Seq("fp"), "left")
+        .join(broadcast(knownFps), Seq("fp"), "left")
         .withColumn("__keep",
           col("__known").isNull && col("doc_id") === col("__batch_canon"))
         .persist()
@@ -728,7 +742,8 @@ object DocStreams {
           fpDir, bid)
         Failpoints.hit("impact:post", fpDir)
       } finally { tagged.unpersist(); () }
-      BatchCommit.maybeCompact(spark, fpDir, compactAfterFiles)
+      BatchCommit.maybeCompact(spark, fpDir, compactAfterFiles,
+        sortKeys = Seq("fp"))
       BatchCommit.maybeCompact(spark, impactDir, compactAfterFiles,
         foldKeys = Seq("source"))
       ()

@@ -97,6 +97,31 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe candidates are unique per (qid, vec_id) — the no-dedup " +
+       "contract of approxKnnMultiProbe") {
+    // a query's probe buckets are its signature XOR'd with pairwise-
+    // DISTINCT ≤2-bit masks, and a corpus vector sits in exactly one
+    // bucket, so each (qid, vec_id) pair can match exactly one probe row;
+    // approxKnnMultiProbe relies on this to skip the candidate-frame
+    // dedup shuffle entirely (at sf10 that shuffle moved 302M rows and
+    // spilled 38 GB for zero semantic effect)
+    val nPlanes = 6
+    val b = Knn.lshBuckets(emb, dim = 64, nPlanes = nPlanes)
+      .select(col("id"), col("bucket"))
+    val masks = Seq(0L) ++ (0 until nPlanes).map(1L << _) ++
+      (for { i <- 0 until nPlanes; j <- (i + 1) until nPlanes }
+        yield (1L << i) | (1L << j))
+    assert(masks.distinct.length == masks.length, "probe masks must be distinct")
+    val probes = b.select(col("id").as("qid"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
+        .as("bucket"))
+    val dups = probes
+      .join(b.select(col("id").as("vec_id"), col("bucket")), Seq("bucket"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id").count().filter(col("count") > 1).count()
+    assert(dups == 0, "a (qid, vec_id) candidate surfaced via two probe buckets")
+  }
+
   test("adaptivePlanes: candidate budget holds, plane count grows with log n") {
     import graft.queries.SimilarityQ.adaptivePlanes
     // the chosen p must satisfy the budget it prices: expected per-query
