@@ -687,6 +687,19 @@ object DocStreams {
     * crashed batch recomputes identically. Registry cost: one narrow row
     * per DISTINCT document ever seen, compacted like every registry;
     * the probe is a batch-sized hash join against it. */
+  /** The registry-side probe of [[dedupImpactStream]], split out so the
+    * plan gate can pin its scale shape: the stored fingerprint registry
+    * is SCANNED IN PLACE and semi-joined against a broadcast of the
+    * batch's (distinct, batch-bounded) fingerprints — the registry is
+    * never exchanged, never sorted, never broadcast, so the per-drop
+    * probe cost is one co-located scan regardless of corpus size. The
+    * output (registry fps present in the batch) is at most batch-sized
+    * and safe to broadcast back onto the batch. */
+  private[graft] def knownFpProbe(stored: DataFrame,
+                                  batchFps: DataFrame): DataFrame =
+    stored.join(broadcast(batchFps), Seq("fp"), "left_semi")
+      .select(col("fp"), lit(1).as("__known"))
+
   def dedupImpactStream(docStream: DataFrame, fpDir: String, impactDir: String,
                         compactAfterFiles: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -718,9 +731,7 @@ object DocStreams {
       // 100 drops). Per-drop cost is now one exchange-free registry scan;
       // compaction keeps that scan range-sorted by fp (sortKeys below) so
       // row-group stats can prune it at deployment scale.
-      val knownFps = stored
-        .join(broadcast(fped.select("fp").distinct()), Seq("fp"), "left_semi")
-        .select(col("fp"), lit(1).as("__known"))
+      val knownFps = knownFpProbe(stored, fped.select("fp").distinct())
       val tagged = fped
         .withColumn("__batch_canon", min(col("doc_id")).over(w))
         .join(broadcast(knownFps), Seq("fp"), "left")

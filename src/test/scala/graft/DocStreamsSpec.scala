@@ -100,6 +100,27 @@ class DocStreamsSpec extends AnyFunSuite {
     // the registry holds exactly one row per distinct text ever seen
     assert(spark.read.parquet(s"$tmp/fp").count() ==
       all.select("text").distinct().count())
+
+    // plan gate on the probe's scale shape (the soak's one historically
+    // rising flow): the registry side must be scanned in place — a
+    // broadcast-semi-join probe, with NO exchange/sort of the registry.
+    // Wall-clock soaks can't pin this on a noisy box; the plan can.
+    val probePlan = DocStreams.knownFpProbe(
+      spark.read.parquet(s"$tmp/fp"),
+      all.select(md5(col("text")).as("fp")).distinct())
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("BroadcastHashJoin") &&
+      probePlan.contains("LeftSemi"),
+      "registry probe must be a broadcast semi-join\n" + probePlan)
+    // the REGISTRY branch (the join's streamed side, printed with ":-"
+    // margins) must go scan -> join directly; the batch-fps side is
+    // allowed its batch-sized distinct exchange before the broadcast
+    val registryBranch = probePlan.linesIterator
+      .filter(l => l.contains(":-") || l.contains(":  ")).mkString("\n")
+    assert(registryBranch.contains("FileScan parquet"), probePlan)
+    assert(!registryBranch.contains("Exchange"),
+      "the fingerprint registry must never be shuffled/sorted by the " +
+        "probe\n" + probePlan)
   }
 
   test("streaming segment dedup converges to the batch d13 operator") {
