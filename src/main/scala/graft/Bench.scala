@@ -58,13 +58,7 @@ object Bench {
     // then marked `contended` so round-over-round comparisons know the
     // numbers carry scheduling noise (r7's driver run was 72.9 s vs
     // 55.7 s quiet for identical code, individual queries inflated 4x).
-    def calibSpin(): Double = {
-      val t0 = System.nanoTime()
-      var x = 0L; var i = 0
-      while (i < 300000000) { x += i * 2654435761L; i += 1 }
-      if (x == 42) print("") // keep the loop alive past JIT DCE
-      (System.nanoTime() - t0) / 1e9
-    }
+    def calibSpin(): Double = Calib.spin()
     // ALL-CORES spin: every core runs the same loop at once; the wall
     // time exceeds the single-thread floor exactly when the cores don't
     // actually deliver in parallel (host-level steal, SMT oversubscription,
@@ -72,20 +66,7 @@ object Bench {
     // every query inflated ~15% while the single-thread spin was BYTE-
     // IDENTICAL to the prior round's — only a multi-core probe can tell
     // "this box is slower in aggregate" from "this code got slower".
-    def calibSpinMt(): Double = {
-      val n = Runtime.getRuntime.availableProcessors()
-      val t0 = System.nanoTime()
-      val threads = (1 to n).map { _ =>
-        val t = new Thread(() => {
-          var x = 0L; var i = 0
-          while (i < 300000000) { x += i * 2654435761L; i += 1 }
-          if (x == 42) print("")
-        })
-        t.start(); t
-      }
-      threads.foreach(_.join())
-      (System.nanoTime() - t0) / 1e9
-    }
+    def calibSpinMt(): Double = Calib.spinMt()
     // quiet floor: min of 3 pre-run spins (JIT-warmed by the first)
     val calibQuiet = (1 to 3).map(_ => calibSpin()).min
     val calibMtBefore = calibSpinMt()
@@ -111,10 +92,23 @@ object Bench {
     graft.meta.MetadataStar.materialize(spark, sfDir)
     graft.store.Registries.materialize(spark, sfDir)
     // mid-run contention samples: endpoints alone miss a co-scheduled
-    // job that starts after the first spin and ends before the last
+    // job that starts after the first spin and ends before the last.
+    // BOTH probes run mid-stream: r12's artifact passed the single-
+    // thread checks (floor 0.106, worst 0.161) while its calib_mt sat
+    // at 1.93x the quiet reference — a co-tenant stealing half the
+    // box's PARALLEL throughput is invisible to a one-core spin, and a
+    // burst during one long query is invisible to endpoint-only
+    // sampling. Each sample is (query-index, st, mt) so every query can
+    // be stamped with the contention state nearest in time to its run.
     val midSpins = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val spinSamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    spinSamples += ((-1, calibQuiet, calibMtBefore))
     val results = names.zipWithIndex.map { case (n, i) =>
-      if (i % 15 == 14) midSpins += calibSpin()
+      if (i % 15 == 14) {
+        val st = calibSpin(); val mt = calibSpinMt()
+        midSpins += st
+        spinSamples += ((i, st, mt))
+      }
       val c0 = spark.sparkContext.getPersistentRDDs.size
       val r1 = runOnce(sfDir, n)
       val c1 = spark.sparkContext.getPersistentRDDs.size
@@ -138,6 +132,7 @@ object Bench {
     // always finds one complete JSON object.
     val calibAfter = (1 to 3).map(_ => calibSpin()).min
     val calibMtAfter = calibSpinMt()
+    spinSamples += ((names.size, calibAfter, calibMtAfter))
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val nCores = Runtime.getRuntime.availableProcessors()
@@ -150,41 +145,71 @@ object Bench {
     // higher ratio than the prior round's artifact at equal calib_floor
     // means the box's aggregate throughput dropped (host steal), and
     // per-query deltas under ~that factor are machine noise, not code
-    val calibMt = math.min(calibMtBefore, calibMtAfter)
+    val mtSamples = spinSamples.map(_._3)
+    val calibMt = mtSamples.min
+    val calibMtWorst = mtSamples.max
+    // calib_mt_ref: the quiet-state all-cores spin this box delivers
+    // undisturbed (r8-r12 quiet runs: 0.115-0.124 s). The r12 artifact
+    // read a 2.7x phantom regression because the old predicate checked
+    // only single-thread spins and loadavg — its own calib_mt was 1.93x
+    // this reference while `contended` read false. Parallel steal is now
+    // a first-class trigger: min mt sample > 1.5x ref means the box was
+    // degraded the whole run; worst mt sample > 2x ref means at least
+    // one burst hit mid-run (the per-query stamps below say which).
+    val calibMtRef = Calib.MtRef
     val contended = calibWorst > calibFloor * 2.0 ||
-      (loadAvg > 0 && loadAvg > nCores * 1.5)
+      (loadAvg > 0 && loadAvg > nCores * 1.5) ||
+      calibMt > calibMtRef * 1.5 ||
+      calibMtWorst > calibMtRef * 2.0
+    // nearest spin sample (by position in the run order) for each query:
+    // a contaminated artifact self-identifies per-query — readers discount
+    // exactly the queries whose nearest mt sample shows steal, instead of
+    // adjudicating the whole artifact against out-of-band quiet re-runs
+    def nearestMt(i: Int): Double =
+      spinSamples.minBy(s => math.abs(s._1 - i))._3
     // Calib-normalized values: the box's aggregate throughput oscillated
     // 1.25-1.84x mt/floor across round 9 at identical single-thread
     // floors, so raw round-over-round deltas read host steal as code
-    // drift. calib_mt_ref is the quiet-state all-cores spin this box
-    // delivers when undisturbed (r8/r9 quiet runs: 0.115-0.124 s at
-    // calib_floor 0.105-0.109); value_norm = value * (ref / calib_mt)
-    // rescales every timing to that reference state. Normalization is
+    // drift. Each query is normalized by the mt spin sample NEAREST to
+    // its run (a burst mid-run corrects only the queries it touched —
+    // r12's burst window inflated d26 60x while sub-second queries were
+    // unscathed; one global factor can't express that). Normalization is
     // exact only to the extent a query's bottleneck matches the spin's
     // (CPU-bound parallel) — treat value_norm as the comparison number
     // and value as the measurement of record.
-    val calibMtRef = 0.120
     val normFactor = if (calibMt > 0) calibMtRef / calibMt else 1.0
+    def normAt(i: Int): Double = {
+      val mt = nearestMt(i)
+      if (mt > 0) calibMtRef / mt else 1.0
+    }
     def f(v: Double) = if (v < 0) "-1" else f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val totalNorm = results.zipWithIndex
+      .collect { case ((_, v), i) if v >= 0 => v * normAt(i) }.sum
     val cal = s""""contended":$contended,"calib_floor":${f(calibFloor)},""" +
       s""""calib_worst":${f(calibWorst)},"calib_mt":${f(calibMt)},""" +
+      s""""calib_mt_worst":${f(calibMtWorst)},""" +
       s""""calib_mt_ref":${f(calibMtRef)},"norm_factor":${f(normFactor)},""" +
       s""""load_avg":${f(loadAvg)},"cores":$nCores"""
     // "total_full" NOT "total": only the short summary line printed LAST
     // carries metric=total, so a consumer matching on the metric name can
     // never pick this head-truncatable full-map variant or double-count
-    println(s"""{"metric":"total_full","unit":"sec","queries":$qs,"sf":"$sfDir",$cal,"value_norm":${f(total * normFactor)},"value":${f(total)}}""")
+    println(s"""{"metric":"total_full","unit":"sec","queries":$qs,"sf":"$sfDir",$cal,"value_norm":${f(totalNorm)},"value":${f(total)}}""")
     // persist the complete per-query map in-repo so round-over-round
     // diffs never depend on the capture window; queries_norm carries the
-    // per-query calib-normalized values the comparisons should read
+    // per-query calib-normalized values the comparisons should read, and
+    // queries_mt the nearest mt spin sample per query (the contention
+    // stamp — a reader discounts exactly the queries whose stamp is hot)
     try {
-      val qsNorm = results
-        .map { case (k, v) => "\"" + k + "\":" + f(if (v < 0) v else v * normFactor) }
+      val qsNorm = results.zipWithIndex
+        .map { case ((k, v), i) => "\"" + k + "\":" + f(if (v < 0) v else v * normAt(i)) }
         .mkString("{", ",", "}")
-      val dump = s"""{"sf":"$sfDir","total":${f(total)},"total_norm":${f(total * normFactor)},$cal,"queries":$qs,"queries_norm":$qsNorm}"""
+      val qsMt = results.zipWithIndex
+        .map { case ((k, _), i) => "\"" + k + "\":" + f(nearestMt(i)) }
+        .mkString("{", ",", "}")
+      val dump = s"""{"sf":"$sfDir","total":${f(total)},"total_norm":${f(totalNorm)},$cal,"queries":$qs,"queries_norm":$qsNorm,"queries_mt":$qsMt}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("docs/bench_full.json"),
         (dump + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -197,7 +222,7 @@ object Bench {
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir",$cal,""" +
       s""""n_queries":${results.size},"queries_slowest":$slowest,""" +
       s""""queries_full":"docs/bench_full.json",""" +
-      s""""value_norm":${f(total * normFactor)},"value":${f(total)}}""")
+      s""""value_norm":${f(totalNorm)},"value":${f(total)}}""")
     spark.stop()
   }
 }

@@ -86,17 +86,33 @@ object StreamSoak {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       val sampled = scala.collection.mutable.Map.empty[Long, Map[String, Int]]
+      // mt contention stamps (see graft.Calib): sampled every ~10 batches
+      // so each soak line can carry the parallel-throughput state nearest
+      // its batch — r12's soak artifact read a 1.63x ivfCodesIngest rise
+      // that was a co-tenant burst, and without per-line stamps the only
+      // way to adjudicate it was a full out-of-band quiet re-soak
+      val mtStamps = scala.collection.mutable.Map.empty[Long, Double]
+      mtStamps(-1L) = graft.Calib.spinMt()
       while (!q.awaitTermination(200)) {
         val p = q.lastProgress
-        if (p != null)
+        if (p != null) {
           sampled(p.batchId) = sinks.map { case (n, d) => n -> fileCount(d) }
+          if (p.batchId % 10 == 0 && !mtStamps.contains(p.batchId))
+            mtStamps(p.batchId) = graft.Calib.spinMt()
+        }
       }
+      mtStamps(Long.MaxValue) = graft.Calib.spinMt()
+      def nearestMt(b: Long): Double =
+        mtStamps.minBy { case (k, _) =>
+          if (k == Long.MaxValue) math.abs(nDrops - b) else math.abs(k - b) }._2
       for (p <- q.recentProgress if p.numInputRows > 0) {
         val files = sampled.getOrElse(p.batchId,
           sinks.map { case (n, d) => n -> fileCount(d) })
         val fjson = files.map { case (n, c) => s""""$n":$c""" }.mkString(",")
         out.println(s"""{"flow":"$flow","batch":${p.batchId},""" +
-          s""""wall_ms":${p.durationMs.get("triggerExecution")},"files":{$fjson}}""")
+          s""""wall_ms":${p.durationMs.get("triggerExecution")},""" +
+          f""""calib_mt":${nearestMt(p.batchId)}%.3f,""" +
+          s""""files":{$fjson}}""")
       }
       val rows = sinks.map { case (n, d) => s""""$n":${rowCount(d)}""" }
       out.println(s"""{"flow":"$flow","final_rows":{${rows.mkString(",")}},""" +
