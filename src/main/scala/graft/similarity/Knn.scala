@@ -128,14 +128,45 @@ object Knn {
     * sqrt-then-multiply is the identical IEEE closing the oracle uses. */
   private[graft] def exactTopK(scored: DataFrame, qVecs: DataFrame,
                                cVecs: DataFrame, k: Int): DataFrame = {
-    val wf = Window.partitionBy(col("qid"))
-      .orderBy(col("cos_fast").desc, col("vec_id").asc)
-    val wq = Window.partitionBy(col("qid"))
-    val cand = scored.select(col("qid"), col("vec_id"), col("cos_fast"))
-      .withColumn("rkf", row_number().over(wf))
-      .withColumn("__kth", max(when(col("rkf") === k, col("cos_fast"))).over(wq))
-      // groups smaller than k have a null __kth: the rank arm keeps them all
-      .filter(col("rkf") <= k || col("cos_fast") >= col("__kth") - FastCosEps)
+    val slim = scored.select(col("qid"), col("vec_id"), col("cos_fast"))
+    // Candidate selection is TWO PASSES over the slim frame, neither of
+    // which sorts it. The r12 shape ranked with a per-query row_number
+    // window — a full shuffle+sort of every candidate row, and at sf10
+    // (302M candidates) that sort WAS the query: 192 s of a ~200 s wall.
+    // Only the kth fast score per query is actually needed, and a
+    // k-bounded heap aggregate ([[graft.functions.TopKRows]]) produces
+    // it without ordering anything beyond each group's k-row heap.
+    //
+    // The slim frame is repartitioned by qid ONCE, and that exchange is
+    // the plan's sharing point: the heap aggregate runs directly on it
+    // (child partitioning satisfies the aggregate's distribution, so no
+    // partial/final split and no second exchange), the kth join probes
+    // it co-located, and ReuseExchange makes both consumers read the
+    // same shuffle files — the candidate-generating probe join executes
+    // exactly once. Aggregating BEFORE a qid exchange is also a heap
+    // hazard, not just a wasted partial: a pre-shuffle partition sees
+    // candidates of every query, so a partial ObjectHashAggregate would
+    // hold |queries| k-row heaps per task (measured OOM at sf10: 500k
+    // heaps × 32 tasks in an 8 GB driver); after the exchange each task
+    // holds |queries|/partitions of them.
+    //
+    // Pass 2 keeps rows by VALUE (cos_fast >= kth - eps) — the same
+    // survivor set as the ranked filter, because any row with fast rank
+    // <= k has cos_fast >= kth, and the eps arm was already value-based.
+    // The kth side joins SHUFFLE_HASH: per-partition it hash-builds
+    // |queries|/partitions narrow rows (bounded at any scale — 1B
+    // queries is ~16 B each; a broadcast would cap |queries| at the
+    // driver's memory, and a sort-merge would re-sort the candidates).
+    val slimQ = slim.repartition(col("qid"))
+    val kth = slimQ.groupBy(col("qid"))
+      .agg(graft.functions.TopKRows.topKRows(
+        struct(col("cos_fast"), col("vec_id")), k, Seq(true, false)).as("__tk"))
+      .select(col("qid"),
+        // groups smaller than k have no kth score: keep them whole below
+        when(size(col("__tk")) === k,
+          element_at(col("__tk"), k).getField("cos_fast")).as("__kth"))
+    val cand = slimQ.join(kth.hint("shuffle_hash"), Seq("qid"))
+      .filter(col("__kth").isNull || col("cos_fast") >= col("__kth") - FastCosEps)
       .select(col("qid"), col("vec_id"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)

@@ -21,6 +21,9 @@ object PerfOne {
                 else Seq("q01_pooling_census")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // match Bench/Verify: graft's TypedImperativeAggregates are all
+      // O(k)-bounded, so the sort-based fallback only costs
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 21)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.GraftExtensions.registerAll(spark)
