@@ -640,6 +640,10 @@ object DocStreams {
       s"capacity $capacity cannot fit one $imgTok-token image slot")
     docStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       val spark = batch.sparkSession
+      // itemsDir compacts below (write-only sink): heal a half-swapped
+      // compaction at entry or the aside holding all prior items is
+      // eventually deleted (the dedupImpactStream impactDir hazard)
+      graft.store.Registries.recover(spark, itemsDir)
       BatchCommit.rollback(spark, itemsDir, bid)
       BatchCommit.rollback(spark, totalsDir, bid)
       val totals = BatchCommit.readOr(spark, totalsDir)(
@@ -658,8 +662,17 @@ object DocStreams {
             coalesce(sum(col("doc_cost_pad")).over(w), lit(0L)))
         .persist()
       try {
+        // content-sink file sizing: the item explode inherits the batch's
+        // task layout — ~one file per TASK per drop (the r12 soak
+        // measured ~19/drop, 1,900 files by drop 100, unbounded).
+        // Coalesce (narrow, no shuffle) to ~target-row files: one file
+        // per micro-batch drop, more only when a bulk drop's volume
+        // genuinely needs them.
+        val nOut = math.min(512L,
+          perDoc.count() / PackItemFileTargetRows + 1L).toInt
         BatchCommit.append(
-          graft.queries.MultimodalQ.packItems(perDoc, imgTok, capacity),
+          graft.queries.MultimodalQ.packItems(perDoc, imgTok, capacity)
+            .coalesce(nOut),
           itemsDir, bid)
         Failpoints.hit("pack:mid", totalsDir)
         BatchCommit.append(
@@ -669,9 +682,21 @@ object DocStreams {
       } finally { perDoc.unpersist(); () }
       BatchCommit.maybeCompact(spark, totalsDir, compactAfterFiles,
         foldKeys = Seq("source"))
+      // row-preserving content compaction under the same marker protocol
+      // (no foldKeys — items are output data, not deltas): bounds the
+      // accumulated file count so a year of drops is ~compactAfterFiles
+      // files, not ~drops. Each compaction rewrites the sink, so at
+      // deployment scale the sink rolls into date-partitioned segments
+      // (or a table format) and this compacts only the open segment.
+      BatchCommit.maybeCompact(spark, itemsDir, compactAfterFiles)
       ()
     }
   }
+
+  /** Target rows per packed-items file (items are narrow rows; this
+    * lands files near the parquet sweet spot). A normal micro-batch is
+    * far below it and writes ONE file per drop. */
+  private[graft] val PackItemFileTargetRows = 2L * 1000 * 1000
 
   /** Streaming exact-dedup IMPACT accounting — d36's daily-drop twin and
     * the doc-level exact-dedup flow itself: each drop's fingerprints
@@ -687,6 +712,14 @@ object DocStreams {
     * crashed batch recomputes identically. Registry cost: one narrow row
     * per DISTINCT document ever seen, compacted like every registry;
     * the probe is a batch-sized hash join against it. */
+  /** Ceiling on the batch row count below which the dedup-impact probe
+    * broadcasts the batch's distinct fingerprints (~50 B/row → ~100 MB
+    * at the cap). A normal micro-batch is orders of magnitude under it;
+    * an anomalous bulk drop above it falls back to the shuffle
+    * semi-join, which degrades gracefully where a broadcast would blow
+    * the driver/broadcast memory limit. */
+  private[graft] val BroadcastProbeMaxFps = 2L * 1000 * 1000
+
   /** The registry-side probe of [[dedupImpactStream]], split out so the
     * plan gate can pin its scale shape: the stored fingerprint registry
     * is SCANNED IN PLACE and semi-joined against a broadcast of the
@@ -694,10 +727,15 @@ object DocStreams {
     * never exchanged, never sorted, never broadcast, so the per-drop
     * probe cost is one co-located scan regardless of corpus size. The
     * output (registry fps present in the batch) is at most batch-sized
-    * and safe to broadcast back onto the batch. */
+    * and safe to broadcast back onto the batch. `bcast=false` is the
+    * anomalous-bulk-drop arm (batch above [[BroadcastProbeMaxFps]]
+    * rows): the same semi-join without the hint, letting Spark shuffle
+    * both sides rather than materializing an over-cap broadcast. */
   private[graft] def knownFpProbe(stored: DataFrame,
-                                  batchFps: DataFrame): DataFrame =
-    stored.join(broadcast(batchFps), Seq("fp"), "left_semi")
+                                  batchFps: DataFrame,
+                                  bcast: Boolean = true): DataFrame =
+    stored.join(if (bcast) broadcast(batchFps) else batchFps,
+        Seq("fp"), "left_semi")
       .select(col("fp"), lit(1).as("__known"))
 
   def dedupImpactStream(docStream: DataFrame, fpDir: String, impactDir: String,
@@ -731,10 +769,16 @@ object DocStreams {
       // 100 drops). Per-drop cost is now one exchange-free registry scan;
       // compaction keeps that scan range-sorted by fp (sortKeys below) so
       // row-group stats can prune it at deployment scale.
-      val knownFps = knownFpProbe(stored, fped.select("fp").distinct())
+      // broadcast guard: the probe (and the known-set join-back) only
+      // broadcast while the batch is provably small; an anomalous bulk
+      // drop takes the shuffle arm instead of risking the broadcast limit
+      val smallBatch = batch.count() <= BroadcastProbeMaxFps
+      val knownFps = knownFpProbe(stored, fped.select("fp").distinct(),
+        bcast = smallBatch)
       val tagged = fped
         .withColumn("__batch_canon", min(col("doc_id")).over(w))
-        .join(broadcast(knownFps), Seq("fp"), "left")
+        .join(if (smallBatch) broadcast(knownFps) else knownFps,
+          Seq("fp"), "left")
         .withColumn("__keep",
           col("__known").isNull && col("doc_id") === col("__batch_canon"))
         .persist()

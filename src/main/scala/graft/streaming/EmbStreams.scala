@@ -55,6 +55,17 @@ object EmbStreams {
     embStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       val spark = batch.sparkSession
       import graft.streaming.{BatchCommit, Failpoints}
+      // Plane-count contract: the bucket registry's rows are nPlanes-bit
+      // hashes, so the stream FREEZES p for the registry's lifetime — a
+      // mismatched restart (say the adaptive plane law stepped and an
+      // operator re-pointed the stream at the old registry with the new
+      // p) would silently join new-p probe hashes against old-p rows and
+      // break the bucket contract. The registry carries its p in a
+      // sidecar; a mismatch REFUSES the batch loudly. Crossing a step is
+      // an offline re-hash: rebuild the registry at the new p (the
+      // amortized O(log) rebuild the adaptive law already budgets), then
+      // start a fresh stream against it.
+      checkNPlanes(spark, bucketRegistryDir, nPlanes)
       // exactly-once replay protocol (BatchCommit): undo any crashed
       // partial append before the registry reads, so the probe always
       // sees the pre-batch registries
@@ -92,6 +103,35 @@ object EmbStreams {
       BatchCommit.maybeCompact(spark, bucketRegistryDir, compactAfterFiles)
       BatchCommit.maybeCompact(spark, vecRegistryDir, compactAfterFiles); ()
     }
+
+  /** [[embeddingDedupStream]]'s plane-count sidecar: pin `nPlanes` into
+    * the registry dir on first contact, refuse a mismatch ever after.
+    * Written temp-then-rename so a reader never sees a partial value; a
+    * crash before the first sidecar lands is re-pinned by the retry from
+    * the same (unchanged) writer config. */
+  private[graft] def checkNPlanes(spark: SparkSession, registryDir: String,
+                                  nPlanes: Int): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(registryDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val sidecar = new org.apache.hadoop.fs.Path(dir, "_nplanes")
+    if (fs.exists(sidecar)) {
+      val in = fs.open(sidecar)
+      val pinned = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toInt finally in.close()
+      require(pinned == nPlanes,
+        s"embeddingDedupStream: registry $registryDir is pinned to " +
+          s"nPlanes=$pinned but the stream is configured with $nPlanes — " +
+          "the registry's hashes are p-bit signatures; crossing a plane " +
+          "step requires an offline re-hash of the registry at the new p, " +
+          "not a mismatched restart")
+    } else {
+      fs.mkdirs(dir)
+      val tmp = new org.apache.hadoop.fs.Path(dir, s"_nplanes.tmp-$nPlanes")
+      val out = fs.create(tmp, true)
+      try out.write(nPlanes.toString.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, sidecar)) { fs.delete(tmp, false); () }
+    }
+  }
 
   /** Streaming IVF+PQ index maintenance — the FLUSH half of e15's story:
     * each drop of new vectors is encoded against the FROZEN
@@ -149,55 +189,105 @@ object EmbStreams {
       ()
     }
 
+  /** Test-visible maintenance odometers: cell dirs crash-recovered /
+    * compaction-checked. IvfStreamSpec asserts the steady-state per-drop
+    * counts are independent of how many cells exist. */
+  private[graft] val cellsRecovered = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val cellsCompactChecked = new java.util.concurrent.atomic.AtomicLong
+
+  /** Target rows per flushed code file. A PQ code row is ~20 B on disk,
+    * so this lands files near the ~60-100 MB parquet sweet spot; a drop
+    * smaller than cells×target (every micro-batch here) keeps the
+    * one-file-per-cell layout. */
+  private[graft] val CodeFileTargetRows = 4L * 1000 * 1000
+
   def ivfCodesIngestStream(embStream: DataFrame, cents: DataFrame,
                            cb: DataFrame, codesDir: String,
                            dims: Int = 64, m: Int = 8,
                            compactAfterFiles: Int = 64)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    lazy val nCells = cents.count()
+    // per-WRITER heal gate (each stream (re)start builds a fresh writer,
+    // so a restart always re-heals): the gate that makes per-drop
+    // maintenance O(touched cells) instead of O(total cells). Cleared on
+    // a failed batch so the retry re-heals.
+    val healed = new java.util.concurrent.atomic.AtomicBoolean(false)
     embStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       val spark = batch.sparkSession
       import graft.streaming.{BatchCommit, Failpoints}
-      // heal any crashed per-cell compaction swap, then undo any crashed
-      // partial append of THIS batch before the encode. The live names to
-      // heal are DERIVED from every child (a crash between compact's two
-      // renames leaves only `cell=3__precompact` — listing existing
-      // `cell=` dirs would miss the vanished live dir entirely, a fresh
-      // empty `cell=3` would be created by the next append, and the NEXT
-      // heal would then delete the aside holding all of the cell's
-      // history), so strip the compaction suffixes and recover each
-      // distinct live name whether or not it currently exists.
       val root = new org.apache.hadoop.fs.Path(codesDir)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      def liveCells(): Set[String] =
-        if (!fs.exists(root)) Set.empty
-        else fs.listStatus(root).iterator
-          .filter(_.isDirectory).map(_.getPath.getName)
-          .filter(_.startsWith("cell="))
-          .map(_.stripSuffix("__precompact").stripSuffix("__compacting"))
-          .toSet
-      liveCells().foreach { n =>
-        graft.store.Registries.recover(spark,
-          new org.apache.hadoop.fs.Path(root, n).toString)
+      try {
+        // Crash heal + replay rollback run on STARTUP and after a failed
+        // batch ONLY — not per drop. Within a healthy run, `bid` is new:
+        // no partial append of it exists and no compaction swap is
+        // mid-flight, so the old per-drop sweep paid an O(total cells)
+        // FS walk for nothing — noise at 8 cells, 10^4 FS round-trips
+        // per drop before any data moved at real IVF index size. Heal
+        // names are DERIVED from every child (a crash between compact's
+        // two renames leaves only `cell=3__precompact`; listing live
+        // dirs would miss the vanished one), so strip the compaction
+        // suffixes and recover each distinct live name whether or not it
+        // currently exists.
+        if (!healed.get()) {
+          val names =
+            if (!fs.exists(root)) Set.empty[String]
+            else fs.listStatus(root).iterator
+              .filter(_.isDirectory).map(_.getPath.getName)
+              .filter(_.startsWith("cell="))
+              .map(_.stripSuffix("__precompact").stripSuffix("__compacting"))
+              .toSet
+          names.foreach { n =>
+            cellsRecovered.incrementAndGet()
+            graft.store.Registries.recover(spark,
+              new org.apache.hadoop.fs.Path(root, n).toString)
+          }
+          BatchCommit.rollback(spark, codesDir, bid)
+          healed.set(true)
+        }
+        val newEmb = batch
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        // size flushed files by volume, not one-per-(cell, drop): a drop
+        // bigger than cells×target splits each cell's output into
+        // ~target-row files via an id-hash salt (sub-file count estimated
+        // under even cell occupancy — a skewed cell still caps at the
+        // salt count); every drop under the threshold keeps the
+        // one-writer-task-per-cell layout
+        val nSplit = math.max(1L,
+          batch.count() / math.max(1L, nCells * CodeFileTargetRows))
+        val codes0 = graft.similarity.IvfPq.encode(newEmb, cents, cb, dims, m)
+        val codes =
+          if (nSplit <= 1L) codes0.repartition(col("cell"))
+          else codes0.repartition(col("cell"),
+            pmod(hash(col("id")), lit(nSplit.toInt)))
+        codes.persist()
+        try {
+          BatchCommit.appendPartitioned(codes, codesDir, bid, "cell")
+          Failpoints.hit("ivfcodes:post", codesDir)
+          // compact only the cells THIS batch touched (read from the
+          // cached encode — cells not written this drop cannot have
+          // gained files), and prune the ROOT's dead done-markers —
+          // appendPartitioned commits one marker per batch at the root,
+          // where no maybeCompact runs, so without this the root gains a
+          // marker file per micro-batch forever
+          val touched = codes.select("cell").distinct()
+            .collect().map(_.get(0).toString)
+          touched.foreach { c =>
+            cellsCompactChecked.incrementAndGet()
+            BatchCommit.maybeCompact(spark,
+              new org.apache.hadoop.fs.Path(root, s"cell=$c").toString,
+              compactAfterFiles)
+          }
+        } finally { codes.unpersist(); () }
+        BatchCommit.pruneMarkers(spark, codesDir)
+        ()
+      } catch { case scala.util.control.NonFatal(e) =>
+        // next attempt (Spark replays the batch) must re-heal: the
+        // failure may have left a partial append or a half-swapped
+        // compaction behind
+        healed.set(false)
+        throw e
       }
-      BatchCommit.rollback(spark, codesDir, bid)
-      val newEmb = batch
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      // one writer task per cell, so a drop adds ONE file per cell dir
-      // (not tasks x cells); at real scale size this by bytes instead
-      val codes = graft.similarity.IvfPq.encode(newEmb, cents, cb, dims, m)
-        .repartition(col("cell"))
-      BatchCommit.appendPartitioned(codes, codesDir, bid, "cell")
-      Failpoints.hit("ivfcodes:post", codesDir)
-      // maintenance: compact LIVE cell dirs only (a stray __precompact/
-      // __compacting leftover is compaction state, not a registry), and
-      // prune the ROOT's dead done-markers — appendPartitioned commits
-      // one marker per batch at the root, where no maybeCompact runs, so
-      // without this the root gains a marker file per micro-batch forever
-      liveCells().foreach { n =>
-        BatchCommit.maybeCompact(spark,
-          new org.apache.hadoop.fs.Path(root, n).toString, compactAfterFiles)
-      }
-      BatchCommit.pruneMarkers(spark, codesDir)
-      ()
     }
+  }
 }

@@ -61,6 +61,11 @@ class TwoWriterPartitionedRaceSpec extends AnyFunSuite {
                 loudLosses.incrementAndGet(); lastErr = e
               case e: java.io.IOException => lastErr = e
               case e: org.apache.spark.SparkException => lastErr = e
+              // anything else is NOT an expected race outcome: record it
+              // and stop retrying so the soak fails loudly instead of
+              // passing vacuously with a silently-dead writer
+              case scala.util.control.NonFatal(e) =>
+                errs.put(w, e); attempts = 10; lastErr = e
             }
           }
           if (!done)
