@@ -97,6 +97,32 @@ class IvfStreamSpec extends AnyFunSuite {
     assert(markers <= 2, s"$markers root done-markers survived pruning")
   }
 
+  test("per-drop maintenance is O(touched cells), independent of how " +
+       "many cells the index holds") {
+    val stage = stageDrops(Seq((0L, 60L), (60L, 130L), (130L, Long.MaxValue)))
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-codes-m").toString
+    val codes = new java.io.File(s"$tmp/codes")
+    // a mature index: 60 extra populated cells none of these drops touch
+    // (real vectors only land in the 8 seeded cells)
+    for (c <- 100 until 160) {
+      val d = new java.io.File(codes, s"cell=$c"); d.mkdirs()
+      spark.range(0, 5).select(col("id"), lit(0).as("sub"), lit(0).as("code"))
+        .coalesce(1).write.mode("overwrite").parquet(d.toString)
+    }
+    val rec0 = EmbStreams.cellsRecovered.get()
+    val chk0 = EmbStreams.cellsCompactChecked.get()
+    runFlow(stage, s"$tmp/codes", s"$tmp/ckpt")
+    val recovered = EmbStreams.cellsRecovered.get() - rec0
+    val checked = EmbStreams.cellsCompactChecked.get() - chk0
+    // startup heal sweeps every existing cell ONCE; per-drop compaction
+    // checks only the cells the drop wrote (3 drops x <= 8 live cells) —
+    // the 60 cold cells are never walked again
+    assert(recovered <= 60 + 8,
+      s"heal sweep ran more than once: $recovered cell recoveries")
+    assert(checked <= 3 * 8,
+      s"per-drop compaction walked cold cells: $checked checks for 3 drops")
+  }
+
   test("a per-cell compaction crash between the two renames (live dir " +
        "gone, only the __precompact aside left) heals on the next batch") {
     val stage = stageDrops(Seq((0L, 60L), (60L, 130L)))
