@@ -93,6 +93,42 @@ object Registries {
       finally walk.close()
     }
 
+  @volatile private var sweptDeadEntries = false
+
+  /** Garbage-collect the durable cache: entries whose recorded source
+    * dir no longer exists (each entry carries a `_source` sidecar; test
+    * fixtures in temp dirs die with their JVMs, their registries should
+    * not outlive them), and crashed staging dirs older than a day (no
+    * live build runs that long; a younger staging may belong to a
+    * concurrent JVM and is left alone). Runs once per JVM from
+    * [[materializedDir]]; only local absolute source paths are reaped —
+    * a non-walkable path is never evidence of death. */
+  private[graft] def reapDeadEntries(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(cacheRoot)
+    if (!java.nio.file.Files.isDirectory(root)) return
+    val dayAgo = System.currentTimeMillis() - 24L * 3600 * 1000
+    val ls = java.nio.file.Files.list(root)
+    try ls.iterator().asScala.toSeq.foreach { entry =>
+      val src = entry.resolve("_source")
+      val dead = java.nio.file.Files.isRegularFile(src) && {
+        val p = new String(java.nio.file.Files.readAllBytes(src),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        p.startsWith("/") &&
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+      }
+      if (dead) deleteRecursively(entry)
+      else if (java.nio.file.Files.isDirectory(entry)) {
+        val sub = java.nio.file.Files.list(entry)
+        try sub.iterator().asScala.toSeq
+          .filter(d => d.getFileName.toString.contains(".staging-") &&
+            java.nio.file.Files.getLastModifiedTime(d).toMillis < dayAgo)
+          .foreach(deleteRecursively)
+        finally sub.close()
+      }
+    } finally ls.close()
+  }
+
   /** Materialize `build` as parquet once per (cache, dir-content, name);
     * always returns the stored artifact's path. Commit protocol: the
     * build writes to a writer-private staging dir, then one atomic
@@ -103,6 +139,10 @@ object Registries {
     * an unreferenced staging dir, never a half-written registry. */
   private def materializedDir(dir: String, name: String)
                              (write: String => Unit): String = {
+    if (!sweptDeadEntries) {
+      sweptDeadEntries = true
+      reapDeadEntries()
+    }
     val path = s"$cacheRoot/${contentKey(dir)}/$name"
     written.synchronized {
       if (!written.contains(path)) {
@@ -112,6 +152,12 @@ object Registries {
             path + ".staging-" + java.util.UUID.randomUUID().toString.take(8))
           write(staging.toString)
           java.nio.file.Files.createDirectories(target.getParent)
+          val srcMark = target.getParent.resolve("_source")
+          if (!java.nio.file.Files.exists(srcMark)) {
+            java.nio.file.Files.write(srcMark,
+              dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            ()
+          }
           try {
             java.nio.file.Files.move(staging, target,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -206,6 +252,11 @@ object Registries {
     * not this path — the build fires again at p+1 (the amortized re-hash
     * above) instead of silently joining new-p hashes against old-p
     * signatures, which would break the hamming<=2 contract. */
+  /** The cache entry dir (all registries of one source dir) — exposed
+    * for the cache-GC spec. */
+  private[graft] def cacheEntryDir(dir: String): String =
+    s"$cacheRoot/${contentKey(dir)}"
+
   /** The adaptive registry's committed cache path for `dir` at the
     * current plane law — exposed for the step-boundary spec, which
     * asserts rebuild-once and stale-sibling reaping against it. */
