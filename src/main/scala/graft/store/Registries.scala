@@ -36,9 +36,16 @@ object Registries {
     * never committed and dies with a clean. */
   private lazy val cacheRoot: String = {
     // the "graft_registry" path component is load-bearing: the stored-
-    // registry plan gates recognize a registry scan by it
-    val root = sys.env.getOrElse("GRAFT_REGISTRY_CACHE",
+    // registry plan gates recognize a registry scan by it. An override
+    // root without it (GRAFT_REGISTRY_CACHE=/tmp/regcache) would
+    // silently break those gates, so the component is APPENDED under
+    // any override that doesn't already carry it, never trusted to the
+    // operator's naming.
+    val base = sys.env.getOrElse("GRAFT_REGISTRY_CACHE",
       new java.io.File("target/graft_registry_cache").getAbsolutePath)
+    val root =
+      if (new java.io.File(base).getName.contains("graft_registry")) base
+      else base + "/graft_registry"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
     root
   }
@@ -57,26 +64,48 @@ object Registries {
     * storage would key on the table format's snapshot id instead. */
   private def contentKey(dir: String): String = dirKeys.synchronized {
     dirKeys.getOrElseUpdate(dir, {
+      // Listing lines are built FULLY before touching the digest, so any
+      // walk failure (unreadable subdir, file deleted mid-walk by a
+      // concurrent JVM, remote path) degrades to the documented
+      // path-only key instead of a half-digested one that no other JVM
+      // would ever reproduce. Each line also carries a 16-byte content
+      // sample from the file's midpoint: name+size+mtime alone would
+      // serve stale registries for a fixture regenerated with preserved
+      // timestamps (cp -p, tar), and the sample makes that case miss.
+      val listing: Seq[String] =
+        try {
+          val base = java.nio.file.Paths.get(dir)
+          if (!java.nio.file.Files.isDirectory(base)) Nil
+          else {
+            val walk = java.nio.file.Files.walk(base)
+            try {
+              import scala.jdk.CollectionConverters._
+              walk.iterator().asScala
+                .filter(java.nio.file.Files.isRegularFile(_))
+                .map { p =>
+                  val size = java.nio.file.Files.size(p)
+                  val sample = {
+                    val ch = java.nio.channels.FileChannel.open(p,
+                      java.nio.file.StandardOpenOption.READ)
+                    try {
+                      val buf = java.nio.ByteBuffer.allocate(16)
+                      ch.read(buf, size / 2)
+                      buf.array().take(buf.position())
+                        .map("%02x".format(_)).mkString
+                    } finally ch.close()
+                  }
+                  s"${base.relativize(p)}:$size:" +
+                    s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}:" +
+                    sample
+                }
+                .toSeq.sorted
+            } finally walk.close()
+          }
+        } catch { case scala.util.control.NonFatal(_) => Nil }
       val md = java.security.MessageDigest.getInstance("SHA-256")
       md.update(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      try {
-        val base = java.nio.file.Paths.get(dir)
-        if (java.nio.file.Files.isDirectory(base)) {
-          val walk = java.nio.file.Files.walk(base)
-          try {
-            import scala.jdk.CollectionConverters._
-            walk.iterator().asScala
-              .filter(java.nio.file.Files.isRegularFile(_))
-              .map { p =>
-                s"${base.relativize(p)}:${java.nio.file.Files.size(p)}:" +
-                  s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
-              }
-              .toSeq.sorted
-              .foreach(s => md.update(
-                s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-          } finally walk.close()
-        }
-      } catch { case _: java.nio.file.InvalidPathException => () }
+      listing.foreach(s => md.update(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       val digest = md.digest().map("%02x".format(_)).mkString
       // keep the component under the 255-byte filename limit: the digest
       // carries uniqueness, the sanitized tail carries legibility

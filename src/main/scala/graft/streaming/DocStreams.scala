@@ -759,6 +759,7 @@ object DocStreams {
       val fped = batch
         .select(col("doc_id"), col("source"), col("n_chars"),
           graft.text.TextMetrics.fingerprint(col("text")).as("fp"))
+        .persist()
       // probe WITHOUT ever shuffling the registry: the registry side is a
       // co-located scan semi-joined against a broadcast of the BATCH's
       // fingerprints (batch-bounded, tiny), and the resulting known-set
@@ -771,32 +772,38 @@ object DocStreams {
       // row-group stats can prune it at deployment scale.
       // broadcast guard: the probe (and the known-set join-back) only
       // broadcast while the batch is provably small; an anomalous bulk
-      // drop takes the shuffle arm instead of risking the broadcast limit
-      val smallBatch = batch.count() <= BroadcastProbeMaxFps
-      val knownFps = knownFpProbe(stored, fped.select("fp").distinct(),
-        bcast = smallBatch)
-      val tagged = fped
-        .withColumn("__batch_canon", min(col("doc_id")).over(w))
-        .join(if (smallBatch) broadcast(knownFps) else knownFps,
-          Seq("fp"), "left")
-        .withColumn("__keep",
-          col("__known").isNull && col("doc_id") === col("__batch_canon"))
-        .persist()
+      // drop takes the shuffle arm instead of risking the broadcast
+      // limit. The count reads the PERSISTED fingerprint frame (1:1 with
+      // batch rows), which also warms the cache every later stage reuses
+      // — counting the raw batch would recompute it from source for the
+      // guard alone.
       try {
-        BatchCommit.append(
-          tagged.groupBy("source").agg(
-            count(lit(1)).as("n_docs"),
-            sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
-            sum(col("n_chars")).as("chars_total"),
-            sum(when(!col("__keep"), col("n_chars")).otherwise(0L)).as("chars_removed")),
-          impactDir, bid)
-        Failpoints.hit("impact:mid", fpDir)
-        BatchCommit.append(
-          tagged.filter(col("__keep"))
-            .select(col("fp"), col("doc_id").as("canonical_id")),
-          fpDir, bid)
-        Failpoints.hit("impact:post", fpDir)
-      } finally { tagged.unpersist(); () }
+        val smallBatch = fped.count() <= BroadcastProbeMaxFps
+        val knownFps = knownFpProbe(stored, fped.select("fp").distinct(),
+          bcast = smallBatch)
+        val tagged = fped
+          .withColumn("__batch_canon", min(col("doc_id")).over(w))
+          .join(if (smallBatch) broadcast(knownFps) else knownFps,
+            Seq("fp"), "left")
+          .withColumn("__keep",
+            col("__known").isNull && col("doc_id") === col("__batch_canon"))
+          .persist()
+        try {
+          BatchCommit.append(
+            tagged.groupBy("source").agg(
+              count(lit(1)).as("n_docs"),
+              sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+              sum(col("n_chars")).as("chars_total"),
+              sum(when(!col("__keep"), col("n_chars")).otherwise(0L)).as("chars_removed")),
+            impactDir, bid)
+          Failpoints.hit("impact:mid", fpDir)
+          BatchCommit.append(
+            tagged.filter(col("__keep"))
+              .select(col("fp"), col("doc_id").as("canonical_id")),
+            fpDir, bid)
+          Failpoints.hit("impact:post", fpDir)
+        } finally { tagged.unpersist(); () }
+      } finally { fped.unpersist(); () }
       BatchCommit.maybeCompact(spark, fpDir, compactAfterFiles,
         sortKeys = Seq("fp"))
       BatchCommit.maybeCompact(spark, impactDir, compactAfterFiles,

@@ -114,22 +114,32 @@ object EmbStreams {
     val dir = new org.apache.hadoop.fs.Path(registryDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val sidecar = new org.apache.hadoop.fs.Path(dir, "_nplanes")
-    if (fs.exists(sidecar)) {
+    def pinned(): Int = {
       val in = fs.open(sidecar)
-      val pinned = try scala.io.Source.fromInputStream(in, "UTF-8")
+      try scala.io.Source.fromInputStream(in, "UTF-8")
         .mkString.trim.toInt finally in.close()
-      require(pinned == nPlanes,
+    }
+    def refuse(p: Int): Unit =
+      require(p == nPlanes,
         s"embeddingDedupStream: registry $registryDir is pinned to " +
-          s"nPlanes=$pinned but the stream is configured with $nPlanes — " +
+          s"nPlanes=$p but the stream is configured with $nPlanes — " +
           "the registry's hashes are p-bit signatures; crossing a plane " +
           "step requires an offline re-hash of the registry at the new p, " +
           "not a mismatched restart")
-    } else {
+    if (fs.exists(sidecar)) refuse(pinned())
+    else {
       fs.mkdirs(dir)
       val tmp = new org.apache.hadoop.fs.Path(dir, s"_nplanes.tmp-$nPlanes")
       val out = fs.create(tmp, true)
       try out.write(nPlanes.toString.getBytes("UTF-8")) finally out.close()
       if (!fs.rename(tmp, sidecar)) { fs.delete(tmp, false); () }
+      // First-contact race: two streams with DIFFERENT p can race the
+      // sidecar create, and RawLocalFileSystem's rename may silently
+      // overwrite a pin that landed between the exists check and ours —
+      // so whatever the rename outcome, the pin of record is the
+      // sidecar's CURRENT content. Re-read and refuse a mismatch in this
+      // same call: the loser must never run its first batch unguarded.
+      refuse(pinned())
     }
   }
 
@@ -247,21 +257,24 @@ object EmbStreams {
         }
         val newEmb = batch
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
-        // size flushed files by volume, not one-per-(cell, drop): a drop
-        // bigger than cells×target splits each cell's output into
-        // ~target-row files via an id-hash salt (sub-file count estimated
-        // under even cell occupancy — a skewed cell still caps at the
-        // salt count); every drop under the threshold keeps the
-        // one-writer-task-per-cell layout
-        val nSplit = math.max(1L,
-          batch.count() / math.max(1L, nCells * CodeFileTargetRows))
         val codes0 = graft.similarity.IvfPq.encode(newEmb, cents, cb, dims, m)
-        val codes =
-          if (nSplit <= 1L) codes0.repartition(col("cell"))
-          else codes0.repartition(col("cell"),
-            pmod(hash(col("id")), lit(nSplit.toInt)))
-        codes.persist()
+          .persist()
         try {
+          // size flushed files by volume, not one-per-(cell, drop): a
+          // drop bigger than cells×target splits each cell's output into
+          // ~target-row files via an id-hash salt (sub-file count
+          // estimated under even cell occupancy — a skewed cell still
+          // caps at the salt count); every drop under the threshold
+          // keeps the one-writer-task-per-cell layout. The sizing count
+          // reads the PERSISTED encode (1:1 with batch rows) — counting
+          // the raw batch would re-scan the source once per drop for the
+          // guard alone.
+          val nSplit = math.max(1L,
+            codes0.count() / math.max(1L, nCells * CodeFileTargetRows))
+          val codes =
+            if (nSplit <= 1L) codes0.repartition(col("cell"))
+            else codes0.repartition(col("cell"),
+              pmod(hash(col("id")), lit(nSplit.toInt)))
           BatchCommit.appendPartitioned(codes, codesDir, bid, "cell")
           Failpoints.hit("ivfcodes:post", codesDir)
           // compact only the cells THIS batch touched (read from the
@@ -270,7 +283,7 @@ object EmbStreams {
           // appendPartitioned commits one marker per batch at the root,
           // where no maybeCompact runs, so without this the root gains a
           // marker file per micro-batch forever
-          val touched = codes.select("cell").distinct()
+          val touched = codes0.select("cell").distinct()
             .collect().map(_.get(0).toString)
           touched.foreach { c =>
             cellsCompactChecked.incrementAndGet()
@@ -278,7 +291,7 @@ object EmbStreams {
               new org.apache.hadoop.fs.Path(root, s"cell=$c").toString,
               compactAfterFiles)
           }
-        } finally { codes.unpersist(); () }
+        } finally { codes0.unpersist(); () }
         BatchCommit.pruneMarkers(spark, codesDir)
         ()
       } catch { case scala.util.control.NonFatal(e) =>

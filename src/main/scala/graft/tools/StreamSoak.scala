@@ -90,18 +90,30 @@ object StreamSoak {
       // so each soak line can carry the parallel-throughput state nearest
       // its batch — r12's soak artifact read a 1.63x ivfCodesIngest rise
       // that was a co-tenant burst, and without per-line stamps the only
-      // way to adjudicate it was a full out-of-band quiet re-soak
+      // way to adjudicate it was a full out-of-band quiet re-soak.
+      // The probe is itself contention: each spinMt saturates every core
+      // for ~0.12 s+ WHILE the streaming query runs, so any batch whose
+      // execution window overlapped a spin has its wall inflated by the
+      // probe. Each spin's wall-clock interval is recorded and every
+      // batch line carries `mt_overlap` — trend analysis must drop (or
+      // at least down-weight) the overlapped lines.
       val mtStamps = scala.collection.mutable.Map.empty[Long, Double]
-      mtStamps(-1L) = graft.Calib.spinMt()
+      val spinWindows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def stamp(key: Long): Unit = {
+        val s0 = System.currentTimeMillis()
+        mtStamps(key) = graft.Calib.spinMt()
+        spinWindows += ((s0, System.currentTimeMillis()))
+      }
+      stamp(-1L)
       while (!q.awaitTermination(200)) {
         val p = q.lastProgress
         if (p != null) {
           sampled(p.batchId) = sinks.map { case (n, d) => n -> fileCount(d) }
           if (p.batchId % 10 == 0 && !mtStamps.contains(p.batchId))
-            mtStamps(p.batchId) = graft.Calib.spinMt()
+            stamp(p.batchId)
         }
       }
-      mtStamps(Long.MaxValue) = graft.Calib.spinMt()
+      stamp(Long.MaxValue)
       def nearestMt(b: Long): Double =
         mtStamps.minBy { case (k, _) =>
           if (k == Long.MaxValue) math.abs(nDrops - b) else math.abs(k - b) }._2
@@ -109,9 +121,14 @@ object StreamSoak {
         val files = sampled.getOrElse(p.batchId,
           sinks.map { case (n, d) => n -> fileCount(d) })
         val fjson = files.map { case (n, c) => s""""$n":$c""" }.mkString(",")
+        val wall = p.durationMs.get("triggerExecution")
+        val bStart = java.time.Instant.parse(p.timestamp).toEpochMilli
+        val overlapped = spinWindows.exists { case (s0, s1) =>
+          s0 < bStart + wall && s1 > bStart }
         out.println(s"""{"flow":"$flow","batch":${p.batchId},""" +
-          s""""wall_ms":${p.durationMs.get("triggerExecution")},""" +
+          s""""wall_ms":$wall,""" +
           f""""calib_mt":${nearestMt(p.batchId)}%.3f,""" +
+          s""""mt_overlap":$overlapped,""" +
           s""""files":{$fjson}}""")
       }
       val rows = sinks.map { case (n, d) => s""""$n":${rowCount(d)}""" }
