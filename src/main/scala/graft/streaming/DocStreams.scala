@@ -635,16 +635,19 @@ object DocStreams {
     * the same append-stability contract as [[segmentDedupStream]]. */
   def packingStream(docStream: DataFrame, totalsDir: String, itemsDir: String,
                     imgTok: Int = 64, capacity: Int = 2048,
-                    compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+                    compactAfterFiles: Int = 64,
+                    segmentRollBytes: Long = RolledSink.DefaultRollBytes): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require((capacity / imgTok) * imgTok > 0,
       s"capacity $capacity cannot fit one $imgTok-token image slot")
     docStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       val spark = batch.sparkSession
-      // itemsDir compacts below (write-only sink): heal a half-swapped
-      // compaction at entry or the aside holding all prior items is
-      // eventually deleted (the dedupImpactStream impactDir hazard)
-      graft.store.Registries.recover(spark, itemsDir)
-      BatchCommit.rollback(spark, itemsDir, bid)
+      // itemsDir is a SEGMENT-ROLLED content sink ([[RolledSink]]; read
+      // it back with [[RolledSink.read]]): items are output rows that
+      // accumulate forever, so a flat dir's compaction would rewrite the
+      // whole packed history every ~compactAfterFiles drops — prepare
+      // heals the open segment, rolls it when over the threshold, and
+      // returns the dir this batch appends to
+      val itemsSeg = RolledSink.prepare(spark, itemsDir, bid, segmentRollBytes)
       BatchCommit.rollback(spark, totalsDir, bid)
       val totals = BatchCommit.readOr(spark, totalsDir)(
           spark.createDataFrame(
@@ -673,7 +676,7 @@ object DocStreams {
         BatchCommit.append(
           graft.queries.MultimodalQ.packItems(perDoc, imgTok, capacity)
             .coalesce(nOut),
-          itemsDir, bid)
+          itemsSeg, bid)
         Failpoints.hit("pack:mid", totalsDir)
         BatchCommit.append(
           perDoc.groupBy("source").agg(sum(col("doc_cost_pad")).as("delta")),
@@ -683,12 +686,11 @@ object DocStreams {
       BatchCommit.maybeCompact(spark, totalsDir, compactAfterFiles,
         foldKeys = Seq("source"))
       // row-preserving content compaction under the same marker protocol
-      // (no foldKeys — items are output data, not deltas): bounds the
-      // accumulated file count so a year of drops is ~compactAfterFiles
-      // files, not ~drops. Each compaction rewrites the sink, so at
-      // deployment scale the sink rolls into date-partitioned segments
-      // (or a table format) and this compacts only the open segment.
-      BatchCommit.maybeCompact(spark, itemsDir, compactAfterFiles)
+      // (no foldKeys — items are output data, not deltas), confined to
+      // the OPEN segment: sealed segments are immutable, so the rewrite
+      // unit is bounded by segmentRollBytes however long the stream has
+      // run — per-compaction cost is O(open segment), not O(history)
+      BatchCommit.maybeCompact(spark, itemsSeg, compactAfterFiles)
       ()
     }
   }

@@ -168,19 +168,27 @@ object EmbStreams {
     * [[BatchCommit]]. e17b's history histogram is a count over this
     * registry; compaction folds files without touching rows, so the
     * label SET is swap-stable, and the [[IdWatermark]] guard refuses a
-    * re-delivered vec_id before it can duplicate a label row. A day's
-    * maintenance costs one scan of that day's vectors — nothing grows
-    * with the registry. */
+    * re-delivered vec_id before it can duplicate a label row.
+    *
+    * The sink is SEGMENT-ROLLED ([[RolledSink]]; read it back with
+    * [[RolledSink.read]]): labels accrue one row per vector forever,
+    * and a flat dir's compaction would rewrite that whole history every
+    * ~compactAfterFiles drops — amortized per-drop cost growing with
+    * stream age (the r13 soak's mt-adjusted ≈1.35 trend). With rolling,
+    * a day's maintenance costs one scan of that day's vectors plus at
+    * most one `segmentRollBytes` rewrite — nothing scales with the
+    * registry. */
   def cellLabelStream(embStream: DataFrame, cents: DataFrame,
                       labelsDir: String,
-                      compactAfterFiles: Int = 64): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                      compactAfterFiles: Int = 64,
+                      segmentRollBytes: Long = RolledSink.DefaultRollBytes): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     embStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       val spark = batch.sparkSession
-      // write-only sink that compacts: heal a half-swapped compaction at
-      // entry or the aside holding the whole accumulated label registry
-      // is eventually deleted (DocStreams.dedupImpactStream's hazard)
-      graft.store.Registries.recover(spark, labelsDir)
-      BatchCommit.rollback(spark, labelsDir, bid)
+      // open-segment maintenance: heal a half-swapped compaction, undo
+      // this batch's crashed partial append, seal-and-roll if over the
+      // threshold (DocStreams.dedupImpactStream's hazard note explains
+      // why the heal must run even though nothing readOr's this sink)
+      val seg = RolledSink.prepare(spark, labelsDir, bid, segmentRollBytes)
       // id-space contract (DocStreams.driftHistStream's convention): a
       // re-delivered vec_id would duplicate its label row and inflate
       // e17b's history occupancy — refuse the batch loudly instead
@@ -191,11 +199,11 @@ object EmbStreams {
             batch.select(col("vec_id").as("id"), col("embedding").as("vec"))),
           cents)
           .select(col("id"), col("cid").as("cell")),
-        labelsDir, bid)
+        seg, bid)
       Failpoints.hit("celllabel:mid", labelsDir)
       IdWatermark.commit(spark, labelsDir, bid, wm, compactAfterFiles)
       Failpoints.hit("celllabel:post", labelsDir)
-      BatchCommit.maybeCompact(spark, labelsDir, compactAfterFiles)
+      BatchCommit.maybeCompact(spark, seg, compactAfterFiles)
       ()
     }
 

@@ -65,7 +65,10 @@ object StreamSoak {
       if (!f.exists()) 0
       else {
         val top = f.listFiles().toSeq
-        (top ++ top.filter(d => d.isDirectory && d.getName.contains("="))
+        // data may sit one level down: cell=/… partition dirs, or a
+        // rolled sink's seg-NNNNN segments
+        (top ++ top.filter(d => d.isDirectory &&
+            (d.getName.contains("=") || d.getName.startsWith("seg-")))
           .flatMap(_.listFiles().toSeq))
           .count(x => x.isFile &&
             (x.getName.endsWith(".parquet") || x.getName.endsWith(".done")))
@@ -73,7 +76,11 @@ object StreamSoak {
     }
     def rowCount(dir: String): Long =
       if (!new java.io.File(dir).exists()) 0L
-      else try spark.read.parquet(dir).count() catch { case _: Exception => 0L }
+      else try {
+        val segs = graft.streaming.RolledSink.dataPaths(spark, dir)
+        (if (segs.nonEmpty) spark.read.parquet(segs: _*)
+         else spark.read.parquet(dir)).count()
+      } catch { case _: Exception => 0L }
 
     /** Run one flow to completion. Wall times come from the (complete)
       * recentProgress ring; file counts are sampled by a poll thread
@@ -114,6 +121,10 @@ object StreamSoak {
         }
       }
       stamp(Long.MaxValue)
+      // fold this flow's samples into the per-box quiet-reference record
+      // (Calib.loadMtRef provenance — a contended soak records high and
+      // never becomes the window min)
+      graft.Calib.recordMtSamples(mtStamps.values.toSeq)
       def nearestMt(b: Long): Double =
         mtStamps.minBy { case (k, _) =>
           if (k == Long.MaxValue) math.abs(nDrops - b) else math.abs(k - b) }._2
@@ -161,13 +172,19 @@ object StreamSoak {
       _ => graft.streaming.DocStreams.dedupImpactStream(
         docStream, s"$base/fp", s"$base/impact"),
       docStage)
+    // rolled content sinks: a 1 MB roll threshold makes the soak cross
+    // several seal boundaries (sf0.1 drops are ~100 KB of items/labels),
+    // so the flat-trend claim is exercised ACROSS segments, not within
+    // one open segment that never seals
+    val rollBytes = 1L * 1024 * 1024
     soak("packing", Map("totals" -> s"$base/totals", "items" -> s"$base/items"))(
       _ => graft.streaming.DocStreams.packingStream(
-        docStream, s"$base/totals", s"$base/items"),
+        docStream, s"$base/totals", s"$base/items",
+        segmentRollBytes = rollBytes),
       docStage)
     soak("cellLabel", Map("labels" -> s"$base/labels"))(
       _ => graft.streaming.EmbStreams.cellLabelStream(
-        embStream, cents, s"$base/labels"),
+        embStream, cents, s"$base/labels", segmentRollBytes = rollBytes),
       embStage)
     soak("ivfCodesIngest", Map("codes" -> s"$base/codes"))(
       _ => graft.streaming.EmbStreams.ivfCodesIngestStream(

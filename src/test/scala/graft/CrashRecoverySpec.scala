@@ -45,6 +45,13 @@ class CrashRecoverySpec extends AnyFunSuite {
     def visibleParquet(st: org.apache.hadoop.fs.FileStatus) =
       st.isFile && st.getPath.getName.endsWith(".parquet") &&
         !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
+    // rolled sinks keep their data in seg-NNNNN subdirs — read the union
+    val segPaths =
+      if (!fs.exists(p)) Nil
+      else graft.streaming.RolledSink.dataPaths(spark, dir)
+    if (segPaths.nonEmpty)
+      return spark.read.parquet(segPaths: _*).toJSON.collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
     // data may sit one level down in cell=/… partition dirs
     val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
       visibleParquet(st) ||
@@ -350,6 +357,9 @@ class CrashRecoverySpec extends AnyFunSuite {
         (stage, base, ckpt) => await(DocStreams.sourceCensusStream(
           docStream(stage), s"$base/census", compactAfterFiles = 0), ckpt),
         "census"),
+      // the rolled label sink compacts its OPEN SEGMENT, so the mid-swap
+      // state a compact crash really produces is seg-00000 renamed aside
+      // — the simulation (and the state compare) target the segment dir
       Sink("cellLabelStream", "celllabel:post",
         () => stageTwoDrops(
           Tables(spark, sf).embeddings.filter(col("vec_id") % 2 === 0),
@@ -358,7 +368,7 @@ class CrashRecoverySpec extends AnyFunSuite {
           EmbStreams.readEmbeddingStream(spark, stage, maxFilesPerTrigger = Some(1)),
           graft.store.Registries.kmeansCentroids(spark, sf),
           s"$base/labels", compactAfterFiles = 0), ckpt),
-        "labels"))
+        "labels/seg-00000"))
     for (s <- sinks) {
       val refBase = tmp(s"crsw-ref-${s.name}")
       s.run(s.mkStage(), refBase, tmp("crsw-refckpt"))

@@ -92,7 +92,7 @@ class EmbStreamsSpec extends AnyFunSuite {
       .trigger(Trigger.AvailableNow())
       .start().awaitTermination()
 
-    val streamed = spark.read.parquet(s"$tmp/labels")
+    val streamed = graft.streaming.RolledSink.read(spark, s"$tmp/labels")
     val batch = graft.store.Registries.cellLabels(spark, sf)
     assert(streamed.count() == batch.count())
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,

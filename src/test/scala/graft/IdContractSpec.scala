@@ -120,15 +120,16 @@ class IdContractSpec extends AnyFunSuite {
         EmbStreams.readEmbeddingStream(spark, badStage, Some(1)),
         cents, s"$base/labels"), tmp("idc-cckpt"))
     }
-    assert(spark.read.parquet(s"$base/labels")
-        .filter(col("id") < 50).count() == 0,
+    val segs = graft.streaming.RolledSink.dataPaths(spark, s"$base/labels")
+    assert(segs.isEmpty ||
+        spark.read.parquet(segs: _*).filter(col("id") < 50).count() == 0,
       "the refused batch leaked label rows")
     val goodStage = stage(evens, "vec_id", Seq((0L, 50L), (50L, Long.MaxValue)))
     val base2 = tmp("idc-cell-ok")
     run(EmbStreams.cellLabelStream(
       EmbStreams.readEmbeddingStream(spark, goodStage, Some(1)),
       cents, s"$base2/labels"), tmp("idc-cckpt2"))
-    val got = spark.read.parquet(s"$base2/labels")
+    val got = graft.streaming.RolledSink.read(spark, s"$base2/labels")
       .collect().map(r => r.getLong(0) -> r.get(1)).toMap
     val want = graft.store.Registries.cellLabels(spark, sf)
       .collect().map(r => r.getLong(0) -> r.get(1)).toMap

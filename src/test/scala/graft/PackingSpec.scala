@@ -174,7 +174,8 @@ class PackingSpec extends AnyFunSuite {
         r.getAs[Int]("item_idx"), r.getAs[String]("modality"),
         r.getAs[Long]("n_tok"), r.getAs[Long]("offset_in_stream"),
         r.getAs[Long]("chunk_id"))).toSeq.sorted
-    val streamed = key(spark.read.parquet(s"$tmp/items").collect())
+    val streamed = key(
+      graft.streaming.RolledSink.read(spark, s"$tmp/items").collect())
     assert(streamed == key(rows), "streamed items diverged from batch m15")
 
     // the totals registry's per-source sums equal the batch stream lengths
