@@ -149,14 +149,20 @@ object Bench {
     val calibMt = mtSamples.min
     val calibMtWorst = mtSamples.max
     // calib_mt_ref: the quiet-state all-cores spin this box delivers
-    // undisturbed (r8-r12 quiet runs: 0.115-0.124 s). The r12 artifact
-    // read a 2.7x phantom regression because the old predicate checked
-    // only single-thread spins and loadavg — its own calib_mt was 1.93x
-    // this reference while `contended` read false. Parallel steal is now
-    // a first-class trigger: min mt sample > 1.5x ref means the box was
-    // degraded the whole run; worst mt sample > 2x ref means at least
-    // one burst hit mid-run (the per-query stamps below say which).
-    val calibMtRef = Calib.MtRef
+    // undisturbed — MEASURED from the per-box record (rolling window of
+    // session minima, Calib.loadMtRef), never a compiled constant: the
+    // r13 value 0.120 was calibrated to one host, and on different
+    // hardware the 1.5x/2x thresholds misfire in either direction. The
+    // r12 artifact read a 2.7x phantom regression because the old
+    // predicate checked only single-thread spins and loadavg — its own
+    // calib_mt was 1.93x the quiet reference while `contended` read
+    // false. Parallel steal is a first-class trigger: min mt sample >
+    // 1.5x ref means the box was degraded the whole run; worst mt
+    // sample > 2x ref means at least one burst hit mid-run (the
+    // per-query stamps below say which). This session's own samples are
+    // folded into the record at the end of the run.
+    val (calibMtRef, calibMtRefSource) = Calib.loadMtRef()
+    Calib.recordMtSamples(mtSamples.toSeq)
     val contended = calibWorst > calibFloor * 2.0 ||
       (loadAvg > 0 && loadAvg > nCores * 1.5) ||
       calibMt > calibMtRef * 1.5 ||
@@ -191,7 +197,9 @@ object Bench {
     val cal = s""""contended":$contended,"calib_floor":${f(calibFloor)},""" +
       s""""calib_worst":${f(calibWorst)},"calib_mt":${f(calibMt)},""" +
       s""""calib_mt_worst":${f(calibMtWorst)},""" +
-      s""""calib_mt_ref":${f(calibMtRef)},"norm_factor":${f(normFactor)},""" +
+      s""""calib_mt_ref":${f(calibMtRef)},""" +
+      s""""calib_mt_ref_source":"$calibMtRefSource",""" +
+      s""""norm_factor":${f(normFactor)},""" +
       s""""load_avg":${f(loadAvg)},"cores":$nCores"""
     // "total_full" NOT "total": only the short summary line printed LAST
     // carries metric=total, so a consumer matching on the metric name can
