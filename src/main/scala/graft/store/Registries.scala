@@ -156,7 +156,83 @@ object Registries {
         finally sub.close()
       }
     } finally ls.close()
+    enforceCacheCap(cacheCapBytes)
   }
+
+  /** Size cap on the durable cache (bytes). Live fixtures at four scales
+    * accumulate entries indefinitely (the sf30 registry set alone is a
+    * ~20-min build), so without a cap the cache grows without bound —
+    * fine for a box-local target/ dir, not for anything shared. */
+  private def cacheCapBytes: Long =
+    sys.env.get("GRAFT_REGISTRY_CACHE_MAX_BYTES").map(_.toLong)
+      .getOrElse(32L * 1024 * 1024 * 1024)
+
+  /** Recency window inside which an entry is never evicted: a twin JVM
+    * touches its entries' `_used` stamp on every materialize call, so an
+    * entry this young is plausibly mid-run elsewhere. An eviction that
+    * still races a long-quiet reader is recoverable — the loser rebuilds
+    * through the same staging-rename machinery as any cold build. */
+  private val EvictProtectMs = 60L * 60 * 1000
+
+  private def usedStamp(entry: java.nio.file.Path): Long = {
+    val used = entry.resolve("_used")
+    try java.nio.file.Files.getLastModifiedTime(
+      if (java.nio.file.Files.exists(used)) used else entry).toMillis
+    catch { case scala.util.control.NonFatal(_) => 0L }
+  }
+
+  private def treeBytes(p: java.nio.file.Path): Long = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(p)
+    try walk.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(f => try java.nio.file.Files.size(f)
+                catch { case scala.util.control.NonFatal(_) => 0L })
+      .sum
+    finally walk.close()
+  }
+
+  /** LRU eviction down to `maxBytes`: entries ordered by their `_used`
+    * stamp (touched on every materialize — reuse keeps an entry warm),
+    * oldest evicted first, recently-used entries protected outright.
+    * Whole ENTRIES (all registries of one source dir) are the eviction
+    * unit — a half-evicted entry would mix registry generations. */
+  private[graft] def enforceCacheCap(maxBytes: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(cacheRoot)
+    if (!java.nio.file.Files.isDirectory(root)) return
+    val entries =
+      try {
+        val ls = java.nio.file.Files.list(root)
+        try ls.iterator().asScala.toSeq
+          .filter(java.nio.file.Files.isDirectory(_))
+          .map(e => (e, treeBytes(e), usedStamp(e)))
+        finally ls.close()
+      } catch { case scala.util.control.NonFatal(_) => return }
+    var total = entries.map(_._2).sum
+    if (total <= maxBytes) return
+    val now = System.currentTimeMillis()
+    entries.sortBy(_._3).foreach { case (e, size, used) =>
+      if (total > maxBytes && now - used > EvictProtectMs) {
+        deleteRecursively(e)
+        total -= size
+      }
+    }
+  }
+
+  /** Keep an entry's LRU stamp warm: called on EVERY materialize (reuse
+    * included), so an entry in active use by any JVM reads recent. */
+  private def touchUsed(entryDir: java.nio.file.Path): Unit =
+    try {
+      val used = entryDir.resolve("_used")
+      if (java.nio.file.Files.exists(used)) {
+        java.nio.file.Files.setLastModifiedTime(used,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        ()
+      } else if (java.nio.file.Files.isDirectory(entryDir)) {
+        java.nio.file.Files.write(used, Array.empty[Byte]); ()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Materialize `build` as parquet once per (cache, dir-content, name);
     * always returns the stored artifact's path. Commit protocol: the
@@ -201,6 +277,7 @@ object Registries {
         written += path
       }
     }
+    touchUsed(java.nio.file.Paths.get(path).getParent)
     path
   }
 

@@ -56,4 +56,34 @@ class RegistryCacheSpec extends AnyFunSuite {
     assert(!young.exists(), "day-old crashed staging survived the reap")
     assert(liveEntry.isDirectory)
   }
+
+  test("size cap: LRU eviction reaps the coldest entries, never one in " +
+       "recent use") {
+    val cold = java.nio.file.Files.createTempDirectory("cache-cold").toString
+    val warm = java.nio.file.Files.createTempDirectory("cache-warm").toString
+    writeDocs(cold); writeDocs(warm)
+    Registries.sourceCensus(spark, cold).head(1)
+    Registries.sourceCensus(spark, warm).head(1)
+    val coldEntry = new java.io.File(Registries.cacheEntryDir(cold))
+    val warmEntry = new java.io.File(Registries.cacheEntryDir(warm))
+    assert(coldEntry.isDirectory && warmEntry.isDirectory)
+    assert(new java.io.File(coldEntry, "_used").isFile,
+      "materialize did not stamp the LRU touch file")
+    // both entries recent → over-cap but everything is inside the
+    // protection window: nothing may be evicted (a twin JVM could be
+    // mid-run on either)
+    Registries.enforceCacheCap(maxBytes = 1L)
+    assert(coldEntry.isDirectory && warmEntry.isDirectory,
+      "cap eviction removed a recently-used entry")
+    // age the cold entry's stamp past the protection window → it is the
+    // LRU victim; the warm entry survives
+    assert(new java.io.File(coldEntry, "_used").setLastModified(
+      System.currentTimeMillis() - 2L * 3600 * 1000))
+    Registries.enforceCacheCap(maxBytes = 1L)
+    assert(!coldEntry.exists(), "cold entry survived an over-cap sweep")
+    assert(warmEntry.isDirectory, "warm entry evicted despite recent use")
+    // a re-read after eviction rebuilds through the normal staging-rename
+    // path (the race machinery the verdict's criterion names)
+    Registries.sourceCensus(spark, warm).head(1)
+  }
 }
