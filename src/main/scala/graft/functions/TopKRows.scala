@@ -48,29 +48,49 @@ case class TopKRows(
     structType.fields.map(_.dataType)
   @transient private lazy val fieldOrd: Array[Ordering[Any]] =
     fieldTypes.take(sortFields).map(TypeUtils.getInterpretedOrdering)
+
+  /** Query-order compare of one field's two VALUES. Null placement
+    * matches Spark's window default: NULLS FIRST on ascending keys,
+    * NULLS LAST on descending. */
+  private def compareField(i: Int, va: Any, vb: Any): Int =
+    if (va == null && vb == null) 0
+    else if (va == null) { if (desc(i)) 1 else -1 }
+    else if (vb == null) { if (desc(i)) -1 else 1 }
+    else {
+      val cc = fieldOrd(i).compare(va, vb)
+      if (desc(i)) -cc else cc
+    }
+
   @transient private lazy val rowOrd: Ordering[InternalRow] =
     new Ordering[InternalRow] {
       override def compare(a: InternalRow, b: InternalRow): Int = {
         var i = 0
         while (i < sortFields) {
-          val va = a.get(i, fieldTypes(i))
-          val vb = b.get(i, fieldTypes(i))
-          // null placement matches Spark's window default: NULLS FIRST on
-          // ascending keys, NULLS LAST on descending
-          val c =
-            if (va == null && vb == null) 0
-            else if (va == null) { if (desc(i)) 1 else -1 }
-            else if (vb == null) { if (desc(i)) -1 else 1 }
-            else {
-              val cc = fieldOrd(i).compare(va, vb)
-              if (desc(i)) -cc else cc
-            }
+          val c = compareField(i,
+            a.get(i, fieldTypes(i)), b.get(i, fieldTypes(i)))
           if (c != 0) return c
           i += 1
         }
         0
       }
     }
+
+  // Fast-path reject: once the heap is full, the overwhelming share of
+  // input rows lose to the current worst on the FIRST sort field alone
+  // (e18 at sf30: ~960M candidate rows keep 10 per query), yet the
+  // generic path pays a full interpreted CreateNamedStruct.eval — a
+  // per-row List walk and GenericInternalRow allocation — just to
+  // discard the row (measured: the dominant cpu of e18's kth stage,
+  // ~12k cpu-s at sf30). When the child is a struct literal we can
+  // evaluate JUST its first value expression and compare against the
+  // heap head's first field: strictly-worse rows reject with one
+  // expression eval and zero allocation; ties and winners fall through
+  // to the exact generic path, so the kept set is bit-identical.
+  @transient private lazy val firstValExpr: Expression = child match {
+    case s: org.apache.spark.sql.catalyst.expressions.CreateNamedStruct =>
+      s.valExprs.head
+    case _ => null
+  }
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -81,6 +101,13 @@ case class TopKRows(
 
   override def update(buf: mutable.PriorityQueue[InternalRow],
                       input: InternalRow): mutable.PriorityQueue[InternalRow] = {
+    if (buf.size >= k && firstValExpr != null) {
+      val c = compareField(0, firstValExpr.eval(input),
+        buf.head.get(0, fieldTypes(0)))
+      // strictly worse than the current worst on the first sort field →
+      // the full lexicographic compare is also > 0: reject allocation-free
+      if (c > 0) return buf
+    }
     val v = child.eval(input)
     if (v != null) {
       val r = v.asInstanceOf[InternalRow]

@@ -250,6 +250,123 @@ case class IntVecSqDist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Int16 code of a float vector's UNIT form: element i of the binary
+  * (big-endian shorts, 2d bytes) is c_i = rint(32767 · x_i / nrm) —
+  * since |x_i| ≤ nrm for every element, c_i ∈ [-32767, 32767] with no
+  * clamping, and c_i/32767 approximates the unit element u_i within the
+  * CONSTANT radius δ = 0.5/32767. That constant is the whole design:
+  * [[graft.similarity.Knn.Code16CosEps]] turns it into a sound
+  * corpus-independent cosine bound that lives in the PLAN as a literal
+  * — unlike a per-vector-scaled code, whose per-pair bound would ride
+  * every candidate row through the kth-threshold exchange (measured at
+  * sf10: the 8 B/row eps column on the 302M-row slim exchange cost MORE
+  * than the probe-side byte saving it enabled).
+  *
+  * The point of the code is BYTES ON THE WIRE: an ANN probe fan-out
+  * carrying 128 B instead of a ~280 B float array halves its bucket-join
+  * exchange — e18's measured third-decade wall (docs/SCALE.md
+  * Addendum 6). A zero vector codes to all-zero (its cosine is
+  * undefined upstream anyway). */
+case class FloatVecCode16(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val nrm = b.asInstanceOf[Double]
+    val d = v.numElements()
+    val out = new Array[Byte](2 * d)
+    if (nrm > 0) {
+      val t = 32767.0 / nrm
+      var i = 0
+      while (i < d) {
+        val c = Math.rint(v.getFloat(i).toDouble * t).toInt
+        out(2 * i) = (c >> 8).toByte
+        out(2 * i + 1) = c.toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val d = ctx.freshName("d")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      s"""
+         |int $d = $a.numElements();
+         |byte[] $out = new byte[2 * $d];
+         |if ($b > 0) {
+         |  double $t = 32767.0 / $b;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    int $c = (int) java.lang.Math.rint((double) $a.getFloat($i) * $t);
+         |    $out[2 * $i] = (byte) ($c >> 8);
+         |    $out[2 * $i + 1] = (byte) $c;
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Code-cosine of two [[FloatVecCode16]] binaries:
+  * (Σ c_i·d_i) / 32767² — within [[graft.similarity.Knn.Code16CosEps]]
+  * of cos(u, v). One integer loop over the short codes, codegen'd, long
+  * accumulator (64 · 32767² ≈ 2^36 overflows an int). */
+case class Code16Dot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length) & ~1
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val va = (x(i) << 8) | (x(i + 1) & 0xff)
+      val vb = (y(i) << 8) | (y(i + 1) & 0xff)
+      s += va.toLong * vb
+      i += 2
+    }
+    s / 1073676289.0 // 32767^2
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val va = ctx.freshName("va")
+      val vb = ctx.freshName("vb")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length) & ~1;
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i += 2) {
+         |  int $va = ($a[$i] << 8) | ($a[$i + 1] & 0xff);
+         |  int $vb = ($b[$i] << 8) | ($b[$i + 1] & 0xff);
+         |  $s += (long) $va * $vb;
+         |}
+         |${ev.value} = $s / 1073676289.0;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column wrapper: codegen'd double dot product of two float vectors. */
   def doubleDot(a: Column, b: Column): Column =
@@ -266,4 +383,12 @@ object VectorExpressions {
   /** Column wrapper: codegen'd exact quantized dot (1e18-scaled, double). */
   def q9Dot(a: Column, b: Column): Column =
     Bridge.column(Q9Dot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column wrapper: unit-scaled int16 code binary (128 B at d=64). */
+  def code16(vec: Column, nrmFast: Column): Column =
+    Bridge.column(FloatVecCode16(Bridge.expression(vec), Bridge.expression(nrmFast)))
+
+  /** Column wrapper: code-cosine of two [[code16]] binaries. */
+  def code16Dot(a: Column, b: Column): Column =
+    Bridge.column(Code16Dot(Bridge.expression(a), Bridge.expression(b)))
 }

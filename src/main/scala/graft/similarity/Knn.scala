@@ -77,6 +77,27 @@ object Knn {
     * distance of the kth fast score. */
   val FastCosEps = 2e-8
 
+  /** Sound |code-cosine − exact cosine| bound for the int16 unit codes
+    * ([[graft.functions.FloatVecCode16]]). With the CONSTANT per-element
+    * radius δ = 0.5/32767 on both unit vectors (û_i = c_i/32767,
+    * |û_i − u_i| ≤ δ — no clamping: |x_i| ≤ ‖x‖ keeps every code in
+    * range), for d ≤ 64:
+    *
+    *   |⟨û,v̂⟩ − ⟨u,v⟩| ≤ Σ|û_i−u_i||v̂_i| + Σ|u_i||v̂_i−v_i|
+    *                    ≤ δ(Σ|v_i| + dδ) + δΣ|u_i| ≤ 2√d·δ + d·δ²
+    *                    = 2.4415e-4 (d = 64)
+    *
+    * (Σ|u_i| ≤ √d by Cauchy–Schwarz). 2.5e-4 adds margin for the fast
+    * double norm inside the code (relative error ~1e-13, so its
+    * contribution is ~1e-13 absolute). A CONSTANT — not a per-pair
+    * bound riding every candidate row — because the bound must pass
+    * through the kth-threshold machinery as a plan literal: an 8 B/row
+    * eps column on the slim candidate exchange measurably cost more
+    * than the probe-side byte saving it enabled (sf10: +2.2 GB on the
+    * 302M-row exchange vs −3.3 GB on the probe side, plus 2.3× the
+    * survivors). */
+  val Code16CosEps = 2.5e-4
+
   /** Brute-force top-k cosine neighbors for each query vector.
     * `queries`/`corpus`: (id, vec). Self-matches excluded.
     *
@@ -107,13 +128,22 @@ object Knn {
       c.withColumn("cnrm", sqrt(dotExact(col("cvec"), col("cvec")))), k)
   }
 
-  /** Phase 2 of the two-phase top-k: given fast-scored SLIM candidate
-    * pairs `(qid, vec_id, cos_fast)` — no vectors attached — keep every
-    * row within [[FastCosEps]] of the kth fast score per query (provably
-    * sufficient: exact >= fast - eps and kth_exact <= kth_fast + eps),
-    * re-join the ~k survivors per query to their vectors by id, rescore
-    * with the exact decimal cosine, and rank exactly — output identical
-    * to an all-exact plan over the same pair set.
+  /** Phase 2 of the two-phase top-k: given approximately-scored SLIM
+    * candidate pairs `(qid, vec_id, cos_fast)` — no vectors attached —
+    * keep every row whose exact cosine COULD reach the top-k, re-join
+    * the ~k survivors per query to their vectors by id, rescore with the
+    * exact decimal cosine, and rank exactly — output identical to an
+    * all-exact plan over the same pair set.
+    *
+    * Selection is branch-and-bound on score intervals with a CONSTANT
+    * sound radius `eps` on |cos_fast − cos_exact| ([[FastCosEps]] for
+    * double-dot scores, [[Code16CosEps]] for int16-code scores): every
+    * row's exact cosine lies in [cos_fast − eps, cos_fast + eps]. The
+    * kth largest LOWER bound per query is kth(cos_fast) − eps, and
+    * kth_exact is at least it (k rows have exact >= their lower bound);
+    * any row whose UPPER bound cos_fast + eps falls below cannot be in
+    * the exact top-k — the filter keeps cos_fast >= kth − 2·eps, a
+    * provable superset of the top-k at any sound eps.
     *
     * The input MUST be slim: the per-query rank window sorts the whole
     * candidate frame, and a sort row that carries two 64-float vectors is
@@ -127,7 +157,18 @@ object Knn {
     * exact norms computed once per VECTOR, not per pair (the e04 lesson);
     * sqrt-then-multiply is the identical IEEE closing the oracle uses. */
   private[graft] def exactTopK(scored: DataFrame, qVecs: DataFrame,
-                               cVecs: DataFrame, k: Int): DataFrame = {
+                               cVecs: DataFrame, k: Int,
+                               eps: Column = lit(FastCosEps)): DataFrame = {
+    // ONE slim column set for BOTH consumers of the qid exchange: `eps`
+    // must be a literal (or derived from these columns), never a
+    // materialized per-row column — (a) column pruning runs per consumer
+    // branch, and branches consuming different column sets get different
+    // Projects under their exchanges: semantically distinct exchanges
+    // that ReuseExchange (and AQE stage reuse) can no longer dedup,
+    // silently running the whole probe join twice; (b) even carried
+    // identically, 8 B/row on the candidate exchange outweighs what a
+    // tighter per-pair bound saves elsewhere (both measured at sf10
+    // during the r14 rework; the e18 plan gate pins the shape).
     val slim = scored.select(col("qid"), col("vec_id"), col("cos_fast"))
     // Candidate selection is TWO PASSES over the slim frame, neither of
     // which sorts it. The r12 shape ranked with a per-query row_number
@@ -150,10 +191,9 @@ object Knn {
     // heaps × 32 tasks in an 8 GB driver); after the exchange each task
     // holds |queries|/partitions of them.
     //
-    // Pass 2 keeps rows by VALUE (cos_fast >= kth - eps) — the same
-    // survivor set as the ranked filter, because any row with fast rank
-    // <= k has cos_fast >= kth, and the eps arm was already value-based.
-    // The kth side joins SHUFFLE_HASH: per-partition it hash-builds
+    // Pass 2 keeps rows by VALUE (upper bound >= kth lower bound L) —
+    // a superset of the ranked filter at every sound eps. The kth side
+    // joins SHUFFLE_HASH: per-partition it hash-builds
     // |queries|/partitions narrow rows (bounded at any scale — 1B
     // queries is ~16 B each; a broadcast would cap |queries| at the
     // driver's memory, and a sort-merge would re-sort the candidates).
@@ -165,8 +205,13 @@ object Knn {
         // groups smaller than k have no kth score: keep them whole below
         when(size(col("__tk")) === k,
           element_at(col("__tk"), k).getField("cos_fast")).as("__kth"))
+    // branch-and-bound with a constant radius: every exact cosine lies
+    // in [cos_fast − eps, cos_fast + eps], so the kth LOWER bound is
+    // __kth − eps and any row whose UPPER bound reaches it survives —
+    // cos_fast >= __kth − 2·eps, a provable superset of the top-k
     val cand = slimQ.join(kth.hint("shuffle_hash"), Seq("qid"))
-      .filter(col("__kth").isNull || col("cos_fast") >= col("__kth") - FastCosEps)
+      .filter(col("__kth").isNull ||
+        col("cos_fast") >= col("__kth") - eps * lit(2))
       .select(col("qid"), col("vec_id"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -289,11 +334,12 @@ object Knn {
                           seed: Long = 42L, nFlip: Int = 1): DataFrame = {
     require(nFlip >= 0 && nFlip <= 2, "nFlip beyond 2 costs more than more planes")
     // spread: the probe fan-out below inherits the scan's partitioning —
-    // from a single-file input the vector-carrying explode would run on
+    // from a single-file input the code-carrying explode would run on
     // one core (the measured e19 lesson, bucketedNearDupProbe)
     val bucketed = lshBuckets(graft.Tables.spread(emb, "id"), dim, nPlanes, seed)
       .withColumn("nrm", sqrt(dotExact(col("vec"), col("vec"))))
-      .withColumn("nrm_f", sqrt(dotFast(col("vec"), col("vec"))))
+      .withColumn("code", graft.functions.VectorExpressions.code16(
+        col("vec"), sqrt(dotFast(col("vec"), col("vec")))))
     // probed buckets = signature with ≤ nFlip bits flipped, as a literal
     // array expression over the bucket column (no lambdas, codegen'd)
     val flips1 = (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
@@ -304,27 +350,30 @@ object Knn {
     val probeBuckets =
       if (nFlip == 0) array(col("bucket"))
       else array(Seq(col("bucket")) ++ flips1 ++ flips2: _*)
-    // the fast score is computed AT the bucket join — the one place both
-    // vectors of a candidate already meet — and the output goes slim
-    // (qid, vec_id, cos_fast) in the same select, so the pair dedup and
-    // the rank window never move a vector-attached row. Any other
-    // ordering re-attaches vectors to the candidate frame with id joins,
-    // and sorting/exchanging ~250M vector-attached rows is a ~75 GB
-    // spill at sf10 (measured twice: the r11 window sort, and a r12
-    // attempt that deduped slim first then joined vectors back). The
-    // registry side is SHUFFLE_HASH-hinted: per bucket-join partition it
-    // builds a hash of corpus/numPartitions vectors (the standard
-    // partitioned-probe layout — partitions are sized to fit memory at
-    // any deployment scale), while the 100×-fanned probe side streams
+    // Probe rows carry a 128 B int16 CODE ([[graft.functions
+    // .FloatVecCode16]]), not the ~280 B float vector: the fanned probe
+    // side moves n·(1 + p + C(p,2)) rows through the bucket exchange,
+    // and at the third decade that byte volume IS the query (sf30
+    // measured 95 GB raw / exp 1.60 with vectors attached — SCALE.md
+    // Addendum 6; the int16 cut measured ~2.2× fewer compressed probe
+    // bytes at sf10). The approximate score is computed AT the bucket
+    // join and the output goes slim (qid, vec_id, cos_fast) in the same
+    // select; the CONSTANT sound radius [[Code16CosEps]] rides the plan
+    // as a literal, and only survivors of the branch-and-bound kth
+    // filter — a provable superset of the top-k — fetch their full
+    // vectors for the exact rescore inside [[exactTopK]]. The registry
+    // side is SHUFFLE_HASH-hinted: per bucket-join partition it builds a
+    // hash of corpus/numPartitions code rows (sized to fit memory at any
+    // deployment scale), while the ~p²/2-fanned probe side streams
     // through unsorted.
     val a = bucketed.select(explode(probeBuckets).as("bucket"),
-      col("id").as("qid"), col("vec").as("qvec"), col("nrm_f").as("qnrm_f"))
+      col("id").as("qid"), col("code").as("qcode"))
     val b = bucketed.select(col("bucket"), col("id").as("vec_id"),
-      col("vec").as("cvec"), col("nrm_f").as("cnrm_f"))
+      col("code").as("ccode"))
     val scored = a.join(b.hint("shuffle_hash"), Seq("bucket"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
-        (dotFast(col("qvec"), col("cvec")) / (col("qnrm_f") * col("cnrm_f")))
+        graft.functions.VectorExpressions.code16Dot(col("qcode"), col("ccode"))
           .as("cos_fast"))
     // NO pair dedup needed: a query's probe buckets are pairwise-distinct
     // (XOR with distinct ≤nFlip-bit masks), and a corpus vector sits in
@@ -336,7 +385,7 @@ object Knn {
       bucketed.select(col("id").as("qid"), col("vec").as("qvec"),
         col("nrm").as("qnrm")),
       bucketed.select(col("id").as("vec_id"), col("vec").as("cvec"),
-        col("nrm").as("cnrm")), k)
+        col("nrm").as("cnrm")), k, eps = lit(Code16CosEps))
   }
 
   /** Incremental [[nearDupPairs]] — the daily-crawl flow in embedding

@@ -27,8 +27,12 @@ object PerfOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.GraftExtensions.registerAll(spark)
+    // SPARK_GRAFT_SKIP_REG=1 skips the registry build for monolithic
+    // queries that never probe one (e.g. e18/e19) — at sf30 the build is
+    // ~20 min of setup a probe-free timing run doesn't need
     graft.meta.MetadataStar.materialize(spark, dir)
-    graft.store.Registries.materialize(spark, dir)
+    if (!sys.env.get("SPARK_GRAFT_SKIP_REG").contains("1"))
+      graft.store.Registries.materialize(spark, dir)
     def time(name: String): Double = {
       spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()

@@ -455,6 +455,64 @@ class PlanQualitySpec extends AnyFunSuite {
       "quadratic join shape (lost equi-key?) in:\n" + offenders.mkString("\n"))
   }
 
+  test("e18 two-pass kth-threshold keeps its scale shape: coded probe " +
+       "rows, one reused slim qid exchange, no candidate sort, " +
+       "shuffle-hash kth join") {
+    // AQE defers exchange reuse to runtime stages; the static planner's
+    // ReuseExchange makes the sharing visible in the plan string, so the
+    // gate pins the non-adaptive plan (the reuse-eligibility property —
+    // both consumers pruning to the identical exchange — is what either
+    // mechanism needs)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try plan("e18_ann_adaptive")
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // (a) the slim candidate frame is never sorted (the r12 rank-window
+    // regression: sorting 302M candidate rows WAS 192 of 200 s at sf10).
+    // The only sort allowed is the final exact-rescore window over the
+    // ~k survivors per query, which orders by the exact `cos`.
+    val badSorts = p.linesIterator.filter(l =>
+      l.contains("Sort ") && (l.contains("cos_fast") || l.contains("__eps")))
+      .toSeq
+    assert(badSorts.isEmpty,
+      "the slim candidate frame is being sorted:\n" + badSorts.mkString("\n"))
+    // (b) the qid repartition is the plan's one sharing point: exactly
+    // ONE exchange materializes the slim candidate frame, and the heap
+    // aggregate reads it as a ReusedExchange — the probe join executes
+    // once. Splitting the consumers' column sets (e.g. separate lo/hi
+    // bound columns) breaks pruning-identity and silently doubles the
+    // probe join; this caught exactly that during the r14 rework.
+    val qidExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(qid") && !l.contains("Reused"))
+    assert(qidExchanges == 1,
+      s"expected 1 materialized qid exchange, found $qidExchanges\n" + p)
+    assert(p.contains("ReusedExchange"),
+      "the second consumer of the slim frame no longer reuses the " +
+        "exchange — the probe join runs twice\n" + p)
+    // (c) the kth-threshold join stays SHUFFLE_HASH on qid (a sort-merge
+    // would re-sort the candidates; a broadcast caps |queries| at driver
+    // memory), with the branch-and-bound interval condition inline
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("__kth"), "kth-threshold filter missing\n" + p)
+    // (d) probe rows carry the 72 B int8 code, never the float vector:
+    // the explode (whose output feeds the bucket exchange) must move the
+    // code column only, and scoring must be the code expressions (the
+    // sf30 probe-exchange byte wall, SCALE.md Addendum 6)
+    val gen = p.linesIterator.filter(_.contains("Generate explode")).toSeq
+    assert(gen.nonEmpty, "probe explode missing\n" + p)
+    assert(gen.forall(l => l.contains("code#") && !l.contains("vec#")),
+      "probe explode carries a float vector instead of the int8 code:\n" +
+        gen.mkString("\n"))
+    assert(p.contains("code16dot"),
+      "coded probe scoring missing from the plan\n" + p)
+    // the constant sound radius must ride the plan as a folded literal
+    // (5.0E-4 = 2·Code16CosEps in the kth filter), never a per-row
+    // column — an __eps column on the slim exchange both breaks
+    // exchange-reuse pruning-identity and costs more bytes than the
+    // probe-side cut saves (measured, r14)
+    assert(!p.contains("__eps"),
+      "a materialized eps column crept onto the slim candidate frame\n" + p)
+  }
+
   test("bucketed near-dup probes prefilter BEFORE the pair-dedup shuffle " +
     "and exact-rescore after it") {
     // the scale contract of Knn.bucketedNearDupProbe: the codegen'd

@@ -98,4 +98,45 @@ class VectorExpressionsSpec extends AnyFunSuite {
     try assert(withExpr.collect().forall(_.getDouble(0) > 0.0))
     finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
+
+  test("Code16: the constant eps bound is SOUND — |code-cos − exact cos| " +
+       "<= Code16CosEps on every corpus pair sampled, on both eval paths") {
+    import graft.functions.VectorExpressions.{code16, code16Dot}
+    val emb = Tables(spark, sf).embeddings.limit(60)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .withColumn("code", code16(col("vec"),
+        sqrt(doubleDot(col("vec"), col("vec")))))
+    val a = emb.select(col("id").as("ia"), col("vec").as("va"), col("code").as("ca"))
+    val b = emb.select(col("id").as("ib"), col("vec").as("vb"), col("code").as("cb"))
+    val pairs = a.crossJoin(broadcast(b)).filter(col("ia") < col("ib"))
+      .select(
+        graft.similarity.Knn.cosine(col("va"), col("vb")).as("exact"),
+        code16Dot(col("ca"), col("cb")).as("approx"))
+    def check(): Unit = {
+      val viol = pairs.filter(
+        abs(col("exact") - col("approx")) > graft.similarity.Knn.Code16CosEps)
+      assert(viol.isEmpty, "code-cos error exceeded the sound bound:\n" +
+        viol.limit(3).collect().mkString("\n"))
+    }
+    check()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try check()
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("Code16: an adversarial axis-concentrated vector codes in range " +
+       "and a zero vector codes to an all-zero payload") {
+    import graft.functions.VectorExpressions.{code16, code16Dot}
+    // one element carries the whole norm: x_i/nrm = ±1 must hit exactly
+    // ±32767 with no wraparound
+    val axis = Array.tabulate(64)(i => if (i == 3) -5.0f else 0.0f)
+    val df = Seq((axis.toSeq, axis.toSeq), (Seq.fill(64)(0.0f), axis.toSeq))
+      .toDF("a", "b")
+    val got = df.select(
+      code16Dot(code16(col("a"), sqrt(doubleDot(col("a"), col("a")))),
+        code16(col("b"), sqrt(doubleDot(col("b"), col("b"))))).as("d"))
+      .collect().map(_.getDouble(0))
+    assert(got(0) == 1.0, s"self code-cos of an axis vector: ${got(0)}")
+    assert(got(1) == 0.0)
+  }
 }
