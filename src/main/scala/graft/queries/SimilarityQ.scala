@@ -637,9 +637,13 @@ object SimilarityQ {
           graft.functions.VectorExpressions
             .intVecSqDist(col("q"), col("qq")).as("d")),
       part = Seq("qid"), order = Seq("d" -> false, "vec_id" -> false), k = 10)
+    // gt is bounded at sampleQueries × 10 rows by construction (the heap
+    // cap, not a data property), so broadcasting it is sound at any
+    // corpus size — the default SortMergeJoin paid an exchange + sort on
+    // BOTH bounded sides per audit
     val out = approx.filter(col("qid").isin(sampledQids: _*))
-      .join(gt.select(col("qid"), col("vec_id"))
-        .withColumn("__hit", lit(1)), Seq("qid", "vec_id"), "left")
+      .join(broadcast(gt.select(col("qid"), col("vec_id"))
+        .withColumn("__hit", lit(1))), Seq("qid", "vec_id"), "left")
       .groupBy("qid")
       .agg(count(lit(1)).as("n_returned"),
         sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))

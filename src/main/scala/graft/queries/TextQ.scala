@@ -129,6 +129,9 @@ object TextQ {
     // order the oracle's row_number replays): each partition contributes
     // at most maxTruthPairs rows to the final selection, so deriving the
     // cap never funnels the whole pair surface through one task
+    // persisted because BOTH probe sides below read it (≤ maxTruthPairs
+    // rows — bounded by the heap cap, not a data property); without the
+    // persist the whole exact-Jaccard pipeline would evaluate twice
     val truth = graft.ops.WindowOps.topKBounded(
         Shingles.jaccardPairs(docs, "doc_id", "text", n = 3,
             minJaccard = 0.5, maxShingleDf = Some(64))
@@ -138,16 +141,39 @@ object TextQ {
         k = maxTruthPairs, rankCol = "__rk")
       .select(col("id_a"), col("id_b"),
         least(floor(col("jaccard") * 10), lit(9L)).as("jac_band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val caught = MinHashLsh.nearDuplicatesMd5(docs, "doc_id", "text",
         minEstJaccard = 0.5)
-      .select(col("id_a"), col("id_b")).withColumn("__hit", lit(1L))
-    truth.join(caught, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"))
+    // hit detection STREAMS the corpus-scale sketch pair set against a
+    // broadcast of the bounded truth sample — the old left join
+    // exchanged+sorted the WHOLE band-emitted pair surface per audit
+    // (SortMergeJoin on (id_a, id_b)); pair multiplicity semantics are
+    // identical (a duplicated caught pair duplicates the truth row in
+    // both shapes). The bounded side then broadcasts back, so the audit
+    // plan carries no shuffle at all past the two detector pipelines.
+    val hits = caught
+      .join(broadcast(truth.select(col("id_a"), col("id_b"))),
+        Seq("id_a", "id_b"))
+      .withColumn("__hit", lit(1L))
+    val out = truth.join(broadcast(hits), Seq("id_a", "id_b"), "left")
       .groupBy("jac_band")
       .agg(count(lit(1)).as("n_true"),
         sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_caught"))
       .withColumn("recall",
         round(col("n_caught").cast("double") / col("n_true").cast("double"), 9))
+    // one-slot release of the PREVIOUS audit's truth cache (e14's
+    // convention): the returned frame stays fully lazy, repeated audits
+    // in a long-lived session pin at most one ≤4096-row cache entry
+    Option(lastTruthCache.getAndSet(truth))
+      .filter(_ ne truth).foreach { prev => prev.unpersist(); () }
+    out
   }
+
+  /** One-slot cache of [[sketchRecallFrom]]'s persisted truth sample —
+    * see the release comment above; bounds pinned frames at one. */
+  private val lastTruthCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   /** Sketch-recall audit on a bounded document sample (d41b) — d41's
     * scale path: the same per-band S-curve, measured over the m

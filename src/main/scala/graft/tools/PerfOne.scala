@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
 object PerfOne {
   def main(args: Array[String]): Unit = {
     val useCount = args.contains("--count")
+    val useNoop = args.contains("--noop")
     val rest = args.filterNot(_.startsWith("--"))
     val dir = rest.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (rest.length > 1) rest.drop(1).toSeq
@@ -37,13 +38,22 @@ object PerfOne {
       spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(name)(spark, dir)
-      val n = if (useCount) df.count() else df.collect().length.toLong
+      val n =
+        if (useNoop) { // Bench methodology: full materialization, no collect
+          df.write.format("noop").mode("overwrite").save(); -1L
+        }
+        else if (useCount) df.count()
+        else df.collect().length.toLong
       val t = (System.nanoTime() - t0) / 1e9
       println(f"$name%-28s $t%7.3f s  ($n rows)")
       t
     }
     val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(3)
-    (1 to reps).foreach { _ => names.foreach(time) }
+    (1 to reps).foreach { _ =>
+      names.foreach(time)
+      // contention stamp per rep: readers discount reps whose mt is hot
+      println(f"  [calib_mt ${graft.Calib.spinMt()}%.3f]")
+    }
     spark.stop()
   }
 }
