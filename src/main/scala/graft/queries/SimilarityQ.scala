@@ -656,8 +656,14 @@ object SimilarityQ {
     // manager forever. The swap keeps THIS call's result fully lazy —
     // an eager collect-and-localize here would hand every plan gate a
     // LocalTableScan and silently blind them to the real pipeline.
+    // sameResult guard: a repeat audit over the same input registers the
+    // SAME CacheManager entry (entries are keyed by canonical plan), so
+    // unpersisting the previous frame would kill the cache this call just
+    // primed and run the stored-probe pipeline twice from call 2 on
     Option(lastProbeCache.getAndSet(approx))
-      .filter(_ ne approx).foreach { prev => prev.unpersist(); () }
+      .filter(_ ne approx)
+      .filterNot(_.queryExecution.analyzed.sameResult(approx.queryExecution.analyzed))
+      .foreach { prev => prev.unpersist(); () }
     out
   }
 

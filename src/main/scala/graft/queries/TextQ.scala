@@ -164,9 +164,15 @@ object TextQ {
         round(col("n_caught").cast("double") / col("n_true").cast("double"), 9))
     // one-slot release of the PREVIOUS audit's truth cache (e14's
     // convention): the returned frame stays fully lazy, repeated audits
-    // in a long-lived session pin at most one ≤4096-row cache entry
+    // in a long-lived session pin at most one ≤4096-row cache entry.
+    // sameResult guard: CacheManager dedupes entries by canonical plan,
+    // so when the repeat audit reads the SAME input its persist is the
+    // SAME entry — unpersisting the previous frame would kill the cache
+    // this call just registered and double-evaluate the truth pipeline
     Option(lastTruthCache.getAndSet(truth))
-      .filter(_ ne truth).foreach { prev => prev.unpersist(); () }
+      .filter(_ ne truth)
+      .filterNot(_.queryExecution.analyzed.sameResult(truth.queryExecution.analyzed))
+      .foreach { prev => prev.unpersist(); () }
     out
   }
 
