@@ -715,8 +715,8 @@ object DocStreams {
     * per DISTINCT document ever seen, compacted like every registry;
     * the probe is a batch-sized hash join against it. */
   /** Ceiling on the batch row count below which the dedup-impact probe
-    * broadcasts the batch's distinct fingerprints (~50 B/row → ~100 MB
-    * at the cap). A normal micro-batch is orders of magnitude under it;
+    * broadcasts the batch's distinct fingerprints (~24 B/row as raw
+    * 16-byte digests → ~50 MB at the cap). A normal micro-batch is orders of magnitude under it;
     * an anomalous bulk drop above it falls back to the shuffle
     * semi-join, which degrades gracefully where a broadcast would blow
     * the driver/broadcast memory limit. */
@@ -755,12 +755,18 @@ object DocStreams {
       val stored = BatchCommit.readOr(spark, fpDir)(
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
-          StructType(Seq(StructField("fp", StringType),
+          StructType(Seq(StructField("fp", BinaryType),
             StructField("canonical_id", LongType)))))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      // fp is stored as the RAW 16-byte digest, not the 32-char hex string
+      // the query-surface twins print: the registry grows one row per
+      // distinct document FOREVER and is re-scanned per drop, so the key
+      // column's width is the probe's per-drop byte bill — binary halves
+      // it (guide: shuffle/scan fewer bytes, narrower types). unhex() of
+      // the codegen'd md5 keeps the digest bit-identical to d36's.
       val fped = batch
         .select(col("doc_id"), col("source"), col("n_chars"),
-          graft.text.TextMetrics.fingerprint(col("text")).as("fp"))
+          unhex(graft.text.TextMetrics.fingerprint(col("text"))).as("fp"))
         .persist()
       // probe WITHOUT ever shuffling the registry: the registry side is a
       // co-located scan semi-joined against a broadcast of the BATCH's

@@ -107,7 +107,7 @@ class DocStreamsSpec extends AnyFunSuite {
     // Wall-clock soaks can't pin this on a noisy box; the plan can.
     val probePlan = DocStreams.knownFpProbe(
       spark.read.parquet(s"$tmp/fp"),
-      all.select(md5(col("text")).as("fp")).distinct())
+      all.select(unhex(md5(col("text"))).as("fp")).distinct())
       .queryExecution.executedPlan.toString
     assert(probePlan.contains("BroadcastHashJoin") &&
       probePlan.contains("LeftSemi"),
