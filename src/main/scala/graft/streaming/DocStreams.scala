@@ -94,7 +94,7 @@ object DocStreams {
       val registry = BatchCommit.readOr(spark, registryDir)(
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
-          StructType(Seq(StructField("seg", StringType)))))
+          StructType(Seq(StructField("seg_fp", BinaryType)))))
       // persist the flagged plan, not just the raw batch: the registry
       // delta and the cleaned docs both consume it, and re-running it
       // would anti-join the (growing) registry twice per micro-batch.
@@ -320,16 +320,25 @@ object DocStreams {
         BatchCommit.readOr(spark, dir)(
           spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](),
-            StructType(Seq(StructField(colName, StringType)))))
+            StructType(Seq(StructField(colName, BinaryType)))))
       val fpReg = registry(fpRegistryDir, "fp")
-      val segReg = registry(segRegistryDir, "seg")
+      val segReg = registry(segRegistryDir, "seg_fp")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__fp")).orderBy(col(idCol))
-      val survivors = graft.text.QualityClassifier
+      // doc fingerprints: raw 16-byte digests (dedupImpactStream's
+      // convention), probed via knownFpProbe's scale shape — the registry
+      // is scanned in place against a broadcast of the batch's gated
+      // fingerprints, never exchanged per drop (the old shape left-joined
+      // the whole registry as the batch join's right side)
+      val gated = graft.text.QualityClassifier
         .gate(batch, textCol, model, threshold)
-        .withColumn("__fp", graft.text.TextMetrics.fingerprint(col(textCol)))
-        .join(fpReg.select(col("fp").as("__fp"))
-          .withColumn("__known", lit(true)), Seq("__fp"), "left")
+        .withColumn("__fp",
+          unhex(graft.text.TextMetrics.fingerprint(col(textCol))))
+      val knownFps = knownFpProbe(fpReg,
+        gated.select(col("__fp").as("fp")).distinct())
+      val survivors = gated
+        .join(broadcast(knownFps.select(col("fp").as("__fp"),
+          lit(true).as("__known"))), Seq("__fp"), "left")
         .withColumn("__rk", row_number().over(w))
         .filter(col("__known").isNull && col("__rk") === 1)
         .persist()

@@ -160,8 +160,9 @@ object Segments {
     * documents against the registry of segments already kept from earlier
     * batches, without touching the old corpus.
     *
-    * `knownSegments` is the stored `(seg)` table of every segment kept so
-    * far (what a production pipeline materializes anyway). A new batch's
+    * `knownSegments` is the stored `(seg_fp)` digest table of every
+    * segment kept so far ([[segDigest]] — what a production pipeline
+    * materializes anyway, 16 B/row at any segment width). A new batch's
     * segment survives iff it is (a) not in the registry and (b) the first
     * occurrence within the batch. Returns the deduped batch in
     * [[segmentDedup]]'s output shape plus the registry delta to append.
@@ -188,16 +189,43 @@ object Segments {
     * should persist it (the streaming twin does, per micro-batch, and
     * unpersists after its writes so a long-running stream does not
     * accumulate cache entries). */
+  /** The registry key: raw 16-byte md5 of the segment text. The registry
+    * holds one row per distinct segment ever kept and is re-probed per
+    * increment, so the key column's width is the per-drop probe bill —
+    * a digest caps it at 16 B where boilerplate segments run to
+    * kilobytes (the scaladoc's 100 TB note made code). A 128-bit
+    * collision needs ~2^64 distinct segments to become likely. */
+  private[graft] def segDigest(seg: Column): Column = unhex(md5(seg))
+
   private[graft] def incrementalFlags(newDocs: DataFrame, idCol: String,
                                       textCol: String,
                                       knownSegments: DataFrame,
-                                      segTokens: Int): DataFrame = {
+                                      segTokens: Int,
+                                      probeBcast: Boolean = true): DataFrame = {
     val segs = explodeSegments(newDocs, idCol, textCol, segTokens)
+      .withColumn("__segfp", segDigest(col("seg")))
     val firstWin = Window.partitionBy(col("seg"))
       .orderBy(col(idCol), col("seg_idx"))
+    // registry probe, dedupImpactStream's scale shape: the stored digest
+    // registry is SCANNED IN PLACE and semi-joined against a broadcast of
+    // the batch's distinct digests — the registry (one row per segment
+    // ever kept, distinct by construction: a kept segment is __known in
+    // every later batch) is never exchanged, sorted, or distinct-ed, so
+    // per-increment cost is one co-located scan however old the corpus.
+    // The old shape ran distinct() over the WHOLE registry and joined it
+    // as the right side of a batch-left join — a registry-wide exchange
+    // per drop. The known set is batch-bounded and broadcasts back.
+    // probeBcast=false is the anomalous-bulk-drop arm (same joins, no
+    // hints — Spark shuffles both sides rather than over-cap broadcast).
+    val batchFps = segs.select(col("__segfp"))
+      .where(col("__segfp").isNotNull).distinct()
+    val known = knownSegments
+      .join(if (probeBcast) broadcast(batchFps) else batchFps,
+        knownSegments("seg_fp") === batchFps("__segfp"), "left_semi")
+      .select(col("seg_fp").as("__segfp"))
+      .withColumn("__known", lit(true))
     segs
-      .join(knownSegments.select(col("seg")).distinct()
-        .withColumn("__known", lit(true)), Seq("seg"), "left")
+      .join(if (probeBcast) broadcast(known) else known, Seq("__segfp"), "left")
       .withColumn("keep",
         col("seg").isNotNull && col("__known").isNull &&
           row_number().over(firstWin) === 1)
@@ -217,9 +245,10 @@ object Segments {
             s => s.getField("seg")),
           " ").as("text_clean"))
 
-  /** The kept segments of this batch — what the registry gains. */
+  /** The kept segments' digests of this batch — what the registry gains
+    * (one 16-byte row per newly-claimed segment, see [[segDigest]]). */
   private[graft] def registryDelta(flagged: DataFrame): DataFrame =
-    flagged.filter(col("keep")).select(col("seg"))
+    flagged.filter(col("keep")).select(col("__segfp").as("seg_fp"))
 
   /** Boilerplate detection: segments occurring in at least `minDocs`
     * distinct documents, with document frequency and total occurrence

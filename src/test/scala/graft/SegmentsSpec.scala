@@ -53,7 +53,7 @@ class SegmentsSpec extends AnyFunSuite {
     val batch2 = docs.where(col("doc_id") > 3)
       .union(Seq((7L, "a b c fresh seg here")).toDF("doc_id", "text"))
     val (clean1, delta1) = Segments.incrementalSegmentDedup(
-      batch1, "doc_id", "text", spark.emptyDataset[String].toDF("seg"), 3)
+      batch1, "doc_id", "text", spark.emptyDataset[Array[Byte]].toDF("seg_fp"), 3)
     val (clean2, delta2) = Segments.incrementalSegmentDedup(
       batch2, "doc_id", "text", delta1, 3)
     val full = Segments.segmentDedup(batch1.union(batch2), "doc_id", "text", 3)
@@ -63,6 +63,34 @@ class SegmentsSpec extends AnyFunSuite {
     val registry = delta1.union(delta2)
     assert(registry.count() ==
       full.agg(sum(col("n_kept"))).head.getLong(0))
+  }
+
+  test("incremental probe scale shape: the digest registry is scanned in " +
+       "place, never exchanged or distinct-ed") {
+    // a parquet-backed registry (the streaming twins' real input) — an
+    // in-memory local relation would not exercise the scan the gate pins
+    val regDir = java.nio.file.Files.createTempDirectory("seg-reg").toString
+    Segments.registryDelta(Segments.incrementalFlags(
+        docs, "doc_id", "text",
+        spark.emptyDataset[Array[Byte]].toDF("seg_fp"), 3))
+      .write.mode("overwrite").parquet(regDir)
+    val plan = Segments.incrementalFlags(
+        docs, "doc_id", "text", spark.read.parquet(regDir), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    // the registry feeds exactly one operator chain: scan -> semi-join;
+    // any Exchange/HashAggregate between the parquet scan and the join
+    // means the probe re-acquired a per-drop registry-sized cost
+    assert(plan.contains("FileScan parquet"), plan)
+    val scanIdx = plan.linesIterator.indexWhere(_.contains("FileScan parquet"))
+    val joinIdx = plan.linesIterator.indexWhere(_.contains("LeftSemi"))
+    assert(joinIdx >= 0 && scanIdx > joinIdx,
+      "registry scan must sit under the semi-join\n" + plan)
+    val between = plan.linesIterator.slice(joinIdx, scanIdx + 1)
+      .filter(l => l.contains(":-") || l.contains(":  ")).mkString("\n")
+    assert(!between.contains("Exchange") && !between.contains("HashAggregate"),
+      "the segment registry must never be shuffled/aggregated by the " +
+        "probe\n" + plan)
   }
 
   test("boilerplate reports segments in >= minDocs distinct docs with counts") {
