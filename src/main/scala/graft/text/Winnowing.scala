@@ -202,17 +202,30 @@ object Winnowing {
   private[graft] def incrementalFromFps(fps: DataFrame, knownFps: DataFrame,
                                         idCol: String, k: Int, gapMax: Int,
                                         minFps: Int): (DataFrame, DataFrame) = {
-    val known = knownFps.select(col("fp")).distinct()
+    // registry probe, the scale shape shared with dedupImpactStream and
+    // Segments.incrementalFlags: the fingerprint registry (append-only,
+    // distinct by construction — a delta is anti-joined before it lands)
+    // is SCANNED IN PLACE and semi-joined against a broadcast of the
+    // batch's distinct fps; the old shape distinct-ed and left/anti-
+    // joined the whole registry per increment — three registry-sized
+    // exchanges per drop, growing with stream age. The known set is
+    // batch-bounded; its defensive distinct costs a batch-sized exchange
+    // and keeps the join-back multiplicity-proof even against a
+    // hand-edited registry with duplicate rows.
+    val batchFps = fps.select(col("fp")).distinct()
+    val known = knownFps.select(col("fp"))
+      .join(broadcast(batchFps), Seq("fp"), "left_semi")
+      .distinct()
     // one aggregation pass over the batch's fingerprints decides BOTH
     // cross-doc conditions (>1 distinct batch docs, or known to history) —
     // a union of separate probes would scan the fingerprint plan twice more
     val shared = fps.groupBy("fp")
       .agg(countDistinct(col(idCol)).as("__nd"))
-      .join(known.withColumn("__known", lit(true)), Seq("fp"), "left")
+      .join(broadcast(known.withColumn("__known", lit(true))), Seq("fp"), "left")
       .filter(col("__nd") > 1 || col("__known").isNotNull)
       .select("fp")
     val regions = regionsFromFps(fps, shared, idCol, k, gapMax, minFps)
-    val delta = fps.select("fp").distinct().join(known, Seq("fp"), "left_anti")
+    val delta = batchFps.join(broadcast(known), Seq("fp"), "left_anti")
     (regions, delta)
   }
 
