@@ -56,9 +56,20 @@ object Tables {
     * partition, which is exactly wrong when the downstream cost is CPU
     * per row, not bytes. Use where the work-per-row clearly dominates
     * the one extra small exchange; plain column-arithmetic queries
-    * should stay un-shuffled. */
+    * should stay un-shuffled.
+    *
+    * SCALE-ADAPTIVE: the repartition exists to fix an input whose scan
+    * parallelism is BELOW the session's core count — a local-mode/test
+    * fixture property. An input that already scans with at least that
+    * many tasks (any real corpus: task count follows bytes via
+    * maxPartitionBytes) gains nothing and would pay a full shuffle of
+    * the text column per query, so it passes through untouched. Results
+    * are partitioning-independent either way; the check reads the
+    * planned partition count, it never runs a job. */
   def spread(df: org.apache.spark.sql.DataFrame, key: String)
-      : org.apache.spark.sql.DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
-      org.apache.spark.sql.functions.col(key))
+      : org.apache.spark.sql.DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df
+    else df.repartition(cores, org.apache.spark.sql.functions.col(key))
+  }
 }
