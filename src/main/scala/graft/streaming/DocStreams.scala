@@ -721,8 +721,20 @@ object DocStreams {
     * follows the twins' replay rule (impact first, registry delta LAST):
     * every stage's content depends only on the pre-batch registry, so a
     * crashed batch recomputes identically. Registry cost: one narrow row
-    * per DISTINCT document ever seen, compacted like every registry;
-    * the probe is a batch-sized hash join against it. */
+    * per DISTINCT document ever seen; the probe is a batch-sized hash
+    * join against it.
+    *
+    * fpDir is a SEGMENT-ROLLED sink ([[RolledSink]]; read it back with
+    * [[RolledSink.read]]): the registry grows forever and nothing folds
+    * (every row is a distinct fp), so a flat dir's compaction would
+    * rewrite the whole accumulated registry every ~compactAfterFiles
+    * drops — O(history) per fire, amortized maintenance growing with
+    * stream age (the r13 cellLabel/packing economics, fixed the same
+    * way). Rolled, one compaction rewrites at most segmentRollBytes and
+    * each sealed segment stays fp-sorted for row-group pruning; the
+    * probe's read unions the segment dirs through ONE parquet relation,
+    * so its gated plan shape (in-place scan, no registry exchange) is
+    * unchanged. */
   /** Ceiling on the batch row count below which the dedup-impact probe
     * broadcasts the batch's distinct fingerprints (~24 B/row as raw
     * 16-byte digests → ~50 MB at the cap). A normal micro-batch is orders of magnitude under it;
@@ -750,18 +762,23 @@ object DocStreams {
       .select(col("fp"), lit(1).as("__known"))
 
   def dedupImpactStream(docStream: DataFrame, fpDir: String, impactDir: String,
-                        compactAfterFiles: Int = 64)
+                        compactAfterFiles: Int = 64,
+                        segmentRollBytes: Long = RolledSink.DefaultRollBytes)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
       val spark = batch.sparkSession
       // impactDir is write-only (never readOr'd), yet it compacts below —
       // so a compaction crash there must be healed explicitly at entry or
       // the aside holding all prior impact history is eventually deleted
-      // (fpDir gets the same heal implicitly via readOr)
+      // (the fp registry's open segment gets the same heal inside
+      // RolledSink.prepare)
       graft.store.Registries.recover(spark, impactDir)
       BatchCommit.rollback(spark, impactDir, bid)
-      BatchCommit.rollback(spark, fpDir, bid)
-      val stored = BatchCommit.readOr(spark, fpDir)(
+      // rolled-sink entry: sweeps seal stagings, heals the open segment,
+      // rolls this batch back in it, and seals/rolls BEFORE any append —
+      // a replayed batch's partial files are always in the open segment
+      val fpSeg = RolledSink.prepare(spark, fpDir, bid, segmentRollBytes)
+      val stored = RolledSink.readOr(spark, fpDir)(
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           StructType(Seq(StructField("fp", BinaryType),
@@ -813,15 +830,17 @@ object DocStreams {
               sum(col("n_chars")).as("chars_total"),
               sum(when(!col("__keep"), col("n_chars")).otherwise(0L)).as("chars_removed")),
             impactDir, bid)
-          Failpoints.hit("impact:mid", fpDir)
+          Failpoints.hit("impact:mid", fpSeg)
           BatchCommit.append(
             tagged.filter(col("__keep"))
               .select(col("fp"), col("doc_id").as("canonical_id")),
-            fpDir, bid)
-          Failpoints.hit("impact:post", fpDir)
+            fpSeg, bid)
+          Failpoints.hit("impact:post", fpSeg)
         } finally { tagged.unpersist(); () }
       } finally { fped.unpersist(); () }
-      BatchCommit.maybeCompact(spark, fpDir, compactAfterFiles,
+      // compaction unit is the OPEN segment — bounded by segmentRollBytes
+      // however long the stream has run; sealed segments stay immutable
+      BatchCommit.maybeCompact(spark, fpSeg, compactAfterFiles,
         sortKeys = Seq("fp"))
       BatchCommit.maybeCompact(spark, impactDir, compactAfterFiles,
         foldKeys = Seq("source"))

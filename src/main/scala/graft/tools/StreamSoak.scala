@@ -168,15 +168,16 @@ object StreamSoak {
     soak("sourceCensus", Map("census" -> s"$base/census"))(
       _ => graft.streaming.DocStreams.sourceCensusStream(docStream, s"$base/census"),
       docStage)
+    // rolled sinks: a 1 MB roll threshold makes the soak cross several
+    // seal boundaries (sf0.1 drops are ~100 KB of items/labels), so the
+    // flat-trend claim is exercised ACROSS segments, not within one open
+    // segment that never seals
+    val rollBytes = 1L * 1024 * 1024
     soak("dedupImpact", Map("fp" -> s"$base/fp", "impact" -> s"$base/impact"))(
       _ => graft.streaming.DocStreams.dedupImpactStream(
-        docStream, s"$base/fp", s"$base/impact"),
+        docStream, s"$base/fp", s"$base/impact",
+        segmentRollBytes = rollBytes),
       docStage)
-    // rolled content sinks: a 1 MB roll threshold makes the soak cross
-    // several seal boundaries (sf0.1 drops are ~100 KB of items/labels),
-    // so the flat-trend claim is exercised ACROSS segments, not within
-    // one open segment that never seals
-    val rollBytes = 1L * 1024 * 1024
     soak("packing", Map("totals" -> s"$base/totals", "items" -> s"$base/items"))(
       _ => graft.streaming.DocStreams.packingStream(
         docStream, s"$base/totals", s"$base/items",

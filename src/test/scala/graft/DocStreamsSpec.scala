@@ -98,15 +98,18 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(batch("srcMirror")._1 == 5L && batch("srcMirror")._2 == 1L,
       s"planted dup accounting wrong: ${batch("srcMirror")}")
     // the registry holds exactly one row per distinct text ever seen
-    assert(spark.read.parquet(s"$tmp/fp").count() ==
+    // (fpDir is segment-rolled — read the segment union)
+    assert(graft.streaming.RolledSink.read(spark, s"$tmp/fp").count() ==
       all.select("text").distinct().count())
 
     // plan gate on the probe's scale shape (the soak's one historically
     // rising flow): the registry side must be scanned in place — a
     // broadcast-semi-join probe, with NO exchange/sort of the registry.
     // Wall-clock soaks can't pin this on a noisy box; the plan can.
+    // RolledSink.read feeds every segment path into ONE parquet relation,
+    // so the rolled registry still probes as a single in-place FileScan.
     val probePlan = DocStreams.knownFpProbe(
-      spark.read.parquet(s"$tmp/fp"),
+      graft.streaming.RolledSink.read(spark, s"$tmp/fp"),
       all.select(unhex(md5(col("text"))).as("fp")).distinct())
       .queryExecution.executedPlan.toString
     assert(probePlan.contains("BroadcastHashJoin") &&
@@ -121,6 +124,60 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(!registryBranch.contains("Exchange"),
       "the fingerprint registry must never be shuffled/sorted by the " +
         "probe\n" + probePlan)
+  }
+
+  test("dedup-impact fp registry rolls into sealed segments: probe hits " +
+       "cross-seal history, accounting and registry content unchanged") {
+    // segmentRollBytes = 1 seals the open segment at every batch entry,
+    // so the three drops land in three segments — and the third drop's
+    // planted copies re-carry FIRST-drop texts, forcing the known-fp
+    // probe to find fingerprints that live in a SEALED segment. The
+    // convergence test above runs the same flow with the default roll
+    // threshold (single open segment); this one pins the rolled layout.
+    val base = Tables(spark, sf).documents
+    val copies = base.filter(col("doc_id").isin(3L, 7L, 11L))
+      .select((col("doc_id") + 600L).as("doc_id"), col("text"), col("lang"),
+        lit("srcMirror").as("source"), col("n_chars"))
+    val all = base.unionByName(copies)
+    val stageDir = java.nio.file.Files.createTempDirectory("imp-roll").toString
+    for ((lo, hi) <- Seq((0L, 150L), (150L, 500L), (500L, 10000L))) {
+      all.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .repartition(1).write.mode("append").parquet(stageDir)
+      Thread.sleep(1100)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("imp-roll-state").toString
+    val q = DocStreams.dedupImpactStream(
+        DocStreams.readDocumentStream(spark, stageDir, maxFilesPerTrigger = Some(1)),
+        s"$tmp/fp", s"$tmp/impact", segmentRollBytes = 1L)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val segs = new java.io.File(s"$tmp/fp").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg-"))
+    assert(segs.length >= 2,
+      s"roll threshold never crossed (${segs.length} segments) — vacuous")
+    // the segment union holds exactly one row per distinct text: no row
+    // lost at a seal, no committed batch re-appended across one
+    val reg = graft.streaming.RolledSink.read(spark, s"$tmp/fp")
+    assert(reg.count() == all.select("text").distinct().count(),
+      "rolled registry row count diverged from distinct texts")
+    assert(reg.select("fp").distinct().count() == reg.count(),
+      "duplicate fingerprints in the rolled registry")
+    // summed impact deltas still reproduce the batch twin — in particular
+    // the srcMirror copies were recognized as dups against SEALED history
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept")))).toMap
+    val streamed = key(spark.read.parquet(s"$tmp/impact")
+      .groupBy("source").agg(sum("n_docs").as("n_docs"),
+        sum("n_kept").as("n_kept")))
+    val batch = key(graft.queries.TextQ.dedupImpactFrom(all)
+      .select("source", "n_docs", "n_kept"))
+    assert(streamed == batch,
+      "rolled-registry streaming impact diverged from batch d36")
+    assert(batch("srcMirror")._2 == 0L,
+      s"planted cross-seal dups were not all removed: ${batch("srcMirror")}")
   }
 
   test("streaming segment dedup converges to the batch d13 operator") {

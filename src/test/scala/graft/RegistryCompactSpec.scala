@@ -166,13 +166,20 @@ class RegistryCompactSpec extends AnyFunSuite {
         sum("chars_total"), sum("chars_removed"))
       .collect().map(_.toSeq).toSet
     assert(sums(impC) == sums(impN), "compaction changed impact accounting")
-    def rows(dir: String) = spark.read.parquet(dir).toJSON.collect().sorted.toSeq
+    // fpDir is segment-rolled — rows via the segment union, files counted
+    // across seg-* dirs (no roll fires at this scale, so the thresholds
+    // still see every per-drop file)
+    def rows(dir: String) = graft.streaming.RolledSink.read(spark, dir)
+      .toJSON.collect().sorted.toSeq
     assert(rows(fpC) == rows(fpN), "compaction changed the fp registry")
     def files(dir: String) = new java.io.File(dir).listFiles()
       .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-    assert(files(fpN) >= 8 && files(impN) >= 8, "non-compacting run should hold 1+ file per drop")
-    assert(files(fpC) <= 6 && files(impC) <= 6,
-      s"self-compaction left fp=${files(fpC)} impact=${files(impC)} files")
+    def segFiles(dir: String) = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg-"))
+      .map(seg => files(seg.getPath)).sum
+    assert(segFiles(fpN) >= 8 && files(impN) >= 8, "non-compacting run should hold 1+ file per drop")
+    assert(segFiles(fpC) <= 6 && files(impC) <= 6,
+      s"self-compaction left fp=${segFiles(fpC)} impact=${files(impC)} files")
   }
 
   test("delta registries fold to one row per key under compaction: " +
