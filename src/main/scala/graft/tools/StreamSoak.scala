@@ -25,6 +25,11 @@ object StreamSoak {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nDrops = args.lift(1).map(_.toInt).getOrElse(100)
     val outPath = args.lift(2).getOrElse("docs/soak.jsonl")
+    // optional 4th arg: run only the named flow (re-measuring one flow's
+    // trend costs a fraction of the full sweep — staging for the unused
+    // table is skipped too)
+    val only = args.lift(3)
+    def enabled(flow: String): Boolean = only.forall(_ == flow)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -39,25 +44,32 @@ object StreamSoak {
       java.nio.file.Files.createTempDirectory(s"soak-$tag").toString
 
     // ---- staging: one parquet file per drop, shared across flows --------
+    val docFlows = Seq("driftHist", "sourceCensus", "dedupImpact", "packing")
+    val embFlows = Seq("cellLabel", "ivfCodesIngest")
     val Offset = 1000000L
     println(s"staging $nDrops drops…")
     val docStage = tmp("docs")
-    val docBase = t.documents.cache(); docBase.count()
-    for (k <- 0 until nDrops)
-      docBase
-        .withColumn("doc_id", col("doc_id") + lit(k * Offset))
-        // odd ids diverge per drop; even ids repeat verbatim (Offset is
-        // even, so parity survives the shift)
-        .withColumn("text",
-          when(col("doc_id") % 2 === 1, concat(col("text"), lit(s" drop$k")))
-            .otherwise(col("text")))
-        .coalesce(1).write.mode("append").parquet(docStage)
+    if (docFlows.exists(enabled)) {
+      val docBase = t.documents.cache(); docBase.count()
+      for (k <- 0 until nDrops)
+        docBase
+          .withColumn("doc_id", col("doc_id") + lit(k * Offset))
+          // odd ids diverge per drop; even ids repeat verbatim (Offset is
+          // even, so parity survives the shift)
+          .withColumn("text",
+            when(col("doc_id") % 2 === 1, concat(col("text"), lit(s" drop$k")))
+              .otherwise(col("text")))
+          .coalesce(1).write.mode("append").parquet(docStage)
+      docBase.unpersist()
+    }
     val embStage = tmp("embs")
-    val embBase = t.embeddings.cache(); embBase.count()
-    for (k <- 0 until nDrops)
-      embBase.withColumn("vec_id", col("vec_id") + lit(k * Offset))
-        .coalesce(1).write.mode("append").parquet(embStage)
-    docBase.unpersist(); embBase.unpersist()
+    if (embFlows.exists(enabled)) {
+      val embBase = t.embeddings.cache(); embBase.count()
+      for (k <- 0 until nDrops)
+        embBase.withColumn("vec_id", col("vec_id") + lit(k * Offset))
+          .coalesce(1).write.mode("append").parquet(embStage)
+      embBase.unpersist()
+    }
     println("staged.")
 
     def fileCount(dir: String): Int = {
@@ -87,7 +99,7 @@ object StreamSoak {
       * keyed to the then-current batch id. */
     def soak(flow: String, sinks: Map[String, String])
             (start: String => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
-             stage: String): Unit = {
+             stage: String): Unit = if (enabled(flow)) {
       val ckpt = tmp("ckpt")
       val q = start(stage)
         .option("checkpointLocation", ckpt)
@@ -155,11 +167,13 @@ object StreamSoak {
       .readEmbeddingStream(spark, embStage, maxFilesPerTrigger = Some(1))
 
     val base = tmp("sinks")
-    val cents = graft.store.Registries.kmeansCentroids(spark, sfDir).cache()
-    cents.count()
-    val emb0 = t.embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val ivfCents = graft.similarity.IvfPq.seedCentroids(emb0, nCells = 8)
-    val ivfCb = graft.similarity.IvfPq.residualCodebook(emb0, ivfCents,
+    lazy val cents = {
+      val c = graft.store.Registries.kmeansCentroids(spark, sfDir).cache()
+      c.count(); c
+    }
+    lazy val emb0 = t.embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    lazy val ivfCents = graft.similarity.IvfPq.seedCentroids(emb0, nCells = 8)
+    lazy val ivfCb = graft.similarity.IvfPq.residualCodebook(emb0, ivfCents,
       dims = 64, m = 8, seedFrom = 8)
 
     soak("driftHist", Map("hist" -> s"$base/hist"))(
