@@ -217,38 +217,15 @@ object TextQ {
 
   private[graft] def sketchRecallSampledCapped(s: SparkSession, dir: String,
       sampleDocs: Int, maxTruthPairs: Int): DataFrame = {
-    // persisted because BOTH detector pipelines below read the sample
-    // (the posting-index build and the MinHash signature build are
-    // cached independently inside sketchRecallFrom, so without this the
-    // corpus-wide extraction — full documents scan + md5 + bounded
-    // top-K — evaluated once under EACH, the only corpus-sized work in
-    // the audit run twice). The frame is m = sampleCapLaw(n) ≈ O(sqrt n)
-    // narrow rows — bounded by the law, not a data property — and the
-    // spread runs before the persist so both consumers inherit the
-    // CPU-spread layout from the cache instead of re-shuffling it.
-    val docs = Tables.spread(
-        graft.ops.WindowOps.topKBounded(
-            Tables(s, dir).documents.select(col("doc_id"), col("text"))
-              .withColumn("__md5", md5(col("doc_id").cast("string"))),
-          part = Seq.empty,
-          order = Seq(("__md5", false), ("doc_id", false)),
-          k = sampleDocs, rankCol = "__rk")
-          .select("doc_id", "text"), "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one-slot release of the PREVIOUS audit's sample (the truth-cache
-    // convention above, sameResult-guarded for repeat calls over the
-    // same input): long-lived sessions pin at most one sample entry.
-    Option(lastSampleCache.getAndSet(docs))
-      .filter(_ ne docs)
-      .filterNot(_.queryExecution.analyzed.sameResult(docs.queryExecution.analyzed))
-      .foreach { prev => prev.unpersist(); () }
-    sketchRecallFrom(docs, maxTruthPairs)
+    val docs = graft.ops.WindowOps.topKBounded(
+        Tables(s, dir).documents.select(col("doc_id"), col("text"))
+          .withColumn("__md5", md5(col("doc_id").cast("string"))),
+        part = Seq.empty,
+        order = Seq(("__md5", false), ("doc_id", false)),
+        k = sampleDocs, rankCol = "__rk")
+      .select("doc_id", "text")
+    sketchRecallFrom(Tables.spread(docs, "doc_id"), maxTruthPairs)
   }
-
-  /** One-slot cache of [[sketchRecallSampledCapped]]'s persisted doc
-    * sample — see the release comment above; bounds pinned frames at one. */
-  private val lastSampleCache =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   /** SimHash near-dup pairs — oracle-backed md5 hash source. Balanced
     * preset: hamming <= 6 over 8 chunks with the hot-chunk cap on. */
