@@ -62,16 +62,26 @@ object IvfPq {
         col("subq").as("cq"))
 
   /** The stored index: (id, cell, sub, code) — m rows per vector, each
-    * residual subvector snapped to its nearest codeword. */
+    * residual subvector snapped to its nearest codeword. Cell argmin,
+    * residual, and per-sub codeword argmin are FUSED into one codegen'd
+    * map against the literal models ([[graft.functions.IvfPqEncodeVec]];
+    * centroids and codebook are k and m·k rows by contract, collected at
+    * plan-build time like [[searchStored]]'s probe list) — r14's plans
+    * showed the assignResiduals → subspaceSplit → join → min(struct)
+    * chain paying two Sort + SortAggregate + Exchange rounds over the
+    * exploded corpus per encode. */
   def encode(emb: DataFrame, cents: DataFrame, cb: DataFrame,
-             dims: Int, m: Int): DataFrame =
-    Pq.subspaceSplit(assignResiduals(emb, cents), "r", dims, m,
-        keep = Seq("id", "cell"))
-      .join(broadcast(cb), Seq("sub"))
-      .withColumn("d", VectorExpressions.intVecSqDist(col("subq"), col("cq")))
-      .groupBy(col("id"), col("cell"), col("sub"))
-      .agg(min(struct(col("d"), col("code"))).as("best"))
-      .select(col("id"), col("cell"), col("sub"), col("best.code").as("code"))
+             dims: Int, m: Int): DataFrame = {
+    val (cellIds, centVecs) =
+      graft.functions.ModelArgmin.collectModel(cents, "cell", "cellq")
+    val (codeIds, cbs) = graft.functions.ModelArgmin.collectCodebook(cb, m)
+    KMeansExact.quantize(emb)
+      .select(col("id"),
+        explode(graft.functions.ModelArgmin.ivfPqEncodeVec(col("q"), cellIds,
+          centVecs, dims / m, codeIds, cbs)).as("e"))
+      .select(col("id"), col("e.cell").as("cell"), col("e.sub").as("sub"),
+        col("e.code").as("code"))
+  }
 
   /** ADC search over the probed cells only: for each query id < nQueries,
     * rank cells by exact distance, take the nProbe nearest, build the

@@ -37,11 +37,13 @@ object KMeansExact {
 
   final case class Centroid(cid: Int, vec: Array[Long], nMembers: Long)
 
-  /** Quantize `(id, vec: array<float>)` to `(id, q: array<long>)`. */
+  /** Quantize `(id, vec: array<float>)` to `(id, q: array<long>)` — one
+    * codegen'd loop ([[graft.functions.QuantizeVec]]); bit-identical to
+    * the `transform`+`bround` HOF it replaces (rint == bround: IEEE
+    * half-even on the exact double x·1024), which was interpreted and
+    * allocated per element on every assignment/encode scan. */
   def quantize(emb: DataFrame): DataFrame =
-    emb.select(col("id"),
-      transform(col("vec"), x => bround(x.cast("double") * Scale).cast("long"))
-        .as("q"))
+    emb.select(col("id"), graft.functions.ModelArgmin.quantizeVec(col("vec")).as("q"))
 
   /** Half-even-rounded integer mean of an exact integer sum (n > 0). */
   private[graft] def halfEvenDiv(s: Long, n: Long): Long = {
@@ -54,23 +56,30 @@ object KMeansExact {
   }
 
   /** One assignment pass: each point to its min-squared-distance centroid
-    * (ties to the lower cid) — broadcast join + codegen'd integer distance
-    * + per-point argmin that collapses map-side (PlanQualitySpec gates the
-    * shape). `centsDf` is (cid, cq: array<long>). */
+    * (ties to the lower cid) — a PURE MAP against the model as a plan
+    * literal ([[graft.functions.QuantArgminId]], codegen'd;
+    * PlanQualitySpec gates the exchange-free shape). `centsDf` is (cid,
+    * cq: array<long>), k rows by contract — collected at plan-build time
+    * (the bounded driver-scale contract point the broadcast already was).
+    * r14's plans showed the old crossJoin → groupBy(id) → min(struct)
+    * formulation paying Sort + SortAggregate + Exchange over n·k rows
+    * per pass: struct min cannot hash-aggregate. */
   private[graft] def assign(points: DataFrame, centsDf: DataFrame): DataFrame =
     assignIds(points, centsDf).select(col("cid"), col("q"))
 
-  /** [[assign]] keeping the point id: (id, cid, q). `centsDf` is
-    * broadcast UNCONDITIONALLY here — it is k rows by contract; without
-    * the hint a caller passing a large distributed frame would silently
-    * plan a nested-loop join over the corpus. */
-  private[graft] def assignIds(points: DataFrame, centsDf: DataFrame): DataFrame =
-    points
-      .crossJoin(broadcast(centsDf))
-      .withColumn("d", VectorExpressions.intVecSqDist(col("q"), col("cq")))
-      .groupBy(col("id"))
-      .agg(min(struct(col("d"), col("cid"))).as("best"), first(col("q")).as("q"))
-      .select(col("id"), col("best.cid").as("cid"), col("q"))
+  /** [[assign]] keeping the point id: (id, cid, q). */
+  private[graft] def assignIds(points: DataFrame, centsDf: DataFrame): DataFrame = {
+    val (ids, cands) = graft.functions.ModelArgmin.collectModel(centsDf, "cid", "cq")
+    assignIdsLocal(points, ids, cands)
+  }
+
+  /** [[assignIds]] against a driver-resident model (the [[lloyd]] loop,
+    * which holds the centroids between rounds anyway). */
+  private[graft] def assignIdsLocal(points: DataFrame, ids: Seq[Int],
+                                    cands: Seq[Seq[Long]]): DataFrame =
+    points.select(col("id"),
+      graft.functions.ModelArgmin.quantArgminId(col("q"), ids, cands).as("cid"),
+      col("q"))
 
   /** `rounds` full Lloyd iterations (assign → update) from the k seed
     * centroids `init` (cid, quantized vec). Returns the final integer
@@ -83,9 +92,10 @@ object KMeansExact {
     var cents: Seq[(Int, Array[Long])] = init
     var counts: Map[Int, Long] = Map.empty
     for (_ <- 1 to rounds) {
-      val centsDf = broadcast(
-        cents.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cq"))
-      val assigned = assign(points, centsDf)
+      val sorted = cents.sortBy(_._1)
+      val assigned = assignIdsLocal(points, sorted.map(_._1),
+          sorted.map(_._2.toIndexedSeq))
+        .select(col("cid"), col("q"))
       // per-dim exact integer sums; k·dims rows reach the driver
       val sums = assigned
         .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))

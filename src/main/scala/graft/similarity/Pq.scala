@@ -61,28 +61,44 @@ object Pq {
 
   /** Per-subspace assignment: (id, sub, code, d) — each subvector to its
     * min-squared-distance codeword (ties to the lower code). One corpus
-    * scan against the broadcast codebook; the argmin collapses map-side. */
-  def encodePerSub(emb: DataFrame, cb: DataFrame, dims: Int, m: Int): DataFrame =
-    quantSubvectors(emb, dims, m)
-      .join(broadcast(cb), Seq("sub"))
-      .withColumn("d", VectorExpressions.intVecSqDist(col("subq"), col("cq")))
-      .groupBy(col("id"), col("sub"))
-      .agg(min(struct(col("d"), col("code"))).as("best"))
-      .select(col("id"), col("sub"),
-        col("best.code").as("code"), col("best.d").as("d"))
+    * scan, the full per-vector encode computed as ONE codegen'd loop
+    * against the codebook as a plan literal
+    * ([[graft.functions.PqEncodeVec]] — m·k rows by contract, collected
+    * at plan-build time) and exploded to the m-row shape; r14's plans
+    * showed the old subspaceSplit → broadcast join → groupBy(id, sub) →
+    * min(struct) chain paying Sort + SortAggregate + Exchange over
+    * n·m·k rows (struct min cannot hash-aggregate). */
+  def encodePerSub(emb: DataFrame, cb: DataFrame, dims: Int, m: Int): DataFrame = {
+    val (codeIds, cbs) = graft.functions.ModelArgmin.collectCodebook(cb, m)
+    KMeansExact.quantize(emb)
+      .select(col("id"),
+        explode(graft.functions.ModelArgmin.pqEncodeVec(col("q"), dims / m,
+          codeIds, cbs)).as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.code").as("code"),
+        col("e.d").as("d"))
+  }
 
   /** PQ encode: one row per vector — the stored representation plus its
     * exact integer reconstruction error (the quantization-quality metric a
-    * curation run monitors when it sizes m and k). */
-  def encode(emb: DataFrame, cb: DataFrame, dims: Int, m: Int): DataFrame =
-    encodePerSub(emb, cb, dims, m)
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("sc"),
-        sum(col("d")).as("recon_err"))
-      .select(col("id").as("vec_id"),
-        array_join(transform(col("sc"), x => x.getField("code").cast("string")),
-          "-").as("code_str"),
-        col("recon_err"))
+    * curation run monitors when it sizes m and k). The per-vector encode
+    * array is already in subspace order, so code_str and recon_err fold
+    * per row with NO aggregation at all (the old shape paid a second
+    * corpus exchange for collect_list + sum); the m getItem references
+    * share one evaluation via whole-stage-codegen subexpression
+    * elimination. */
+  def encode(emb: DataFrame, cb: DataFrame, dims: Int, m: Int): DataFrame = {
+    val (codeIds, cbs) = graft.functions.ModelArgmin.collectCodebook(cb, m)
+    val enc = KMeansExact.quantize(emb)
+      .select(col("id"),
+        graft.functions.ModelArgmin.pqEncodeVec(col("q"), dims / m,
+          codeIds, cbs).as("e"))
+    enc.select(col("id").as("vec_id"),
+      concat_ws("-",
+        (0 until m).map(i =>
+          col("e").getItem(i).getField("code").cast("string")): _*).as("code_str"),
+      (0 until m).map(i => col("e").getItem(i).getField("d"))
+        .reduce(_ + _).as("recon_err"))
+  }
 
   /** ADC top-k: approximate k nearest stored vectors for each query id
     * < `nQueries`, by asymmetric distance (query subvector → codeword

@@ -199,13 +199,19 @@ class IvfPqSpec extends AnyFunSuite {
       s"history scan read $numFiles files; expected $expectedFiles of $totalFiles")
   }
 
-  test("plans: model artifacts broadcast; no sort-merge join, no cartesian") {
-    for (df <- Seq(IvfPq.encode(emb, cents, cb, dims, m),
-                   IvfPq.search(emb, cents, cb, dims, m, 3, 2, 10))) {
-      val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("Broadcast"), p)
-      assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join:\n" + p)
-      assert(!p.contains("CartesianProduct"), p)
-    }
+  test("plans: encode is a fused literal-model map; search broadcasts the " +
+       "distance table; no sort-merge join, no cartesian") {
+    // encode is a pure map since r15 (IvfPqEncodeVec against the
+    // collected centroids + codebook): no join, no aggregate, no exchange
+    val pe = IvfPq.encode(emb, cents, cb, dims, m)
+      .queryExecution.executedPlan.toString
+    assert(pe.contains("ivfpqencodevec"), pe)
+    assert(!pe.contains("Join") && !pe.contains("Exchange") &&
+      !pe.contains("Aggregate"), "encode must be a pure map:\n" + pe)
+    val ps = IvfPq.search(emb, cents, cb, dims, m, 3, 2, 10)
+      .queryExecution.executedPlan.toString
+    assert(ps.contains("Broadcast"), ps)
+    assert(!ps.contains("SortMergeJoin"), "corpus-side shuffle join:\n" + ps)
+    assert(!ps.contains("CartesianProduct"), ps)
   }
 }

@@ -242,25 +242,46 @@ class PlanQualitySpec extends AnyFunSuite {
       "exact overlap must not self-join the shingle table\n" + p)
   }
 
-  test("kmeans assignment: broadcast centroids, codegen'd integer distance, " +
-       "map-side argmin") {
+  test("kmeans assignment: literal-model codegen'd argmin, pure map — " +
+       "zero exchanges, zero sorts, zero aggregates") {
     import SparkTestSession.spark.implicits._
     import org.apache.spark.sql.functions.col
     val pts = graft.similarity.KMeansExact.quantize(
       spark.read.parquet(s"$sf/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").as("vec")))
-    val cents = org.apache.spark.sql.functions.broadcast(
-      Seq((0, Seq.fill(64)(0L)), (1, Seq.fill(64)(5L))).toDF("cid", "cq"))
+    val cents = Seq((0, Seq.fill(64)(0L)), (1, Seq.fill(64)(5L))).toDF("cid", "cq")
     val p = graft.similarity.KMeansExact.assign(pts, cents)
       .queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
-      "centroids must broadcast, never shuffle the points\n" + p)
-    assert(p.contains("intvecsqdist"), "distance must be the codegen'd " +
-      "IntVecSqDist, not an interpreted HOF\n" + p)
-    assert(p.contains("partial_min") || p.contains("HashAggregate"),
-      "argmin must collapse map-side before the shuffle\n" + p)
-    assert(p.linesIterator.count(_.contains("Exchange")) <= 3,
-      "one broadcast + one aggregation exchange expected\n" + p)
+    // the r15 shape: the k-row model is a plan literal (QuantArgminId),
+    // so an assignment pass is one scan + one codegen'd projection — the
+    // old crossJoin → groupBy(id) → min(struct) formulation paid Sort +
+    // SortAggregate + Exchange over n·k rows per pass (struct min cannot
+    // hash-aggregate)
+    assert(p.contains("quantargminid"), "argmin must be the codegen'd " +
+      "literal-model QuantArgminId\n" + p)
+    assert(p.contains("quantizevec"), "quantization must be the codegen'd " +
+      "QuantizeVec loop, not an interpreted transform HOF\n" + p)
+    assert(!p.contains("Exchange"), "assignment must be exchange-free\n" + p)
+    assert(!p.contains("Aggregate"), "assignment must not aggregate\n" + p)
+    assert(!p.contains("Sort"), "assignment must not sort\n" + p)
+    assert(!p.contains("Join"), "assignment must not join\n" + p)
+  }
+
+  test("ivfpq encode: fused literal-model codegen'd encode — single scan, " +
+       "no join, no aggregate, no exchange") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = graft.similarity.IvfPq.seedCentroids(e, nCells = 8)
+    val cb = graft.similarity.IvfPq.residualCodebook(e, cents, dims = 64,
+      m = 8, seedFrom = 8)
+    val p = graft.similarity.IvfPq.encode(e, cents, cb, dims = 64, m = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ivfpqencodevec"), "encode must be the fused " +
+      "codegen'd IvfPqEncodeVec\n" + p)
+    assert(!p.contains("Exchange"), "encode must be exchange-free\n" + p)
+    assert(!p.contains("Aggregate"), "encode must not aggregate\n" + p)
+    assert(!p.contains("Join"), "encode must not join\n" + p)
   }
 
   test("ngram contamination: single corpus scan, join-free, shingle-keyed " +

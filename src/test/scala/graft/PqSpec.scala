@@ -80,14 +80,24 @@ class PqSpec extends AnyFunSuite {
     assert(!rows.exists(r => r._1 == r._2))
   }
 
-  test("encode/search plans: codebook broadcast, no cartesian, no shuffled vectors") {
-    for (df <- Seq(Pq.encode(emb, cb, dims, m),
-                   Pq.adcTopK(emb, cb, dims, m, 3, 10))) {
-      val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("BroadcastHashJoin"), p)
-      assert(!p.contains("CartesianProduct"), p)
-      assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join:\n" + p)
-    }
+  test("encode/search plans: literal-model codegen'd encode, no cartesian, " +
+       "no shuffled vectors") {
+    // encode is a pure map since r15 (PqEncodeVec against the collected
+    // codebook): no join of any kind, no aggregate, no exchange
+    val pe = Pq.encode(emb, cb, dims, m).queryExecution.executedPlan.toString
+    // over this spec's LOCAL fixture the optimizer constant-folds the
+    // whole map into a LocalTableScan — the strongest possible form of
+    // "no distributed work"; over a parquet scan the expression shows
+    assert(pe.contains("pqencodevec") || pe.contains("LocalTableScan"), pe)
+    assert(!pe.contains("Join") && !pe.contains("Exchange") &&
+      !pe.contains("Aggregate"), "encode must be a pure map:\n" + pe)
+    // search still joins the broadcast distance table against the codes
+    val ps = Pq.adcTopK(emb, cb, dims, m, 3, 10)
+      .queryExecution.executedPlan.toString
+    assert(ps.contains("pqencodevec"), ps)
+    assert(ps.contains("BroadcastHashJoin"), ps)
+    assert(!ps.contains("CartesianProduct"), ps)
+    assert(!ps.contains("SortMergeJoin"), "corpus-side shuffle join:\n" + ps)
   }
 
   test("quantization agrees with KMeansExact.quantize on the same input") {
