@@ -414,8 +414,16 @@ object Knn {
           s"maxRows^2 — use incrementalBucketCandidates for the candidate " +
           "step, or pass allowQuadratic=true to opt in")
     }
-    val tagged = oldEmb.select(col("id"), col("vec"), lit(false).as("__new"))
-      .unionByName(newEmb.select(col("id"), col("vec"), lit(true).as("__new")))
+    // spread: the union is the STREAMED side of the nested-loop join (the
+    // new side broadcasts — plan-gated), and it inherits the scans' file
+    // partitioning; at sf1 a 2-file embeddings fixture ran the whole
+    // n_new × n_total dot-product loop on 2 of 32 cores (measured 178 s
+    // vs e02's 47 s for the same pair count — the nearDupPairs comment's
+    // lesson, missed on this path)
+    val tagged = graft.Tables.spread(
+      oldEmb.select(col("id"), col("vec"), lit(false).as("__new"))
+        .unionByName(newEmb.select(col("id"), col("vec"), lit(true).as("__new"))),
+      "id")
     val b = tagged.select(col("id").as("id_b"), col("vec").as("vb"),
       col("__new").as("bnew"),
       sqrt(dotExact(col("vec"), col("vec"))).as("nb"),
