@@ -62,6 +62,13 @@ object ModelArgmin {
     Bridge.column(IvfPqEncodeVec(Bridge.expression(q), cells, cents,
       subdim, codeIds, cbs))
 
+  /** Column wrapper: exact-cosine top-k (k ≤ 2) against literal
+    * centroids — array<struct<cid:long, cos:double>>, rank order
+    * (cos desc, cid asc), Q9Dot arithmetic bit-for-bit. */
+  def q9CosTop(vec: Column, cids: Seq[Long], cents: Seq[Seq[Float]],
+               cnrms: Seq[Double], k: Int): Column =
+    Bridge.column(Q9CosTopCents(Bridge.expression(vec), cids, cents, cnrms, k))
+
   /** Collect a (id, vec) model DataFrame to sorted parallel arrays — the
     * bounded driver-scale contract point shared by every argmin caller. */
   def collectModel(df: org.apache.spark.sql.DataFrame, idCol: String,
@@ -478,6 +485,196 @@ case class IvfPqEncodeVec(child: Expression, cells: Seq[Int],
          |  $out[$sub] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
          |    new Object[]{java.lang.Integer.valueOf($cell), java.lang.Integer.valueOf($sub), java.lang.Integer.valueOf($bc)});
          |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Exact-cosine top-k (k ≤ 2) of a float vector against literal
+  * centroids — the e04/e16 assignment as ONE codegen'd loop.
+  *
+  * Arithmetic is [[Q9Dot]]'s, element for element: both sides quantize to
+  * rint(x·1e9) (the centroid side pre-quantized at plan-build), products
+  * split hi/lo for exact 128-bit accumulation, the closing is the same
+  * correctly-rounded double, and the cosine closes as
+  * dot / (sqrt(selfdot) · cnrm) with `cnrm` COLLECTED from the same Spark
+  * expression the join formulation broadcast (sqrt(dotExact(c, c))) — so
+  * every cosine is bit-identical to the crossJoin + window + exact-rescore
+  * chain it replaces. Ranking is (cos desc, cid asc) with Spark's
+  * NaN-greatest double ordering, via ascending-cid iteration + strict
+  * rank-before — the max(struct)/row_number tie rule.
+  *
+  * The replaced shape paid an n·k nested-loop join, a window exchange +
+  * sort over the n·k scored rows, and a final n-row SortAggregate; this
+  * is a pure map. The fast-prefilter band (FastCosEps) existed to bound
+  * the interpreted-decimal rescore count — pointless once the exact dot
+  * is a codegen'd integer loop: scoring all k centroids exactly here is
+  * cheaper than the fast pass alone was. */
+case class Q9CosTopCents(child: Expression, cids: Seq[Long],
+                         cents: Seq[Seq[Float]], cnrms: Seq[Double], k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1 && k <= 2 && cids.length >= k &&
+    cids.length == cents.length && cids.length == cnrms.length,
+    s"model mismatch: ${cids.length} cids, ${cents.length} cents, " +
+      s"${cnrms.length} cnrms, k=$k")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cid", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val cidArr: Array[Long] = cids.toArray
+  @transient private lazy val qcArr: Array[Array[Long]] =
+    cents.map(_.map(f => Math.rint(f.toDouble * 1e9).toLong).toArray).toArray
+  @transient private lazy val cnrmArr: Array[Double] = cnrms.toArray
+
+  // Spark's descending double ordering: NaN ranks before (above) any
+  // non-NaN; equal values keep the earlier (lower-cid) entry.
+  private def rankBefore(a: Double, b: Double): Boolean =
+    (java.lang.Double.isNaN(a) && !java.lang.Double.isNaN(b)) ||
+      (!java.lang.Double.isNaN(a) && !java.lang.Double.isNaN(b) && a > b)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val va = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      va(i) = Math.rint(v.getFloat(i).toDouble * 1e9).toLong
+      i += 1
+    }
+    var sHi = 0L; var sLo = 0L
+    i = 0
+    while (i < n) {
+      val p = va(i) * va(i)
+      sHi += (p >> 32); sLo += (p & 0xffffffffL)
+      i += 1
+    }
+    sHi += (sLo >> 32); sLo &= 0xffffffffL
+    val nrm = Math.sqrt(sHi.toDouble * 4294967296.0 + sLo.toDouble)
+    var c1 = 0.0; var id1 = 0L; var c2 = 0.0; var id2 = 0L; var m = 0
+    var j = 0
+    while (j < qcArr.length) {
+      val qc = qcArr(j)
+      val d = math.min(n, qc.length)
+      var hi = 0L; var lo = 0L
+      i = 0
+      while (i < d) {
+        val p = va(i) * qc(i)
+        hi += (p >> 32); lo += (p & 0xffffffffL)
+        i += 1
+      }
+      hi += (lo >> 32); lo &= 0xffffffffL
+      val dot = hi.toDouble * 4294967296.0 + lo.toDouble
+      val cos = dot / (nrm * cnrmArr(j))
+      if (m == 0) { c1 = cos; id1 = cidArr(j); m = 1 }
+      else if (rankBefore(cos, c1)) {
+        if (k == 2) { c2 = c1; id2 = id1; m = 2 }
+        c1 = cos; id1 = cidArr(j)
+      } else if (k == 2 && (m < 2 || rankBefore(cos, c2))) {
+        c2 = cos; id2 = cidArr(j); m = 2
+      }
+      j += 1
+    }
+    val out = new Array[Any](k)
+    out(0) = InternalRow(id1, c1)
+    if (k == 2) out(1) = InternalRow(id2, c2)
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cidsRef = ctx.addReferenceObj("cids", cidArr, "long[]")
+      val qcRef = ctx.addReferenceObj("qc", qcArr, "long[][]")
+      val cnrmRef = ctx.addReferenceObj("cnrms", cnrmArr, "double[]")
+      val n = ctx.freshName("n")
+      val va = ctx.freshName("va")
+      val i = ctx.freshName("i")
+      val sHi = ctx.freshName("sHi")
+      val sLo = ctx.freshName("sLo")
+      val p = ctx.freshName("p")
+      val nrm = ctx.freshName("nrm")
+      val c1 = ctx.freshName("c1")
+      val id1 = ctx.freshName("id1")
+      val c2 = ctx.freshName("c2")
+      val id2 = ctx.freshName("id2")
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val qc = ctx.freshName("qcj")
+      val d = ctx.freshName("d")
+      val hi = ctx.freshName("hi")
+      val lo = ctx.freshName("lo")
+      val i2 = ctx.freshName("i2")
+      val p2 = ctx.freshName("p2")
+      val dot = ctx.freshName("dot")
+      val cos = ctx.freshName("cos")
+      val out = ctx.freshName("out")
+      // rankBefore(a, b) inlined: NaN ranks above any non-NaN; strict >
+      def rb(a: String, b: String): String =
+        s"((Double.isNaN($a) && !Double.isNaN($b)) || " +
+          s"(!Double.isNaN($a) && !Double.isNaN($b) && $a > $b))"
+      val top2 =
+        if (k == 2)
+          s"""
+             |  else if ($m == 0) { $c1 = $cos; $id1 = $cidsRef[$j]; $m = 1; }
+             |  else if (${rb(cos, c1)}) {
+             |    $c2 = $c1; $id2 = $id1; $c1 = $cos; $id1 = $cidsRef[$j]; $m = 2;
+             |  } else if ($m < 2 || ${rb(cos, c2)}) {
+             |    $c2 = $cos; $id2 = $cidsRef[$j]; $m = 2;
+             |  }
+           """.stripMargin
+        else
+          s"""
+             |  else if ($m == 0 || ${rb(cos, c1)}) { $c1 = $cos; $id1 = $cidsRef[$j]; $m = 1; }
+           """.stripMargin
+      val emit =
+        if (k == 2)
+          s"""
+             |Object[] $out = new Object[2];
+             |$out[0] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+             |  new Object[]{java.lang.Long.valueOf($id1), java.lang.Double.valueOf($c1)});
+             |$out[1] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+             |  new Object[]{java.lang.Long.valueOf($id2), java.lang.Double.valueOf($c2)});
+           """.stripMargin
+        else
+          s"""
+             |Object[] $out = new Object[1];
+             |$out[0] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+             |  new Object[]{java.lang.Long.valueOf($id1), java.lang.Double.valueOf($c1)});
+           """.stripMargin
+      s"""
+         |int $n = $v.numElements();
+         |long[] $va = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $va[$i] = (long) java.lang.Math.rint((double) $v.getFloat($i) * 1.0E9);
+         |}
+         |long $sHi = 0L; long $sLo = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $p = $va[$i] * $va[$i];
+         |  $sHi += ($p >> 32); $sLo += ($p & 0xffffffffL);
+         |}
+         |$sHi += ($sLo >> 32); $sLo &= 0xffffffffL;
+         |double $nrm = java.lang.Math.sqrt((double) $sHi * 4294967296.0 + (double) $sLo);
+         |double $c1 = 0.0; long $id1 = 0L; double $c2 = 0.0; long $id2 = 0L; int $m = 0;
+         |for (int $j = 0; $j < $qcRef.length; $j++) {
+         |  long[] $qc = $qcRef[$j];
+         |  int $d = java.lang.Math.min($n, $qc.length);
+         |  long $hi = 0L; long $lo = 0L;
+         |  for (int $i2 = 0; $i2 < $d; $i2++) {
+         |    long $p2 = $va[$i2] * $qc[$i2];
+         |    $hi += ($p2 >> 32); $lo += ($p2 & 0xffffffffL);
+         |  }
+         |  $hi += ($lo >> 32); $lo &= 0xffffffffL;
+         |  double $dot = (double) $hi * 4294967296.0 + (double) $lo;
+         |  double $cos = $dot / ($nrm * $cnrmRef[$j]);
+         |  if (false) {}
+         |  $top2
+         |}
+         |$emit
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })

@@ -101,35 +101,35 @@ object SimilarityQ {
     * so the exchange carries |vectors| rows regardless of centroid count. */
   def centroidAssign(s: SparkSession, dir: String): DataFrame = {
     val all = emb(s, dir)
-    // norms once per vector/centroid, NOT per pair — Knn.cosine inline
-    // would recompute each vector's norm per centroid and each centroid's
-    // norm per vector (3x the decimal work, measured 4.0 -> 1.9 s);
-    // sqrt-then-multiply is the identical IEEE closing the oracle uses
-    val cents = broadcast(all.filter(col("id") < 8)
-      .select(col("id").as("cid"), col("vec").as("cvec"),
-        sqrt(Knn.dotExact(col("vec"), col("vec"))).as("cnrm"),
-        sqrt(Knn.dotFast(col("vec"), col("vec"))).as("cnrm_f")))
-    // two-phase, same soundness argument as bruteForceKnn: the codegen'd
-    // double cosine is within FastCosEps of exact, so the exact argmax is
-    // among the candidates within eps of the fast max; only those (~1 per
-    // vector) pay the interpreted exact-decimal rescore (1.9 -> ~1.2 s)
-    val scored = all.filter(col("id") >= 8)
-      .select(col("id").as("vec_id"), col("vec"),
-        sqrt(Knn.dotFast(col("vec"), col("vec"))).as("nrm_f"))
-      .crossJoin(cents)
-      .withColumn("cos_f",
-        Knn.dotFast(col("vec"), col("cvec")) / (col("nrm_f") * col("cnrm_f")))
-    val cand = scored
-      .withColumn("__mx", max(col("cos_f")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))))
-      .filter(col("cos_f") >= col("__mx") - Knn.FastCosEps)
-    cand
-      .select(col("vec_id"), col("cid"),
-        (Knn.dotExact(col("vec"), col("cvec")) /
-          (sqrt(Knn.dotExact(col("vec"), col("vec"))) * col("cnrm"))).as("cos"))
-      .groupBy("vec_id")
-      .agg(max(struct(col("cos"), (-col("cid")).as("ncid"), col("cid"))).as("best"))
-      .select(col("vec_id"), col("best.cid").as("cid"), col("best.cos").as("cos"))
+    // literal-model argmax (the r15 shape): the 8 centroids collect at
+    // plan-build time — cnrm from the SAME Spark expression the join
+    // formulation broadcast, so the closing arithmetic is bit-identical —
+    // and assignment is one codegen'd Q9 loop per vector
+    // ([[graft.functions.Q9CosTopCents]]): zero exchanges, zero windows,
+    // zero aggregates. The old two-phase fast-prefilter existed to bound
+    // the interpreted-decimal rescore count; with the exact dot a codegen'd
+    // integer loop, exact-scoring all 8 centroids is cheaper than the
+    // fast pass + window + n·8 nested-loop join were (sf1 3.9 → see notes).
+    val (cids, cvecs, cnrms) = collectCosModel(all, nCents = 8)
+    all.filter(col("id") >= 8)
+      .select(col("id").as("vec_id"),
+        graft.functions.ModelArgmin
+          .q9CosTop(col("vec"), cids, cvecs, cnrms, 1).getItem(0).as("b"))
+      .select(col("vec_id"), col("b.cid").as("cid"), col("b.cos").as("cos"))
+  }
+
+  /** Collect the first-nCents centroid model (cid, vec, exact norm) —
+    * cnrm computed by the identical Spark expression the broadcast join
+    * formulation used, so downstream cosines close bit-identically. */
+  private def collectCosModel(all: DataFrame, nCents: Int)
+      : (Seq[Long], Seq[Seq[Float]], Seq[Double]) = {
+    val rows = all.filter(col("id") < nCents)
+      .select(col("id").cast("long").as("cid"), col("vec"),
+        sqrt(Knn.dotExact(col("vec"), col("vec"))).as("cnrm"))
+      .collect().sortBy(_.getLong(0))
+    (rows.map(_.getLong(0)).toIndexedSeq,
+      rows.map(_.getSeq[Float](1).toIndexedSeq).toIndexedSeq,
+      rows.map(_.getDouble(2)).toIndexedSeq)
   }
 
   /** Assignment-MARGIN audit — the stability readout for e04's hard
@@ -158,41 +158,25 @@ object SimilarityQ {
     * out so the property spec can drive the two-phase top-2 policy over
     * adversarial random frames, not just the fixture corpus. */
   private[graft] def assignMarginFrom(all: DataFrame, nCents: Int): DataFrame = {
-    // a top-2 needs two candidates; with one centroid the second-best
-    // window value is null and the band filter would silently drop every
-    // row — fail loudly instead
+    // a top-2 needs two candidates — fail loudly with one centroid
     require(nCents >= 2, s"assignMargin needs >= 2 centroids, got $nCents")
-    import org.apache.spark.sql.expressions.Window
-    val cents = broadcast(all.filter(col("id") < nCents)
-      .select(col("id").as("cid"), col("vec").as("cvec"),
-        sqrt(Knn.dotExact(col("vec"), col("vec"))).as("cnrm"),
-        sqrt(Knn.dotFast(col("vec"), col("vec"))).as("cnrm_f")))
-    val scored = all.filter(col("id") >= nCents)
-      .select(col("id").as("vec_id"), col("vec"),
-        sqrt(Knn.dotFast(col("vec"), col("vec"))).as("nrm_f"))
-      .crossJoin(cents)
-      .withColumn("cos_f",
-        Knn.dotFast(col("vec"), col("cvec")) / (col("nrm_f") * col("cnrm_f")))
-    val byVec = Window.partitionBy(col("vec_id"))
-    val cand = scored
-      .withColumn("__rn_f",
-        row_number().over(byVec.orderBy(col("cos_f").desc, col("cid"))))
-      .withColumn("__second_f",
-        max(when(col("__rn_f") === 2, col("cos_f"))).over(byVec))
-      .filter(col("cos_f") >= col("__second_f") - lit(2 * Knn.FastCosEps))
-      .select(col("vec_id"), col("cid"),
-        (Knn.dotExact(col("vec"), col("cvec")) /
-          (sqrt(Knn.dotExact(col("vec"), col("vec"))) * col("cnrm"))).as("cos"))
-    cand
-      .withColumn("__rk",
-        row_number().over(byVec.orderBy(col("cos").desc, col("cid"))))
-      .groupBy("vec_id")
-      .agg(
-        max(when(col("__rk") === 1, struct(col("cid"), col("cos")))).as("b1"),
-        max(when(col("__rk") === 2, struct(col("cid"), col("cos")))).as("b2"))
+    // literal-model exact top-2 (the r15 shape, see [[centroidAssign]]):
+    // one codegen'd Q9 loop per vector replaces the n·k nested-loop join,
+    // TWO windows over the scored rows, and the final SortAggregate. The
+    // old 2·FastCosEps pruning band only bounded the interpreted-decimal
+    // rescore count; exact-scoring every centroid is now cheaper than the
+    // fast pass was, and the result is the unpruned exact ranking itself
+    // (AssignMarginPropertySpec's reference, verbatim).
+    val (cids, cvecs, cnrms) = collectCosModel(all, nCents)
+    all.filter(col("id") >= nCents)
+      .select(col("id").as("vec_id"),
+        graft.functions.ModelArgmin
+          .q9CosTop(col("vec"), cids, cvecs, cnrms, 2).as("t"))
       .select(col("vec_id"),
-        col("b1.cid").as("cid1"), col("b2.cid").as("cid2"),
-        col("b1.cos").as("cos1"), col("b2.cos").as("cos2"))
+        col("t").getItem(0).getField("cid").as("cid1"),
+        col("t").getItem(1).getField("cid").as("cid2"),
+        col("t").getItem(0).getField("cos").as("cos1"),
+        col("t").getItem(1).getField("cos").as("cos2"))
       .withColumn("margin", col("cos1") - col("cos2"))
       .withColumn("ambiguous", (col("margin") < 0.05).cast("int"))
   }
