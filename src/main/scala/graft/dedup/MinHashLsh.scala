@@ -216,9 +216,16 @@ object MinHashLsh {
                                 maxBucketSize: Option[Int] = None,
                                 literalKeys: Boolean = false): (DataFrame, DataFrame) = {
     val nSig = newSig.cache()
-    val cand = incrementalCandidates(nSig, storedSig, idCol, p,
+    // cache the stored side too: it feeds the band table AND both
+    // estimate joins — three evaluations of the history signature pass
+    // when the caller computes it inline (d26, the rebuild worst-case
+    // twin; measured 11.4 s at sf1, dominated by re-signing history 3x).
+    // One (id, sig) row per doc. The registry-probing production path
+    // (incrementalNearDupFromIndex) reads stored PARQUET and is untouched.
+    val sSig = storedSig.cache()
+    val cand = incrementalCandidates(nSig, sSig, idCol, p,
       maxBucketSize, literalKeys)
-    val allSig = storedSig.unionByName(nSig)
+    val allSig = sSig.unionByName(nSig)
     val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
       (m: Column) => m)).cast("double") / lit(p.numHashes.toDouble)
     val pairs = cand

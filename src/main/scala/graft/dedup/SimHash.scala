@@ -126,11 +126,18 @@ object SimHash {
     }
   }
 
-  private def nearDupFromSimhash(sh: DataFrame, idCol: String,
+  private def nearDupFromSimhash(sh0: DataFrame, idCol: String,
                                  maxDist: Int, chunks: Int,
                                  maxChunkBucket: Option[Int],
                                  bits: Int = 64): DataFrame = {
     require(maxDist < chunks, "pigeonhole completeness needs maxDist < chunks")
+    // cache: the banded self-join consumes the signature table on BOTH
+    // sides, and without the cache the whole upstream pipeline (the
+    // per-token simhash pass for d07, the codec decode seam for the
+    // perceptual callers) evaluates twice — the r15 plan audit found
+    // every hash-family pair query paying its feature extraction 2-4x.
+    // One (id, simhash) row per doc: tiny, the MinHashLsh sig precedent.
+    val sh = sh0.cache()
     val chunked = sh.select(col(idCol), col("simhash"),
       posexplode(array(chunkExprs(bits, chunks).map { case (lo, mask) =>
         expr(s"(simhash >> $lo) & $mask") }: _*))
@@ -220,14 +227,18 @@ object SimHash {
     // carrying 57% of 50k docs → 10^8 pairs); with it, output per
     // value-pair hit is <= k², independent of corpus growth. Deterministic
     // (order by id) so a SQL oracle replays it with one row_number.
-    val h = maxValueDocs match {
+    val h = (maxValueDocs match {
       case Some(k) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("__h").orderBy("__id")
         all.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") <= k).drop("__rn")
       case None => all
-    }
+      // cache: three consumers (the distinct hash set and both fan-out
+      // joins) would otherwise each re-run the upstream hash pipeline —
+      // for m12/m13 that is the full image/audio DECODE, measured 3x in
+      // the r15 plan audit. One (id, hash) row per doc.
+    }).cache()
     val hashPairs = hammingNearDuplicates(
       h.select(col("__h")).distinct().select(col("__h").as("hid"), col("__h")),
       "hid", "__h", maxDist, chunks, maxChunkBucket, bits)

@@ -247,7 +247,10 @@ object MultimodalQ {
   }
 
   def videoPhash(s: SparkSession, dir: String): DataFrame = {
-    val frames = videoFrameHashes(s, dir)
+    // cache: the per-hash doc count and the join-back both read the frame
+    // hash table; uncached, the AVI render+decode seam ran twice (r15
+    // plan audit). One small row per frame.
+    val frames = videoFrameHashes(s, dir).cache()
     val docsPerHash = frames.select("dhash", "doc_id").distinct()
       .groupBy("dhash").agg(count(lit(1)).as("__docs"))
     frames.join(docsPerHash, Seq("dhash"))
@@ -281,14 +284,19 @@ object MultimodalQ {
     // buckets): a black-card / station-ident triple carried by n videos
     // emits n² pairs — at cap, drop the bucket (recall only drops for
     // pairs whose EVERY shared triple is ubiquitous, i.e. pure boilerplate)
-    val tri = maxBucket match {
+    val tri = (maxBucket match {
       case Some(cap) =>
         val bw = org.apache.spark.sql.expressions.Window
           .partitionBy(col("d0"), col("d1"), col("d2"))
         tri0.withColumn("__bn", count(lit(1)).over(bw))
           .filter(col("__bn") <= cap).drop("__bn")
       case None => tri0
-    }
+      // cache: the triple self-join consumes this table on both sides —
+      // uncached, the whole AVI render+decode+window chain ran twice and
+      // the planner even BROADCAST one full copy (r15 plan audit: no
+      // ReusedExchange fires across a BHJ probe side). A few triples per
+      // video: tiny.
+    }).cache()
     val a = tri.select(col("d0"), col("d1"), col("d2"), col("doc_id").as("id_a"))
     val b = tri.select(col("d0"), col("d1"), col("d2"), col("doc_id").as("id_b"))
     a.join(b, Seq("d0", "d1", "d2"))
@@ -519,8 +527,11 @@ object MultimodalQ {
     * exponent 0.31, docs/SCALE.md). */
   def frameDedup(s: SparkSession, dir: String): DataFrame = {
     val payloads = Multimodal.attachPayload(Tables(s, dir).documents, "doc_id", "text")
+    // cache: the per-frame doc count and the join-back both read this
+    // table; uncached, the frame-slicing decode seam ran twice
     val frames = Multimodal.videoFrames(payloads, s, frameBytes = 32, stride = 3)
       .select(col("doc_id"), md5(col("frame")).as("frame_md5"))
+      .cache()
     // distinct-doc count per frame via aggregation, NOT a window
     // collect_set — a hot frame (black card, standard intro) would hold
     // an O(docs) set in window state; the agg's partial combine keeps it
